@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator registry (one entry per implemented
+  * operator from SURVEY.md §2 plus the LLM-pipeline extensions); `oracleSql`
+  * carries the DuckDB-equivalent SQL for every hash-checkable entry.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q9 is the reference's richest shape (join + group + window-avg + no-ELSE
+    * CASE + arithmetic + multi-key sort).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q9WindowAvgCase(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver records a weaker
+    * rows-only check (used only for ops whose hashes are not portable,
+    * e.g. xxhash64-based sketches).
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracles
+
+  /** Headline subset timed by Bench (kept representative but bounded). */
+  def headline: Seq[String] = Seq(
+    "q1_agg", "q3_month_filter", "q5_join_broadcast", "q6_join_3way",
+    "q7_topk_global", "q8_window_rank", "q9_window_avg_case",
+    "q10_share_month", "q12_date_agg", "q15_events_hourly")
 }

@@ -1,0 +1,439 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator coverage, mapped 1:1 from the reference inventory in
+  * SURVEY.md §2 (reference: kimiko-dev/Uber-Data-Pipeline, six dbt models
+  * under `dbt_Models/`) onto the driver's TPC-H-ish testdata tables.
+  *
+  * Every query:
+  *  - is declarative DataFrame API (Catalyst gets pushdown/pruning/broadcast
+  *    for free; no RDDs, no collect);
+  *  - carries a DuckDB oracle with IDENTICAL column names and aligned types
+  *    (counts → BIGINT, rank/month/year → INT, money/ratios → rounded DOUBLE);
+  *  - ends in a deterministic ORDER BY so row-order-sensitive comparison is
+  *    stable across engines.
+  *
+  * Scale notes are per-query in the Scaladoc: the dims (`supplier`, `nation`,
+  * `part` at these SFs) are explicitly `broadcast()` where a 1000-executor
+  * plan must avoid a shuffle; fact-fact joins shuffle on their join key which
+  * is the partitioning a cluster run would pre-bucket on.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Engine-portable half-up rounding: floor(x*10^n + 0.5)/10^n, pure IEEE
+    * double ops — bitwise-identical in Spark and DuckDB, unlike round(),
+    * whose half-way tie behavior differs (HALF_UP vs HALF_EVEN). Money sums
+    * divided by counts land on exact .xx5 boundaries often, so this is the
+    * ONLY rounding used in oracle-checked outputs. The SQL twin is the same
+    * formula spelled out (see each oracle).
+    */
+  private def sround(c: org.apache.spark.sql.Column, digits: Int): org.apache.spark.sql.Column = {
+    val f = math.pow(10, digits)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+
+  /** Exact money aggregation: 2-decimal doubles → integer cents → BIGINT sum.
+    * A plain double sum is association-order-dependent (Spark's partial aggs
+    * vs a single-threaded oracle differ in the last ulps, which flips cent
+    * roundings); an integer sum is exact and order-independent at any SF
+    * (cents fit in BIGINT way past 100 TB of rows). SQL twin:
+    * CAST(sum(CAST(floor(x * 100.0 + 0.5) AS BIGINT)) AS BIGINT).
+    */
+  private def sumCents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(floor(c * lit(100.0) + lit(0.5)).cast("long"))
+
+  // --------------------------------------------------------------- q1_agg
+  /** A1/A3 (`dbt_Models/total_pickups_in_may_by_base.sql:4-8` shape): grouped
+    * aggregate with map-side partial aggregation. Shuffles only the group
+    * keys (6 distinct pairs) — at 100 TB this is the cheapest possible agg.
+    */
+  val q1Agg: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"), // integral doubles: sum is exact
+        (sumCents(col("l_extendedprice")) / lit(100.0)).as("sum_price"),
+        sround(sumCents(col("l_discount")) / (count(lit(1)) * lit(100.0)), 6)
+          .as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price,
+      |  floor((CAST(sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / (count(*) * 100.0)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------ q2_count_nonnull
+  /** A2 (`dbt_Models/top_3_base_names_by_total_pickups.sql:5`): COUNT(col)
+    * null-skipping vs COUNT(*), plus exact distinct count.
+    */
+  val q2CountNonnull: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt_all"),
+        count(col("l_shipdate")).as("cnt_ship"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy("l_returnflag")
+
+  val q2CountNonnullSql: String =
+    """SELECT l_returnflag, count(*) AS cnt_all, count(l_shipdate) AS cnt_ship,
+      |  count(DISTINCT l_suppkey) AS n_supp
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------- q3_month_filter
+  /** F1+X1 (`dbt_Models/total_pickups_in_may_by_base.sql:7`): equality
+    * predicate on a derived month. The month() filter is evaluated pre-shuffle
+    * so only May rows move; on a date-partitioned 100 TB table this becomes
+    * partition pruning.
+    */
+  val q3MonthFilter: Q = (s, d) =>
+    t(s, d, "orders")
+      .filter(month(col("o_orderdate")) === 5)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
+  val q3MonthFilterSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt FROM orders
+      |WHERE month(o_orderdate) = 5
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // --------------------------------------------------------- q4_filter_in
+  /** F2/F4/P1 (`dbt_Models/unter_grun_pickups_in_bronx.sql:10`): IN-list +
+    * conjunction, projection with aliases. Both predicates push down to the
+    * parquet scan (PushedFilters: In, GreaterThan).
+    */
+  val q4FilterIn: Q = (s, d) =>
+    t(s, d, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") &&
+        col("c_acctbal") > 1000.0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        sround(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy("c_custkey")
+
+  val q4FilterInSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment, floor((c_acctbal) * 100.0 + 0.5) / 100.0 AS acctbal
+      |FROM customer
+      |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') AND c_acctbal > 1000.0
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------- q5_join_broadcast
+  /** J1 (`dbt_Models/top_3_base_names_by_total_pickups.sql:7`): fact⋈dim
+    * equi-join. supplier is a dim → explicit broadcast(): zero shuffle of the
+    * fact side; the agg then shuffles only (s_name) partials.
+    */
+  val q5JoinBroadcast: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey"), "inner")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("cnt"),
+        (sumCents(col("l_extendedprice")) / lit(100.0)).as("revenue"))
+      .orderBy("s_name")
+
+  val q5JoinBroadcastSql: String =
+    """SELECT s_name, count(*) AS cnt,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY s_name""".stripMargin
+
+  // ------------------------------------------------------- q6_join_3way
+  /** J3 (`dbt_Models/unter_grun_pickups_in_bronx.sql:7-10`): 3-way join with
+    * IN filter. lineitem⋈orders shuffles on orderkey (the natural bucketing
+    * key at scale); customer is small relative to the fact and the filter on
+    * it is applied before the join so AQE can demote it to broadcast.
+    */
+  val q6Join3way: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val o = t(s, d, "orders")
+    val c = t(s, d, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"), "inner")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("qty"))
+      .orderBy("c_mktsegment", "o_orderstatus")
+  }
+
+  val q6Join3waySql: String =
+    """SELECT c_mktsegment, o_orderstatus, count(*) AS cnt,
+      |  sum(l_quantity) AS qty
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
+      |GROUP BY c_mktsegment, o_orderstatus
+      |ORDER BY c_mktsegment, o_orderstatus""".stripMargin
+
+  // ------------------------------------------------------- q7_topk_global
+  /** O1+A2 (`dbt_Models/top_3_base_names_by_total_pickups.sql:9-10`): global
+    * top-k. Spark plans TakeOrderedAndProject — per-partition top-3 then a
+    * driver-side merge of 32 candidates, NOT a global sort. Tie-broken on
+    * p_brand for determinism.
+    */
+  val q7TopkGlobal: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(col("l_shipdate")).as("cnt"))
+      .orderBy(col("cnt").desc, col("p_brand").asc)
+      .limit(3)
+
+  val q7TopkGlobalSql: String =
+    """SELECT p_brand, count(l_shipdate) AS cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY cnt DESC, p_brand ASC LIMIT 3""".stripMargin
+
+  // ------------------------------------------------------ q8_window_rank
+  /** W1+F3+O2 (`dbt_Models/top_3_pickup_dates_per_base.sql:13,22`): per-group
+    * top-k via rank() — ties share rank with gaps (must stay rank(), not
+    * row_number; see SURVEY §7.4.3). Pre-aggregation shrinks the window input
+    * to one row per (supplier, year, month) before the sort-within-partition.
+    */
+  val q8WindowRank: Q = (s, d) => {
+    val perMonth = t(s, d, "lineitem")
+      .groupBy(col("l_suppkey"),
+        year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mo"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("cnt").desc)
+    perMonth
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk").isin(1, 2, 3))
+      .orderBy(col("l_suppkey"), col("rnk"), col("yr"), col("mo"))
+  }
+
+  val q8WindowRankSql: String =
+    """SELECT * FROM (
+      |  SELECT l_suppkey, yr, mo, cnt,
+      |    CAST(rank() OVER (PARTITION BY l_suppkey ORDER BY cnt DESC) AS INTEGER) AS rnk
+      |  FROM (
+      |    SELECT l_suppkey, CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |      CAST(month(l_shipdate) AS INTEGER) AS mo, count(*) AS cnt
+      |    FROM lineitem GROUP BY 1, 2, 3))
+      |WHERE rnk IN (1, 2, 3)
+      |ORDER BY l_suppkey, rnk, yr, mo""".stripMargin
+
+  // -------------------------------------------------- q9_window_avg_case
+  /** W2+A4+X3+X4+O3 (`dbt_Models/pickup_count_vs_average_per_base.sql`): the
+    * reference's flagship shape — grouped count, analytic AVG over the month
+    * partition (unbounded frame), no-ELSE CASE month naming (months 7-12 →
+    * NULL, SURVEY §7.4.4), percentage-difference arithmetic, multi-key sort.
+    */
+  val q9WindowAvgCase: Q = (s, d) => {
+    val m = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"), month(col("l_shipdate")).as("mo"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("mo"))
+    val monthName = when(col("mo") === 1, "January")
+      .when(col("mo") === 2, "February")
+      .when(col("mo") === 3, "March")
+      .when(col("mo") === 4, "April")
+      .when(col("mo") === 5, "May")
+      .when(col("mo") === 6, "June") // no otherwise: 7-12 → NULL by design
+    m.select(
+      col("s_name"),
+      monthName.as("month_name"),
+      col("mo"), col("cnt"),
+      sround(avg(col("cnt")).over(w), 4).as("avg_cnt"),
+      sround((col("cnt") / avg(col("cnt")).over(w) - 1) * 100, 4).as("pct_diff"))
+      .orderBy(col("mo"), col("s_name"))
+  }
+
+  val q9WindowAvgCaseSql: String =
+    """WITH m AS (
+      |  SELECT s_name, CAST(month(l_shipdate) AS INTEGER) AS mo, count(*) AS cnt
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2)
+      |SELECT s_name,
+      |  CASE mo WHEN 1 THEN 'January' WHEN 2 THEN 'February' WHEN 3 THEN 'March'
+      |          WHEN 4 THEN 'April' WHEN 5 THEN 'May' WHEN 6 THEN 'June' END AS month_name,
+      |  mo, cnt,
+      |  floor((avg(cnt) OVER (PARTITION BY mo)) * 10000.0 + 0.5) / 10000.0 AS avg_cnt,
+      |  floor(((cnt / avg(cnt) OVER (PARTITION BY mo) - 1) * 100) * 10000.0 + 0.5) / 10000.0 AS pct_diff
+      |FROM m ORDER BY mo, s_name""".stripMargin
+
+  // ------------------------------------------------------ q10_share_month
+  /** A5+X5+C3 (`dbt_Models/pickup_percentile_by_base_per_month.sql:23,31`):
+    * share-of-month division. The oracle keeps the reference's literal
+    * correlated-scalar-subquery form; the Spark build uses the equivalent
+    * window sum — one shuffle on `mo`, no join, no per-row subquery.
+    */
+  val q10ShareMonth: Q = (s, d) => {
+    val m = t(s, d, "lineitem")
+      .groupBy(col("l_suppkey"), month(col("l_shipdate")).as("mo"))
+      .agg(count(lit(1)).as("cnt"))
+    m.select(
+      col("l_suppkey"), col("mo"), col("cnt"),
+      sround(col("cnt") * lit(100.0) / sum(col("cnt")).over(Window.partitionBy(col("mo"))), 4)
+        .as("share_pct"))
+      .orderBy(col("mo"), col("l_suppkey"))
+  }
+
+  val q10ShareMonthSql: String =
+    """WITH m AS (
+      |  SELECT l_suppkey, CAST(month(l_shipdate) AS INTEGER) AS mo, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_suppkey, mo, cnt,
+      |  floor((cnt * 100.0 / (SELECT CAST(sum(cnt) AS BIGINT) FROM m sub WHERE sub.mo = m.mo)) * 10000.0 + 0.5) / 10000.0 AS share_pct
+      |FROM m ORDER BY mo, l_suppkey""".stripMargin
+
+  // ------------------------------------------------------- q11_cte_chain
+  /** C1/C2 (`dbt_Models/pickup_count_vs_average_per_base.sql:3-26`): chained
+    * CTEs. This one runs through spark.sql on the SHARED text below — the SQL
+    * is in the dialect intersection, so the exact same string is the oracle
+    * (free differential testing of Catalyst's SQL path vs DuckDB).
+    */
+  val q11CteChainSql: String =
+    """WITH cust_orders AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
+      |  FROM orders GROUP BY o_custkey),
+      |nation_cust AS (
+      |  SELECT c_nationkey, count(*) AS n_cust,
+      |    CAST(sum(n_orders) AS BIGINT) AS n_orders,
+      |    CAST(sum(spend_cents) AS BIGINT) AS total_cents
+      |  FROM cust_orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_nationkey)
+      |SELECT n_name, n_cust, n_orders,
+      |  floor((total_cents / (n_cust * 100.0)) * 100.0 + 0.5) / 100.0 AS avg_spend
+      |FROM nation_cust JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  val q11CteChain: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(q11CteChainSql)
+  }
+
+  // -------------------------------------------------------- q12_date_agg
+  /** X2 (`dbt_Models/top_3_pickup_dates_per_base.sql:6`): timestamp→date
+    * truncation feeding a group-by.
+    */
+  val q12DateAgg: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("ship_day")
+
+  val q12DateAggSql: String =
+    """SELECT CAST(l_shipdate AS DATE) AS ship_day, count(*) AS cnt
+      |FROM lineitem GROUP BY 1 ORDER BY ship_day""".stripMargin
+
+  // ------------------------------------------------------ q13_ingest_cdc
+  /** S3 (`Diary of Making.md:148-152`, `Images/bq_raw_data_janjune_15.png`):
+    * Airbyte-style CDC ingest enrichment — provenance columns stamped onto
+    * every row. Deterministic here (content-hash raw id, fixed extract ts) so
+    * the oracle can replay it; the production path in graft.uber.Ingest uses
+    * uuid()/current_timestamp(). Pure narrow projection: no shuffle at any SF.
+    */
+  val q13IngestCdc: Q = (s, d) =>
+    t(s, d, "customer").select(
+      col("c_custkey"), col("c_name"),
+      md5(concat_ws("|", col("c_custkey").cast("string"), col("c_name")))
+        .as("_airbyte_raw_id"),
+      // timestamp_ntz keeps the parquet annotation timezone-naive, matching
+      // the oracle's (and the reference's TIMESTAMP WITHOUT TIME ZONE) type.
+      to_timestamp(lit("2026-01-01 00:00:00")).cast("timestamp_ntz")
+        .as("_airbyte_extracted_at"),
+      lit("""{"errors":[]}""").as("_airbyte_meta"),
+      lit(null).cast("string").as("_ab_cdc_lsn"),
+      lit(null).cast("timestamp_ntz").as("_ab_cdc_deleted_at"),
+      lit(null).cast("timestamp_ntz").as("_ab_cdc_updated_at"))
+      .orderBy("c_custkey")
+
+  val q13IngestCdcSql: String =
+    """SELECT c_custkey, c_name,
+      |  md5(concat_ws('|', CAST(c_custkey AS VARCHAR), c_name)) AS _airbyte_raw_id,
+      |  TIMESTAMP '2026-01-01 00:00:00' AS _airbyte_extracted_at,
+      |  '{"errors":[]}' AS _airbyte_meta,
+      |  CAST(NULL AS VARCHAR) AS _ab_cdc_lsn,
+      |  CAST(NULL AS TIMESTAMP) AS _ab_cdc_deleted_at,
+      |  CAST(NULL AS TIMESTAMP) AS _ab_cdc_updated_at
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------- q14_set_ops
+  /** Set operation (beyond the reference surface, SURVEY §2.9): customers
+    * ordering in both May and June. INTERSECT = distinct semantics both
+    * engines; Spark plans it as a left-semi hash join after aggregation.
+    */
+  val q14SetOps: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    val may = o.filter(month(col("o_orderdate")) === 5)
+      .select(col("o_custkey").as("custkey"))
+    val jun = o.filter(month(col("o_orderdate")) === 6)
+      .select(col("o_custkey").as("custkey"))
+    may.intersect(jun).orderBy("custkey")
+  }
+
+  val q14SetOpsSql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE month(o_orderdate) = 5
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders WHERE month(o_orderdate) = 6
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------- q15_events_hourly
+  /** Batch twin of the streaming seam (`Diary of Making.md:383-386` names the
+    * never-built Kafka hourly pipeline): tumbling-hour event aggregation.
+    * graft.streaming.EventsStream runs the same logic as a Structured
+    * Streaming query with a watermark; identical results on a bounded input.
+    */
+  val q15EventsHourly: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        (sumCents(col("value")) / lit(100.0)).as("sum_value"))
+      .orderBy("hour_ts", "event_type")
+
+  val q15EventsHourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "q2_count_nonnull" -> q2CountNonnull,
+    "q3_month_filter" -> q3MonthFilter,
+    "q4_filter_in" -> q4FilterIn,
+    "q5_join_broadcast" -> q5JoinBroadcast,
+    "q6_join_3way" -> q6Join3way,
+    "q7_topk_global" -> q7TopkGlobal,
+    "q8_window_rank" -> q8WindowRank,
+    "q9_window_avg_case" -> q9WindowAvgCase,
+    "q10_share_month" -> q10ShareMonth,
+    "q11_cte_chain" -> q11CteChain,
+    "q12_date_agg" -> q12DateAgg,
+    "q13_ingest_cdc" -> q13IngestCdc,
+    "q14_set_ops" -> q14SetOps,
+    "q15_events_hourly" -> q15EventsHourly)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q2_count_nonnull" -> q2CountNonnullSql,
+    "q3_month_filter" -> q3MonthFilterSql,
+    "q4_filter_in" -> q4FilterInSql,
+    "q5_join_broadcast" -> q5JoinBroadcastSql,
+    "q6_join_3way" -> q6Join3waySql,
+    "q7_topk_global" -> q7TopkGlobalSql,
+    "q8_window_rank" -> q8WindowRankSql,
+    "q9_window_avg_case" -> q9WindowAvgCaseSql,
+    "q10_share_month" -> q10ShareMonthSql,
+    "q11_cte_chain" -> q11CteChainSql,
+    "q12_date_agg" -> q12DateAggSql,
+    "q13_ingest_cdc" -> q13IngestCdcSql,
+    "q14_set_ops" -> q14SetOpsSql,
+    "q15_events_hourly" -> q15EventsHourlySql)
+}
