@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,9 +19,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q9WindowAvgCase(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (relational
+    * parity) plus the LLM-pipeline extensions (text analysis, dedup,
+    * similarity search, multimodal plumbing).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -28,11 +33,15 @@ object SparkEntry {
     * e.g. xxhash64-based sketches).
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+      Similarity.oracles
 
   /** Headline subset timed by Bench (kept representative but bounded). */
   def headline: Seq[String] = Seq(
     "q1_agg", "q3_month_filter", "q5_join_broadcast", "q6_join_3way",
     "q7_topk_global", "q8_window_rank", "q9_window_avg_case",
-    "q10_share_month", "q12_date_agg", "q15_events_hourly")
+    "q10_share_month", "q12_date_agg", "q15_events_hourly",
+    "t1_text_stats", "t2_quality", "t4_fingerprint",
+    "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
+    "v1_knn_brute", "v3_embedding_neardup")
 }

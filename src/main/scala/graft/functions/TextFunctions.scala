@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the LLM-data-pipeline operators
+  * (dedup, quality scoring, fingerprinting — the north-star extensions named
+  * in BASELINE.json, absent from the reference's own surface).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` higher-order
+  * functions, so the whole stack stays inside whole-stage codegen — no UDFs,
+  * no serialization cliff, executor-parallel at any scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped (split("a  b") yields ""s). */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  /** Lowercased tokens — the canonical token stream for dedup/quality. */
+  def lowerTokens(c: Column): Column = tokens(lower(c))
+
+  /** BPE-ish subword proxy: runs of word chars / digits / single punct.
+    * A real tokenizer is model-specific; this regex count is the standard
+    * cheap estimator for budget accounting.
+    */
+  def approxBpeTokens(c: Column): Column =
+    size(filter(split(c, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => t =!= lit(" ") && t =!= lit("")))
+
+  /** Whitespace-collapsed, trimmed, lowercased canonical form. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Character n-grams (sliding window, 1-based substr). Empty array when the
+    * string is shorter than n — the unguarded sequence(1, len-n+1) would
+    * produce a DESCENDING range and wrong grams.
+    */
+  def charNgrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - n + 1), i => c.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Word n-grams over a token array, space-joined. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Jaccard similarity of two (already distinct) string sets. Integer size
+    * division → bitwise-identical doubles across engines.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)) / size(array_union(a, b))
+
+  // ------------------------------------------------------------- MinHash
+
+  /** Fixed affine-permutation coefficients (seeded, stable across releases —
+    * signatures are persisted artifacts and must never drift).
+    */
+  private val (permA, permB): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42L)
+    val a = Array.fill(64)(rnd.nextLong() | 1L) // odd multipliers
+    val b = Array.fill(64)(rnd.nextLong())
+    (a, b)
+  }
+
+  /** 64-permutation MinHash signature over a string set: xxhash64 each
+    * element once, then min over k affine rehashes (wraparound long
+    * arithmetic — standard practice; only relative order per permutation
+    * matters). One pass over the set per permutation, all codegen'd.
+    */
+  def minhashSignature(set: Column, k: Int = 64): Column = {
+    require(k <= 64, "only 64 permutation seeds are defined")
+    val hashes = transform(set, s => xxhash64(s))
+    array((0 until k).map { i =>
+      array_min(transform(hashes, h => h * lit(permA(i)) + lit(permB(i))))
+    }: _*)
+  }
+
+  /** LSH band keys for a MinHash signature: `bands` hashes, each over `rows`
+    * consecutive signature entries. Explode + group/join on (band, key) is
+    * the scalable candidate-generation shuffle (docs sharing a band key land
+    * in the same partition; no all-pairs comparison anywhere).
+    */
+  def minhashBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(
+        b.cast("int").as("band"),
+        xxhash64(slice(sig, b * lit(rows) + lit(1), lit(rows))).as("bkey")))
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over a token array: per-bit signed counts of xxhash64
+    * token hashes, bit set where the count is positive. Single aggregate
+    * pass with a 64-counter accumulator (nested lambdas capture the outer
+    * hash variable).
+    */
+  def simhash(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(0L), lit(63L)), (c, i) =>
+          c + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L))))
+    aggregate(
+      zip_with(counts, sequence(lit(0L), lit(63L)), (c, i) =>
+        when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (s, x) => s.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** 16-bit chunk keys of a simhash — equal-chunk blocking finds all pairs
+    * within Hamming distance 3 of each other (pigeonhole over 4 chunks).
+    */
+  def simhashChunks(sh: Column): Column =
+    transform(sequence(lit(0), lit(3)), i =>
+      struct(i.cast("int").as("chunk"),
+        call_function("shiftright", sh, i * lit(16)).bitwiseAND(lit(0xFFFFL))
+          .as("ckey")))
+}

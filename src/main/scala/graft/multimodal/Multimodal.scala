@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with typed
+  * metadata, decoded/feature-extracted via a per-partition pipeline.
+  *
+  * The Spark-side shape is real and tested — schema (binary + struct
+  * metadata), partition-parallel processing with one decoder instance per
+  * partition (the `mapPartitions` below is the Scala analog of a Pandas
+  * `mapInPandas` batch UDF: amortize decoder setup per partition, stream
+  * rows), columnar output with an `array<float>` feature vector that feeds
+  * straight into graft.operators.Similarity.
+  *
+  * The actual codec is STUBBED (no image/audio libraries in this
+  * environment): `StubDecoder` derives deterministic pseudo-metadata and a
+  * 16-bin byte histogram as the "feature". Swapping in a real decoder means
+  * replacing ONLY `StubDecoder.decode` — the distributed plumbing is
+  * decoder-agnostic.
+  */
+object Multimodal {
+
+  /** Input record: id + raw media bytes (here: UTF-8 payload of `text`
+    * standing in for image bytes).
+    */
+  final case class MediaIn(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded record: metadata + extracted feature vector. */
+  final case class MediaFeat(
+      doc_id: Long,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      feature: Array[Float])
+
+  /** Deterministic stand-in for an image decoder. A real implementation
+    * would decode `payload` (JPEG/PNG/...) and run feature extraction; it
+    * must remain a pure function of the bytes for replayability.
+    */
+  object StubDecoder {
+    def decode(id: Long, bytes: Array[Byte]): MediaFeat = {
+      val hist = new Array[Float](16)
+      bytes.foreach(b => hist((b & 0xFF) >> 4) += 1f)
+      val n = math.max(bytes.length, 1)
+      var i = 0
+      while (i < 16) { hist(i) /= n; i += 1 }
+      // pseudo-dimensions derived from content so downstream resize logic
+      // has non-constant inputs to exercise
+      MediaFeat(id, bytes.length, 64 + (bytes.length % 64), 64, hist)
+    }
+  }
+
+  /** Decode a binary-payload Dataset partition-parallel. */
+  def decodeFeatures(media: Dataset[MediaIn]): Dataset[MediaFeat] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder setup would go here (load codec, model, ...)
+      it.map(m => StubDecoder.decode(m.doc_id, m.payload))
+    }
+  }
+
+  /** Driver-facing query: documents → binary payloads → decoded features.
+    * Rows-only check (the histogram is not expressible in portable SQL);
+    * exact values are asserted in ScalaTest against a hand-computed fixture.
+    */
+  def mm1DecodeStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+    decodeFeatures(media)
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+        col("feature"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_decode_stub" -> (mm1DecodeStub _))
+}

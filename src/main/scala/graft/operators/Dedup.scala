@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over `documents` — exact, blocked n-gram Jaccard,
+  * MinHash+LSH, and SimHash. The testdata corpus contains planted
+  * near-duplicates (max char-3gram Jaccard ≈ 0.98), so each operator has
+  * real positives to find.
+  *
+  * Scale design: NOTHING here compares all pairs. Candidates come from
+  * equality joins on derived keys (fingerprint, (source, length-bucket)
+  * block, LSH band key, SimHash chunk), i.e. shuffle-partitioned joins that
+  * scale linearly in candidates, not quadratically in corpus size — the only
+  * viable shape at 100 TB. Verification (exact Jaccard) runs only on the
+  * candidate pairs.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  private def sround(c: Column, digits: Int): Column = {
+    val f = math.pow(10, digits)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+
+  // ------------------------------------------------------ d1_exact_dedup
+  /** Exact dedup: group by canonical-text md5; keep the smallest doc_id.
+    * One hash-agg shuffle on the fingerprint — the cheapest dedup there is.
+    */
+  val d1ExactDedup: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+
+  val d1ExactDedupSql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  // --------------------------------------------------- d2_ngram_jaccard
+  /** Blocked n-gram Jaccard near-dup: candidates = same (source,
+    * 100-char-length bucket) block; verify char-3gram Jaccard >= 0.5.
+    * Blocking bounds each join group, so the pair count is
+    * sum(block_size^2), not corpus^2 — block keys would be tuned per
+    * corpus at scale (salt a hot source, widen buckets).
+    */
+  val d2NgramJaccard: Q = (s, d) => {
+    val g = docs(s, d).select(
+      col("doc_id"), col("source"),
+      floor(col("n_chars") / lit(100.0)).cast("int").as("bucket"),
+      array_distinct(charNgrams(col("text"), 3)).as("grams"))
+    val a = g.select(col("doc_id").as("doc_a"), col("source"), col("bucket"),
+      col("grams").as("grams_a"))
+    val b = g.select(col("doc_id").as("doc_b"), col("source"), col("bucket"),
+      col("grams").as("grams_b"))
+    val jac = jaccard(col("grams_a"), col("grams_b"))
+    a.join(b, Seq("source", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jac", jac)
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), sround(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d2NgramJaccardSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, source, CAST(floor(n_chars / 100.0) AS INTEGER) AS bucket,
+      |    list_distinct(list_transform(range(1, length(text) - 1),
+      |      i -> substring(text, CAST(i AS INTEGER), 3))) AS grams
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.grams, b.grams))
+      |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jac
+      |  FROM g a JOIN g b
+      |    ON a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, floor(jac * 10000.0 + 0.5) / 10000.0 AS jaccard
+      |FROM pairs WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------------- d3_minhash_lsh
+  /** MinHash+LSH near-dup: word-3gram shingles → 64-perm MinHash signature →
+    * 32 bands × 2 rows → candidates from band-key equality join → exact
+    * Jaccard verify >= 0.2. The band join is the scale path: probability of
+    * catching a pair rises steeply with similarity (s-curve), all-pairs work
+    * never happens. xxhash64-based, so no portable SQL oracle (rows-only
+    * driver check); recall is asserted against d2 in ScalaTest.
+    */
+  val d3MinhashLsh: Q = (s, d) => {
+    val base = docs(s, d).select(
+      col("doc_id"),
+      array_distinct(wordNgrams(lowerTokens(col("text")), 3)).as("shingles"))
+    val sigs = base
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"),
+        minhashSignature(col("shingles")).as("sig"))
+    val bands = sigs.select(col("doc_id"),
+      explode(minhashBands(col("sig"), bands = 32, rows = 2)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cand
+      .join(base.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+    withSets
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= 0.2)
+      .select(col("doc_a"), col("doc_b"), sround(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --------------------------------------------------------- d4_simhash
+  /** SimHash fingerprint per doc + near-dup pairs via 16-bit chunk blocking
+    * (pigeonhole: Hamming<=3 pairs must share a chunk) verified at
+    * Hamming <= 3. Output is the per-doc fingerprint table joined with its
+    * duplicate-cluster candidates; xxhash64-based → rows-only driver check.
+    */
+  val d4Simhash: Q = (s, d) => {
+    val sh = docs(s, d).select(col("doc_id"),
+      simhash(lowerTokens(col("text"))).as("simhash"))
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(simhashChunks(col("simhash"))).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
+    val pairs = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")).cast("int"))
+      .filter(col("hamming") <= 3)
+    pairs.select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, Q] = Map(
+    "d1_exact_dedup" -> d1ExactDedup,
+    "d2_ngram_jaccard" -> d2NgramJaccard,
+    "d3_minhash_lsh" -> d3MinhashLsh,
+    "d4_simhash" -> d4Simhash)
+
+  /** d3/d4 are xxhash64-derived → no portable oracle (rows-only check). */
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1ExactDedupSql,
+    "d2_ngram_jaccard" -> d2NgramJaccardSql)
+}

@@ -308,7 +308,7 @@ object Relational {
       |  FROM cust_orders JOIN customer ON o_custkey = c_custkey
       |  GROUP BY c_nationkey)
       |SELECT n_name, n_cust, n_orders,
-      |  floor((total_cents / (n_cust * 100.0)) * 100.0 + 0.5) / 100.0 AS avg_spend
+      |  CAST(floor((total_cents / (n_cust * 100.0)) * 100.0 + 0.5) / 100.0 AS DOUBLE) AS avg_spend
       |FROM nation_cust JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY n_name""".stripMargin
 

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors,
+  * 10 class labels).
+  *
+  * v1 is the exact baseline: stream the corpus once against a BROADCAST
+  * query set (queries are always the small side), per-partition partial
+  * top-k via window row_number. v2 is the scale path: sign-LSH bucketing +
+  * multiprobe — candidate generation by equality join, which is the only
+  * shape that survives a 100 TB corpus (the corpus-side scan stays linear
+  * and shuffle-free; no pairwise blowup).
+  *
+  * v3 near-dup pairs blocks on `label` (an IVF-style coarse quantizer that
+  * the data already provides) and verifies cosine within blocks.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  private def sround(c: Column, digits: Int): Column = {
+    val f = math.pow(10, digits)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+
+  private val K = 10
+  private val NQ = 8 // query vectors: vec_id < 8
+
+  // -------------------------------------------------------- v1_knn_brute
+  /** Exact cosine top-k: corpus ⋈ broadcast(queries), one pass. Ties broken
+    * by neighbor id so ranking is deterministic and oracle-comparable.
+    */
+  val v1KnnBrute: Q = (s, d) => {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val sim = cosine(col("q_emb"), col("n_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("sim", sim)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("n_id"), sround(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val v1KnnBruteSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQ),
+       |pairs AS (
+       |  SELECT q.q_id, e.vec_id AS n_id,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+       |         i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS sim
+       |  FROM embeddings e, q WHERE e.vec_id != q.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
+       |  FROM pairs)
+       |SELECT q_id, rnk, n_id, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
+       |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------- v2_ann_lsh
+  /** Approximate top-k: sign-LSH buckets on the corpus, query
+    * side expanded to its Hamming-1 multiprobe set, cosine only within
+    * colliding buckets. xxhash-free but plane-seed-specific → rows-only
+    * driver check; recall vs v1 is asserted in ScalaTest.
+    */
+  val v2AnnLsh: Q = (s, d) => {
+    // 4 planes → 16 coarse buckets: this synthetic corpus is near-uniform on
+    // the sphere (no cluster structure), so recall needs wide buckets; a
+    // clustered production corpus would take 8-16 planes.
+    val nPlanes = 4
+    val planes = hyperplanes(nPlanes, 64)
+    val e = emb(s, d)
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(multiprobeBuckets(lshBucket(col("embedding"), planes), nPlanes))
+          .as("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("n_id"), sround(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  // ------------------------------------------------- v3_embedding_neardup
+  /** Embedding-cosine near-dup pairs, label-blocked (IVF coarse cells):
+    * within-label pairs with cosine >= 0.35 (the synthetic corpus has no
+    * tight dup clusters; the threshold sits in the top tail of its cosine
+    * distribution). Oracle-checkable because the
+    * cosine is pure double arithmetic in both engines.
+    */
+  val v3EmbeddingNeardup: Q = (s, d) => {
+    val e = emb(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= 0.35)
+      .select(col("id_a"), col("id_b"), col("label"), sround(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val v3EmbeddingNeardupSql: String =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+      |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS sim
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, label, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
+      |FROM pairs WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, Q] = Map(
+    "v1_knn_brute" -> v1KnnBrute,
+    "v2_ann_lsh" -> v2AnnLsh,
+    "v3_embedding_neardup" -> v3EmbeddingNeardup)
+
+  /** v2 depends on plane seeds (no portable oracle) → rows-only check. */
+  val oracles: Map[String, String] = Map(
+    "v1_knn_brute" -> v1KnnBruteSql,
+    "v3_embedding_neardup" -> v3EmbeddingNeardupSql)
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (language ID, quality scoring, token accounting, document
+  * fingerprinting) layered on top of the reference's relational engine.
+  *
+  * All per-document metrics are narrow (no shuffle): at 100 TB these scale
+  * embarrassingly with input splits; the only wide stages are the final
+  * deterministic ORDER BYs, which exist purely for oracle comparison and
+  * would be dropped in production writes.
+  *
+  * Numeric discipline: every ratio is a division of exact integers, so the
+  * doubles are bitwise-identical to the DuckDB oracle's (see Relational's
+  * sround note).
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  private def sround(c: Column, digits: Int): Column = {
+    val f = math.pow(10, digits)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+
+  // ------------------------------------------------------- t1_text_stats
+  /** Token counting: chars, UTF-8 bytes, whitespace tokens, distinct tokens,
+    * approx BPE-ish subword count (regex-boundary proxy).
+    */
+  val t1TextStats: Q = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      octet_length(col("text")).cast("long").as("len_bytes"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(array_distinct(lowerTokens(col("text")))).cast("long").as("n_distinct_tokens"))
+      .orderBy("doc_id")
+
+  val t1TextStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS len_chars,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS len_bytes,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != ''))) AS BIGINT) AS n_distinct_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- t2_quality
+  /** Quality scoring from length/punctuation/digit/stopword signals — the
+    * standard cheap pre-filter for LLM training corpora. All counts are
+    * exact ints; the score is a fixed linear blend.
+    */
+  private val enStop =
+    Seq("the", "a", "of", "and", "to", "is", "in", "that", "it", "for")
+
+  val t2Quality: Q = (s, d) => {
+    val toks = lowerTokens(col("text"))
+    val lenC = length(col("text")).cast("long")
+    val nTok = size(toks).cast("long")
+    val punct = length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long")
+    val digit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+    val stop = size(filter(toks, t => t.isin(enStop: _*))).cast("long")
+    docs(s, d).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      sround(punct / nullif(lenC, lit(0L)), 4).as("punct_ratio"),
+      sround(digit / nullif(lenC, lit(0L)), 4).as("digit_ratio"),
+      sround(stop / nullif(nTok, lit(0L)), 4).as("stopword_ratio"),
+      sround(
+        least(nTok / lit(100.0), lit(1.0)) * lit(0.5)
+          + (stop / nullif(nTok, lit(0L))) * lit(0.3)
+          + (lit(1.0) - digit / nullif(lenC, lit(0L))) * lit(0.2), 4)
+        .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val t2QualitySql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS len_c,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tok,
+      |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      t -> t IN ('the','a','of','and','to','is','in','that','it','for'))) AS BIGINT) AS stop
+      |  FROM documents)
+      |SELECT doc_id, n_tok AS n_tokens,
+      |  floor((punct / nullif(len_c, 0)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+      |  floor((digit / nullif(len_c, 0)) * 10000.0 + 0.5) / 10000.0 AS digit_ratio,
+      |  floor((stop / nullif(n_tok, 0)) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+      |  floor((least(n_tok / 100.0, 1.0) * 0.5 + (stop / nullif(n_tok, 0)) * 0.3
+      |         + (1.0 - digit / nullif(len_c, 0)) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality_score
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- t3_lang_id
+  /** Language ID via stopword-hit argmax — the classic n-gram-free heuristic
+    * baseline. Fixed precedence (en>de>fr>es>zh) breaks score ties
+    * deterministically. The synthetic corpus is English-ish word salad, so
+    * predictions skew 'en'; the operator (not the corpus) is what's under
+    * test, and the labeled `lang` column rides along for accuracy eval.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  val t3LangId: Q = (s, d) => {
+    val toks = lowerTokens(col("text"))
+    val scores = langMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*))).cast("long")
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val predExpr = scores.reverse.foldLeft(lit(null).cast("string")) {
+      case (elseExpr, (lang, score)) => when(score === best, lang).otherwise(elseExpr)
+    }
+    docs(s, d).select(
+      col("doc_id"), col("lang"),
+      predExpr.as("pred_lang"),
+      (predExpr === col("lang")).as("is_match"))
+      .orderBy("doc_id")
+  }
+
+  private val langScoreSql: String = langMarkers.map { case (lang, words) =>
+    val list = words.map(w => s"'$w'").mkString(",")
+    s"CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ($list))) AS BIGINT) AS c_$lang"
+  }.mkString(",\n    ")
+
+  val t3LangIdSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, lang,
+       |    $langScoreSql
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN c_en = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'en'
+       |         WHEN c_de = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'de'
+       |         WHEN c_fr = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'fr'
+       |         WHEN c_es = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'es'
+       |         ELSE 'zh' END AS pred_lang
+       |  FROM f)
+       |SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ t4_fingerprint
+  /** Document fingerprinting: md5 of the whitespace-canonical form (exact-dup
+    * key) plus a 64-char-prefix fingerprint (cheap clustering key). The
+    * xxhash64/winnowing variants live in Dedup (engine-specific hashes, no
+    * portable oracle).
+    */
+  val t4Fingerprint: Q = (s, d) => {
+    val norm = normText(col("text"))
+    docs(s, d).select(
+      col("doc_id"),
+      md5(norm).as("fp"),
+      md5(substring(norm, 1, 64)).as("fp_prefix"),
+      length(norm).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+  }
+
+  val t4FingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  md5(substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 64)) AS fp_prefix,
+      |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, Q] = Map(
+    "t1_text_stats" -> t1TextStats,
+    "t2_quality" -> t2Quality,
+    "t3_lang_id" -> t3LangId,
+    "t4_fingerprint" -> t4Fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "t1_text_stats" -> t1TextStatsSql,
+    "t2_quality" -> t2QualitySql,
+    "t3_lang_id" -> t3LangIdSql,
+    "t4_fingerprint" -> t4FingerprintSql)
+}

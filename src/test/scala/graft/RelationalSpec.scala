@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Correctness invariants for the relational suite. Exact-value parity vs
+  * DuckDB is the driver's t2 gate (tools/check.py); these tests pin the
+  * semantic corners SURVEY §7.4 calls out: rank ties, no-ELSE CASE nulls,
+  * count(*) vs count(col), SQL ≡ DataFrame equivalence.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs at sf0.001 and matches declared-oracle arity") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.count() // materializes; throws on broken plans
+    }
+  }
+
+  test("rank() preserves tie-with-gap semantics (SURVEY §7.4.3)") {
+    import spark.implicits._
+    val df = Seq(("b1", "d1", 5L), ("b1", "d2", 5L), ("b1", "d3", 4L), ("b1", "d4", 3L))
+      .toDF("base", "day", "cnt")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"base").orderBy($"cnt".desc)
+    val ranks = df.withColumn("rnk", rank().over(w))
+      .orderBy($"day").select($"rnk").as[Int].collect().toSeq
+    // two rank-1 ties, then a GAP to rank 3 (not dense_rank's 2)
+    assert(ranks == Seq(1, 1, 3, 4))
+  }
+
+  test("no-ELSE CASE yields NULL month names outside 1-6 (SURVEY §7.4.4)") {
+    val out = Relational.q9WindowAvgCase(spark, sfDir)
+    val monthsWithNull = out.filter(col("month_name").isNull)
+      .select(col("mo")).distinct().collect().map(_.getInt(0)).toSet
+    assert(monthsWithNull.nonEmpty && monthsWithNull.forall(m => m >= 7 && m <= 12))
+    val named = out.filter(col("month_name").isNotNull)
+      .select(col("mo")).distinct().collect().map(_.getInt(0)).toSet
+    assert(named.subsetOf((1 to 6).toSet))
+  }
+
+  test("q10 window-sum form ≡ correlated scalar subquery form (A5 decorrelation)") {
+    Tables.registerAll(spark, sfDir)
+    val sqlForm = spark.sql(
+      """WITH m AS (
+        |  SELECT l_suppkey, month(l_shipdate) AS mo, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, mo, cnt,
+        |  CAST(floor((cnt * 100.0 / (SELECT sum(cnt) FROM m sub WHERE sub.mo = m.mo)) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS share_pct
+        |FROM m""".stripMargin)
+    val dfForm = Relational.q10ShareMonth(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(dfForm.columns.map(col): _*)
+      .orderBy("mo", "l_suppkey").collect().map(_.toSeq).toSeq
+    assert(rows(sqlForm) == rows(dfForm))
+  }
+
+  test("count(col) skips nulls where count(*) does not (A2)") {
+    import spark.implicits._
+    val df = Seq(Some(1), None, Some(3)).toDF("v")
+    val r = df.agg(count(lit(1)).as("all"), count($"v").as("nonnull"))
+      .collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+  }
+
+  test("q7 top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = Relational.q7TopkGlobal(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan:\n$plan")
+  }
+
+  test("q5 joins the dim via broadcast (no shuffle of the fact side)") {
+    val plan = Relational.q5JoinBroadcast(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"unexpected plan:\n$plan")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+import graft.multimodal.Multimodal
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/cosine: known vectors") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val d = df.select(dot($"a", $"b")).as[Double].head()
+    assert(d == 32.0)
+    val c = df.select(cosine($"a", $"a")).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("v1 exact knn returns K neighbors per query, sims descending") {
+    val out = Similarity.v1KnnBrute(spark, sfDir).collect()
+    val perQuery = out.groupBy(_.getLong(0))
+    assert(perQuery.size == 8)
+    perQuery.foreach { case (_, rows) =>
+      assert(rows.length == 10)
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("v2 LSH recall@10 against v1 exact is substantial") {
+    val exact = Similarity.v1KnnBrute(spark, sfDir)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.v2AnnLsh(spark, sfDir)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall too low: $recall")
+    // and every approx hit must be a real corpus vector with sane sim
+    assert(approx.nonEmpty)
+  }
+
+  test("multimodal stub decoder: histogram is exact and deterministic") {
+    val feat = Multimodal.StubDecoder.decode(7L, "aab".getBytes("UTF-8"))
+    assert(feat.byte_len == 3)
+    // 'a'=0x61, 'b'=0x62 → all in bin 6
+    assert(feat.feature(6) == 1.0f)
+    assert(feat.feature.sum == 1.0f)
+    val again = Multimodal.StubDecoder.decode(7L, "aab".getBytes("UTF-8"))
+    assert(feat.feature.toSeq == again.feature.toSeq)
+  }
+
+  test("mm1 runs distributed and yields one feature row per document") {
+    val out = Multimodal.mm1DecodeStub(spark, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents").count()
+    assert(out.count() == docs)
+    assert(out.select(size($"feature")).distinct().as[Int].head() == 16)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drops empty splits; charNgrams slides and guards short input") {
+    val df = Seq(("  a  bb c ", "abcd"), ("", "ab")).toDF("t", "s")
+    val r = df.select(
+      size(tokens($"t")).as("n"),
+      charNgrams($"s", 3).as("g")).collect()
+    assert(r(0).getInt(0) == 3)
+    assert(r(0).getSeq[String](1) == Seq("abc", "bcd"))
+    assert(r(1).getSeq[String](1).isEmpty) // len < n → empty, not garbage
+  }
+
+  test("wordNgrams builds n-grams; jaccard of known sets is exact") {
+    val df = Seq("w1 w2 w3 w4").toDF("t")
+    val grams = df.select(wordNgrams(tokens($"t"), 3)).as[Seq[String]].head()
+    assert(grams == Seq("w1 w2 w3", "w2 w3 w4"))
+    val j = spark.range(1)
+      .select(jaccard(typedlit(Seq("a", "b", "c")), typedlit(Seq("b", "c", "d"))))
+      .as[Double].head()
+    assert(j == 0.5) // 2 / 4
+  }
+
+  test("minhash signature: identical sets → identical sigs; disjoint sets differ") {
+    val df = Seq(
+      (1L, Seq("aa", "bb", "cc")),
+      (2L, Seq("aa", "bb", "cc")),
+      (3L, Seq("xx", "yy", "zz"))).toDF("id", "set")
+    val sigs = df.select($"id", minhashSignature($"set").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).size == 64)
+  }
+
+  test("simhash: identical token arrays → hamming 0; perturbed → small distance") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("id", "t")
+    val sh = df.select($"id", simhash(lowerTokens($"t")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val d12 = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val d13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(d12 == 0)
+    assert(d13 > 10, s"unrelated docs too close: $d13")
+  }
+
+  test("d3 MinHash+LSH finds every brute-force word-3gram pair at j>=0.3 (recall)") {
+    // brute-force truth on the small SF
+    val base = Tables.load(spark, sfDir, "documents").select(
+      $"doc_id", array_distinct(wordNgrams(lowerTokens($"text"), 3)).as("sh"))
+    val a = base.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val b = base.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    val truth = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+      .withColumn("jac", jaccard($"sh_a", $"sh_b"))
+      .filter($"jac" >= 0.3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.d3MinhashLsh(spark, sfDir)
+      .filter($"jaccard" >= 0.3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "test corpus should contain planted near-dups")
+    assert(truth.subsetOf(found),
+      s"LSH missed ${truth.diff(found).size} of ${truth.size} true pairs")
+  }
+
+  test("d1 exact dedup keeps one row per fingerprint") {
+    val out = Dedup.d1ExactDedup(spark, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents").count()
+    assert(out.agg(sum($"n_copies")).as[Long].head() == docs)
+    assert(out.select($"fp").distinct().count() == out.count())
+  }
+}
