@@ -1,0 +1,81 @@
+package graft.uber
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** EL layer: CSV → typed, provenance-stamped tables — the batch equivalent
+  * of the reference's Postgres → Airbyte CDC → BigQuery path (reference
+  * `Diary of Making.md:84-88, 148-152`; S1-S3 in SURVEY §2.1).
+  *
+  * Scale design:
+  *  - The fact table is written partitioned by pickup month
+  *    (`pickup_month=1..6` directories). The reference full-scans 217.8 MiB
+  *    for EVERY model including the May-only one (BASELINE.md); partition
+  *    pruning makes the May query read 1/6th. At 100 TB this is the
+  *    difference between a 17 TB scan and a 100 TB scan per query.
+  *  - Ingest is a narrow pipeline (read → project → write): parallelism =
+  *    input splits, no shuffle (`repartition` only to control output file
+  *    count, disabled at fixture scale).
+  *
+  * Streaming seam (reference TO-DO `Diary of Making.md:383-386`): everything
+  * downstream consumes the registered tables; a Structured Streaming writer
+  * that appends into the same partitioned layout (see
+  * graft.streaming.EventsStream for the pattern) drops in without touching
+  * the transform layer.
+  */
+object Ingest {
+
+  /** Typed CSV read with declared (never inferred) schema — reference DDL
+    * semantics, `\copy ... CSV HEADER` equivalent.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  /** Stamp Airbyte-style provenance columns (S3): random raw id + extract
+    * time, empty error envelope, null CDC markers (batch load = no WAL info).
+    */
+  def withAirbyteMeta(df: DataFrame): DataFrame = df
+    .withColumn("_airbyte_raw_id", expr("uuid()"))
+    .withColumn("_airbyte_extracted_at",
+      current_timestamp().cast("timestamp_ntz"))
+    .withColumn("_airbyte_meta", lit("""{"errors":[]}"""))
+    .withColumn("_ab_cdc_lsn", lit(null).cast("string"))
+    .withColumn("_ab_cdc_deleted_at", lit(null).cast("timestamp_ntz"))
+    .withColumn("_ab_cdc_updated_at", lit(null).cast("timestamp_ntz"))
+
+  /** Ingest all three sources from `csvDir` into parquet tables under
+    * `warehouseDir`, registering each as a temp view through the source
+    * registry name. Idempotent overwrite per run (the reference rebuilds
+    * every model table per run too).
+    */
+  def ingestAll(spark: SparkSession, csvDir: String, warehouseDir: String): Unit =
+    Schemas.sources.foreach { case (name, _) =>
+      ingestTable(spark, name, s"$csvDir/$name.csv", warehouseDir)
+    }
+
+  /** Ingest one source and register it; returns the registered DataFrame. */
+  def ingestTable(
+      spark: SparkSession,
+      name: String,
+      csvPath: String,
+      warehouseDir: String): DataFrame = {
+    val schema = Schemas.sources.toMap.apply(name)
+    val enriched = withAirbyteMeta(readCsv(spark, csvPath, schema))
+    val path = s"$warehouseDir/$name"
+    if (name == "raw_data_janjune_15") {
+      enriched
+        .withColumn("pickup_month", month(col("pickup_date")))
+        .write.mode("overwrite").partitionBy("pickup_month").parquet(path)
+    } else {
+      enriched.write.mode("overwrite").parquet(path)
+    }
+    val table = spark.read.parquet(path)
+    table.createOrReplaceTempView(SourceRegistry.resolve("airbyte_uber_data", name))
+    table
+  }
+}
