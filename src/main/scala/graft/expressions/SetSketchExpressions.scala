@@ -1,0 +1,221 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the set-sketch hot paths (SURVEY build
+  * brief preference (b): a native Expression beats HOF composition when the
+  * built-ins force per-element allocation).
+  *
+  * Both are tight primitive loops over long arrays — no boxing, no
+  * intermediate arrays. They use CodegenFallback: the eval cost is one
+  * virtual call per ROW (the loops inside are primitive), which profiling
+  * showed is noise next to the per-element allocation the HOF formulations
+  * pay. doGenCode versions are a further ~2x if these ever dominate again.
+  */
+
+/** Size of the intersection of two SORTED long arrays (merge walk, O(n+m),
+  * zero allocation). Callers sort once per document (array_sort), pairs pay
+  * only the walk — vs array_intersect's per-pair hash set build.
+  */
+case class SortedLongIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"expected (array<bigint>, array<bigint>), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toLongArray()
+    val b = r.asInstanceOf[ArrayData].toLongArray()
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+/** k-permutation MinHash signature from an array of element hashes:
+  * sig[p] = min over elements of (a[p]*h + b[p]), wraparound arithmetic.
+  * One k*n primitive loop per row — the HOF formulation allocates a k-wide
+  * array per ELEMENT (zip_with) or re-evaluates the input per PERMUTATION
+  * (array_min×k after CollapseProject inlining).
+  */
+case class MinHashSignature64(
+    child: Expression, permA: Array[Long], permB: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  private val k = permA.length
+  require(permB.length == k)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected array<bigint> of element hashes, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var p = 0
+      while (p < k) {
+        val v = permA(p) * h + permB(p)
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SetSketchExpressions {
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersectSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def minhashSignature64(hashes: Column, permA: Array[Long], permB: Array[Long]): Column =
+    ColumnBridge.column(MinHashSignature64(
+      ColumnBridge.expression(hashes), permA, permB))
+
+  def simhash64(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+
+  def minhashBandKeys64(hashes: Column, permA: Array[Long], permB: Array[Long],
+      bands: Int, rows: Int): Column =
+    ColumnBridge.column(MinHashBandKeys64(
+      ColumnBridge.expression(hashes), permA, permB, bands, rows))
+}
+
+/** 64-bit SimHash from an array of element hashes: per-bit signed counts,
+  * bit set where positive. One n*64 primitive loop — the HOF fold allocates
+  * a 64-long array per element.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected array<bigint> of element hashes, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused MinHash signature + LSH band keys: from an array of element
+  * hashes, compute the bands*rows-permutation signature and mix each band's
+  * rows into one 64-bit key (splitmix64 combine). One expression → one
+  * evaluation per row, no intermediate signature column, no exchange
+  * barrier needed to stop CollapseProject re-evaluating the signature in
+  * every band lambda. Empty input → empty key array (empty documents must
+  * not collide into one mega-bucket).
+  */
+case class MinHashBandKeys64(
+    child: Expression,
+    permA: Array[Long], permB: Array[Long],
+    bands: Int, rows: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(bands * rows <= permA.length && permA.length == permB.length)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected array<bigint> of element hashes, got $other")
+    }
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    if (hs.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    val k = bands * rows
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var p = 0
+      while (p < k) {
+        val v = permA(p) * h + permB(p)
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = b.toLong // distinct bands never collide across band index
+      var r = 0
+      while (r < rows) { key = mix64(key ^ sig(b * rows + r)); r += 1 }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -58,7 +58,7 @@ object TextFunctions {
   /** Fixed affine-permutation coefficients (seeded, stable across releases —
     * signatures are persisted artifacts and must never drift).
     */
-  private val (permA, permB): (Array[Long], Array[Long]) = {
+  val (minhashPermA, minhashPermB): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(42L)
     val a = Array.fill(64)(rnd.nextLong() | 1L) // odd multipliers
     val b = Array.fill(64)(rnd.nextLong())
@@ -68,14 +68,16 @@ object TextFunctions {
   /** 64-permutation MinHash signature over a string set: xxhash64 each
     * element once, then min over k affine rehashes (wraparound long
     * arithmetic — standard practice; only relative order per permutation
-    * matters). One pass over the set per permutation, all codegen'd.
+    * matters). Delegates to the custom MinHashSignature64 Catalyst
+    * expression: the HOF formulations either re-evaluate the input per
+    * permutation (CollapseProject inlining, no CSE inside HOFs) or allocate
+    * a k-wide array per element (zip_with fold) — both measured 10-20x
+    * slower at sf0.1.
     */
   def minhashSignature(set: Column, k: Int = 64): Column = {
     require(k <= 64, "only 64 permutation seeds are defined")
-    val hashes = transform(set, s => xxhash64(s))
-    array((0 until k).map { i =>
-      array_min(transform(hashes, h => h * lit(permA(i)) + lit(permB(i))))
-    }: _*)
+    graft.expressions.SetSketchExpressions.minhashSignature64(
+      transform(set, s => xxhash64(s)), minhashPermA.take(k), minhashPermB.take(k))
   }
 
   /** LSH band keys for a MinHash signature: `bands` hashes, each over `rows`
@@ -92,24 +94,14 @@ object TextFunctions {
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over a token array: per-bit signed counts of xxhash64
-    * token hashes, bit set where the count is positive. Single aggregate
-    * pass with a 64-counter accumulator (nested lambdas capture the outer
-    * hash variable).
+    * token hashes, bit set where the count is positive. Delegates to the
+    * SimHash64 Catalyst expression (primitive loop; the HOF fold allocates
+    * a 64-long array per element). Pass a BOUND token column, not a token
+    * expression — see the layering note in Dedup.
     */
-  def simhash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    val counts = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) =>
-        zip_with(acc, sequence(lit(0L), lit(63L)), (c, i) =>
-          c + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L,
-            lit(1L)).otherwise(lit(-1L))))
-    aggregate(
-      zip_with(counts, sequence(lit(0L), lit(63L)), (c, i) =>
-        when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (s, x) => s.bitwiseOR(x))
-  }
+  def simhash(toks: Column): Column =
+    graft.expressions.SetSketchExpressions.simhash64(
+      transform(toks, t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -51,18 +51,28 @@ object Dedup {
     * corpus at scale (salt a hot source, widen buckets).
     */
   val d2NgramJaccard: Q = (s, d) => {
+    // Per-doc ONCE: distinct char-3grams → xxhash64 → sorted long array.
+    // Per-pair: a zero-allocation merge-walk intersect (custom expression)
+    // + the inclusion-exclusion identity for |A∪B| — vs array_intersect +
+    // array_union's two per-pair hash-set builds over string arrays
+    // (measured ~4x slower). Hash collisions altering a Jaccard value need
+    // two colliding 3-grams in one doc pair (~2^-64 each): negligible.
     val g = docs(s, d).select(
       col("doc_id"), col("source"),
       floor(col("n_chars") / lit(100.0)).cast("int").as("bucket"),
-      array_distinct(charNgrams(col("text"), 3)).as("grams"))
+      array_sort(transform(array_distinct(charNgrams(col("text"), 3)),
+        x => xxhash64(x))).as("grams"))
+      .withColumn("n_grams", size(col("grams")))
     val a = g.select(col("doc_id").as("doc_a"), col("source"), col("bucket"),
-      col("grams").as("grams_a"))
+      col("grams").as("grams_a"), col("n_grams").as("n_a"))
     val b = g.select(col("doc_id").as("doc_b"), col("source"), col("bucket"),
-      col("grams").as("grams_b"))
-    val jac = jaccard(col("grams_a"), col("grams_b"))
+      col("grams").as("grams_b"), col("n_grams").as("n_b"))
+    val inter = graft.expressions.SetSketchExpressions
+      .sortedIntersectSize(col("grams_a"), col("grams_b"))
     a.join(b, Seq("source", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jac", jac)
+      .withColumn("inter", inter)
+      .withColumn("jac", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"), sround(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -92,26 +102,39 @@ object Dedup {
     * driver check); recall is asserted against d2 in ScalaTest.
     */
   val d3MinhashLsh: Q = (s, d) => {
-    val base = docs(s, d).select(
-      col("doc_id"),
-      array_distinct(wordNgrams(lowerTokens(col("text")), 3)).as("shingles"))
-    val sigs = base
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), col("shingles"),
-        minhashSignature(col("shingles")).as("sig"))
-    val bands = sigs.select(col("doc_id"),
-      explode(minhashBands(col("sig"), bands = 32, rows = 2)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    // LAYERED projections: tokens bound before n-gramming. Passing the
+    // token EXPRESSION into wordNgrams would inline it into each of the 3
+    // element_at calls inside the lambda → ~264 tokenizations per doc
+    // (measured: 13s of the 25s total). CollapseProject keeps multi-
+    // referenced non-cheap aliases in their own layer.
+    val base = docs(s, d)
+      .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordNgrams(col("toks"), 3).as("ngrams"))
+      .select(col("doc_id"),
+        array_sort(transform(array_distinct(col("ngrams")), x => xxhash64(x))).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    // Fused signature+banding expression: one evaluation per doc, no
+    // intermediate sig column for CollapseProject to re-inline into 32 band
+    // lambdas (the unfused form re-evaluated the MinHash per band — 20x).
+    // Band index is baked into the key, so a single equality join on bkey
+    // generates candidates; empty docs produce zero keys (no mega-bucket).
+    val bands = base.select(col("doc_id"),
+      explode(graft.expressions.SetSketchExpressions.minhashBandKeys64(
+        col("sh"), minhashPermA, minhashPermB, bands = 32, rows = 2)).as("bkey"))
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val withSets = cand
-      .join(base.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), "doc_b")
+    val interV = graft.expressions.SetSketchExpressions
+      .sortedIntersectSize(col("sh_a"), col("sh_b"))
     withSets
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("inter", interV)
+      .withColumn("jac", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jac") >= 0.2)
       .select(col("doc_a"), col("doc_b"), sround(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -124,8 +147,9 @@ object Dedup {
     * duplicate-cluster candidates; xxhash64-based → rows-only driver check.
     */
   val d4Simhash: Q = (s, d) => {
-    val sh = docs(s, d).select(col("doc_id"),
-      simhash(lowerTokens(col("text"))).as("simhash"))
+    val sh = docs(s, d)
+      .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), simhash(col("toks")).as("simhash"))
     val chunks = sh.select(col("doc_id"), col("simhash"),
       explode(simhashChunks(col("simhash"))).as("c"))
       .select(col("doc_id"), col("simhash"),

@@ -38,10 +38,14 @@ object Similarity {
     */
   val v1KnnBrute: Q = (s, d) => {
     val e = emb(s, d)
+    // squared norms once per VECTOR (not per pair): the corpus side computes
+    // its norm in the scan projection, the query side in the broadcast
     val q = e.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    val sim = cosine(col("q_emb"), col("n_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normSq(col("embedding")).as("nsq_q"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      normSq(col("embedding")).as("nsq_n"))
+    val sim = cosineWithNorms(dot(col("q_emb"), col("n_emb")), col("nsq_q"), col("nsq_n"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     c.join(broadcast(q), col("n_id") =!= col("q_id"))
       .withColumn("sim", sim)
@@ -83,15 +87,18 @@ object Similarity {
     val planes = hyperplanes(nPlanes, 64)
     val e = emb(s, d)
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      normSq(col("embedding")).as("nsq_n"),
       lshBucket(col("embedding"), planes).as("bucket"))
     val queries = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normSq(col("embedding")).as("nsq_q"),
         explode(multiprobeBuckets(lshBucket(col("embedding"), planes), nPlanes))
           .as("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("sim",
+        cosineWithNorms(dot(col("q_emb"), col("n_emb")), col("nsq_q"), col("nsq_n")))
       .dropDuplicates("q_id", "n_id")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
@@ -108,11 +115,14 @@ object Similarity {
     */
   val v3EmbeddingNeardup: Q = (s, d) => {
     val e = emb(s, d)
-    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("emb_b"))
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"),
+      normSq(col("embedding")).as("nsq_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("emb_b"),
+      normSq(col("embedding")).as("nsq_b"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("sim",
+        cosineWithNorms(dot(col("emb_a"), col("emb_b")), col("nsq_a"), col("nsq_b")))
       .filter(col("sim") >= 0.35)
       .select(col("id_a"), col("id_b"), col("label"), sround(col("sim"), 4).as("sim"))
       .orderBy("id_a", "id_b")

@@ -59,21 +59,27 @@ object TextAnalysis {
 
   val t2Quality: Q = (s, d) => {
     val toks = lowerTokens(col("text"))
-    val lenC = length(col("text")).cast("long")
-    val nTok = size(toks).cast("long")
-    val punct = length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long")
-    val digit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
-    val stop = size(filter(toks, t => t.isin(enStop: _*))).cast("long")
-    docs(s, d).select(
+    // Two layers: the expensive text passes (tokenize, regex strips) are
+    // each evaluated ONCE in the first projection; the ratio layer only
+    // references the bound integer columns. Writing the ratios inline would
+    // re-run the token pipeline ~6x per row (HOFs get no codegen CSE).
+    val counts = docs(s, d).select(
       col("doc_id"),
-      nTok.as("n_tokens"),
-      sround(punct / nullif(lenC, lit(0L)), 4).as("punct_ratio"),
-      sround(digit / nullif(lenC, lit(0L)), 4).as("digit_ratio"),
-      sround(stop / nullif(nTok, lit(0L)), 4).as("stopword_ratio"),
+      length(col("text")).cast("long").as("len_c"),
+      size(toks).cast("long").as("n_tok"),
+      length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long").as("punct"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("digit"),
+      size(filter(toks, t => t.isin(enStop: _*))).cast("long").as("stop"))
+    counts.select(
+      col("doc_id"),
+      col("n_tok").as("n_tokens"),
+      sround(col("punct") / nullif(col("len_c"), lit(0L)), 4).as("punct_ratio"),
+      sround(col("digit") / nullif(col("len_c"), lit(0L)), 4).as("digit_ratio"),
+      sround(col("stop") / nullif(col("n_tok"), lit(0L)), 4).as("stopword_ratio"),
       sround(
-        least(nTok / lit(100.0), lit(1.0)) * lit(0.5)
-          + (stop / nullif(nTok, lit(0L))) * lit(0.3)
-          + (lit(1.0) - digit / nullif(lenC, lit(0L))) * lit(0.2), 4)
+        least(col("n_tok") / lit(100.0), lit(1.0)) * lit(0.5)
+          + (col("stop") / nullif(col("n_tok"), lit(0L))) * lit(0.3)
+          + (lit(1.0) - col("digit") / nullif(col("len_c"), lit(0L))) * lit(0.2), 4)
         .as("quality_score"))
       .orderBy("doc_id")
   }

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventsStream
+
+/** The streaming seam driven synchronously: events parquet replayed as a
+  * file stream through the same rollup the batch path uses.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly rollup == batch hourly rollup on bounded input") {
+    // stage the (ns-normalized) events table as a clean micro-batch source
+    val src = Files.createTempDirectory("events_stream").toString
+    Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(src)
+
+    val q = EventsStream.hourlyRollup(EventsStream.readEventsStream(spark, src))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("hourly_out")
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Append mode only emits windows the watermark has closed; on a bounded
+    // replay that's every window except those within 1h of the max ts.
+    val streamed = spark.table("hourly_out")
+      .select($"hour_ts", $"event_type", $"cnt")
+    val maxTs = Tables.load(spark, sfDir, "events").agg(max($"ts")).head().getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"hour_ts" < date_trunc("hour", lit(cutoff)))
+
+    val streamedSet = streamed.as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batchSet = batch.as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(batchSet.nonEmpty)
+    assert(batchSet.subsetOf(streamedSet),
+      s"missing windows: ${batchSet.diff(streamedSet).take(3)}")
+  }
+
+  test("stateful per-user totals accumulate across micro-batches") {
+    import EventsStream.{UserEvent, UserTotal}
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent](spark)
+    val q = EventsStream.userRunningTotals(input.toDS())
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("user_totals")
+      .start()
+    try {
+      input.addData(UserEvent(1, "view"), UserEvent(1, "click"), UserEvent(2, "view"))
+      q.processAllAvailable()
+      input.addData(UserEvent(1, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("user_totals").as[UserTotal].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.map(_.events).max }
+    assert(out == Map(1L -> 3L, 2L -> 1L))
+  }
+}
