@@ -110,6 +110,9 @@ object SetSketchExpressions {
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
 
+  def winnowFingerprints(text: Column, n: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), n, w))
+
   def minhashBandKeys64(hashes: Column, permA: Array[Long], permB: Array[Long],
       bands: Int, rows: Int): Column =
     ColumnBridge.column(MinHashBandKeys64(
@@ -214,6 +217,60 @@ case class MinHashBandKeys64(
       b += 1
     }
     new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): char n-gram hashes →
+  * per-window (w) minima → distinct, from the input string in ONE pass.
+  * Fused into a single expression because the HOF formulation is poison:
+  * the n-gram lambda captures the (computed) normalized-string expression
+  * and interpreted HOF eval recomputes it per element — regex × grams ×
+  * windows per document (observed: minutes for 500 rows).
+  */
+case class WinnowFingerprints(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    if (s.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = s.length - n + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(i, i + n)),
+        StringType, 42L)
+      i += 1
+    }
+    val nw = math.max(m - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < nw) {
+      var mn = Long.MaxValue
+      var k = j
+      val end = math.min(j + w, m)
+      while (k < end) { if (hs(k) < mn) mn = hs(k); k += 1 }
+      seen.add(mn)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

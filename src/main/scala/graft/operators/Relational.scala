@@ -402,6 +402,75 @@ object Relational {
       |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin
 
+  // -------------------------------------------------------- q16_rollup
+  /** ROLLUP hierarchy totals (beyond the reference surface — grouping-set
+    * capability). Spark plans a single Expand + hash agg: one scan, all
+    * grouping levels. NULLS FIRST ordering matches both engines.
+    */
+  val q16Rollup: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val q16RollupSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ----------------------------------------------------- q17_semi_join
+  /** Left-semi join (EXISTS): customers with at least one May order.
+    * Spark plans a semi hash join — no row duplication, no distinct.
+    */
+  val q17SemiJoin: Q = (s, d) => {
+    val mayOrders = t(s, d, "orders").filter(month(col("o_orderdate")) === 5)
+    t(s, d, "customer")
+      .join(mayOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  val q17SemiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND month(o_orderdate) = 5)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ----------------------------------------------------- q18_anti_join
+  /** Left-anti join (NOT EXISTS): customers with no May orders. */
+  val q18AntiJoin: Q = (s, d) => {
+    val mayOrders = t(s, d, "orders").filter(month(col("o_orderdate")) === 5)
+    t(s, d, "customer")
+      .join(mayOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy("c_custkey")
+  }
+
+  val q18AntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND month(o_orderdate) = 5)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------- q19_except
+  /** EXCEPT (set difference, distinct semantics both engines): customers
+    * ordering in May but not in June.
+    */
+  val q19Except: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    val may = o.filter(month(col("o_orderdate")) === 5)
+      .select(col("o_custkey").as("custkey"))
+    val jun = o.filter(month(col("o_orderdate")) === 6)
+      .select(col("o_custkey").as("custkey"))
+    may.except(jun).orderBy("custkey")
+  }
+
+  val q19ExceptSql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE month(o_orderdate) = 5
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE month(o_orderdate) = 6
+      |ORDER BY custkey""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -418,7 +487,11 @@ object Relational {
     "q12_date_agg" -> q12DateAgg,
     "q13_ingest_cdc" -> q13IngestCdc,
     "q14_set_ops" -> q14SetOps,
-    "q15_events_hourly" -> q15EventsHourly)
+    "q15_events_hourly" -> q15EventsHourly,
+    "q16_rollup" -> q16Rollup,
+    "q17_semi_join" -> q17SemiJoin,
+    "q18_anti_join" -> q18AntiJoin,
+    "q19_except" -> q19Except)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -435,5 +508,9 @@ object Relational {
     "q12_date_agg" -> q12DateAggSql,
     "q13_ingest_cdc" -> q13IngestCdcSql,
     "q14_set_ops" -> q14SetOpsSql,
-    "q15_events_hourly" -> q15EventsHourlySql)
+    "q15_events_hourly" -> q15EventsHourlySql,
+    "q16_rollup" -> q16RollupSql,
+    "q17_semi_join" -> q17SemiJoinSql,
+    "q18_anti_join" -> q18AntiJoinSql,
+    "q19_except" -> q19ExceptSql)
 }

@@ -176,16 +176,58 @@ object TextAnalysis {
       |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ t5_vocab
+  /** Corpus vocabulary stats: explode tokens → grouped counts → top 100.
+    * The explode→agg shape is the canonical distributed word count; at
+    * 100 TB the map-side partial agg absorbs the token skew before the
+    * shuffle, and the top-k is TakeOrderedAndProject.
+    */
+  val t5Vocab: Q = (s, d) =>
+    docs(s, d)
+      .select(explode(lowerTokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(100)
+
+  val t5VocabSql: String =
+    """SELECT token, count(*) AS cnt FROM (
+      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> x != '')) AS token
+      |  FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin
+
+  // -------------------------------------------------------- t6_winnowing
+  /** Winnowing fingerprints (the MOSS scheme): char-5gram rolling hashes →
+    * per-window (w=8) minimum → distinct selected hashes per doc. Guarantees
+    * any match of length >= w+4 shares a fingerprint — the standard
+    * plagiarism/near-dup index. xxhash-based → rows-only driver check;
+    * determinism + coverage asserted in ScalaTest. Implemented as ONE fused
+    * Catalyst expression: the HOF formulation captured the computed
+    * normalized-string in the n-gram lambda, and interpreted HOF eval
+    * recomputes captured expressions per element (regex x grams x windows —
+    * minutes per 500 docs).
+    */
+  val t6Winnowing: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        explode(graft.expressions.SetSketchExpressions
+          .winnowFingerprints(normText(col("text")), 5, 8)).as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t1_text_stats" -> t1TextStats,
     "t2_quality" -> t2Quality,
     "t3_lang_id" -> t3LangId,
-    "t4_fingerprint" -> t4Fingerprint)
+    "t4_fingerprint" -> t4Fingerprint,
+    "t5_vocab" -> t5Vocab,
+    "t6_winnowing" -> t6Winnowing)
 
   val oracles: Map[String, String] = Map(
     "t1_text_stats" -> t1TextStatsSql,
     "t2_quality" -> t2QualitySql,
     "t3_lang_id" -> t3LangIdSql,
-    "t4_fingerprint" -> t4FingerprintSql)
+    "t4_fingerprint" -> t4FingerprintSql,
+    "t5_vocab" -> t5VocabSql)
 }
