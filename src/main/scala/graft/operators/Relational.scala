@@ -471,6 +471,79 @@ object Relational {
       |SELECT o_custkey AS custkey FROM orders WHERE month(o_orderdate) = 6
       |ORDER BY custkey""".stripMargin
 
+  // ----------------------------------------------------- q20_sessionize
+  /** Gap-based sessionization (30-min inactivity) — lag + running-sum
+    * session ids, then per-session rollup. The standard event-stream
+    * operator: one shuffle on user_id, window machinery does the rest.
+    * Epoch-microsecond arithmetic keeps both engines in exact integers.
+    */
+  val q20Sessionize: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val marked = t(s, d, "events").select(
+      col("user_id"), col("event_id"), col("ts"),
+      when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w) > gapUs, 1)
+        .when(lag(col("ts"), 1).over(w).isNull, 1)
+        .otherwise(0).as("is_new"))
+    marked
+      .withColumn("session_id", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / lit(1000000.0))
+          .as("duration_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q20SessionizeSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000 THEN 1
+      |         WHEN lag(ts, 1) OVER w IS NULL THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start,
+      |  (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS duration_sec
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------- q21_frame_spec
+  /** Explicit ROWS frame + lead: per event, seconds since the user's last
+    * purchase (running max over an UNBOUNDED PRECEDING..CURRENT ROW frame)
+    * and seconds to the user's next event.
+    */
+  val q21FrameSpec: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      ((unix_micros(col("ts")) -
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))).over(wFrame))
+        / lit(1000000.0)).as("secs_since_purchase"),
+      ((lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+        / lit(1000000.0)).as("secs_to_next"))
+      .orderBy("event_id")
+  }
+
+  val q21FrameSpecSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  (epoch_us(ts) - max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / 1000000.0
+      |    AS secs_since_purchase,
+      |  (lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |     - epoch_us(ts)) / 1000000.0 AS secs_to_next
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -491,7 +564,9 @@ object Relational {
     "q16_rollup" -> q16Rollup,
     "q17_semi_join" -> q17SemiJoin,
     "q18_anti_join" -> q18AntiJoin,
-    "q19_except" -> q19Except)
+    "q19_except" -> q19Except,
+    "q20_sessionize" -> q20Sessionize,
+    "q21_frame_spec" -> q21FrameSpec)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -512,5 +587,7 @@ object Relational {
     "q16_rollup" -> q16RollupSql,
     "q17_semi_join" -> q17SemiJoinSql,
     "q18_anti_join" -> q18AntiJoinSql,
-    "q19_except" -> q19ExceptSql)
+    "q19_except" -> q19ExceptSql,
+    "q20_sessionize" -> q20SessionizeSql,
+    "q21_frame_spec" -> q21FrameSpecSql)
 }

@@ -74,6 +74,27 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan:\n$plan")
   }
 
+  test("q16 rollup grand total equals table count") {
+    val out = Relational.q16Rollup(spark, sfDir)
+    val grand = out.filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+      .select(col("cnt")).as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+    assert(grand == Tables.load(spark, sfDir, "lineitem").count())
+  }
+
+  test("q17 semi and q18 anti partition the customer set") {
+    val semi = Relational.q17SemiJoin(spark, sfDir).count()
+    val anti = Relational.q18AntiJoin(spark, sfDir).count()
+    assert(semi + anti == Tables.load(spark, sfDir, "customer").count())
+  }
+
+  test("q20 sessions cover every event with non-negative durations") {
+    val out = Relational.q20Sessionize(spark, sfDir)
+    val totalEvents = out.agg(sum(col("n_events")))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+    assert(totalEvents == Tables.load(spark, sfDir, "events").count())
+    assert(out.filter(col("duration_sec") < 0).count() == 0)
+  }
+
   test("q5 joins the dim via broadcast (no shuffle of the fact side)") {
     val plan = Relational.q5JoinBroadcast(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -71,6 +71,16 @@ class TextDedupSpec extends SparkSpec {
       s"LSH missed ${truth.diff(found).size} of ${truth.size} true pairs")
   }
 
+  test("t6 winnowing is deterministic and guarantees shared fingerprints for long matches") {
+    import graft.operators.TextAnalysis
+    val a = TextAnalysis.t6Winnowing(spark, sfDir).collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.t6Winnowing(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // density sanity: expected ~2/(w+1) of gram positions selected
+    val perDoc = a.groupBy(_.head).map(_._2.size)
+    assert(perDoc.sum.toDouble / perDoc.size > 10, "suspiciously few fingerprints")
+  }
+
   test("d1 exact dedup keeps one row per fingerprint") {
     val out = Dedup.d1ExactDedup(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents").count()
