@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.expressions._
+import graft.functions.TextFunctions
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so the SQL surface is as complete
+  * as the DataFrame surface. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  *
+  * SQL surface:
+  *   graft_sorted_intersect_size(array<bigint>, array<bigint>) → int
+  *   graft_minhash_sig(array<bigint>)                          → array<bigint>
+  *   graft_minhash_band_keys(array<bigint>, bands, rows)       → array<bigint>
+  *   graft_simhash(array<bigint>)                              → bigint
+  *   graft_winnow(string, n, w)                                → array<bigint>
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def register(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+
+    register("graft_sorted_intersect_size",
+      args => SortedLongIntersectSize(args(0), args(1)))
+    register("graft_minhash_sig",
+      args => MinHashSignature64(args(0),
+        TextFunctions.minhashPermA, TextFunctions.minhashPermB))
+    register("graft_minhash_band_keys",
+      args => MinHashBandKeys64(args(0),
+        TextFunctions.minhashPermA, TextFunctions.minhashPermB,
+        intArg(args(1), "bands"), intArg(args(2), "rows")))
+    register("graft_simhash", args => SimHash64(args(0)))
+    register("graft_winnow",
+      args => WinnowFingerprints(args(0),
+        intArg(args(1), "n"), intArg(args(2), "w")))
+  }
+}

@@ -37,11 +37,14 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toLongArray()
-    val b = r.asInstanceOf[ArrayData].toLongArray()
+    // walk the ArrayData in place — toLongArray() would copy ~4KB per side
+    // per PAIR (hundreds of MB of allocation across a blocked-join's pairs)
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var n = 0
-    while (i < a.length && j < b.length) {
-      val x = a(i); val y = b(j)
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { n += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1

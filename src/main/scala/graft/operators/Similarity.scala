@@ -142,11 +142,85 @@ object Similarity {
       |SELECT id_a, id_b, label, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
       |FROM pairs WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------------ v4_ivf_ann
+  /** IVF-style ANN with a COMPUTED coarse quantizer (vs v3's label shortcut):
+    * deterministic seeds (lowest vec_ids) → one Lloyd refinement (elementwise
+    * mean per cell via posexplode + grouped avg) → corpus assigned to nearest
+    * centroid → queries probe the `nprobe` nearest cells → exact cosine
+    * within probed cells only.
+    *
+    * Scale shape: centroids are a tiny driver/broadcast artifact (k × dim);
+    * assignment is one narrow pass over the corpus; search touches
+    * nprobe/k of the data. Centroid means are rounded to 4 decimals so the
+    * float-sum association order can't flip cell assignments between runs
+    * (rows-only driver check needs run-to-run determinism).
+    */
+  val v4IvfAnn: Q = (s, d) => {
+    val k = 16
+    val nprobe = 4
+    val e = emb(s, d)
+
+    def centroidDots(centroids: Array[Array[Double]], vec: Column): Column =
+      array(centroids.map(c => dot(vec, typedlit(c.toSeq))): _*)
+    def nearestCell(centroids: Array[Array[Double]], vec: Column): Column = {
+      val scores = centroidDots(centroids, vec)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+
+    // deterministic seeds: the k lowest vec_ids (normalized)
+    val seeds: Array[Array[Double]] = e.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => if (n == 0) 0.0 else x / n)
+      }
+
+    // one Lloyd step: elementwise mean of members per cell, 4-decimal rounded
+    val assigned0 = e.select(col("vec_id"), col("embedding"),
+      nearestCell(seeds, col("embedding")).as("cell"))
+    val refined: Array[Array[Double]] = assigned0
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .toArray.sortBy(_._1)
+      .map { case (_, rows) =>
+        val dim = rows.map(r => (r.getInt(1), math.floor(r.getDouble(2) * 1e4 + 0.5) / 1e4))
+        dim.sortBy(_._1).map(_._2)
+      }
+
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      normSq(col("embedding")).as("nsq_n"),
+      nearestCell(refined, col("embedding")).as("cell"))
+    // queries probe their nprobe closest refined cells
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normSq(col("embedding")).as("nsq_q"),
+        centroidDots(refined, col("embedding")).as("cscores"))
+      .select(col("q_id"), col("q_emb"), col("nsq_q"),
+        explode(slice(array_sort(
+          transform(col("cscores"), (sc, i) => struct((-sc).as("neg"), i.cast("int").as("cell")))),
+          1, nprobe)).as("probe"))
+      .select(col("q_id"), col("q_emb"), col("nsq_q"), col("probe.cell").as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim",
+        cosineWithNorms(dot(col("q_emb"), col("n_emb")), col("nsq_q"), col("nsq_n")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("n_id"), sround(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "v1_knn_brute" -> v1KnnBrute,
     "v2_ann_lsh" -> v2AnnLsh,
-    "v3_embedding_neardup" -> v3EmbeddingNeardup)
+    "v3_embedding_neardup" -> v3EmbeddingNeardup,
+    "v4_ivf_ann" -> v4IvfAnn)
 
   /** v2 depends on plane seeds (no portable oracle) → rows-only check. */
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface of the custom expressions, registered via
+  * SparkSessionExtensions — a session built with the extension can call the
+  * sketch functions from plain SQL.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.configure(
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+  ).getOrCreate()
+
+  test("sketch functions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_sorted_intersect_size(array(1L,2L,3L), array(2L,3L,4L)) AS inter,
+        |  size(graft_minhash_sig(array(11L,22L,33L))) AS sig_len,
+        |  size(graft_minhash_band_keys(array(11L,22L,33L), 8, 2)) AS n_bands,
+        |  graft_simhash(array(11L, 22L)) AS sh,
+        |  size(graft_winnow('abcdefghijklmnop', 5, 4)) AS n_fps
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == 64)
+    assert(r.getInt(2) == 8)
+    assert(r.getInt(4) >= 1)
+  }
+
+  test("SQL and Column APIs agree on the same input") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.SetSketchExpressions
+    val viaSql = spark.sql("SELECT graft_simhash(array(7L, 8L, 9L)) AS s").head().getLong(0)
+    val viaCol = spark.range(1)
+      .select(SetSketchExpressions.simhash64(typedlit(Seq(7L, 8L, 9L))).as("s"))
+      .head().getLong(0)
+    assert(viaSql == viaCol)
+  }
+}

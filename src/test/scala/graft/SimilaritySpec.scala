@@ -38,6 +38,19 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("v4 IVF probes beat random-subset recall and stay deterministic") {
+    val exact = Similarity.v1KnnBrute(spark, sfDir)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val a = Similarity.v4IvfAnn(spark, sfDir).collect().map(_.toSeq).toSeq
+    val b = Similarity.v4IvfAnn(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a == b, "IVF output must be deterministic across runs")
+    val approx = a.map(r => (r.head.asInstanceOf[Long], r(2).asInstanceOf[Long])).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // probing 4/16 cells = 25% of an unclustered corpus; IVF must do
+    // meaningfully better than the 25% a random subset would give
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("multimodal stub decoder: histogram is exact and deterministic") {
     val feat = Multimodal.StubDecoder.decode(7L, "aab".getBytes("UTF-8"))
     assert(feat.byte_len == 3)
