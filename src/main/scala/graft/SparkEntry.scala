@@ -43,5 +43,5 @@ object SparkEntry {
     "q10_share_month", "q12_date_agg", "q15_events_hourly",
     "t1_text_stats", "t2_quality", "t4_fingerprint",
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
-    "v1_knn_brute", "v3_embedding_neardup")
+    "v1_knn_brute", "v3_embedding_neardup", "v4_ivf_ann", "q20_sessionize")
 }
