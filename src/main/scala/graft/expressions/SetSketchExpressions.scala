@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   * only the walk — vs array_intersect's per-pair hash set build.
   */
 case class SortedLongIntersectSize(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -51,6 +51,27 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
     }
     n
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $i = 0, $j = 0, $n = 0;
+         |final int $na = $a.numElements(), $nb = $b.numElements();
+         |while ($i < $na && $j < $nb) {
+         |  final long $x = $a.getLong($i); final long $y = $b.getLong($j);
+         |  if ($x == $y) { $n++; $i++; $j++; }
+         |  else if ($x < $y) $i++; else $j++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression = copy(newLeft, newRight)
@@ -115,6 +136,9 @@ object SetSketchExpressions {
 
   def winnowFingerprints(text: Column, n: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), n, w))
+
+  def hashedSortedCharNgrams(text: Column, n: Int): Column =
+    ColumnBridge.column(HashedSortedCharNgrams(ColumnBridge.expression(text), n))
 
   def minhashBandKeys64(hashes: Column, permA: Array[Long], permB: Array[Long],
       bands: Int, rows: Int): Column =
@@ -273,6 +297,50 @@ case class WinnowFingerprints(child: Expression, n: Int, w: Int)
     val it = seen.iterator()
     var p = 0
     while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct char n-gram hashes of a string, sorted — the per-document set
+  * build for blocked Jaccard dedup, fused into one primitive pass. Hash
+  * values are IDENTICAL to `xxhash64(substr(...))` (same seed-42 xxhash of
+  * the same UTF-8 bytes), so downstream semantics match the HOF
+  * formulation bit for bit; the fused loop replaces ~450 Column-level
+  * substr/hash/distinct/sort expression evaluations per document.
+  */
+case class HashedSortedCharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    if (s.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = s.length - n + 1
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    var i = 0
+    while (i < m) {
+      seen.add(org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(i, i + n)),
+        StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    java.util.Arrays.sort(out)
     new GenericArrayData(out)
   }
 

@@ -60,8 +60,8 @@ object Dedup {
     val g = docs(s, d).select(
       col("doc_id"), col("source"),
       floor(col("n_chars") / lit(100.0)).cast("int").as("bucket"),
-      array_sort(transform(array_distinct(charNgrams(col("text"), 3)),
-        x => xxhash64(x))).as("grams"))
+      graft.expressions.SetSketchExpressions
+        .hashedSortedCharNgrams(col("text"), 3).as("grams"))
       .withColumn("n_grams", size(col("grams")))
     val a = g.select(col("doc_id").as("doc_a"), col("source"), col("bucket"),
       col("grams").as("grams_a"), col("n_grams").as("n_a"))
@@ -69,7 +69,12 @@ object Dedup {
       col("grams").as("grams_b"), col("n_grams").as("n_b"))
     val inter = graft.expressions.SetSketchExpressions
       .sortedIntersectSize(col("grams_a"), col("grams_b"))
-    a.join(b, Seq("source", "bucket"))
+    // broadcast the build side: 5000 docs x ~3.7KB of grams fits easily,
+    // the probe side streams from the scan with zero shuffle, and the
+    // codegen'd intersect runs fused in the same stage (no per-pair row
+    // materialization). At 100 TB the blocked join would shuffle both
+    // sides on the block key instead — flip the hint, same query.
+    a.join(broadcast(b), Seq("source", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("inter", inter)
       .withColumn("jac", col("inter") / (col("n_a") + col("n_b") - col("inter")))

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.TextFunctions._
+
+/** Property tests (SURVEY §5.4): operator laws checked over generated
+  * inputs, evaluated through the real engine (small literal frames).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic generator sampling (no scalatest-scalacheck bridge in
+    * the offline cache): fixed seed, n cases per property.
+    */
+  private def forAll[T](g: Gen[T], n: Int = 30)(body: T => Unit): Unit = {
+    var seed = Seed(42L)
+    var produced = 0
+    var attempts = 0
+    while (produced < n && attempts < n * 20) {
+      g.apply(Gen.Parameters.default, seed).foreach { v => body(v); produced += 1 }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(produced > 0, "generator produced no samples")
+  }
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val sentence: Gen[String] =
+    Gen.choose(3, 30).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  test("jaccard is symmetric, bounded, and 1 on identical sets") {
+    forAll(Gen.zip(Gen.listOf(word), Gen.listOf(word))) { case (a: List[String], b: List[String]) =>
+      whenever(a.nonEmpty || b.nonEmpty) {
+        val df = Seq((a.distinct, b.distinct)).toDF("a", "b")
+        val Row = df.select(
+          jaccard($"a", $"b").as("ab"), jaccard($"b", $"a").as("ba"),
+          jaccard($"a", $"a").as("aa")).head()
+        val (ab, ba) = (Row.getDouble(0), Row.getDouble(1))
+        assert(ab == ba)
+        assert(ab >= 0.0 && ab <= 1.0)
+        if (a.nonEmpty) assert(Row.getDouble(2) == 1.0)
+      }
+    }
+  }
+
+  test("simhash is invariant under token order (bag semantics)") {
+    forAll(Gen.listOfN(12, word)) { (toks: List[String]) =>
+      whenever(toks.nonEmpty) {
+        val df = Seq((toks, scala.util.Random.shuffle(toks))).toDF("a", "b")
+        val r = df.select(
+          graft.expressions.SetSketchExpressions.simhash64(
+            transform($"a", t => xxhash64(t))).as("sa"),
+          graft.expressions.SetSketchExpressions.simhash64(
+            transform($"b", t => xxhash64(t))).as("sb")).head()
+        assert(r.getLong(0) == r.getLong(1))
+      }
+    }
+  }
+
+  test("minhash signature equality follows set equality; similarity tracks jaccard") {
+    forAll(Gen.listOfN(20, word)) { (toks: List[String]) =>
+      val set = toks.distinct
+      whenever(set.size >= 4) {
+        // identical sets -> identical sigs; half-overlap -> sig agreement
+        // roughly tracks jaccard (loose statistical bound for k=64)
+        val half = set.take(set.size / 2) ++ set.map(_ + "x").take(set.size / 2)
+        val df = Seq((set, set, half)).toDF("a", "b", "c")
+        val r = df.select(
+          minhashSignature($"a").as("sa"), minhashSignature($"b").as("sb"),
+          minhashSignature($"c").as("sc")).head()
+        val sa = r.getSeq[Long](0); val sb = r.getSeq[Long](1); val sc = r.getSeq[Long](2)
+        assert(sa == sb)
+        val agree = sa.zip(sc).count { case (x, y) => x == y } / 64.0
+        val trueJ = set.intersect(half).size.toDouble / set.union(half).distinct.size
+        assert(math.abs(agree - trueJ) < 0.45, s"estimate $agree vs true $trueJ")
+      }
+    }
+  }
+
+  test("winnowing guarantee: strings sharing a long substring share a fingerprint") {
+    val n = 5; val w = 8
+    forAll(Gen.zip(sentence, sentence, sentence)) { case (shared: String, p1: String, p2: String) =>
+      whenever(shared.length >= w + n - 1 && p1.nonEmpty && p2.nonEmpty) {
+        val s1 = p1 + " " + shared + " " + p2
+        val s2 = p2 + "zz " + shared + " qq" + p1
+        val df = Seq((s1, s2)).toDF("a", "b")
+        val r = df.select(
+          graft.expressions.SetSketchExpressions.winnowFingerprints($"a", n, w).as("fa"),
+          graft.expressions.SetSketchExpressions.winnowFingerprints($"b", n, w).as("fb"))
+          .head()
+        val fa = r.getSeq[Long](0).toSet; val fb = r.getSeq[Long](1).toSet
+        assert(fa.intersect(fb).nonEmpty,
+          s"no shared fingerprint despite shared substring of length ${shared.length}")
+      }
+    }
+  }
+
+  test("count(col) + count of nulls == count(*) (A2 law)") {
+    forAll(Gen.listOf(Gen.option(Gen.choose(0, 100)))) { (vs: List[Option[Int]]) =>
+      whenever(vs.nonEmpty) {
+        val df = vs.toDF("v")
+        val r = df.agg(count(lit(1)).as("all"), count($"v").as("nn"),
+          sum(when($"v".isNull, 1).otherwise(0)).as("nulls")).head()
+        assert(r.getLong(0) == r.getLong(1) + r.getLong(2))
+      }
+    }
+  }
+}
