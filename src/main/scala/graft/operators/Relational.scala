@@ -544,6 +544,23 @@ object Relational {
       |     - epoch_us(ts)) / 1000000.0 AS secs_to_next
       |FROM events ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------------- q22_approx_sketch
+  /** Approximate aggregates for 100 TB-scale profiling: HLL distinct counts
+    * and t-digest-style quantiles — constant memory per group vs the exact
+    * versions' linear state. No portable oracle (sketch internals are
+    * engine-specific) → rows-only driver check; accuracy vs exact values is
+    * asserted in RelationalSpec.
+    */
+  val q22ApproxSketch: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95_price"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -566,7 +583,8 @@ object Relational {
     "q18_anti_join" -> q18AntiJoin,
     "q19_except" -> q19Except,
     "q20_sessionize" -> q20Sessionize,
-    "q21_frame_spec" -> q21FrameSpec)
+    "q21_frame_spec" -> q21FrameSpec,
+    "q22_approx_sketch" -> q22ApproxSketch)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,

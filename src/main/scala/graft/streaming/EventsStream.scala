@@ -42,6 +42,15 @@ object EventsStream {
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
 
+  /** Streaming exact dedup: drop repeated event_ids within the watermark
+    * horizon — the streaming twin of Dedup.d1 (state: one entry per key,
+    * expired by the watermark instead of growing forever).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class UserEvent(user_id: Long, event_type: String)
   final case class UserTotal(user_id: Long, events: Long)
 

@@ -95,6 +95,21 @@ class RelationalSpec extends SparkSpec {
     assert(out.filter(col("duration_sec") < 0).count() == 0)
   }
 
+  test("q22 sketches land within tolerance of exact values") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("median"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    Relational.q22ApproxSketch(spark, sfDir).collect().foreach { r =>
+      val (parts, median) = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - parts).toDouble / parts < 0.1,
+        s"HLL off: ${r.getLong(1)} vs $parts")
+      assert(math.abs(r.getDouble(3) - median) / median < 0.05,
+        s"approx median off: ${r.getDouble(3)} vs $median")
+    }
+  }
+
   test("q5 joins the dim via broadcast (no shuffle of the fact side)") {
     val plan = Relational.q5JoinBroadcast(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -44,6 +44,22 @@ class StreamingSpec extends SparkSpec {
       s"missing windows: ${batchSet.diff(streamedSet).take(3)}")
   }
 
+  test("streaming dedup emits each event_id once within the watermark") {
+    val src = Files.createTempDirectory("events_dedup").toString
+    val base = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    // write the same events TWICE (two files = duplicated input)
+    base.write.mode("overwrite").parquet(src)
+    base.write.mode("append").parquet(src)
+    val q = EventsStream.dedupedEvents(EventsStream.readEventsStream(spark, src))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("dedup_out")
+    assert(out.count() == base.count(), "duplicates must be dropped")
+    assert(out.select($"event_id").distinct().count() == out.count())
+  }
+
   test("stateful per-user totals accumulate across micro-batches") {
     import EventsStream.{UserEvent, UserTotal}
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent](spark)
