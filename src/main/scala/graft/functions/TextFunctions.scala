@@ -20,12 +20,15 @@ object TextFunctions {
   /** Lowercased tokens — the canonical token stream for dedup/quality. */
   def lowerTokens(c: Column): Column = tokens(lower(c))
 
-  /** BPE-ish subword proxy: runs of word chars / digits / single punct.
-    * A real tokenizer is model-specific; this regex count is the standard
-    * cheap estimator for budget accounting.
+  /** BPE-ish subword proxy: each alphanumeric run is one token, each
+    * non-alnum non-whitespace character (punct, symbol) is one token. A real
+    * tokenizer is model-specific; this is the standard cheap estimator for
+    * budget accounting — and deliberately lookaround-free so the same
+    * semantics are expressible in RE2-based engines (the DuckDB oracle).
     */
   def approxBpeTokens(c: Column): Column =
-    size(filter(split(c, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => t =!= lit(" ") && t =!= lit("")))
+    size(filter(split(c, "[^A-Za-z0-9]+"), t => t =!= lit(""))) +
+      length(regexp_replace(c, "[A-Za-z0-9 \t\n\r\f]", ""))
 
   /** Whitespace-collapsed, trimmed, lowercased canonical form. */
   def normText(c: Column): Column =
@@ -79,17 +82,6 @@ object TextFunctions {
     graft.expressions.SetSketchExpressions.minhashSignature64(
       transform(set, s => xxhash64(s)), minhashPermA.take(k), minhashPermB.take(k))
   }
-
-  /** LSH band keys for a MinHash signature: `bands` hashes, each over `rows`
-    * consecutive signature entries. Explode + group/join on (band, key) is
-    * the scalable candidate-generation shuffle (docs sharing a band key land
-    * in the same partition; no all-pairs comparison anywhere).
-    */
-  def minhashBands(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(
-        b.cast("int").as("band"),
-        xxhash64(slice(sig, b * lit(rows) + lit(1), lit(rows))).as("bkey")))
 
   // ------------------------------------------------------------- SimHash
 

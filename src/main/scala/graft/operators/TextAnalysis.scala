@@ -38,7 +38,8 @@ object TextAnalysis {
       length(col("text")).cast("long").as("len_chars"),
       octet_length(col("text")).cast("long").as("len_bytes"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),
-      size(array_distinct(lowerTokens(col("text")))).cast("long").as("n_distinct_tokens"))
+      size(array_distinct(lowerTokens(col("text")))).cast("long").as("n_distinct_tokens"),
+      approxBpeTokens(col("text")).cast("long").as("n_bpe_ish"))
       .orderBy("doc_id")
 
   val t1TextStatsSql: String =
@@ -46,7 +47,9 @@ object TextAnalysis {
       |  CAST(length(text) AS BIGINT) AS len_chars,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS len_bytes,
       |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
-      |  CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != ''))) AS BIGINT) AS n_distinct_tokens
+      |  CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != ''))) AS BIGINT) AS n_distinct_tokens,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), t -> t != ''))
+      |    + length(regexp_replace(text, '[A-Za-z0-9 \t\n\r\f]', '', 'g')) AS BIGINT) AS n_bpe_ish
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------- t2_quality
