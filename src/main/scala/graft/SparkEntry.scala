@@ -42,6 +42,7 @@ object SparkEntry {
     "q7_topk_global", "q8_window_rank", "q9_window_avg_case",
     "q10_share_month", "q12_date_agg", "q15_events_hourly",
     "t1_text_stats", "t2_quality", "t4_fingerprint",
-    "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
-    "v1_knn_brute", "v3_embedding_neardup", "v4_ivf_ann", "q20_sessionize")
+    "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
+    "t6_winnowing", "v1_knn_brute", "v2_ann_lsh", "v3_embedding_neardup",
+    "v4_ivf_ann", "q20_sessionize", "q16_rollup", "q22_approx_sketch")
 }
