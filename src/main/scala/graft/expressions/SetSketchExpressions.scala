@@ -140,6 +140,9 @@ object SetSketchExpressions {
   def hashedSortedCharNgrams(text: Column, n: Int): Column =
     ColumnBridge.column(HashedSortedCharNgrams(ColumnBridge.expression(text), n))
 
+  def tokenStats(text: Column, stopWords: Seq[String]): Column =
+    ColumnBridge.column(TokenStats(ColumnBridge.expression(text), stopWords.toArray))
+
   def minhashBandKeys64(hashes: Column, permA: Array[Long], permB: Array[Long],
       bands: Int, rows: Int): Column =
     ColumnBridge.column(MinHashBandKeys64(
@@ -342,6 +345,87 @@ case class HashedSortedCharNgrams(child: Expression, n: Int)
     while (it.hasNext) { out(p) = it.next(); p += 1 }
     java.util.Arrays.sort(out)
     new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+
+/** One-pass token statistics over a string:
+  *   n_tokens         — whitespace-run-delimited tokens (Java whitespace
+  *                      class: space TAB LF VT FF CR — matches split on \s+)
+  *   n_distinct_lower — distinct lowercased tokens
+  *   n_stop           — lowercased tokens found in `stopWords`
+  *   n_bpe_ish        — alnum runs + non-alnum non-whitespace chars (the
+  *                      portable BPE-proxy; whitespace class here matches
+  *                      the oracle's replace class)
+  * Replaces three separate tokenize/filter/distinct HOF pipelines per row
+  * (each interpreted, each allocating token arrays).
+  */
+case class TokenStats(child: Expression, stopWords: Array[String])
+    extends UnaryExpression with CodegenFallback {
+
+  private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopWords.foreach(s.add)
+    s
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct_lower", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_bpe_ish", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected string, got $other")
+    }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+  private def isBpeWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var nTok = 0L; var nStop = 0L
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        nTok += 1
+        val lower = s.substring(start, i).toLowerCase
+        distinct.add(lower)
+        if (stopSet.contains(lower)) nStop += 1
+      }
+    }
+    // BPE-ish: alnum runs + non-alnum non-(bpe-)whitespace chars
+    var nBpe = 0L
+    i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (isAlnum(c)) {
+        nBpe += 1
+        while (i < len && isAlnum(s.charAt(i))) i += 1
+      } else {
+        if (!isBpeWs(c)) nBpe += 1
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, distinct.size.toLong, nStop, nBpe))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -37,9 +37,13 @@ object TextAnalysis {
       col("doc_id"),
       length(col("text")).cast("long").as("len_chars"),
       octet_length(col("text")).cast("long").as("len_bytes"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
-      size(array_distinct(lowerTokens(col("text")))).cast("long").as("n_distinct_tokens"),
-      approxBpeTokens(col("text")).cast("long").as("n_bpe_ish"))
+      graft.expressions.SetSketchExpressions
+        .tokenStats(col("text"), Nil).as("ts"))
+      .select(
+        col("doc_id"), col("len_chars"), col("len_bytes"),
+        col("ts.n_tokens").as("n_tokens"),
+        col("ts.n_distinct_lower").as("n_distinct_tokens"),
+        col("ts.n_bpe_ish").as("n_bpe_ish"))
       .orderBy("doc_id")
 
   val t1TextStatsSql: String =
@@ -61,18 +65,20 @@ object TextAnalysis {
     Seq("the", "a", "of", "and", "to", "is", "in", "that", "it", "for")
 
   val t2Quality: Q = (s, d) => {
-    val toks = lowerTokens(col("text"))
-    // Two layers: the expensive text passes (tokenize, regex strips) are
-    // each evaluated ONCE in the first projection; the ratio layer only
-    // references the bound integer columns. Writing the ratios inline would
-    // re-run the token pipeline ~6x per row (HOFs get no codegen CSE).
+    // Two layers: the expensive text passes (fused TokenStats, regex
+    // strips) are each evaluated ONCE in the first projection; the ratio
+    // layer only references bound integer columns (writing ratios inline
+    // would re-run the pipelines per reference — no CSE for HOFs).
     val counts = docs(s, d).select(
       col("doc_id"),
       length(col("text")).cast("long").as("len_c"),
-      size(toks).cast("long").as("n_tok"),
+      graft.expressions.SetSketchExpressions
+        .tokenStats(col("text"), enStop).as("ts"),
       length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long").as("punct"),
-      length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("digit"),
-      size(filter(toks, t => t.isin(enStop: _*))).cast("long").as("stop"))
+      length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("digit"))
+      .select(col("doc_id"), col("len_c"),
+        col("ts.n_tokens").as("n_tok"), col("ts.n_stop").as("stop"),
+        col("punct"), col("digit"))
     counts.select(
       col("doc_id"),
       col("n_tok").as("n_tokens"),
