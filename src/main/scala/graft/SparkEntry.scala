@@ -34,7 +34,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles
+      Similarity.oracles ++ Multimodal.oracles
 
   /** Headline subset timed by Bench (kept representative but bounded). */
   def headline: Seq[String] = Seq(

@@ -62,8 +62,11 @@ object Multimodal {
   }
 
   /** Driver-facing query: documents → binary payloads → decoded features.
-    * Rows-only check (the histogram is not expressible in portable SQL);
-    * exact values are asserted in ScalaTest against a hand-computed fixture.
+    * Output is the decoded METADATA (scalar columns — the driver's pandas
+    * compare cannot sort array columns), oracle-checked against DuckDB on
+    * byte arithmetic. The feature vector itself (not expressible in
+    * portable SQL) is asserted exactly against hand-computed histograms in
+    * ScalaTest (SparkSpec multimodal test).
     */
   def mm1DecodeStub(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -72,10 +75,23 @@ object Multimodal {
       .as[MediaIn]
     decodeFeatures(media)
       .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
-        col("feature"))
+        size(col("feature")).as("feature_dim"))
       .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_decode_stub" -> (mm1DecodeStub _))
+
+  /** DuckDB twin of the metadata decode: byte_len is the UTF-8 byte count
+    * of `text`, pseudo-dims derive from it, feature_dim is the fixed
+    * histogram width.
+    */
+  val oracles: Map[String, String] = Map(
+    "mm1_decode_stub" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+        |  CAST(64 AS INTEGER) AS height,
+        |  CAST(16 AS INTEGER) AS feature_dim
+        |FROM documents""".stripMargin)
 }

@@ -65,6 +65,12 @@ class SimilaritySpec extends SparkSpec {
     val out = Multimodal.mm1DecodeStub(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents").count()
     assert(out.count() == docs)
-    assert(out.select(size($"feature")).distinct().as[Int].head() == 16)
+    assert(out.select($"feature_dim").distinct().as[Int].head() == 16)
+    // the full feature vector stays available on the typed pipeline
+    val media = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[Multimodal.MediaIn]
+    val f = Multimodal.decodeFeatures(media).head()
+    assert(f.feature.length == 16 && math.abs(f.feature.sum - 1.0f) < 1e-5)
   }
 }
