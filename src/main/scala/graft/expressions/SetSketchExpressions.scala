@@ -3,7 +3,6 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -11,11 +10,11 @@ import org.apache.spark.sql.types._
   * brief preference (b): a native Expression beats HOF composition when the
   * built-ins force per-element allocation).
   *
-  * Both are tight primitive loops over long arrays — no boxing, no
-  * intermediate arrays. They use CodegenFallback: the eval cost is one
-  * virtual call per ROW (the loops inside are primitive), which profiling
-  * showed is noise next to the per-element allocation the HOF formulations
-  * pay. doGenCode versions are a further ~2x if these ever dominate again.
+  * All are tight primitive loops — no boxing, no intermediate arrays. The
+  * kernels stay in whole-stage codegen via [[KernelCodegen]] (a
+  * CodegenFallback would drop the whole stage to interpreted eval);
+  * SortedLongIntersectSize additionally inlines its merge walk as
+  * generated Java since it runs per PAIR, not per row.
   */
 
 /** Size of the intersection of two SORTED long arrays (merge walk, O(n+m),
@@ -85,7 +84,7 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
   */
 case class MinHashSignature64(
     child: Expression, permA: Array[Long], permB: Array[Long])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   private val k = permA.length
   require(permB.length == k)
@@ -153,7 +152,7 @@ object SetSketchExpressions {
   * bit set where positive. One n*64 primitive loop — the HOF fold allocates
   * a 64-long array per element.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -199,7 +198,7 @@ case class MinHashBandKeys64(
     child: Expression,
     permA: Array[Long], permB: Array[Long],
     bands: Int, rows: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   require(bands * rows <= permA.length && permA.length == permB.length)
 
@@ -261,7 +260,7 @@ case class MinHashBandKeys64(
   * windows per document (observed: minutes for 500 rows).
   */
 case class WinnowFingerprints(child: Expression, n: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -315,7 +314,7 @@ case class WinnowFingerprints(child: Expression, n: Int, w: Int)
   * substr/hash/distinct/sort expression evaluations per document.
   */
 case class HashedSortedCharNgrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -364,7 +363,7 @@ case class HashedSortedCharNgrams(child: Expression, n: Int)
   * (each interpreted, each allocating token arrays).
   */
 case class TokenStats(child: Expression, stopWords: Array[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   private lazy val stopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()

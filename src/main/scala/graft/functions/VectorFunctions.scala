@@ -3,23 +3,25 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built from codegen'd
-  * higher-order functions (zip_with/aggregate) — no UDF deserialization in
-  * the hot path. Floats are cast to double BEFORE multiply/accumulate: the
-  * cast is exact, keeps accumulation precision, and makes results
-  * reproducible against any double-precision oracle.
+/** Vector math over `array<float>` embedding columns. Floats are cast to
+  * double BEFORE multiply/accumulate: the cast is exact, keeps accumulation
+  * precision, and makes results reproducible against any double-precision
+  * oracle.
   *
-  * At 100 TB a dedicated Catalyst Expression with doGenCode over the raw
-  * float arrays would shave the lambda overhead; these HOFs are the
-  * composition-first baseline (preference order (a) in the build brief).
+  * The dot product is a custom codegen'd Catalyst expression
+  * ([[graft.expressions.DotProduct]]): the HOF formulation
+  * (`aggregate(zip_with(...))`) is CodegenFallback in Spark — interpreted
+  * lambdas plus a per-pair intermediate array — and measured ~4x slower on
+  * the pair-heavy similarity queries. Identical fold order → identical
+  * doubles.
   */
 object VectorFunctions {
 
-  /** Sequential left-fold dot product in double precision. */
+  /** Sequential ascending-index dot product in double precision
+    * (codegen'd primitive loop).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expressions.VectorExpressions.dotProduct(a, b)
 
   def normSq(a: Column): Column = dot(a, a)
 

@@ -169,12 +169,16 @@ object TextAnalysis {
     * portable oracle).
     */
   val t4Fingerprint: Q = (s, d) => {
-    val norm = normText(col("text"))
-    docs(s, d).select(
-      col("doc_id"),
-      md5(norm).as("fp"),
-      md5(substring(norm, 1, 64)).as("fp_prefix"),
-      length(norm).cast("long").as("norm_len"))
+    // Layered: norm (regex+trim+lower) is referenced three times below —
+    // inline it and the projection evaluates the regex 3x per row (no CSE
+    // across a multi-referenced non-cheap alias in one projection).
+    docs(s, d)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("fp"),
+        md5(substring(col("norm"), 1, 64)).as("fp_prefix"),
+        length(col("norm")).cast("long").as("norm_len"))
       .orderBy("doc_id")
   }
 
