@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-plan operator: AS-OF join (logical node -> sort-merge exec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+
     def register(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -25,7 +25,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries
+      Similarity.queries ++ Multimodal.queries ++ graft.plans.Asof.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -34,7 +34,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Multimodal.oracles
+      Similarity.oracles ++ Multimodal.oracles ++ graft.plans.Asof.oracles
 
   /** Headline subset timed by Bench (kept representative but bounded). */
   def headline: Seq[String] = Seq(
