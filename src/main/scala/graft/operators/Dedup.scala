@@ -50,7 +50,10 @@ object Dedup {
     * sum(block_size^2), not corpus^2 — block keys would be tuned per
     * corpus at scale (salt a hot source, widen buckets).
     */
-  val d2NgramJaccard: Q = (s, d) => {
+  /** The verified near-dup pair set of d2 (no final sort) — shared by the
+    * d2 query and the d5 cluster resolution.
+    */
+  private[operators] def d2Pairs(s: SparkSession, d: String): DataFrame = {
     // Per-doc ONCE: distinct char-3grams → xxhash64 → sorted long array.
     // Per-pair: a zero-allocation merge-walk intersect (custom expression)
     // + the inclusion-exclusion identity for |A∪B| — vs array_intersect +
@@ -80,8 +83,9 @@ object Dedup {
       .withColumn("jac", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"), sround(col("jac"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  val d2NgramJaccard: Q = (s, d) => d2Pairs(s, d).orderBy("doc_a", "doc_b")
 
   val d2NgramJaccardSql: String =
     """WITH g AS (
@@ -171,15 +175,98 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // -------------------------------------------------- d5_dedup_clusters
+  /** Cluster resolution: connected components over the d2 near-dup pair
+    * graph — the step every real dedup pipeline needs after pair
+    * generation (pairs (a,b),(b,c) must collapse to ONE kept doc, not
+    * two independent drops). Output: every document with its cluster id
+    * (min doc_id reachable), cluster size, and the canonical-keeper flag.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — each round
+    * is one join + hash-agg on the (tiny) edge set; rounds needed =
+    * cluster graph diameter. Near-dup clusters are shallow (dup chains of
+    * 2-5 docs), so this converges in 2-3 rounds; a deep-graph corpus at
+    * 100 TB would swap in the alternating large-star/small-star rewrite
+    * (same join shape, O(log n) rounds guaranteed), which this driver
+    * loop structure already accommodates. Labels persist per round and
+    * the prior round unpersists, so lineage stays bounded.
+    */
+  val d5DedupClusters: Q = (s, d) => {
+    val pairs = d2Pairs(s, d).select(col("doc_a"), col("doc_b"))
+    // undirected edges, deduped once, reused every round
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v").persist()
+    var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("label")).persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("v"), col("label").as("v_label")), "v")
+        .groupBy(col("u")).agg(min(col("v_label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+        .select(labels("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+        .filter(col("n.label") =!= col("p.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Same components via DuckDB's recursive CTE (transitive closure is
+    * affordable at oracle scale; the Spark path never materializes it).
+    */
+  val d5DedupClustersSql: String =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id, source, CAST(floor(n_chars / 100.0) AS INTEGER) AS bucket,
+      |    list_distinct(list_transform(range(1, length(text) - 1),
+      |      i -> substring(text, CAST(i AS INTEGER), 3))) AS grams
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM g a JOIN g b
+      |    ON a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.grams, b.grams))
+      |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |comp AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+      |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      |  GROUP BY d.doc_id)
+      |SELECT doc_id, cluster_id,
+      |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+      |  doc_id = cluster_id AS is_canonical
+      |FROM comp ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d3_minhash_lsh" -> d3MinhashLsh,
-    "d4_simhash" -> d4Simhash)
+    "d4_simhash" -> d4Simhash,
+    "d5_dedup_clusters" -> d5DedupClusters)
 
   /** d3/d4 are xxhash64-derived → no portable oracle (rows-only check). */
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1ExactDedupSql,
-    "d2_ngram_jaccard" -> d2NgramJaccardSql)
+    "d2_ngram_jaccard" -> d2NgramJaccardSql,
+    "d5_dedup_clusters" -> d5DedupClustersSql)
 }

@@ -87,4 +87,26 @@ class TextDedupSpec extends SparkSpec {
     assert(out.agg(sum($"n_copies")).as[Long].head() == docs)
     assert(out.select($"fp").distinct().count() == out.count())
   }
+
+  test("d5 cluster resolution: edges stay intra-cluster, canonical is the min") {
+    val labels = Dedup.d5DedupClusters(spark, sfDir)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    // every near-dup edge connects two docs of the SAME cluster
+    val pairs = Dedup.d2NgramJaccard(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) crosses clusters")
+    }
+    // cluster id is the minimum member (so the canonical doc is in-cluster)
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+    }
+    // transitivity witness: a chain (a,b),(b,c) collapses to one cluster
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val chained = pairs.exists { case (a, b) =>
+      (adj(b) - a).exists(c => labels(c) == labels(a))
+    }
+    assert(chained || pairs.isEmpty)
+  }
 }
