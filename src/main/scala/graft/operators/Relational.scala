@@ -561,6 +561,144 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95_price"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------- q24_range_join
+  /** Pure range join (NO equality key): error/purchase event pairs within
+    * ±5 seconds — correlation detection across streams. Spark's built-in
+    * plan for an inequality-only join is a broadcast nested loop
+    * (quadratic); this is the bucketed rewrite that survives scale: each
+    * right row lands in ONE 5s time bucket, each left row probes its 3
+    * adjacent buckets (explode), the join is a plain shuffled equi-join on
+    * the bucket, and the exact |dt| <= 5s predicate filters the residue.
+    * Every qualifying pair matches in exactly one bucket, so no dedup pass
+    * is needed. Work is O(pairs-per-bucket), data-parallel on the bucket
+    * key — at 100 TB the bucket width trades shuffle fanout (3x left)
+    * against per-bucket pair blowup.
+    */
+  val q24RangeJoin: Q = (s, d) => {
+    val bucketUs = 5000000L
+    val e = t(s, d, "events")
+    val errs = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("err_us"))
+      .withColumn("b0", expr(s"err_us div $bucketUs"))
+      .select(col("err_id"), col("err_us"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("bucket"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("bucket", expr(s"p_us div $bucketUs"))
+    errs.join(purch, "bucket")
+      .filter(abs(col("err_us") - col("p_us")) <= lit(bucketUs))
+      .select(col("err_id"), col("p_id"),
+        ((col("p_us") - col("err_us")) / lit(1000000.0)).as("dt_sec"))
+      .orderBy("err_id", "p_id")
+  }
+
+  val q24RangeJoinSql: String =
+    """SELECT e.event_id AS err_id, p.event_id AS p_id,
+      |  (epoch_us(p.ts) - epoch_us(e.ts)) / 1000000.0 AS dt_sec
+      |FROM events e JOIN events p
+      |  ON abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 5000000
+      |WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+      |ORDER BY err_id, p_id""".stripMargin
+
+  // --------------------------------------------------------- q25_pivot
+  /** PIVOT: order counts per month x status. Explicit value list keeps the
+    * plan a single-pass hash agg (no distinct-values pre-query); absent
+    * cells align to the oracle's conditional counts as 0.
+    */
+  val q25Pivot: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(month(col("o_orderdate")).as("mon"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0, Seq("F", "O", "P"))
+      .select(col("mon"), col("F").as("cnt_f"), col("O").as("cnt_o"),
+        col("P").as("cnt_p"))
+      .orderBy("mon")
+
+  val q25PivotSql: String =
+    """SELECT CAST(month(o_orderdate) AS INTEGER) AS mon,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_f,
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o,
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_p
+      |FROM orders GROUP BY 1 ORDER BY mon""".stripMargin
+
+  // ----------------------------------------------- q26_distinct_quantile
+  /** DISTINCT aggregates + exact interpolated percentiles per group. The
+    * distinct agg plans as Expand + two-phase agg (partial distinct before
+    * the shuffle); percentile() is Spark's exact linear-interpolation
+    * quantile, same definition as DuckDB quantile_cont — the interpolation
+    * arithmetic is identical so sround'ed values hash-match.
+    */
+  val q26DistinctQuantile: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        sround(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        sround(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))
+      .orderBy("l_returnflag")
+
+  val q26DistinctQuantileSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  floor(quantile_cont(l_quantity, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS median_qty,
+      |  floor(quantile_cont(l_quantity, 0.9) * 1000000.0 + 0.5) / 1000000.0 AS p90_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------- q27_full_outer
+  /** FULL OUTER join: May vs June per-customer order counts — both sides
+    * produce unmatched rows (counts null-extended). Spark coalesces the
+    * using-column; both engines shuffle on the key.
+    */
+  val q27FullOuter: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    def monthly(m: Int, as: String) =
+      o.filter(month(col("o_orderdate")) === m)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as(as))
+    monthly(5, "may_cnt")
+      .join(monthly(6, "jun_cnt"), Seq("custkey"), "full_outer")
+      .orderBy("custkey")
+  }
+
+  val q27FullOuterSql: String =
+    """SELECT coalesce(m.custkey, j.custkey) AS custkey, m.may_cnt, j.jun_cnt
+      |FROM (SELECT o_custkey AS custkey, count(*) AS may_cnt FROM orders
+      |      WHERE month(o_orderdate) = 5 GROUP BY 1) m
+      |FULL OUTER JOIN
+      |     (SELECT o_custkey AS custkey, count(*) AS jun_cnt FROM orders
+      |      WHERE month(o_orderdate) = 6 GROUP BY 1) j
+      |  ON m.custkey = j.custkey
+      |ORDER BY custkey""".stripMargin
+
+  // ------------------------------------------------- q28_json_extract
+  /** Semi-structured extraction: schema'd from_json over the props JSON
+    * column, then relational aggregation on the extracted field. from_json
+    * parses once per row inside codegen; the DuckDB twin uses its JSON
+    * extension. The standard "typed view over a JSON payload column" shape
+    * for event ingest.
+    */
+  val q28JsonExtract: Q = (s, d) =>
+    t(s, d, "events")
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val q28JsonExtractSql: String =
+    """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -584,7 +722,12 @@ object Relational {
     "q19_except" -> q19Except,
     "q20_sessionize" -> q20Sessionize,
     "q21_frame_spec" -> q21FrameSpec,
-    "q22_approx_sketch" -> q22ApproxSketch)
+    "q22_approx_sketch" -> q22ApproxSketch,
+    "q24_range_join" -> q24RangeJoin,
+    "q25_pivot" -> q25Pivot,
+    "q26_distinct_quantile" -> q26DistinctQuantile,
+    "q27_full_outer" -> q27FullOuter,
+    "q28_json_extract" -> q28JsonExtract)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -607,5 +750,10 @@ object Relational {
     "q18_anti_join" -> q18AntiJoinSql,
     "q19_except" -> q19ExceptSql,
     "q20_sessionize" -> q20SessionizeSql,
-    "q21_frame_spec" -> q21FrameSpecSql)
+    "q21_frame_spec" -> q21FrameSpecSql,
+    "q24_range_join" -> q24RangeJoinSql,
+    "q25_pivot" -> q25PivotSql,
+    "q26_distinct_quantile" -> q26DistinctQuantileSql,
+    "q27_full_outer" -> q27FullOuterSql,
+    "q28_json_extract" -> q28JsonExtractSql)
 }
