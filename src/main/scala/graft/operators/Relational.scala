@@ -699,6 +699,40 @@ object Relational {
       |        CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- q29_stratified_sample
+  /** Deterministic stratified sampling: exactly ceil(10%) of every
+    * event_type stratum, selected by md5-of-id order. Hash-ordering makes
+    * the sample (a) reproducible across engines and runs, (b) uniform
+    * (md5 is effectively random in the id), and (c) exact-size per
+    * stratum — none of which rand()-based sampling gives. Plan: one
+    * shuffle on the stratum key; both window functions share it. At
+    * 100 TB, skewed strata are the usual worry — the rank is computed
+    * within the partition after AQE skew-splitting of the sort.
+    */
+  val q29StratifiedSample: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    t(s, d, "events")
+      .select(col("event_id"), col("event_type"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(wAll).as("stratum_n"))
+      .filter(col("rn") <= ceil(col("stratum_n") * lit(0.1)))
+      .select(col("event_id"), col("event_type"), col("rn"))
+      .orderBy("event_type", "rn")
+  }
+
+  val q29StratifiedSampleSql: String =
+    """WITH ranked AS (
+      |  SELECT event_id, event_type,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS INTEGER) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS stratum_n
+      |  FROM events)
+      |SELECT event_id, event_type, rn
+      |FROM ranked WHERE rn <= ceil(stratum_n * 0.1)
+      |ORDER BY event_type, rn""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -727,7 +761,8 @@ object Relational {
     "q25_pivot" -> q25Pivot,
     "q26_distinct_quantile" -> q26DistinctQuantile,
     "q27_full_outer" -> q27FullOuter,
-    "q28_json_extract" -> q28JsonExtract)
+    "q28_json_extract" -> q28JsonExtract,
+    "q29_stratified_sample" -> q29StratifiedSample)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -755,5 +790,6 @@ object Relational {
     "q25_pivot" -> q25PivotSql,
     "q26_distinct_quantile" -> q26DistinctQuantileSql,
     "q27_full_outer" -> q27FullOuterSql,
-    "q28_json_extract" -> q28JsonExtractSql)
+    "q28_json_extract" -> q28JsonExtractSql,
+    "q29_stratified_sample" -> q29StratifiedSampleSql)
 }

@@ -228,6 +228,40 @@ object TextAnalysis {
           .winnowFingerprints(normText(col("text")), 5, 8)).as("fingerprint"))
       .orderBy("doc_id", "fingerprint")
 
+  // -------------------------------------------------------- t7_chunking
+  /** Sliding-window document chunking (window 160 chars, stride 120 → 40
+    * overlap; sized so the corpus median of ~300 chars yields 2-3
+    * overlapping chunks per doc) — the standard context-window prep for embedding / training
+    * pipelines. One generate-and-explode per document, no shuffle until
+    * the final oracle sort; chunk content is verified via md5 so the
+    * output stays narrow. Chunk starts are 1-based; a document shorter
+    * than one window yields exactly one chunk.
+    */
+  val t7Chunking: Q = (s, d) => {
+    val win = 160
+    val stride = 120
+    docs(s, d)
+      .select(col("doc_id"),
+        explode(sequence(lit(1),
+          greatest(length(col("text")) - win + 1, lit(1)), lit(stride)))
+          .as("start"),
+        col("text"))
+      .select(col("doc_id"), col("start"),
+        length(col("text").substr(col("start"), lit(win))).cast("long")
+          .as("chunk_len"),
+        md5(col("text").substr(col("start"), lit(win))).as("chunk_md5"))
+      .orderBy("doc_id", "start")
+  }
+
+  val t7ChunkingSql: String =
+    """SELECT doc_id, CAST(start AS INTEGER) AS start,
+      |  CAST(length(substring(text, CAST(start AS INTEGER), 160)) AS BIGINT) AS chunk_len,
+      |  md5(substring(text, CAST(start AS INTEGER), 160)) AS chunk_md5
+      |FROM (SELECT doc_id, text,
+      |        unnest(generate_series(1, greatest(length(text) - 159, 1), 120)) AS start
+      |      FROM documents)
+      |ORDER BY doc_id, start""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t1_text_stats" -> t1TextStats,
@@ -235,12 +269,14 @@ object TextAnalysis {
     "t3_lang_id" -> t3LangId,
     "t4_fingerprint" -> t4Fingerprint,
     "t5_vocab" -> t5Vocab,
-    "t6_winnowing" -> t6Winnowing)
+    "t6_winnowing" -> t6Winnowing,
+    "t7_chunking" -> t7Chunking)
 
   val oracles: Map[String, String] = Map(
     "t1_text_stats" -> t1TextStatsSql,
     "t2_quality" -> t2QualitySql,
     "t3_lang_id" -> t3LangIdSql,
     "t4_fingerprint" -> t4FingerprintSql,
-    "t5_vocab" -> t5VocabSql)
+    "t5_vocab" -> t5VocabSql,
+    "t7_chunking" -> t7ChunkingSql)
 }
