@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TextFunctions.minhashPermA, TextFunctions.minhashPermB,
         intArg(args(1), "bands"), intArg(args(2), "rows")))
     register("graft_simhash", args => SimHash64(args(0)))
+    // aggregate: the analyzer wraps a bare AggregateFunction builder result
+    register("graft_kmv_distinct",
+      args => KmvSketch(args(0), intArg(args(1), "k")))
     register("graft_winnow",
       args => WinnowFingerprints(args(0),
         intArg(args(1), "n"), intArg(args(2), "w")))

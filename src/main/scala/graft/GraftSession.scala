@@ -24,6 +24,10 @@ object GraftSession {
 
   /** Apply engine defaults to an arbitrary builder (used by Verify/Bench/tests). */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    // the engine's custom surface (SQL functions + as-of join strategy) is
+    // part of the session contract, not an opt-in: any getOrCreate through
+    // here — tests, Verify, Bench — sees the same engine
+    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")

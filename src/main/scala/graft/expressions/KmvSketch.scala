@@ -1,0 +1,112 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+import java.util.{Comparator, TreeSet => JTreeSet}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** KMV (k-minimum-values) distinct-count sketch — a custom typed imperative
+  * AGGREGATE (the third extension kind after scalar expressions and the
+  * whole-plan as-of join): keep the k smallest xxhash64 values of the
+  * input; estimate |distinct| = (k-1) * 2^64 / kth-smallest-hash.
+  *
+  * Properties that matter at 100 TB:
+  *  - constant state (k longs) per group, vs linear for exact distinct;
+  *  - buffers MERGE by set-union + trim, so Spark's partial aggregation
+  *    applies — map-side partials shuffle k values per group, not rows;
+  *  - the estimate is a pure function of the value SET: identical across
+  *    partitionings, retries, and cluster sizes (asserted in tests);
+  *  - standard error ~ 1/sqrt(k-2) (~3% at k=1024).
+  *
+  * Hashes order as UNSIGNED 64-bit (comparator below): xxhash64 output is
+  * uniform on the full 2^64 ring, and the estimator needs the fraction of
+  * the ring below the kth value.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[JTreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  require(k >= 16, s"k must be >= 16 for a usable estimate, got $k")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kmv_distinct"
+
+  private def cmp: Comparator[java.lang.Long] =
+    (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compareUnsigned(a, b)
+
+  override def createAggregationBuffer(): JTreeSet[java.lang.Long] =
+    new JTreeSet[java.lang.Long](cmp)
+
+  private def add(buf: JTreeSet[java.lang.Long], h: Long): Unit = {
+    if (buf.size() < k) { buf.add(h); () }
+    else if (java.lang.Long.compareUnsigned(h, buf.last()) < 0) {
+      if (buf.add(h)) buf.remove(buf.last())
+    }
+  }
+
+  override def update(
+      buf: JTreeSet[java.lang.Long], input: InternalRow): JTreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, XxHash64Function.hash(v, child.dataType, 42L))
+    buf
+  }
+
+  override def merge(
+      buf: JTreeSet[java.lang.Long],
+      other: JTreeSet[java.lang.Long]): JTreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: JTreeSet[java.lang.Long]): Any = {
+    if (buf.size() < k) buf.size().toDouble
+    else {
+      // unsigned kth value as a double in [0, 2^64)
+      val kth = buf.last().longValue()
+      val u = if (kth >= 0) kth.toDouble else kth.toDouble + math.pow(2, 64)
+      (k - 1).toDouble * math.pow(2, 64) / u
+    }
+  }
+
+  override def serialize(buf: JTreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): JTreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketch =
+    copy(child = newChild)
+}
+
+object KmvSketch {
+  def kmvDistinct(c: Column, k: Int = 1024): Column =
+    ColumnBridge.column(
+      KmvSketch(ColumnBridge.expression(c), k).toAggregateExpression())
+}

@@ -699,6 +699,25 @@ object Relational {
       |        CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------- q30_kmv_distinct
+  /** Custom KMV distinct sketch (graft.expressions.KmvSketch, a
+    * TypedImperativeAggregate): k-minimum-values estimate of per-group
+    * distinct counts. Unlike q22's built-in HLL, the state is an exact
+    * value-set sketch — mergeable, constant-size, and DETERMINISTIC under
+    * any partitioning (asserted in RelationalSpec). xxhash-based → rows-
+    * only driver check; accuracy vs exact distinct is asserted in tests.
+    */
+  val q30KmvDistinct: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        graft.expressions.KmvSketch.kmvDistinct(col("l_partkey"), 1024)
+          .as("kmv_parts"),
+        graft.expressions.KmvSketch.kmvDistinct(col("l_suppkey"), 1024)
+          .as("kmv_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------- q29_stratified_sample
   /** Deterministic stratified sampling: exactly ceil(10%) of every
     * event_type stratum, selected by md5-of-id order. Hash-ordering makes
@@ -762,7 +781,8 @@ object Relational {
     "q26_distinct_quantile" -> q26DistinctQuantile,
     "q27_full_outer" -> q27FullOuter,
     "q28_json_extract" -> q28JsonExtract,
-    "q29_stratified_sample" -> q29StratifiedSample)
+    "q29_stratified_sample" -> q29StratifiedSample,
+    "q30_kmv_distinct" -> q30KmvDistinct)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,

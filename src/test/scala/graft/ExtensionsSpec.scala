@@ -39,4 +39,17 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(viaSql == viaCol)
   }
+
+  test("graft_kmv_distinct works from SQL and matches the Column form") {
+    import spark.implicits._
+    Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .createOrReplaceTempView("li_kmv")
+    val sqlV = spark.sql(
+      "SELECT graft_kmv_distinct(l_partkey, 256) FROM li_kmv")
+      .as[Double].head()
+    val colV = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .agg(graft.expressions.KmvSketch.kmvDistinct($"l_partkey", 256))
+      .as[Double].head()
+    assert(sqlV == colV && sqlV > 0)
+  }
 }

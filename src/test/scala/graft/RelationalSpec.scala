@@ -115,4 +115,24 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"unexpected plan:\n$plan")
   }
+
+  test("q30 KMV sketch: ~3% accuracy and invariant under repartitioning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact"))
+      .as[(String, Long)].collect().toMap
+    def kmv(df: org.apache.spark.sql.DataFrame) = df.groupBy($"l_returnflag")
+      .agg(graft.expressions.KmvSketch.kmvDistinct($"l_partkey", 256).as("est"))
+      .as[(String, Double)].collect().toMap
+    val est = kmv(li)
+    exact.foreach { case (k, ex) =>
+      val e = est(k)
+      assert(math.abs(e - ex) / ex < 0.25, s"$k: est $e vs exact $ex")
+    }
+    // the estimate is a pure function of the value SET: any partitioning
+    // (hence any partial-agg merge order) yields the identical double
+    assert(kmv(li.repartition(1)) == kmv(li.repartition(13, $"l_orderkey")))
+  }
 }
