@@ -44,5 +44,8 @@ object SparkEntry {
     "t1_text_stats", "t2_quality", "t4_fingerprint",
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
     "t6_winnowing", "v1_knn_brute", "v2_ann_lsh", "v3_embedding_neardup",
-    "v4_ivf_ann", "q20_sessionize", "q16_rollup", "q22_approx_sketch")
+    "v4_ivf_ann", "q20_sessionize", "q16_rollup", "q22_approx_sketch",
+    "q23_asof_join", "q24_range_join", "q25_pivot", "q26_distinct_quantile",
+    "q27_full_outer", "q28_json_extract", "q29_stratified_sample",
+    "q30_kmv_distinct", "d5_dedup_clusters", "t7_chunking")
 }

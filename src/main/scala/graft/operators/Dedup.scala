@@ -193,31 +193,43 @@ object Dedup {
     */
   val d5DedupClusters: Q = (s, d) => {
     val pairs = d2Pairs(s, d).select(col("doc_a"), col("doc_b"))
-    // undirected edges, deduped once, reused every round
+    // undirected edges, materialized once, reused every round
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("u", "v").persist()
-    var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("label")).persist()
+      .toDF("u", "v").localCheckpoint(true)
+    // each round's plan references the previous round's TWICE — without a
+    // lineage cut the logical plan doubles per round and the driver dies
+    // planning round ~20. localCheckpoint(eager) truncates to the
+    // materialized result (a cluster deployment would use reliable
+    // checkpoints on the same cadence).
+    var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < 50) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("v"), col("label").as("v_label")), "v")
         .groupBy(col("u")).agg(min(col("v_label")).as("nbr_min"))
+      // pointer-jumping (label <- label(label)) alongside neighbor-min:
+      // convergence in O(log diameter) rounds instead of O(diameter)
+      val hop = labels.as("l1")
+        .join(labels.as("l2"), col("l1.label") === col("l2.doc_id"))
+        .select(col("l1.doc_id").as("h_id"), col("l2.label").as("hop_label"))
       val next = labels
         .join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+        .join(hop, labels("doc_id") === col("h_id"), "left")
         .select(labels("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .persist()
+          least(
+            least(col("label"), coalesce(col("nbr_min"), col("label"))),
+            coalesce(col("hop_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
         .filter(col("n.label") =!= col("p.label")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       rounds += 1
     }
-    edges.unpersist()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     labels.select(col("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))

@@ -635,8 +635,11 @@ object Relational {
       .agg(
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
-        sround(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-        sround(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))
+        // one percentile buffer for both quantiles (array form), not two
+        expr("percentile(l_quantity, array(0.5, 0.9))").as("q"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+        sround(element_at(col("q"), 1), 6).as("median_qty"),
+        sround(element_at(col("q"), 2), 6).as("p90_qty"))
       .orderBy("l_returnflag")
 
   val q26DistinctQuantileSql: String =
