@@ -51,6 +51,32 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: clicks matched to the same user's views
+    * from the preceding 10 minutes. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so the state store holds
+    * only one watermark-window of each side per user — the required shape
+    * for an unbounded join at scale (an unconstrained stream join would
+    * buffer both streams forever). Inner matches emit as soon as both rows
+    * arrive; on a bounded replay the result set equals the batch join
+    * (asserted in StreamingSpec).
+    */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    clicks.join(views,
+      col("user_id") === col("v_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   final case class UserEvent(user_id: Long, event_type: String)
   final case class UserTotal(user_id: Long, events: Long)
 

@@ -60,6 +60,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.select($"event_id").distinct().count() == out.count())
   }
 
+  test("stream-stream interval join == batch join on bounded input") {
+    val src = Files.createTempDirectory("events_ssj").toString
+    val base = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    base.write.mode("overwrite").parquet(src)
+    val q = EventsStream.clickViewJoin(EventsStream.readEventsStream(spark, src))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj_out")
+      .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+    val batch = EventsStream.clickViewJoin(base)
+      .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream/batch diff: ${streamed.diff(batch).take(3)} / ${batch.diff(streamed).take(3)}")
+  }
+
   test("stateful per-user totals accumulate across micro-batches") {
     import EventsStream.{UserEvent, UserTotal}
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent](spark)
