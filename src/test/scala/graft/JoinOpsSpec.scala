@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.JoinOps
+
+/** Plan-level guarantees for the cluster-scale join disciplines: salted
+  * joins return identical results, bucketed tables join with no exchange.
+  */
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join == plain join (deterministic salt source)") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val customer = Tables.load(spark, sfDir, "customer")
+    val plain = orders.join(customer, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_custkey").collect().map(_.toSeq).toSet
+    val salted = JoinOps.saltedJoin(
+      orders, customer, $"o_custkey", $"c_custkey", salts = 8,
+      leftSaltSource = Some($"o_orderkey"))
+      .select($"o_orderkey", $"c_custkey").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("salted join scatters a hot key across all salt partitions") {
+    // skewed left: 10k rows of ONE key
+    val left = spark.range(10000).select(lit(7L).as("k"), $"id")
+    val right = Seq((7L, "x")).toDF("rk", "v")
+    val out = JoinOps.saltedJoin(left, right, $"k", $"rk", salts = 8,
+      leftSaltSource = Some($"id"))
+    assert(out.count() == 10000)
+    // the salt column actually took >1 distinct value pre-drop
+    val salts = left
+      .withColumn("__salt", pmod(xxhash64($"id"), lit(8)))
+      .select(countDistinct($"__salt")).as[Long].head()
+    assert(salts == 8)
+  }
+
+  test("bucketed tables sort-merge join with NO exchange") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // write both sides bucketed by the join key: the shuffle happens once
+    // at WRITE time; every later join on the key reads co-located buckets
+    Tables.load(s2, sfDir, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    Tables.load(s2, sfDir, "customer")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+    val joined = s2.table("orders_b")
+      .join(s2.table("customer_b"), col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    // and it still returns the right rows
+    val expected = Tables.load(s2, sfDir, "orders")
+      .join(Tables.load(s2, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .count()
+    assert(joined.count() == expected)
+  }
+}
