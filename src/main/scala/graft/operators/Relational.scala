@@ -702,6 +702,53 @@ object Relational {
       |        CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------- q31_rank_distributions
+  /** The remaining ranking-family window functions: percent_rank,
+    * cume_dist, ntile. All integer-ratio derived (exact doubles both
+    * engines); the order key carries an id tiebreak so peer groups are
+    * single rows and the distributions are deterministic.
+    */
+  val q31RankDistributions: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, d, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      ntile(4).over(w).as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  val q31RankDistributionsSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------ q32_cube
+  /** CUBE grouping sets with grouping() flags — all four aggregation
+    * levels from one Expand pass; the flags disambiguate roll-up NULLs
+    * from data NULLs.
+    */
+  val q32Cube: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val q32CubeSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS qty,
+      |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   // --------------------------------------------------- q30_kmv_distinct
   /** Custom KMV distinct sketch (graft.expressions.KmvSketch, a
     * TypedImperativeAggregate): k-minimum-values estimate of per-group
@@ -785,7 +832,9 @@ object Relational {
     "q27_full_outer" -> q27FullOuter,
     "q28_json_extract" -> q28JsonExtract,
     "q29_stratified_sample" -> q29StratifiedSample,
-    "q30_kmv_distinct" -> q30KmvDistinct)
+    "q30_kmv_distinct" -> q30KmvDistinct,
+    "q31_rank_distributions" -> q31RankDistributions,
+    "q32_cube" -> q32Cube)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -814,5 +863,7 @@ object Relational {
     "q26_distinct_quantile" -> q26DistinctQuantileSql,
     "q27_full_outer" -> q27FullOuterSql,
     "q28_json_extract" -> q28JsonExtractSql,
-    "q29_stratified_sample" -> q29StratifiedSampleSql)
+    "q29_stratified_sample" -> q29StratifiedSampleSql,
+    "q31_rank_distributions" -> q31RankDistributionsSql,
+    "q32_cube" -> q32CubeSql)
 }
