@@ -79,8 +79,35 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------ mm2_frame_sample
+  /** Frame-sampling plumbing for "video"-shaped payloads: the binary is a
+    * sequence of fixed 128-byte frames; keep every 2nd (the standard
+    * keyframe-subsample shape). The slice itself happens columnar
+    * (substring on binary — no row-level decode), each sampled frame then
+    * feeds the same per-partition decoder as mm1. Driver-facing output is
+    * scalar frame metadata (oracle-checked arithmetic); the decoded
+    * per-frame histogram path is asserted in ScalaTest.
+    */
+  def mm2FrameSample(s: SparkSession, d: String): DataFrame = {
+    val frameLen = 128
+    val stride = 2
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("n_frames",
+        ceil(length(col("payload")) / lit(frameLen.toDouble)).cast("int"))
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        length(col("payload")
+          .substr(col("frame_idx") * frameLen + 1, lit(frameLen)))
+          .as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm1_decode_stub" -> (mm1DecodeStub _))
+    "mm1_decode_stub" -> (mm1DecodeStub _),
+    "mm2_frame_sample" -> (mm2FrameSample _))
 
   /** DuckDB twin of the metadata decode: byte_len is the UTF-8 byte count
     * of `text`, pseudo-dims derive from it, feature_dim is the fixed
@@ -93,5 +120,16 @@ object Multimodal {
         |  CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
         |  CAST(64 AS INTEGER) AS height,
         |  CAST(16 AS INTEGER) AS feature_dim
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "mm2_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS blen,
+        |    CAST(ceil(octet_length(encode(text)) / 128.0) AS INTEGER) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(least(128, blen - frame_idx * 128) AS INTEGER) AS frame_len
+        |FROM (SELECT doc_id, blen, n_frames,
+        |        unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+        |      FROM f)
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }

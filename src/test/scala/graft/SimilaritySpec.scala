@@ -73,4 +73,18 @@ class SimilaritySpec extends SparkSpec {
     val f = Multimodal.decodeFeatures(media).head()
     assert(f.feature.length == 16 && math.abs(f.feature.sum - 1.0f) < 1e-5)
   }
+
+  test("mm2 sampled frames feed the decoder; full frames are exactly 128B") {
+    val frames = Multimodal.mm2FrameSample(spark, sfDir)
+    assert(frames.filter($"frame_idx" > 0).count() > 0, "needs multi-frame docs")
+    // every non-final frame is exactly frameLen; finals are the remainder
+    val bad = frames.filter($"frame_idx" < $"n_frames" - 1 && $"frame_len" =!= 128)
+    assert(bad.count() == 0)
+    // a sampled frame slice decodes like any payload (plumbing composes)
+    val media = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text".cast("binary").substr(1, 128).as("payload"))
+      .as[Multimodal.MediaIn]
+    val f = Multimodal.decodeFeatures(media).head()
+    assert(f.byte_len <= 128 && math.abs(f.feature.sum - 1.0f) < 1e-5)
+  }
 }
