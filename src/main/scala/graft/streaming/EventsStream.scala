@@ -77,6 +77,22 @@ object EventsStream {
         col("view_id"), col("view_ts"))
   }
 
+  /** Session-window rollup: 30-minute-gap sessions per user — the
+    * streaming twin of the batch q20 sessionization (lag + running-sum).
+    * `session_window` merges events into gap-bounded sessions inside the
+    * state store; the watermark closes and emits sessions whose gap has
+    * definitively expired. The SAME call works in batch mode, where it
+    * must produce exactly q20's session boundaries (asserted in
+    * StreamingSpec — two independent implementations of the semantics).
+    */
+  def sessionRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"), col("n_events"))
+
   final case class UserEvent(user_id: Long, event_type: String)
   final case class UserTotal(user_id: Long, events: Long)
 

@@ -78,6 +78,31 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch diff: ${streamed.diff(batch).take(3)} / ${batch.diff(streamed).take(3)}")
   }
 
+  test("session_window == q20 lag/running-sum sessionization (batch), streaming emits closed subset") {
+    val base = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    // batch: two independent implementations of 30-min-gap sessions agree
+    val viaWindow = EventsStream.sessionRollup(base)
+      .select($"user_id", $"session_start".cast("timestamp_ntz"), $"n_events")
+      .as[(Long, java.time.LocalDateTime, Long)].collect().toSet
+    val viaLag = graft.operators.Relational.q20Sessionize(spark, sfDir)
+      .select($"user_id", $"session_start", $"n_events")
+      .as[(Long, java.time.LocalDateTime, Long)].collect().toSet
+    assert(viaWindow == viaLag && viaWindow.nonEmpty)
+    // streaming: append emits only watermark-closed sessions; all must be
+    // real sessions from the batch set
+    val src = Files.createTempDirectory("events_sess").toString
+    base.write.mode("overwrite").parquet(src)
+    val q = EventsStream.sessionRollup(EventsStream.readEventsStream(spark, src))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_out")
+      .select($"user_id", $"session_start".cast("timestamp_ntz"), $"n_events")
+      .as[(Long, java.time.LocalDateTime, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed.subsetOf(viaWindow))
+  }
+
   test("stateful per-user totals accumulate across micro-batches") {
     import EventsStream.{UserEvent, UserTotal}
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent](spark)
