@@ -749,6 +749,55 @@ object Relational {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ------------------------------------------------ q33_collect_sorted
+  /** Ordered collection aggregate: per-customer sorted month list as a
+    * joined string (collect_list is unordered by contract — array_sort
+    * makes it deterministic; string form keeps the driver compare
+    * scalar-only).
+    */
+  val q33CollectSorted: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        array_join(
+          transform(array_sort(collect_list(month(col("o_orderdate")))),
+            x => x.cast("string")), ",").as("months"))
+      .orderBy("custkey")
+
+  val q33CollectSortedSql: String =
+    """SELECT o_custkey AS custkey, count(*) AS n_orders,
+      |  string_agg(CAST(month(o_orderdate) AS VARCHAR), ','
+      |    ORDER BY month(o_orderdate)) AS months
+      |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
+
+  // ------------------------------------------------- q34_value_windows
+  /** first_value / last_value / nth_value over an explicit
+    * unbounded-both-ways frame (last_value's default frame ends at
+    * CURRENT ROW — the classic trap; both engines get the full frame
+    * spelled out).
+    */
+  val q34ValueWindows: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "events").select(
+      col("event_id"), col("user_id"),
+      first(col("event_type")).over(w).as("first_type"),
+      last(col("event_type")).over(w).as("last_type"),
+      nth_value(col("event_type"), 2).over(w).as("second_type"))
+      .orderBy("event_id")
+  }
+
+  val q34ValueWindowsSql: String =
+    """SELECT event_id, user_id,
+      |  first_value(event_type) OVER w AS first_type,
+      |  last_value(event_type) OVER w AS last_type,
+      |  nth_value(event_type, 2) OVER w AS second_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id""".stripMargin
+
   // --------------------------------------------------- q30_kmv_distinct
   /** Custom KMV distinct sketch (graft.expressions.KmvSketch, a
     * TypedImperativeAggregate): k-minimum-values estimate of per-group
@@ -834,7 +883,9 @@ object Relational {
     "q29_stratified_sample" -> q29StratifiedSample,
     "q30_kmv_distinct" -> q30KmvDistinct,
     "q31_rank_distributions" -> q31RankDistributions,
-    "q32_cube" -> q32Cube)
+    "q32_cube" -> q32Cube,
+    "q33_collect_sorted" -> q33CollectSorted,
+    "q34_value_windows" -> q34ValueWindows)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -865,5 +916,7 @@ object Relational {
     "q28_json_extract" -> q28JsonExtractSql,
     "q29_stratified_sample" -> q29StratifiedSampleSql,
     "q31_rank_distributions" -> q31RankDistributionsSql,
-    "q32_cube" -> q32CubeSql)
+    "q32_cube" -> q32CubeSql,
+    "q33_collect_sorted" -> q33CollectSortedSql,
+    "q34_value_windows" -> q34ValueWindowsSql)
 }
