@@ -47,5 +47,7 @@ object SparkEntry {
     "v4_ivf_ann", "q20_sessionize", "q16_rollup", "q22_approx_sketch",
     "q23_asof_join", "q24_range_join", "q25_pivot", "q26_distinct_quantile",
     "q27_full_outer", "q28_json_extract", "q29_stratified_sample",
-    "q30_kmv_distinct", "d5_dedup_clusters", "t7_chunking")
+    "q30_kmv_distinct", "d5_dedup_clusters", "t7_chunking",
+    "q31_rank_distributions", "q32_cube", "q33_collect_sorted",
+    "q34_value_windows", "mm2_frame_sample")
 }

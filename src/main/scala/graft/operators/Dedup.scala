@@ -53,7 +53,7 @@ object Dedup {
   /** The verified near-dup pair set of d2 (no final sort) — shared by the
     * d2 query and the d5 cluster resolution.
     */
-  private[operators] def d2Pairs(s: SparkSession, d: String): DataFrame = {
+  def d2Pairs(s: SparkSession, d: String): DataFrame = {
     // Per-doc ONCE: distinct char-3grams → xxhash64 → sorted long array.
     // Per-pair: a zero-allocation merge-walk intersect (custom expression)
     // + the inclusion-exclusion identity for |A∪B| — vs array_intersect +
@@ -192,18 +192,27 @@ object Dedup {
     * the prior round unpersists, so lineage stays bounded.
     */
   val d5DedupClusters: Q = (s, d) => {
+    // materialize the pair generation ONCE — the symmetric union below
+    // references it twice, and without the cut the expensive d2 pipeline
+    // (grams + blocked join) would run twice inside the edges job
     val pairs = d2Pairs(s, d).select(col("doc_a"), col("doc_b"))
-    // undirected edges, materialized once, reused every round
+      .localCheckpoint(true)
+    // undirected edges, materialized once, reused every round. The label
+    // state is tiny relative to the corpus (one row per doc, edges only
+    // for candidates), so the iteration runs on few partitions — per-round
+    // task-scheduling overhead dominates otherwise; a 100 TB corpus still
+    // iterates on the (small) label/edge state, not the corpus.
+    val iterParts = 8
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("u", "v").localCheckpoint(true)
+      .toDF("u", "v").repartition(iterParts, col("u")).localCheckpoint(true)
     // each round's plan references the previous round's TWICE — without a
     // lineage cut the logical plan doubles per round and the driver dies
     // planning round ~20. localCheckpoint(eager) truncates to the
     // materialized result (a cluster deployment would use reliable
     // checkpoints on the same cadence).
     var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+      .repartition(iterParts, col("doc_id")).localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
