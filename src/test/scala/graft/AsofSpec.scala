@@ -47,6 +47,20 @@ class AsofSpec extends SparkSpec {
     assert(out(4L).isEmpty)        // key has no right rows at all
   }
 
+  test("asof is invariant under shuffle-partition settings (AQE co-alignment)") {
+    val expected = Asof.join(clicks, views, "user_id", "v_user", "click_ts", "view_ts")
+      .select($"click_id", $"view_id").collect().map(_.toSeq).toSet
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Seq("1", "17", "64").foreach { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        val got = Asof.join(clicks, views, "user_id", "v_user", "click_ts", "view_ts")
+          .select($"click_id", $"view_id").collect().map(_.toSeq).toSet
+        assert(got == expected, s"diverged at shuffle.partitions=$n")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("asof left rows are all preserved (left-outer cardinality)") {
     val n = clicks.count()
     val joined = Asof.join(clicks, views, "user_id", "v_user", "click_ts", "view_ts")
