@@ -798,6 +798,48 @@ object Relational {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------- q35_gap_fill
+  /** Sparse→dense time series: hourly event counts per type with missing
+    * hours zero-filled over the global [min, max] hour span. The dense
+    * axis is generated (sequence + explode), crossed with the (tiny) type
+    * dim, and left-joined to the observed counts — the standard gap-fill
+    * before any windowed model sees the series. The generated axis is
+    * rows = hours x types, independent of event volume.
+    */
+  val q35GapFill: Q = (s, d) => {
+    val e = t(s, d, "events")
+    val span = e.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val hours = span.select(explode(
+      sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+    val types = e.select(col("event_type")).distinct()
+    val counts = e.groupBy(
+      date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    hours.crossJoin(types)
+      .join(counts, Seq("hour_ts", "event_type"), "left")
+      .select(col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+        col("event_type"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("hour_ts", "event_type")
+  }
+
+  val q35GapFillSql: String =
+    """WITH span AS (
+      |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      |  FROM events),
+      |hours AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |counts AS (
+      |  SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT h.hour_ts AS hour_ts, t.event_type AS event_type,
+      |  coalesce(c.cnt, 0) AS cnt
+      |FROM hours h CROSS JOIN types t
+      |LEFT JOIN counts c ON c.hour_ts = h.hour_ts AND c.event_type = t.event_type
+      |ORDER BY h.hour_ts, t.event_type""".stripMargin
+
   // --------------------------------------------------- q30_kmv_distinct
   /** Custom KMV distinct sketch (graft.expressions.KmvSketch, a
     * TypedImperativeAggregate): k-minimum-values estimate of per-group
@@ -885,7 +927,8 @@ object Relational {
     "q31_rank_distributions" -> q31RankDistributions,
     "q32_cube" -> q32Cube,
     "q33_collect_sorted" -> q33CollectSorted,
-    "q34_value_windows" -> q34ValueWindows)
+    "q34_value_windows" -> q34ValueWindows,
+    "q35_gap_fill" -> q35GapFill)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -918,5 +961,6 @@ object Relational {
     "q31_rank_distributions" -> q31RankDistributionsSql,
     "q32_cube" -> q32CubeSql,
     "q33_collect_sorted" -> q33CollectSortedSql,
-    "q34_value_windows" -> q34ValueWindowsSql)
+    "q34_value_windows" -> q34ValueWindowsSql,
+    "q35_gap_fill" -> q35GapFillSql)
 }

@@ -103,6 +103,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.subsetOf(viaWindow))
   }
 
+  test("restart from checkpoint resumes state, emits each window exactly once") {
+    val src = Files.createTempDirectory("events_ckpt_src").toString
+    val out = Files.createTempDirectory("events_ckpt_out").toString
+    val ckpt = Files.createTempDirectory("events_ckpt").toString
+    val base = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    val mid = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    // time-ordered split: run-1 windows close with ALL their data present
+    base.filter($"ts" < lit(mid)).write.mode("overwrite").parquet(src)
+
+    def runOnce(): Unit = {
+      val q = EventsStream.hourlyRollup(EventsStream.readEventsStream(spark, src))
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0)
+    // second half arrives; a NEW query resumes from the same checkpoint
+    base.filter($"ts" >= lit(mid)).write.mode("append").parquet(src)
+    runOnce()
+
+    val emitted = spark.read.parquet(out)
+    // exactly-once: no (window, type) emitted twice across the restart
+    assert(emitted.groupBy($"hour_ts", $"event_type").count()
+      .filter($"count" > 1).count() == 0)
+    // and closed windows carry the full-data counts (state survived)
+    val maxTs = base.agg(max($"ts")).head().getTimestamp(0)
+    val cutoff = date_trunc("hour",
+      lit(new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)))
+    val batch = base
+      .groupBy(date_trunc("hour", $"ts").cast("timestamp_ntz").as("hour_ts"),
+        $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"hour_ts" < cutoff)
+      .as[(java.time.LocalDateTime, String, Long)].collect().toSet
+    val got = emitted
+      .select($"hour_ts".cast("timestamp_ntz"), $"event_type", $"cnt")
+      .as[(java.time.LocalDateTime, String, Long)].collect().toSet
+    assert(batch.subsetOf(got), s"missing after restart: ${batch.diff(got).take(3)}")
+  }
+
   test("stateful per-user totals accumulate across micro-batches") {
     import EventsStream.{UserEvent, UserTotal}
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent](spark)
