@@ -840,6 +840,60 @@ object Relational {
       |LEFT JOIN counts c ON c.hour_ts = h.hour_ts AND c.event_type = t.event_type
       |ORDER BY h.hour_ts, t.event_type""".stripMargin
 
+  // ------------------------------------------------ q36_sweep_concurrency
+  /** Interval analytics via sweep-line: sessions (q20's 30-min-gap
+    * definition) become +1/-1 boundary points; a running sum over the
+    * time-ordered points is the live-session count, aggregated to the
+    * concurrency profile per level. Ends sort before starts at the same
+    * instant (half-open intervals). The global ordered sweep is the
+    * textbook single-key window — at 100 TB it would sweep per time
+    * shard and merge boundary offsets; the per-level aggregate shape is
+    * unchanged.
+    */
+  val q36SweepConcurrency: Q = (s, d) => {
+    val sessions = q20Sessionize(s, d)
+      .select(col("session_start").cast("timestamp").as("st"),
+        (unix_micros(col("session_start").cast("timestamp"))
+          + (col("duration_sec") * 1000000L).cast("long")).as("end_us"))
+    val points = sessions
+      .select(unix_micros(col("st")).as("pt_us"), lit(1).as("delta"))
+      .unionAll(sessions.select(col("end_us").as("pt_us"), lit(-1).as("delta")))
+    val w = Window.orderBy(col("pt_us"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points
+      .withColumn("live", sum(col("delta")).over(w).cast("long"))
+      .groupBy(col("live"))
+      .agg(count(lit(1)).as("n_points"), min(col("pt_us")).as("first_at_us"))
+      .orderBy("live")
+  }
+
+  val q36SweepConcurrencySql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000 THEN 1
+      |         WHEN lag(ts, 1) OVER w IS NULL THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM marked),
+      |sessions AS (
+      |  SELECT min(epoch_us(ts)) AS st_us, max(epoch_us(ts)) AS end_us
+      |  FROM sess GROUP BY user_id, session_id),
+      |points AS (
+      |  SELECT st_us AS pt_us, 1 AS delta FROM sessions
+      |  UNION ALL SELECT end_us AS pt_us, -1 AS delta FROM sessions),
+      |swept AS (
+      |  SELECT CAST(sum(delta) OVER (ORDER BY pt_us, delta
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS live,
+      |    pt_us
+      |  FROM points)
+      |SELECT live, count(*) AS n_points, min(pt_us) AS first_at_us
+      |FROM swept GROUP BY live ORDER BY live""".stripMargin
+
   // --------------------------------------------------- q30_kmv_distinct
   /** Custom KMV distinct sketch (graft.expressions.KmvSketch, a
     * TypedImperativeAggregate): k-minimum-values estimate of per-group
@@ -928,7 +982,8 @@ object Relational {
     "q32_cube" -> q32Cube,
     "q33_collect_sorted" -> q33CollectSorted,
     "q34_value_windows" -> q34ValueWindows,
-    "q35_gap_fill" -> q35GapFill)
+    "q35_gap_fill" -> q35GapFill,
+    "q36_sweep_concurrency" -> q36SweepConcurrency)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -962,5 +1017,6 @@ object Relational {
     "q32_cube" -> q32CubeSql,
     "q33_collect_sorted" -> q33CollectSortedSql,
     "q34_value_windows" -> q34ValueWindowsSql,
-    "q35_gap_fill" -> q35GapFillSql)
+    "q35_gap_fill" -> q35GapFillSql,
+    "q36_sweep_concurrency" -> q36SweepConcurrencySql)
 }

@@ -49,12 +49,24 @@ object Runner {
     }.toMap
   }
 
+  /** The `dbt test` half of `dbt build`: source-contract checks after
+    * ingest, before transform. Returns all results; callers decide whether
+    * a failure aborts (the CLI below does).
+    */
+  def runChecks(spark: SparkSession): Seq[Checks.CheckResult] =
+    Checks.sourceChecks(spark)
+
   /** CLI: Runner <csvDir> <warehouseDir> <outDir> */
   def main(args: Array[String]): Unit = {
     val Array(csvDir, warehouseDir, outDir) = args
     val spark = GraftSession.local("uber-pipeline")
     val counts = runAll(spark, csvDir, warehouseDir, outDir)
+    val checks = runChecks(spark)
+    checks.foreach(r => println(
+      s"check ${r.table}.${r.column} ${r.check}: " +
+        (if (r.passed) "PASS" else s"FAIL (${r.failures})")))
     counts.toSeq.sortBy(_._1).foreach { case (n, c) => println(s"$n: $c rows") }
     spark.stop()
+    if (checks.exists(!_.passed)) sys.exit(1)
   }
 }

@@ -204,4 +204,23 @@ class UberSpec extends SparkSpec {
     assert(counts("pickup_count_vs_average_per_base") == 11)
     assert(counts("pickup_percentile_by_base_per_month") == 11)
   }
+
+  test("source checks: fixture passes the DDL contract; violations are caught") {
+    ingested()
+    val results = graft.uber.Checks.sourceChecks(spark)
+    assert(results.nonEmpty && results.forall(_.passed),
+      s"unexpected failures: ${results.filterNot(_.passed)}")
+    // a violated contract is detected: duplicate + null + dangling FK
+    import spark.implicits._
+    val badBase = Seq(("B1", "X"), ("B1", "Y"), (null, "Z"))
+      .toDF("base_num", "base_name")
+    assert(!graft.uber.Checks.unique(badBase, "t", "base_num").passed)
+    assert(!graft.uber.Checks.notNull(badBase, "t", "base_num").passed)
+    val child = Seq("B1", "B9").toDF("fk")
+    val parent = Seq("B1").toDF("pk")
+    val rel = graft.uber.Checks.relationship(child, "fk", parent, "pk", "t")
+    assert(rel.failures == 1)
+    assert(!graft.uber.Checks.acceptedValues(
+      Seq("Bronx", "Atlantis").toDF("b"), "t", "b", Seq("Bronx", "Queens")).passed)
+  }
 }
