@@ -49,5 +49,6 @@ object SparkEntry {
     "q27_full_outer", "q28_json_extract", "q29_stratified_sample",
     "q30_kmv_distinct", "d5_dedup_clusters", "t7_chunking",
     "q31_rank_distributions", "q32_cube", "q33_collect_sorted",
-    "q34_value_windows", "mm2_frame_sample")
+    "q34_value_windows", "mm2_frame_sample", "q35_gap_fill",
+    "q36_sweep_concurrency")
 }
