@@ -109,4 +109,33 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("dot product: codegen == interpreted == plain Scala fold (random vectors)") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val vec = Gen.listOfN(16, Gen.chooseNum(-100f, 100f))
+    val prop = org.scalacheck.Prop.forAll(vec, vec) { (a: List[Float], b: List[Float]) =>
+      val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble
+      }
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.VectorFunctions.dot($"a", $"b").as("d"))
+      val viaCodegen = df.as[Double].head()
+      // interpreted path: evaluate the expression directly, no codegen
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      val e = graft.expressions.DotProduct(
+        Literal.create(a.toArray, ArrayType(FloatType, containsNull = false)),
+        Literal.create(b.toArray, ArrayType(FloatType, containsNull = false)))
+      val viaEval = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Double]
+      viaCodegen == expected && viaEval == expected
+    }
+    org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+      .status match {
+      case org.scalacheck.Test.Passed | org.scalacheck.Test.Proved(_) =>
+      case other => fail(s"property failed: $other")
+    }
+  }
 }
