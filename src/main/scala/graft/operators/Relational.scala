@@ -894,6 +894,26 @@ object Relational {
       |SELECT live, count(*) AS n_points, min(pt_us) AS first_at_us
       |FROM swept GROUP BY live ORDER BY live""".stripMargin
 
+  // --------------------------------------------------- q37_lateral_topk
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders per
+    * customer. Shared SQL text (the dialects agree verbatim) through the
+    * spark.sql path — Catalyst decorrelates the lateral into a ranked
+    * window join; no per-row subquery execution survives in the plan.
+    */
+  val q37LateralTopkSql: String =
+    """SELECT c.c_custkey, t.o_orderkey,
+      |  floor(t.o_totalprice * 100.0 + 0.5) / 100.0 AS totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
+  val q37LateralTopk: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(q37LateralTopkSql)
+  }
+
   // --------------------------------------------------- q30_kmv_distinct
   /** Custom KMV distinct sketch (graft.expressions.KmvSketch, a
     * TypedImperativeAggregate): k-minimum-values estimate of per-group
@@ -983,7 +1003,8 @@ object Relational {
     "q33_collect_sorted" -> q33CollectSorted,
     "q34_value_windows" -> q34ValueWindows,
     "q35_gap_fill" -> q35GapFill,
-    "q36_sweep_concurrency" -> q36SweepConcurrency)
+    "q36_sweep_concurrency" -> q36SweepConcurrency,
+    "q37_lateral_topk" -> q37LateralTopk)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1018,5 +1039,6 @@ object Relational {
     "q33_collect_sorted" -> q33CollectSortedSql,
     "q34_value_windows" -> q34ValueWindowsSql,
     "q35_gap_fill" -> q35GapFillSql,
-    "q36_sweep_concurrency" -> q36SweepConcurrencySql)
+    "q36_sweep_concurrency" -> q36SweepConcurrencySql,
+    "q37_lateral_topk" -> q37LateralTopkSql)
 }
