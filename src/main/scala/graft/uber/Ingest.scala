@@ -58,6 +58,30 @@ object Ingest {
       ingestTable(spark, name, s"$csvDir/$name.csv", warehouseDir)
     }
 
+  /** Incremental fact reload — dbt's `insert_overwrite` strategy, which
+    * the reference lacks (it rebuilds every table per run): the increment
+    * CSV carries revised rows for SOME months, and dynamic partition
+    * overwrite replaces exactly the `pickup_month` partitions present in
+    * the increment, leaving all others untouched. At 100 TB a daily run
+    * rewrites one day's partitions, not the table.
+    */
+  def ingestFactIncrement(
+      spark: SparkSession,
+      csvPath: String,
+      warehouseDir: String): DataFrame = {
+    val name = "raw_data_janjune_15"
+    val schema = Schemas.sources.toMap.apply(name)
+    val path = s"$warehouseDir/$name"
+    withAirbyteMeta(readCsv(spark, csvPath, schema))
+      .withColumn("pickup_month", month(col("pickup_date")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pickup_month").parquet(path)
+    val table = spark.read.parquet(path)
+    table.createOrReplaceTempView(SourceRegistry.resolve("airbyte_uber_data", name))
+    table
+  }
+
   /** Ingest one source and register it; returns the registered DataFrame. */
   def ingestTable(
       spark: SparkSession,

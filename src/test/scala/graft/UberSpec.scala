@@ -223,4 +223,27 @@ class UberSpec extends SparkSpec {
     assert(!graft.uber.Checks.acceptedValues(
       Seq("Bronx", "Atlantis").toDF("b"), "t", "b", Seq("Bronx", "Queens")).passed)
   }
+
+  test("incremental ingest overwrites only the increment's partitions") {
+    val (csv, wh) = dirs
+    val before = spark.table("raw_data_janjune_15")
+    val janBefore = before.filter(col("pickup_month") === 1).count()
+    val mayBefore = before.filter(col("pickup_month") === 5).count()
+    assert(janBefore > 0 && mayBefore > 0)
+    // increment: a restated May with a SINGLE row
+    val incPath = java.nio.file.Files.createTempDirectory("uber_inc")
+      .resolve("inc.csv")
+    java.nio.file.Files.writeString(incPath,
+      """dispatching_base_num,pickup_date,affiliated_base_num,locationid
+        |B02512,2015-05-30 09:00:00,B02512,1
+        |""".stripMargin)
+    graft.uber.Ingest.ingestFactIncrement(spark, incPath.toString, wh)
+    val after = spark.table("raw_data_janjune_15")
+    assert(after.filter(col("pickup_month") === 5).count() == 1,
+      "May must be fully restated by the increment")
+    assert(after.filter(col("pickup_month") === 1).count() == janBefore,
+      "untouched months must keep their rows")
+    // restore the fixture state for any test ordering after this one
+    graft.uber.Ingest.ingestAll(spark, csv, wh)
+  }
 }
