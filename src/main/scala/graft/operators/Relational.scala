@@ -623,24 +623,56 @@ object Relational {
       |FROM orders GROUP BY 1 ORDER BY mon""".stripMargin
 
   // ----------------------------------------------- q26_distinct_quantile
-  /** DISTINCT aggregates + exact interpolated percentiles per group. The
-    * distinct agg plans as Expand + two-phase agg (partial distinct before
-    * the shuffle); percentile() is Spark's exact linear-interpolation
-    * quantile, same definition as DuckDB quantile_cont — the interpolation
-    * arithmetic is identical so sround'ed values hash-match.
+  /** DISTINCT aggregates + exact interpolated percentiles per group.
+    *
+    * Scale shape: NO Expand, NO per-group value buffers. A multi-distinct
+    * aggregate plans Expand (rows x distinct-columns) and percentile()
+    * buffers every value per group — both collapse at 100 TB. Instead:
+    * each distinct count is its own compact two-level aggregate, and the
+    * exact quantiles come from the per-group VALUE HISTOGRAM (l_quantity
+    * is bounded-cardinality): cumulative counts locate the two order
+    * statistics, linear interpolation between them reproduces
+    * percentile()/quantile_cont exactly — verified by the unchanged
+    * DuckDB oracle. Three small aggregates join on the 3-row group key.
     */
-  val q26DistinctQuantile: Q = (s, d) =>
-    t(s, d, "lineitem")
+  val q26DistinctQuantile: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    def distinctCount(c: String, as: String) =
+      li.groupBy(col("l_returnflag"), col(c)).agg(count(lit(1)))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+    // value histogram -> cumulative counts -> interpolated order stats
+    val hist = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val cum = hist
+      .withColumn("hi", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    def quantile(p: Double): org.apache.spark.sql.Column = {
+      // rank of the interpolation pair in 0-based order statistics
+      val idx = lit(p) * (col("n") - 1)
+      val lo0 = floor(idx)
+      // value v covers 0-based positions [hi-cnt, hi-1]
+      val covers = (pos: org.apache.spark.sql.Column) =>
+        pos >= (col("hi") - col("cnt")) && pos <= (col("hi") - 1)
+      val v0 = min(when(covers(lo0), col("l_quantity"))).over(wAll)
+      val v1 = min(when(covers(lo0 + 1), col("l_quantity"))).over(wAll)
+      v0 + (idx - lo0) * (coalesce(v1, v0) - v0)
+    }
+    val quants = cum
+      .withColumn("median_qty", quantile(0.5))
+      .withColumn("p90_qty", quantile(0.9))
       .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        // one percentile buffer for both quantiles (array form), not two
-        expr("percentile(l_quantity, array(0.5, 0.9))").as("q"))
+      .agg(sround(first(col("median_qty")), 6).as("median_qty"),
+        sround(first(col("p90_qty")), 6).as("p90_qty"))
+    distinctCount("l_partkey", "n_parts")
+      .join(distinctCount("l_suppkey", "n_supps"), "l_returnflag")
+      .join(quants, "l_returnflag")
       .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
-        sround(element_at(col("q"), 1), 6).as("median_qty"),
-        sround(element_at(col("q"), 2), 6).as("p90_qty"))
+        col("median_qty"), col("p90_qty"))
       .orderBy("l_returnflag")
+  }
 
   val q26DistinctQuantileSql: String =
     """SELECT l_returnflag,
