@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-plan operator: AS-OF join (logical node -> sort-merge exec)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // opt-in approximate rewrite: exact count(DISTINCT x) -> KMV sketch
+    // when spark.graft.approxCountDistinct.enabled=true
+    ext.injectOptimizerRule(session => graft.plans.ApproxDistinctRewrite(session))
 
     def register(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
