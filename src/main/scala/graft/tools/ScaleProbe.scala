@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, SparkEntry, Tables}
+
+/** 10x scale probe: replicate the sf0.1 tables (ids offset per copy so
+  * keys stay distinct) into /tmp and time representative headline queries
+  * at ~6M lineitem rows. Evidence that the plans scale ~linearly — run
+  * manually, not part of the driver contract.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = "/tmp/graft_sf1"
+    val spark = GraftSession.local("scaleprobe")
+    spark.sparkContext.setLogLevel("WARN")
+    val copies = 10
+
+    def replicate(name: String, idCols: Seq[String]): Unit = {
+      val base = Tables.load(spark, src, name)
+      val union = (0 until copies).map { i =>
+        idCols.foldLeft(base.withColumn("__copy", lit(i))) { (df, c) =>
+          df.withColumn(c, col(c) + lit(i.toLong * 10000000L))
+        }
+      }.reduce(_ unionByName _).drop("__copy")
+      union.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    // fact tables replicated with shifted keys; dims copied as-is
+    replicate("lineitem", Seq("l_orderkey"))
+    replicate("orders", Seq("o_orderkey"))
+    replicate("events", Seq("event_id"))
+    Seq("customer", "supplier", "part", "nation", "region",
+      "documents", "embeddings").foreach { n =>
+      Tables.load(spark, src, n).write.mode("overwrite")
+        .parquet(s"$out/$n.parquet")
+    }
+
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q1_agg", "q5_join_broadcast", "q6_join_3way", "q8_window_rank",
+      "q15_events_hourly", "q20_sessionize", "q24_range_join",
+      "q26_distinct_quantile", "q29_stratified_sample", "q23_asof_join")
+    SparkEntry.queries(names.head)(spark, out)
+      .write.format("noop").mode("overwrite").save() // warmup
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, out).write.format("noop").mode("overwrite").save()
+      println(f"SCALE10 $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
