@@ -50,5 +50,5 @@ object SparkEntry {
     "q30_kmv_distinct", "d5_dedup_clusters", "t7_chunking",
     "q31_rank_distributions", "q32_cube", "q33_collect_sorted",
     "q34_value_windows", "mm2_frame_sample", "q35_gap_fill",
-    "q36_sweep_concurrency")
+    "q36_sweep_concurrency", "q37_lateral_topk", "t8_char_entropy")
 }

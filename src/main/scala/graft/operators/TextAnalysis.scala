@@ -262,6 +262,52 @@ object TextAnalysis {
       |      FROM documents)
       |ORDER BY doc_id, start""".stripMargin
 
+  // ---------------------------------------------------- t8_char_entropy
+  /** Character-level Shannon entropy per document — the classic cheap
+    * perplexity proxy for corpus quality filtering (gibberish and
+    * boilerplate sit at the distribution tails). Distributed shape:
+    * explode to (doc, char), two hash aggregations, no per-doc state.
+    *
+    * Float discipline: the per-char terms are summed via a SORTED fold on
+    * both engines (array_sort + aggregate here, list_sort +
+    * list_aggregate in DuckDB) — double addition is order-dependent and
+    * each engine's group aggregation order differs; pinning the
+    * association order makes the doubles bit-identical before rounding.
+    */
+  val t8CharEntropy: Q = (s, d) => {
+    val freq = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val tot = freq.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n"))
+    freq.join(tot, "doc_id")
+      .select(col("doc_id"),
+        (-(col("cnt") / col("n")) * log2(col("cnt") / col("n"))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(aggregate(array_sort(collect_list(col("term"))),
+        lit(0.0), (acc, x) => acc + x).as("h"))
+      .select(col("doc_id"), sround(col("h"), 4).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  val t8CharEntropySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, length(text) + 1),
+      |      i -> substring(text, CAST(i AS INTEGER), 1))) AS ch
+      |  FROM documents),
+      |freq AS (
+      |  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS cnt
+      |  FROM chars GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(cnt) AS n FROM freq GROUP BY 1),
+      |terms AS (
+      |  SELECT f.doc_id, -(f.cnt / t.n) * log2(f.cnt / t.n) AS term
+      |  FROM freq f JOIN tot t ON f.doc_id = t.doc_id)
+      |SELECT doc_id,
+      |  floor(list_aggregate(list_sort(list(term)), 'sum') * 10000.0 + 0.5)
+      |    / 10000.0 AS entropy
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t1_text_stats" -> t1TextStats,
@@ -270,7 +316,8 @@ object TextAnalysis {
     "t4_fingerprint" -> t4Fingerprint,
     "t5_vocab" -> t5Vocab,
     "t6_winnowing" -> t6Winnowing,
-    "t7_chunking" -> t7Chunking)
+    "t7_chunking" -> t7Chunking,
+    "t8_char_entropy" -> t8CharEntropy)
 
   val oracles: Map[String, String] = Map(
     "t1_text_stats" -> t1TextStatsSql,
@@ -278,5 +325,6 @@ object TextAnalysis {
     "t3_lang_id" -> t3LangIdSql,
     "t4_fingerprint" -> t4FingerprintSql,
     "t5_vocab" -> t5VocabSql,
-    "t7_chunking" -> t7ChunkingSql)
+    "t7_chunking" -> t7ChunkingSql,
+    "t8_char_entropy" -> t8CharEntropySql)
 }
