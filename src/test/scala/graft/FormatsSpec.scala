@@ -42,4 +42,19 @@ class FormatsSpec extends SparkSpec {
     assert(out.filter(col(Formats.CorruptCol).isNotNull).count() == 1)
     assert(out.filter($"event_id".isNotNull).count() == 2)
   }
+
+  test("compaction shrinks a fragmented table without changing its rows") {
+    val frag = Files.createTempDirectory("fmt_frag").toString + "/t"
+    val compacted = Files.createTempDirectory("fmt_comp").toString + "/t"
+    // 64-way write of a small table = pathological small files
+    base.repartition(64).write.parquet(frag)
+    val (_, nFilesBefore) = graft.sources.Maintenance.dirStats(spark, frag)
+    assert(nFilesBefore >= 32)
+    val nAfter = graft.sources.Maintenance.compact(
+      spark, frag, compacted, targetBytes = 64L * 1024 * 1024)
+    assert(nAfter == 1, s"expected 1 file, got $nAfter")
+    val before = spark.read.parquet(frag).collect().map(_.toSeq).toSet
+    val after = spark.read.parquet(compacted).collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
 }
