@@ -93,6 +93,24 @@ object EventsStream {
       .select(col("user_id"),
         col("session_window.start").as("session_start"), col("n_events"))
 
+  /** The write half of the streaming seam: append the event stream into a
+    * date-partitioned parquet layout — the SAME layout the batch ingest
+    * writes and batch queries partition-prune on (a date filter on the
+    * output reads only its directories). Exactly-once via the file-sink
+    * commit log + checkpoint.
+    */
+  def writeDatePartitioned(events: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .partitionBy("event_date")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+
   final case class UserEvent(user_id: Long, event_type: String)
   final case class UserTotal(user_id: Long, events: Long)
 

@@ -164,4 +164,29 @@ class StreamingSpec extends SparkSpec {
       .groupBy(_.user_id).map { case (u, rows) => u -> rows.map(_.events).max }
     assert(out == Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("streaming writer lands a date-partitioned layout that batch prunes") {
+    val src = Files.createTempDirectory("events_pw_src").toString
+    val out = Files.createTempDirectory("events_pw_out").toString
+    val ckpt = Files.createTempDirectory("events_pw_ckpt").toString
+    val base = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    base.write.mode("overwrite").parquet(src)
+    val q = EventsStream.writeDatePartitioned(
+      EventsStream.readEventsStream(spark, src), out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // partition directories exist and the data is complete
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("event_date=")).map(_.getName)
+    assert(dirs.length > 5, s"expected date partitions, got ${dirs.toSeq}")
+    val back = spark.read.parquet(out)
+    assert(back.count() == base.count())
+    // a date filter on the layout prunes to its partitions
+    val oneDay = back.filter($"event_date" === lit("2024-01-05"))
+    val scan = oneDay.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("event_date"), s"no pruning in:\n$scan")
+    assert(oneDay.count() ==
+      base.filter(to_date($"ts") === lit("2024-01-05")).count())
+  }
 }
