@@ -182,14 +182,15 @@ object Dedup {
     * two independent drops). Output: every document with its cluster id
     * (min doc_id reachable), cluster size, and the canonical-keeper flag.
     *
-    * Algorithm: iterative min-label propagation to fixpoint — each round
-    * is one join + hash-agg on the (tiny) edge set; rounds needed =
-    * cluster graph diameter. Near-dup clusters are shallow (dup chains of
-    * 2-5 docs), so this converges in 2-3 rounds; a deep-graph corpus at
-    * 100 TB would swap in the alternating large-star/small-star rewrite
-    * (same join shape, O(log n) rounds guaranteed), which this driver
-    * loop structure already accommodates. Labels persist per round and
-    * the prior round unpersists, so lineage stays bounded.
+    * Algorithm: iterative min-label propagation PLUS pointer jumping
+    * (label <- label(label)) to fixpoint — neighbor-min alone needs
+    * O(diameter) rounds, the hop halves the distance each round
+    * (O(log diameter); measured 7 rounds on the sf0.1 graph of 120k
+    * edges with clusters up to ~10 docs). Each round is two joins + a
+    * hash-agg over the (tiny) label/edge state, localCheckpoint'ed to cut
+    * lineage (see inline note). A deep-graph corpus at 100 TB would swap
+    * in the alternating large-star/small-star rewrite — same join shape,
+    * same driver-loop structure.
     */
   val d5DedupClusters: Q = (s, d) => {
     // materialize the pair generation ONCE — the symmetric union below
