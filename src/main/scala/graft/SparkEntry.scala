@@ -25,7 +25,8 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ graft.plans.Asof.queries
+      Similarity.queries ++ Multimodal.queries ++ graft.plans.Asof.queries ++
+      graft.pipeline.CorpusPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -34,7 +35,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Multimodal.oracles ++ graft.plans.Asof.oracles
+      Similarity.oracles ++ Multimodal.oracles ++ graft.plans.Asof.oracles ++
+      graft.pipeline.CorpusPipeline.oracles
 
   /** Headline subset timed by Bench (kept representative but bounded). */
   def headline: Seq[String] = Seq(
@@ -50,5 +52,6 @@ object SparkEntry {
     "q30_kmv_distinct", "d5_dedup_clusters", "t7_chunking",
     "q31_rank_distributions", "q32_cube", "q33_collect_sorted",
     "q34_value_windows", "mm2_frame_sample", "q35_gap_fill",
-    "q36_sweep_concurrency", "q37_lateral_topk", "t8_char_entropy")
+    "q36_sweep_concurrency", "q37_lateral_topk", "t8_char_entropy",
+    "p1_corpus_pipeline")
 }

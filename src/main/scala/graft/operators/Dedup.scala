@@ -53,14 +53,21 @@ object Dedup {
   /** The verified near-dup pair set of d2 (no final sort) — shared by the
     * d2 query and the d5 cluster resolution.
     */
-  def d2Pairs(s: SparkSession, d: String): DataFrame = {
+  def d2Pairs(s: SparkSession, d: String): DataFrame =
+    ngramPairs(docs(s, d))
+
+  /** d2's blocked-Jaccard pair generation over an arbitrary documents
+    * frame (doc_id, text, source, n_chars) — the corpus pipeline runs it
+    * on a filtered survivor set.
+    */
+  def ngramPairs(docsDf: DataFrame): DataFrame = {
     // Per-doc ONCE: distinct char-3grams → xxhash64 → sorted long array.
     // Per-pair: a zero-allocation merge-walk intersect (custom expression)
     // + the inclusion-exclusion identity for |A∪B| — vs array_intersect +
     // array_union's two per-pair hash-set builds over string arrays
     // (measured ~4x slower). Hash collisions altering a Jaccard value need
     // two colliding 3-grams in one doc pair (~2^-64 each): negligible.
-    val g = docs(s, d).select(
+    val g = docsDf.select(
       col("doc_id"), col("source"),
       floor(col("n_chars") / lit(100.0)).cast("int").as("bucket"),
       graft.expressions.SetSketchExpressions
@@ -192,12 +199,16 @@ object Dedup {
     * in the alternating large-star/small-star rewrite — same join shape,
     * same driver-loop structure.
     */
-  val d5DedupClusters: Q = (s, d) => {
+  /** Min-label + pointer-jumping connected components over `nodes`
+    * (single `doc_id` column) and directed `pairs` (doc_a < doc_b).
+    * Returns (doc_id, cluster_id = min reachable doc_id). Shared by d5
+    * and the corpus pipeline (which runs it on a filtered subgraph).
+    */
+  def minLabelComponents(nodes: DataFrame, pairsIn: DataFrame): DataFrame = {
     // materialize the pair generation ONCE — the symmetric union below
-    // references it twice, and without the cut the expensive d2 pipeline
-    // (grams + blocked join) would run twice inside the edges job
-    val pairs = d2Pairs(s, d).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
+    // references it twice, and without the cut the (possibly expensive)
+    // upstream pipeline would run twice inside the edges job
+    val pairs = pairsIn.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     // undirected edges, materialized once, reused every round. The label
     // state is tiny relative to the corpus (one row per doc, edges only
     // for candidates), so the iteration runs on few partitions — per-round
@@ -212,7 +223,7 @@ object Dedup {
     // planning round ~20. localCheckpoint(eager) truncates to the
     // materialized result (a cluster deployment would use reliable
     // checkpoints on the same cadence).
-    var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("label"))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .repartition(iterParts, col("doc_id")).localCheckpoint(true)
     var converged = false
     var rounds = 0
@@ -240,8 +251,14 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  val d5DedupClusters: Q = (s, d) => {
+    val comps = minLabelComponents(
+      docs(s, d).select(col("doc_id")), d2Pairs(s, d))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    comps
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")

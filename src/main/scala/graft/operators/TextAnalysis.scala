@@ -64,6 +64,11 @@ object TextAnalysis {
   private val enStop =
     Seq("the", "a", "of", "and", "to", "is", "in", "that", "it", "for")
 
+  /** The engine's canonical English stopword list (t2 + the corpus
+    * pipeline share it — the quality scores must agree).
+    */
+  val stopWords: Seq[String] = enStop
+
   val t2Quality: Q = (s, d) => {
     // Two layers: the expensive text passes (fused TokenStats, regex
     // strips) are each evaluated ONCE in the first projection; the ratio

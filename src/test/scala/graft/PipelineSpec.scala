@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.CorpusPipeline
+
+/** Corpus-pipeline invariants beyond the oracle-checked funnel. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel only ever shrinks the doc set; every stage is usable output") {
+    val st = CorpusPipeline.stages(spark, sfDir)
+    val counts = st.map { case (n, df) => n -> df.count() }
+    counts.sliding(2).foreach {
+      case Seq((a, ca), (b, cb)) =>
+        assert(cb <= ca, s"$b ($cb) must not exceed $a ($ca)")
+      case _ =>
+    }
+    assert(counts.last._2 > 0)
+    // survivors carry the full document columns
+    val cols = st.last._2.columns.toSet
+    assert(Set("doc_id", "text", "source", "n_chars").subsetOf(cols))
+  }
+
+  test("near-dup stage drops exactly the non-canonical cluster members") {
+    val st = CorpusPipeline.stages(spark, sfDir).toMap
+    val keepers = st("exact_dedup")
+    val canon = st("neardup_dedup").select($"doc_id").as[Long].collect().toSet
+    val comps = graft.operators.Dedup.minLabelComponents(
+      keepers.select($"doc_id"), graft.operators.Dedup.ngramPairs(keepers))
+      .as[(Long, Long)].collect()
+    comps.foreach { case (docId, cluster) =>
+      assert(canon.contains(docId) == (docId == cluster))
+    }
+  }
+
+  test("chunks cover every surviving document") {
+    val st = CorpusPipeline.stages(spark, sfDir)
+    val survivors = st.last._2
+    val chunked = CorpusPipeline.chunks(survivors)
+    assert(chunked.select($"doc_id").distinct().count() == survivors.count())
+    assert(chunked.groupBy($"doc_id").count().filter($"count" < 1).count() == 0)
+  }
+}
