@@ -53,5 +53,8 @@ object SparkEntry {
     "q31_rank_distributions", "q32_cube", "q33_collect_sorted",
     "q34_value_windows", "mm2_frame_sample", "q35_gap_fill",
     "q36_sweep_concurrency", "q37_lateral_topk", "t8_char_entropy",
-    "p1_corpus_pipeline")
+    "p1_corpus_pipeline",
+    "q2_count_nonnull", "q4_filter_in", "q11_cte_chain", "q13_ingest_cdc",
+    "q14_set_ops", "q17_semi_join", "q18_anti_join", "q19_except",
+    "q21_frame_spec", "t3_lang_id", "t5_vocab", "mm1_decode_stub")
 }

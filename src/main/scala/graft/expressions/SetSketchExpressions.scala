@@ -351,6 +351,62 @@ case class HashedSortedCharNgrams(child: Expression, n: Int)
 }
 
 
+/** One-pass language-marker scores: tokenize (Java whitespace class,
+  * lowercased) ONCE and count hits against each marker set — the t3
+  * language-ID scorer. The HOF formulation re-tokenizes per language
+  * (5 interpreted filter lambdas per row). Output: array<long>, one
+  * count per marker set, in input order.
+  */
+case class LangScores(child: Expression, markerSets: Array[Array[String]])
+    extends UnaryExpression with KernelCodegen {
+
+  private lazy val lookup: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    markerSets.zipWithIndex.foreach { case (set, i) =>
+      set.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected string, got $other")
+    }
+
+  // Java-regex \s class (NOT Character.isWhitespace, which adds Unicode
+  // spaces) — must match lowerTokens/split("\\s+") and the RE2 oracle
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val counts = new Array[Long](markerSets.length)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        val hit = lookup.get(s.substring(start, i).toLowerCase)
+        if (hit != null) { var j = 0; while (j < hit.length) { counts(hit(j)) += 1; j += 1 } }
+      }
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass token statistics over a string:
   *   n_tokens         — whitespace-run-delimited tokens (Java whitespace
   *                      class: space TAB LF VT FF CR — matches split on \s+)

@@ -131,15 +131,22 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
   val t3LangId: Q = (s, d) => {
-    val toks = lowerTokens(col("text"))
-    val scores = langMarkers.map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words: _*))).cast("long")
+    // one fused tokenize-and-count pass (LangScores kernel) — the HOF form
+    // re-tokenized the document once per language (5 interpreted filters)
+    val scoresCol = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.LangScores(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
+        langMarkers.map(_._2.toArray).toArray))
+    val base = docs(s, d)
+      .select(col("doc_id"), col("lang"), scoresCol.as("sc"))
+    val scores = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(col("sc"), i + 1)
     }
     val best = greatest(scores.map(_._2): _*)
     val predExpr = scores.reverse.foldLeft(lit(null).cast("string")) {
       case (elseExpr, (lang, score)) => when(score === best, lang).otherwise(elseExpr)
     }
-    docs(s, d).select(
+    base.select(
       col("doc_id"), col("lang"),
       predExpr.as("pred_lang"),
       (predExpr === col("lang")).as("is_match"))
