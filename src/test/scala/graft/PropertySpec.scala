@@ -138,4 +138,17 @@ class PropertySpec extends SparkSpec {
       case other => fail(s"property failed: $other")
     }
   }
+
+  test("LangScores counts every marker set a token belongs to, tokenizer-equal") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sets = Array(Array("the", "shared"), Array("der", "shared"))
+    val df = Seq("the shared THE  der\tshared x").toDF("text")
+    val out = df.select(org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.LangScores(
+        org.apache.spark.sql.graft.ColumnBridge.expression($"text"), sets))
+      .as("sc")).as[Seq[Long]].head()
+    // set 0: the, shared, THE(lower), shared -> 4; set 1: shared, der, shared -> 3
+    assert(out == Seq(4L, 3L))
+  }
 }
