@@ -236,18 +236,18 @@ object Dedup {
       val hop = labels.as("l1")
         .join(labels.as("l2"), col("l1.label") === col("l2.doc_id"))
         .select(col("l1.doc_id").as("h_id"), col("l2.label").as("hop_label"))
+      // carry the previous label through, so convergence is a filter over
+      // the checkpointed round result — not another join per round
       val next = labels
         .join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
         .join(hop, labels("doc_id") === col("h_id"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), col("label").as("prev"),
           least(
             least(col("label"), coalesce(col("nbr_min"), col("label"))),
             coalesce(col("hop_label"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
-        .filter(col("n.label") =!= col("p.label")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("doc_id"), col("label"))
       converged = changed == 0
       rounds += 1
     }

@@ -51,21 +51,26 @@ object CorpusPipeline {
     val quality = raw.join(scored.filter(col("q") >= QualityThreshold)
       .select(col("doc_id")), "doc_id")
 
-    val keepers = quality
+    // each stage is consumed at least twice (its own count + the next
+    // stage's input); checkpoint so the funnel computes every stage once
+    val qualityM = quality.localCheckpoint(true)
+
+    val keepers = qualityM
       .withColumn("fp", md5(graft.functions.TextFunctions.normText(col("text"))))
       .withColumn("keep",
         min(col("doc_id")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .filter(col("doc_id") === col("keep"))
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .localCheckpoint(true)
 
     val comps = Dedup.minLabelComponents(
       keepers.select(col("doc_id")), Dedup.ngramPairs(keepers))
     val canon = keepers.join(
       comps.filter(col("doc_id") === col("cluster_id")).select(col("doc_id")),
-      "doc_id")
+      "doc_id").localCheckpoint(true)
 
-    Seq("raw" -> raw, "quality" -> quality, "exact_dedup" -> keepers,
+    Seq("raw" -> raw, "quality" -> qualityM, "exact_dedup" -> keepers,
       "neardup_dedup" -> canon)
   }
 
