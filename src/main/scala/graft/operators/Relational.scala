@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -877,10 +877,12 @@ object Relational {
     * definition) become +1/-1 boundary points; a running sum over the
     * time-ordered points is the live-session count, aggregated to the
     * concurrency profile per level. Ends sort before starts at the same
-    * instant (half-open intervals). The global ordered sweep is the
-    * textbook single-key window — at 100 TB it would sweep per time
-    * shard and merge boundary offsets; the per-level aggregate shape is
-    * unchanged.
+    * instant (half-open intervals). The sweep itself is DISTRIBUTED: the
+    * timeline is cut into equal-width shards, each shard running-sums in
+    * parallel (partitioned window), and the per-shard delta totals (one
+    * long each) are exclusive-prefix-summed on the driver and broadcast
+    * back as offsets — the classic two-phase parallel prefix sum, so no
+    * single-partition WindowExec exists in the plan at any scale.
     */
   val q36SweepConcurrency: Q = (s, d) => {
     val sessions = q20Sessionize(s, d)
@@ -890,10 +892,34 @@ object Relational {
     val points = sessions
       .select(unix_micros(col("st")).as("pt_us"), lit(1).as("delta"))
       .unionAll(sessions.select(col("end_us").as("pt_us"), lit(-1).as("delta")))
-    val w = Window.orderBy(col("pt_us"), col("delta"))
+      .localCheckpoint(true) // sweep reads it twice (totals + ranked pass)
+    // Distributed prefix sum: shard the timeline into equal-width buckets,
+    // running-sum within each shard (parallel windows), then add each
+    // shard's exclusive-prefix offset (per-shard totals are one tiny row
+    // each — collected and broadcast, never a global single-key window).
+    val Row(lo: Long, hi: Long) =
+      points.agg(min(col("pt_us")), max(col("pt_us"))).head()
+    val nShards = math.max(1, s.sparkContext.defaultParallelism)
+    val width = math.max(1L, (hi - lo) / nShards + 1L)
+    val sharded = points
+      .withColumn("shard", ((col("pt_us") - lit(lo)) / lit(width)).cast("int"))
+    val offsets: Map[Int, Long] = {
+      val totals = sharded.groupBy(col("shard"))
+        .agg(sum(col("delta")).as("tot"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val ids = totals.keys.toSeq.sorted
+      ids.zip(ids.scanLeft(0L)((acc, id) => acc + totals(id)).init).toMap
+    }
+    val offsetCol = coalesce(
+      element_at(
+        map(offsets.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+          Seq(lit(k), lit(v)) }: _*),
+        col("shard")),
+      lit(0L))
+    val w = Window.partitionBy(col("shard")).orderBy(col("pt_us"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    points
-      .withColumn("live", sum(col("delta")).over(w).cast("long"))
+    sharded
+      .withColumn("live", (sum(col("delta")).over(w) + offsetCol).cast("long"))
       .groupBy(col("live"))
       .agg(count(lit(1)).as("n_points"), min(col("pt_us")).as("first_at_us"))
       .orderBy("live")
@@ -934,7 +960,7 @@ object Relational {
     */
   val q37LateralTopkSql: String =
     """SELECT c.c_custkey, t.o_orderkey,
-      |  floor(t.o_totalprice * 100.0 + 0.5) / 100.0 AS totalprice
+      |  CAST(floor(t.o_totalprice * 100.0 + 0.5) / 100.0 AS DOUBLE) AS totalprice
       |FROM customer c,
       |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
       |         WHERE o_custkey = c.c_custkey
