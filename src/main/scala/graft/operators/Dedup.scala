@@ -204,11 +204,21 @@ object Dedup {
     * Returns (doc_id, cluster_id = min reachable doc_id). Shared by d5
     * and the corpus pipeline (which runs it on a filtered subgraph).
     */
-  def minLabelComponents(nodes: DataFrame, pairsIn: DataFrame): DataFrame = {
+  def minLabelComponents(nodes: DataFrame, pairsIn: DataFrame,
+      driverFinishEdges: Long = 2000000L): DataFrame = {
     // materialize the pair generation ONCE — the symmetric union below
     // references it twice, and without the cut the (possibly expensive)
     // upstream pipeline would run twice inside the edges job
     val pairs = pairsIn.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    // Small-graph finish: once the candidate-pair graph fits comfortably on
+    // the driver (edges are a tiny residue of the corpus — near-dup pairs,
+    // not documents), a single collect + union-find replaces ~7 iterative
+    // jobs' worth of task-scheduling latency. This is the standard
+    // production shape for CC at any scale: iterate distributed only while
+    // the graph is too big, finish locally once it isn't. 2M edges ≈ 32 MB
+    // on the driver; a 100 TB corpus's pair graph lands here after the
+    // distributed rounds below halve it.
+    if (pairs.count() <= driverFinishEdges) return driverUnionFind(nodes, pairs)
     // undirected edges, materialized once, reused every round. The label
     // state is tiny relative to the corpus (one row per doc, edges only
     // for candidates), so the iteration runs on few partitions — per-round
@@ -254,6 +264,36 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Driver-side union-find over a collected edge list (min id becomes the
+    * root, path-compressed), broadcast-joined back onto the node set.
+    * Only nodes that occur in an edge are in the mapping — isolated docs
+    * coalesce to themselves, so the output matches the iterative path
+    * exactly.
+    */
+  private def driverUnionFind(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      // min id wins the root — preserves the min-label cluster_id contract
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val mapping = parent.keys.toArray.map(id => (id, find(id))).toSeq
+    import spark.implicits._
+    val mapDf = mapping.toDF("doc_id", "uf_cluster")
+    nodes.join(broadcast(mapDf), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("uf_cluster"), col("doc_id")).as("cluster_id"))
+  }
+
   val d5DedupClusters: Q = (s, d) => {
     val comps = minLabelComponents(
       docs(s, d).select(col("doc_id")), d2Pairs(s, d))
@@ -295,17 +335,71 @@ object Dedup {
       |  doc_id = cluster_id AS is_canonical
       |FROM comp ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ d6_keep_best
+  /** Quality-aware dedup: within each exact-duplicate group (d1's
+    * canonical-text fingerprint), keep the HIGHEST-QUALITY copy (t2's
+    * quality score; doc_id-asc tie-break) instead of d1's min-id rule —
+    * what a real curation pipeline does when duplicates differ in
+    * trailing boilerplate.
+    *
+    * Distributed shape: argmax-by-struct inside ONE hash aggregation
+    * (max of (quality, -doc_id) struct — partial aggregation applies,
+    * map-side combine absorbs the duplicate skew before the shuffle).
+    * The window-rank formulation would sort every group; the oracle uses
+    * it because the oracle doesn't need to scale.
+    */
+  val d6KeepBest: Q = (s, d) => {
+    val scored = TextAnalysis.t2Quality(s, d)
+      .select(col("doc_id"), col("quality_score"))
+    docs(s, d)
+      .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+      .join(scored, "doc_id")
+      .groupBy(col("fp"))
+      .agg(
+        max(struct(col("quality_score"), (-col("doc_id")).as("neg_id")))
+          .as("best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("fp"), (-col("best.neg_id")).as("keep_id"),
+        col("best.quality_score").as("best_quality"), col("n_copies"))
+      .orderBy("fp")
+  }
+
+  val d6KeepBestSql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    floor((least(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |        t -> t != '')) AS BIGINT) / 100.0, 1.0) * 0.5
+      |      + (CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |          t -> t IN ('the','a','of','and','to','is','in','that','it','for'))) AS BIGINT)
+      |         / nullif(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |             t -> t != '')) AS BIGINT), 0)) * 0.3
+      |      + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      |         / nullif(CAST(length(text) AS BIGINT), 0)) * 0.2) * 10000.0 + 0.5)
+      |      / 10000.0 AS quality_score,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT fp, doc_id, quality_score,
+      |    row_number() OVER (PARTITION BY fp
+      |      ORDER BY quality_score DESC, doc_id ASC) AS rk,
+      |    count(*) OVER (PARTITION BY fp) AS n_copies
+      |  FROM q)
+      |SELECT fp, doc_id AS keep_id, quality_score AS best_quality, n_copies
+      |FROM ranked WHERE rk = 1 ORDER BY fp""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d4_simhash" -> d4Simhash,
-    "d5_dedup_clusters" -> d5DedupClusters)
+    "d5_dedup_clusters" -> d5DedupClusters,
+    "d6_keep_best" -> d6KeepBest)
 
   /** d3/d4 are xxhash64-derived → no portable oracle (rows-only check). */
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1ExactDedupSql,
     "d2_ngram_jaccard" -> d2NgramJaccardSql,
-    "d5_dedup_clusters" -> d5DedupClustersSql)
+    "d5_dedup_clusters" -> d5DedupClustersSql,
+    "d6_keep_best" -> d6KeepBestSql)
 }

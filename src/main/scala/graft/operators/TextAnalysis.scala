@@ -320,6 +320,165 @@ object TextAnalysis {
       |    / 10000.0 AS entropy
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- t9_contamination
+  /** Train/test contamination check — the benchmark-leakage audit every
+    * LLM data pipeline runs before training: for each held-out "test"
+    * document (deterministic split: doc_id % 20 == 0), what fraction of
+    * its distinct word-8grams also occurs anywhere in the "train" side?
+    *
+    * Distributed shape: both sides explode to md5(8-gram) keys (md5 so
+    * the key is engine-portable); train grams are DISTINCT'd (hash agg
+    * with map-side partial) and the test grams LEFT SEMI-join them — the
+    * canonical set-membership join. At 100 TB the train-gram set is the
+    * big side; the semi join shuffles on the gram hash (or swaps to a
+    * bloom-filter pre-pass when approximate membership is acceptable).
+    */
+  val t9Contamination: Q = (s, d) => {
+    val grams = docs(s, d)
+      .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(wordNgrams(col("toks"), 8)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("g"))
+    val test = grams.filter(col("doc_id") % 20 === 0)
+      .distinct() // per-doc distinct grams
+    val train = grams.filter(col("doc_id") % 20 =!= 0)
+      .select(col("g")).distinct()
+    val hits = test.join(train, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        sround(coalesce(col("n_contaminated"), lit(0L)) / col("n_grams"), 4)
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  val t9ContaminationSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    md5(unnest(list_transform(range(1, len(t) - 6),
+      |      i -> array_to_string(t[i:i+7], ' ')))) AS g
+      |  FROM toks WHERE len(t) >= 8),
+      |test AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 20 = 0),
+      |train AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 != 0),
+      |hits AS (
+      |  SELECT doc_id, count(*) AS n_contaminated
+      |  FROM test WHERE g IN (SELECT g FROM train) GROUP BY doc_id)
+      |SELECT t.doc_id, count(*) AS n_grams,
+      |  coalesce(any_value(h.n_contaminated), 0) AS n_contaminated,
+      |  floor(coalesce(any_value(h.n_contaminated), 0) / count(*) * 10000.0 + 0.5)
+      |    / 10000.0 AS contamination
+      |FROM test t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  // ------------------------------------------------------- t10_tfidf
+  /** TF-IDF-style salient terms per source: tf = term occurrences within
+    * the source, df = number of distinct documents containing the term,
+    * score = tf * (N_docs / df) — a rational idf (exact integer division
+    * → bit-identical doubles across engines; log-based idf would hang
+    * determinism on libm). Top 10 per source, score-desc term-asc.
+    *
+    * Distributed shape: one explode → two hash aggs (term×source tf,
+    * term df) → broadcast the tiny df side back → per-source top-k
+    * window. At 100 TB df is itself a large agg: both aggs shuffle on
+    * the term, so they share a partitioning; the window shuffles on
+    * source only after the heavy reduction.
+    */
+  val t10Tfidf: Q = (s, d) => {
+    val toks = docs(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(lowerTokens(col("text"))).as("term"))
+    val nDocs = docs(s, d).count()
+    val tf = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("score", col("tf") * (lit(nDocs.toDouble) / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("rk"), col("term"), col("tf"), col("df"),
+        sround(col("score"), 4).as("score"))
+      .orderBy("source", "rk")
+  }
+
+  val t10TfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.source, tf.term, tf.tf, df.df,
+      |    tf.tf * (n.n_docs / df.df) AS score,
+      |    CAST(row_number() OVER (PARTITION BY tf.source
+      |      ORDER BY tf.tf * (n.n_docs / df.df) DESC, tf.term ASC) AS INTEGER) AS rk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT source, rk, term, tf, df,
+      |  floor(score * 10000.0 + 0.5) / 10000.0 AS score
+      |FROM scored WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
+  // ----------------------------------------------------- t11_packing
+  /** Greedy sequence packing — the context-window budgeting step of LLM
+    * training prep: documents stream in doc_id order within each source,
+    * and each doc lands in pack floor(exclusive_running_tokens / budget)
+    * (concat-and-split packing, budget 256 tokens). Output is per-pack
+    * accounting: docs, token fill, fill ratio.
+    *
+    * Distributed shape: token counts are narrow per-doc work; the running
+    * sum is a window partitioned by source (packing is inherently
+    * sequential PER STREAM — at 100 TB the stream key is (source, shard)
+    * so every partition packs independently; the q36 sweep shows the
+    * offset-merge pattern if strict cross-shard continuity is required).
+    */
+  val t11Packing: Q = (s, d) => {
+    val budget = 256L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        size(lowerTokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / lit(budget))
+          .cast("long"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        sround(sum(col("n_tok")) / lit(budget.toDouble), 4).as("fill_ratio"))
+      .orderBy("source", "pack_id")
+  }
+
+  val t11PackingSql: String =
+    """WITH counted AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, source, n_tok,
+      |    CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
+      |      AS BIGINT) AS pack_id
+      |  FROM counted)
+      |SELECT source, pack_id, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      |  floor(sum(n_tok) / 256.0 * 10000.0 + 0.5) / 10000.0 AS fill_ratio
+      |FROM packed GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t1_text_stats" -> t1TextStats,
@@ -329,7 +488,10 @@ object TextAnalysis {
     "t5_vocab" -> t5Vocab,
     "t6_winnowing" -> t6Winnowing,
     "t7_chunking" -> t7Chunking,
-    "t8_char_entropy" -> t8CharEntropy)
+    "t8_char_entropy" -> t8CharEntropy,
+    "t9_contamination" -> t9Contamination,
+    "t10_tfidf" -> t10Tfidf,
+    "t11_packing" -> t11Packing)
 
   val oracles: Map[String, String] = Map(
     "t1_text_stats" -> t1TextStatsSql,
@@ -338,5 +500,8 @@ object TextAnalysis {
     "t4_fingerprint" -> t4FingerprintSql,
     "t5_vocab" -> t5VocabSql,
     "t7_chunking" -> t7ChunkingSql,
-    "t8_char_entropy" -> t8CharEntropySql)
+    "t8_char_entropy" -> t8CharEntropySql,
+    "t9_contamination" -> t9ContaminationSql,
+    "t10_tfidf" -> t10TfidfSql,
+    "t11_packing" -> t11PackingSql)
 }

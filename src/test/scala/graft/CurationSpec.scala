@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Round-3 curation operators: contamination audit (t9), TF-IDF terms
+  * (t10), sequence packing (t11), keep-best dedup (d6), and the
+  * union-find fast path of d5's connected components.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("t9 contamination: only test-split docs, ratios bounded, hits ⊆ grams") {
+    val r = TextAnalysis.t9Contamination(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(0) % 20 == 0) // deterministic test split
+      val (grams, hits, c) = (row.getLong(1), row.getLong(2), row.getDouble(3))
+      assert(hits <= grams)
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
+  test("t9 contamination: a doc duplicated across the split is flagged") {
+    // doc 0 (test) and doc 1 (train) share text → every 8-gram of doc 0
+    // is contaminated; doc 20 is unique noise long enough to have grams.
+    val docs = Seq(
+      (0L, "a b c d e f g h i j k l", "x", 24L),
+      (1L, "a b c d e f g h i j k l", "x", 24L),
+      (20L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", "x", 30L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("t9").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.t9Contamination(spark, dir)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(0L) == 1.0) // fully contaminated
+    assert(r(20L) == 0.0) // unique
+  }
+
+  test("t10 tfidf: ranks are 1..k per source, scores ordered, df consistent") {
+    val rows = TextAnalysis.t10Tfidf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getInt(1)).toSeq
+      assert(ranks == (1 to ranks.max))
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    rows.foreach(r => assert(r.getLong(4) >= 1)) // df >= 1
+  }
+
+  test("t11 packing: packs partition each source's docs; fill accounting adds up") {
+    val packs = TextAnalysis.t11Packing(spark, sfDir).collect()
+    val totalTok = Tables.load(spark, sfDir, "documents")
+      .select(sum(size(graft.functions.TextFunctions.lowerTokens($"text"))
+        .cast("long"))).as[Long].head()
+    assert(packs.map(_.getLong(3)).sum == totalTok) // no token lost/duplicated
+    packs.groupBy(_.getString(0)).foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) == 0L) // packs start at 0
+      // doc ranges of consecutive packs never overlap (contiguous packing)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4))
+        case _ =>
+      }
+    }
+  }
+
+  test("d6 keep-best: same groups as d1, keeper has max quality in group") {
+    val d6 = Dedup.d6KeepBest(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val d1 = Dedup.d1ExactDedup(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(d6.keySet == d1.keySet)
+    d6.foreach { case (fp, (_, _, n)) => assert(n == d1(fp)._2) }
+    // keeper quality is the group max (checked via a full recompute)
+    val q = TextAnalysis.t2Quality(spark, sfDir)
+      .select($"doc_id", $"quality_score").as[(Long, Double)].collect().toMap
+    val fps = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", md5(graft.functions.TextFunctions.normText($"text"))
+        .as("fp")).as[(Long, String)].collect()
+    fps.groupBy(_._2).foreach { case (fp, members) =>
+      val best = d6(fp)
+      assert(members.map(m => q(m._1)).max == best._2)
+    }
+  }
+
+  test("d5 components: driver union-find ≡ iterative min-label propagation") {
+    val nodes = (1L to 12L).toDF("doc_id")
+    // two chains and a triangle: {1..4}, {5,6,7}, {8,9,10}; 11,12 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (8L, 9L), (9L, 10L)).toDF("doc_a", "doc_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val uf = toMap(Dedup.minLabelComponents(nodes, pairs))
+    val iter = toMap(Dedup.minLabelComponents(nodes, pairs, -1L))
+    assert(uf == iter)
+    assert(uf(4L) == 1L && uf(7L) == 5L && uf(10L) == 8L)
+    assert(uf(11L) == 11L && uf(12L) == 12L)
+  }
+}
