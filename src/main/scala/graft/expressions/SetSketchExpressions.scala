@@ -327,23 +327,54 @@ case class HashedSortedCharNgrams(child: Expression, n: Int)
     }
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val u = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    // ASCII fast path (numChars == numBytes ⇔ all single-byte): hash the
+    // n-byte windows straight off the UTF8String's backing bytes — zero
+    // per-gram allocation, bit-identical to xxhash64(substr(...)) because
+    // an ASCII substring's UTF-8 bytes ARE the byte slice. Sort-then-unique
+    // replaces the boxed HashSet (300 longs sort faster than they box).
+    val nb = u.numBytes()
+    if (u.numChars() == nb) {
+      if (nb < n) return new GenericArrayData(Array.emptyLongArray)
+      val m = nb - n + 1
+      val arr = new Array[Long](m)
+      val base = u.getBaseObject
+      val off = u.getBaseOffset
+      var i = 0
+      while (i < m) {
+        arr(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + i, n, 42L)
+        i += 1
+      }
+      java.util.Arrays.sort(arr)
+      var p = 0
+      var i2 = 0
+      while (i2 < m) {
+        if (p == 0 || arr(i2) != arr(p - 1)) { arr(p) = arr(i2); p += 1 }
+        i2 += 1
+      }
+      return new GenericArrayData(java.util.Arrays.copyOf(arr, p))
+    }
+    // general (multi-byte) path: UTF-16 substring semantics, as before
+    val s = u.toString
     if (s.length < n) return new GenericArrayData(Array.emptyLongArray)
     val m = s.length - n + 1
-    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val arr = new Array[Long](m)
     var i = 0
     while (i < m) {
-      seen.add(org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      arr(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(i, i + n)),
-        StringType, 42L))
+        StringType, 42L)
       i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
+    java.util.Arrays.sort(arr)
     var p = 0
-    while (it.hasNext) { out(p) = it.next(); p += 1 }
-    java.util.Arrays.sort(out)
-    new GenericArrayData(out)
+    var i2 = 0
+    while (i2 < m) {
+      if (p == 0 || arr(i2) != arr(p - 1)) { arr(p) = arr(i2); p += 1 }
+      i2 += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(arr, p))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
