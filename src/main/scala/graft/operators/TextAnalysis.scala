@@ -479,6 +479,72 @@ object TextAnalysis {
       |  floor(sum(n_tok) / 256.0 * 10000.0 + 0.5) / 10000.0 AS fill_ratio
       |FROM packed GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
 
+  // ------------------------------------------------------- t12_redact
+  /** PII scrubbing — the redaction pass every published training corpus
+    * runs: emails and phone-shaped numbers replaced with typed sentinels,
+    * with per-doc match accounting. Patterns are RE2-safe (no
+    * lookaround) so the oracle's regex engine agrees; the redacted text
+    * rides as an md5 so the output stays narrow. Purely narrow per-doc
+    * work — scales with input splits, no shuffle.
+    */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+
+  val t12Redact: Q = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+      md5(regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>")).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  val t12RedactSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '\d{3}[-. ]\d{3}[-. ]\d{4}')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(
+      |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g')) AS redacted_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- t13_repetition
+  /** Repetition filter (the Gopher/MassiveText quality rule): the share
+    * of all word-bigrams taken by the single most frequent bigram —
+    * boilerplate and templated spam spike it. Distributed shape: explode
+    * bigrams → one hash agg (doc, gram) → one hash agg (doc) computing
+    * max and total together; exact integer division for oracle parity.
+    * Docs with fewer than two tokens have no bigrams and drop out.
+    */
+  val t13Repetition: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("max_rep"))
+      .select(col("doc_id"), col("n_bigrams"), col("max_rep"),
+        sround(col("max_rep") / col("n_bigrams"), 4).as("top_bigram_share"))
+      .orderBy("doc_id")
+
+  val t13RepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)),
+      |      i -> array_to_string(t[i:i+1], ' '))) AS g
+      |  FROM toks WHERE len(t) >= 2),
+      |counts AS (SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |  CAST(max(cnt) AS BIGINT) AS max_rep,
+      |  floor(max(cnt) / CAST(sum(cnt) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+      |    AS top_bigram_share
+      |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t1_text_stats" -> t1TextStats,
@@ -491,7 +557,9 @@ object TextAnalysis {
     "t8_char_entropy" -> t8CharEntropy,
     "t9_contamination" -> t9Contamination,
     "t10_tfidf" -> t10Tfidf,
-    "t11_packing" -> t11Packing)
+    "t11_packing" -> t11Packing,
+    "t12_redact" -> t12Redact,
+    "t13_repetition" -> t13Repetition)
 
   val oracles: Map[String, String] = Map(
     "t1_text_stats" -> t1TextStatsSql,
@@ -503,5 +571,7 @@ object TextAnalysis {
     "t8_char_entropy" -> t8CharEntropySql,
     "t9_contamination" -> t9ContaminationSql,
     "t10_tfidf" -> t10TfidfSql,
-    "t11_packing" -> t11PackingSql)
+    "t11_packing" -> t11PackingSql,
+    "t12_redact" -> t12RedactSql,
+    "t13_repetition" -> t13RepetitionSql)
 }

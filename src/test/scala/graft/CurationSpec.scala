@@ -86,6 +86,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("t12 redact: planted PII is counted and scrubbed; clean text untouched") {
+    val docs = Seq(
+      (1L, "contact me at jane.doe@example.com or 555-123-4567 today", "x", 56L),
+      (2L, "no pii here just words", "x", 22L),
+      (3L, "two mails a@b.io c@d.org one phone 123 456 7890", "x", 47L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("t12").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.t12Redact(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L)._1 == 1 && r(1L)._2 == 1)
+    assert(r(2L)._1 == 0 && r(2L)._2 == 0)
+    assert(r(3L)._1 == 2 && r(3L)._2 == 1)
+    // doc 2 unchanged ⇒ md5 equals md5 of the original text
+    val clean = spark.sql("SELECT md5('no pii here just words')").head().getString(0)
+    assert(r(2L)._3 == clean)
+    // doc 1's redaction actually removed the address
+    val red = spark.sql(
+      "SELECT md5('contact me at <EMAIL> or <PHONE> today')").head().getString(0)
+    assert(r(1L)._3 == red)
+  }
+
+  test("t13 repetition: repeated bigram dominates; distinct text scores low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam", "x", 29L), // one bigram 5 times
+      (2L, "all words here are different tokens", "x", 35L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("t13").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.t13Repetition(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((5L, 5L, 1.0))) // "spam spam" x5, share 1.0
+    assert(r(2L)._2 == 1L && r(2L)._3 == 0.2) // 5 distinct bigrams
+  }
+
   test("d5 components: driver union-find ≡ iterative min-label propagation") {
     val nodes = (1L to 12L).toDF("doc_id")
     // two chains and a triangle: {1..4}, {5,6,7}, {8,9,10}; 11,12 isolated
