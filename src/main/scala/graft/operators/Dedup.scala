@@ -342,25 +342,36 @@ object Dedup {
     * what a real curation pipeline does when duplicates differ in
     * trailing boilerplate.
     *
-    * Distributed shape: argmax-by-struct inside ONE hash aggregation
-    * (max of (quality, -doc_id) struct — partial aggregation applies,
-    * map-side combine absorbs the duplicate skew before the shuffle).
-    * The window-rank formulation would sort every group; the oracle uses
-    * it because the oracle doesn't need to scale.
+    * Distributed shape: argmax packed into ONE 64-bit key —
+    * (quality·10⁴ + 1) << 41 | (2⁴¹-1 − doc_id) — so the whole argmax is
+    * a primitive `max(long)` inside a HashAggregate with map-side
+    * partial aggregation (a struct-valued max would fall back to
+    * SortAggregate and sort every partition by fingerprint). The
+    * quality factor is the EXACT integer floor(blend·10⁴+0.5) — packing
+    * the already-divided double would re-round and drift off the
+    * oracle. The window-rank formulation stays in the oracle, which
+    * doesn't need to scale.
     */
   val d6KeepBest: Q = (s, d) => {
-    val scored = TextAnalysis.t2Quality(s, d)
-      .select(col("doc_id"), col("quality_score"))
+    val MaxId = (1L << 41) - 1 // doc ids fit 41 bits; quality fits 22
+    val scored = TextAnalysis.qualityCounts(s, d).select(col("doc_id"),
+      // -1 (null blend, zero-token doc) packs below every real score
+      coalesce(floor(TextAnalysis.qualityBlend * lit(10000.0) + lit(0.5))
+        .cast("long"), lit(-1L)).as("q4"))
     docs(s, d)
       .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
       .join(scored, "doc_id")
       .groupBy(col("fp"))
       .agg(
-        max(struct(col("quality_score"), (-col("doc_id")).as("neg_id")))
-          .as("best"),
+        max(shiftleft(col("q4") + 1, 41) + (lit(MaxId) - col("doc_id")))
+          .as("key"),
         count(lit(1)).as("n_copies"))
-      .select(col("fp"), (-col("best.neg_id")).as("keep_id"),
-        col("best.quality_score").as("best_quality"), col("n_copies"))
+      .select(col("fp"),
+        (lit(MaxId) - col("key").bitwiseAND(lit(MaxId))).as("keep_id"),
+        when(shiftright(col("key"), 41) - 1 >= 0,
+          (shiftright(col("key"), 41) - 1) / lit(10000.0))
+          .as("best_quality"),
+        col("n_copies"))
       .orderBy("fp")
   }
 

@@ -69,11 +69,10 @@ object TextAnalysis {
     */
   val stopWords: Seq[String] = enStop
 
-  val t2Quality: Q = (s, d) => {
-    // Two layers: the expensive text passes (fused TokenStats, regex
-    // strips) are each evaluated ONCE in the first projection; the ratio
-    // layer only references bound integer columns (writing ratios inline
-    // would re-run the pipelines per reference — no CSE for HOFs).
+  /** t2's per-doc signal counts (doc_id, len_c, n_tok, stop, punct,
+    * digit) — one fused text pass, shared by t2 and d6's keep-best.
+    */
+  def qualityCounts(s: SparkSession, d: String): DataFrame = {
     val counts = docs(s, d).select(
       col("doc_id"),
       length(col("text")).cast("long").as("len_c"),
@@ -84,19 +83,28 @@ object TextAnalysis {
       .select(col("doc_id"), col("len_c"),
         col("ts.n_tokens").as("n_tok"), col("ts.n_stop").as("stop"),
         col("punct"), col("digit"))
-    counts.select(
+    counts
+  }
+
+  /** The raw t2 quality blend over a qualityCounts frame. */
+  def qualityBlend: Column =
+    least(col("n_tok") / lit(100.0), lit(1.0)) * lit(0.5) +
+      (col("stop") / nullif(col("n_tok"), lit(0L))) * lit(0.3) +
+      (lit(1.0) - col("digit") / nullif(col("len_c"), lit(0L))) * lit(0.2)
+
+  val t2Quality: Q = (s, d) =>
+    // Two layers: the expensive text passes (fused TokenStats, regex
+    // strips) are each evaluated ONCE in the qualityCounts projection; the
+    // ratio layer only references bound integer columns (writing ratios
+    // inline would re-run the pipelines per reference — no CSE for HOFs).
+    qualityCounts(s, d).select(
       col("doc_id"),
       col("n_tok").as("n_tokens"),
       sround(col("punct") / nullif(col("len_c"), lit(0L)), 4).as("punct_ratio"),
       sround(col("digit") / nullif(col("len_c"), lit(0L)), 4).as("digit_ratio"),
       sround(col("stop") / nullif(col("n_tok"), lit(0L)), 4).as("stopword_ratio"),
-      sround(
-        least(col("n_tok") / lit(100.0), lit(1.0)) * lit(0.5)
-          + (col("stop") / nullif(col("n_tok"), lit(0L))) * lit(0.3)
-          + (lit(1.0) - col("digit") / nullif(col("len_c"), lit(0L))) * lit(0.2), 4)
-        .as("quality_score"))
+      sround(qualityBlend, 4).as("quality_score"))
       .orderBy("doc_id")
-  }
 
   val t2QualitySql: String =
     """WITH f AS (
@@ -326,12 +334,14 @@ object TextAnalysis {
     * document (deterministic split: doc_id % 20 == 0), what fraction of
     * its distinct word-8grams also occurs anywhere in the "train" side?
     *
-    * Distributed shape: both sides explode to md5(8-gram) keys (md5 so
-    * the key is engine-portable); train grams are DISTINCT'd (hash agg
-    * with map-side partial) and the test grams LEFT SEMI-join them — the
-    * canonical set-membership join. At 100 TB the train-gram set is the
-    * big side; the semi join shuffles on the gram hash (or swaps to a
-    * bloom-filter pre-pass when approximate membership is acceptable).
+    * Distributed shape: ONE corpus scan explodes to md5(8-gram) keys
+    * (md5 so the key is engine-portable and fixed-width); one hash agg
+    * on the gram collects the (tiny) test-doc set per gram and a
+    * has-train flag, then the test sets explode back out to per-doc
+    * accounting. The gram agg is the only heavy shuffle — the same
+    * partitioning a semi-join would need, but without a second full
+    * scan for the train side. A bloom-filter pre-pass substitutes when
+    * approximate membership is acceptable.
     */
   val t9Contamination: Q = (s, d) => {
     val grams = docs(s, d)
@@ -339,18 +349,19 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(wordNgrams(col("toks"), 8)).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("g"))
-    val test = grams.filter(col("doc_id") % 20 === 0)
-      .distinct() // per-doc distinct grams
-    val train = grams.filter(col("doc_id") % 20 =!= 0)
-      .select(col("g")).distinct()
-    val hits = test.join(train, Seq("g"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        sround(coalesce(col("n_contaminated"), lit(0L)) / col("n_grams"), 4)
-          .as("contamination"))
+    grams
+      .groupBy(col("g"))
+      .agg(
+        collect_set(when(col("doc_id") % 20 === 0, col("doc_id")))
+          .as("test_docs"),
+        max(when(col("doc_id") % 20 =!= 0, lit(1)).otherwise(lit(0)))
+          .as("in_train"))
+      .select(explode(col("test_docs")).as("doc_id"), col("in_train"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("in_train")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        sround(col("n_contaminated") / col("n_grams"), 4).as("contamination"))
       .orderBy("doc_id")
   }
 
