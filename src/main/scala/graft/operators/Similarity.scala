@@ -215,15 +215,87 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // --------------------------------------------------------- v5_int8_ann
+  /** Scalar int8 quantization + exact integer top-k — the memory-bound
+    * scale path for brute-force search: per-vector symmetric quantization
+    * (scale = max|x|/127, q_i = floor(x_i/scale + 0.5)) shrinks the
+    * corpus 4x and the integer dot products are EXACT (≤ 127²·64 ≪ 2⁵³),
+    * so ranking is fully deterministic and oracle-checkable — unlike
+    * float-dot ANN, nothing here depends on summation order. The
+    * per-vector scales cancel out of the cosine, so the score is a pure
+    * function of the quantized vectors. Quantized values ride in double
+    * arrays to reuse the codegen'd DotProduct kernel (every value is an
+    * exact small integer; an int8 column would halve memory again but
+    * needs a second kernel for no ranking difference).
+    *
+    * Same join shape as v1: corpus streams once against the broadcast
+    * quantized query set; per-query top-k via rank-limited window.
+    */
+  val v5Int8Ann: Q = (s, d) => {
+    val e = emb(s, d)
+    // scale bound in its own projection: a lambda capturing a COMPUTED
+    // column would re-evaluate it per element (no CSE inside HOFs)
+    val scaled = e.select(col("vec_id"), col("embedding"),
+      (array_max(transform(col("embedding"), x => abs(x))) / lit(127.0))
+        .as("scale"))
+      .filter(col("scale") > 0) // drop degenerate all-zero vectors
+    val quant = scaled.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x / col("scale") + lit(0.5)).cast("double")).as("qv"))
+    val withNorm = quant.select(col("vec_id"), col("qv"),
+      dot(col("qv"), col("qv")).as("qn"))
+    val q = withNorm.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("qn").as("q_qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    withNorm.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+        col("qn").as("n_qn"))
+      .join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("sim",
+        cosineWithNorms(dot(col("q_qv"), col("n_qv")), col("q_qn"), col("n_qn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("n_id"), sround(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val v5Int8AnnSql: String =
+    s"""WITH scaled AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |  FROM embeddings),
+       |quant AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) / scale + 0.5)) AS qv
+       |  FROM scaled WHERE scale > 0),
+       |normed AS (
+       |  SELECT vec_id, qv,
+       |    list_sum(list_transform(qv, x -> x * x)) AS qn
+       |  FROM quant),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |    list_sum(list_transform(range(1, len(q.qv) + 1),
+       |      i -> q.qv[i] * n.qv[i])) / (sqrt(q.qn) * sqrt(n.qn)) AS sim
+       |  FROM normed n, normed q
+       |  WHERE q.vec_id < $NQ AND n.vec_id != q.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
+       |  FROM pairs)
+       |SELECT q_id, rnk, n_id, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
+       |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "v1_knn_brute" -> v1KnnBrute,
     "v2_ann_lsh" -> v2AnnLsh,
     "v3_embedding_neardup" -> v3EmbeddingNeardup,
-    "v4_ivf_ann" -> v4IvfAnn)
+    "v4_ivf_ann" -> v4IvfAnn,
+    "v5_int8_ann" -> v5Int8Ann)
 
   /** v2 depends on plane seeds (no portable oracle) → rows-only check. */
   val oracles: Map[String, String] = Map(
     "v1_knn_brute" -> v1KnnBruteSql,
-    "v3_embedding_neardup" -> v3EmbeddingNeardupSql)
+    "v3_embedding_neardup" -> v3EmbeddingNeardupSql,
+    "v5_int8_ann" -> v5Int8AnnSql)
 }

@@ -51,6 +51,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("v5 int8 quantized recall@10 is near-exact; scores stay in [-1,1]") {
+    val exact = Similarity.v1KnnBrute(spark, sfDir)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val rows = Similarity.v5Int8Ann(spark, sfDir).collect()
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // int8 on 64 dims loses ~0.4% of cosine precision — recall should be
+    // nearly exact, far above any bucketed ANN
+    assert(recall >= 0.8, s"int8 recall too low: $recall")
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+  }
+
   test("multimodal stub decoder: histogram is exact and deterministic") {
     val feat = Multimodal.StubDecoder.decode(7L, "aab".getBytes("UTF-8"))
     assert(feat.byte_len == 3)
