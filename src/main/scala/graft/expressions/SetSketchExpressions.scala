@@ -258,6 +258,12 @@ case class MinHashBandKeys64(
   * the n-gram lambda captures the (computed) normalized-string expression
   * and interpreted HOF eval recomputes it per element — regex × grams ×
   * windows per document (observed: minutes for 500 rows).
+  *
+  * Gram hashes are portable md5-62 (PortableHash): for ASCII input the
+  * digest runs straight over the n-byte windows of the UTF-8 backing
+  * bytes — identical to DuckDB's md5_number_lower(substring(...)) because
+  * an ASCII substring's UTF-8 bytes ARE the byte slice — so the selected
+  * fingerprints hash-check against the SQL oracle.
   */
 case class WinnowFingerprints(child: Expression, n: Int, w: Int)
     extends UnaryExpression with KernelCodegen {
@@ -273,15 +279,20 @@ case class WinnowFingerprints(child: Expression, n: Int, w: Int)
     }
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-    if (s.length < n) return new GenericArrayData(Array.emptyLongArray)
-    val m = s.length - n + 1
+    val u = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val bytes = u.getBytes
+    val ascii = u.numChars() == bytes.length
+    val s = if (ascii) null else u.toString
+    val chars = if (ascii) bytes.length else s.length
+    if (chars < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = chars - n + 1
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) {
-      hs(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(i, i + n)),
-        StringType, 42L)
+      hs(i) =
+        if (ascii) PortableHash.md5Lower62(bytes, i, n)
+        else PortableHash.md5Lower62(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(i, i + n)))
       i += 1
     }
     val nw = math.max(m - w + 1, 1)

@@ -68,6 +68,18 @@ object TextFunctions {
     (a, b)
   }
 
+  /** Portable permutation coefficients for the mod-(2^31-1) Carter-Wegman
+    * family (MinHashBandKeysMod31): a ∈ [1, p-1], b ∈ [0, p-1]. Seeded and
+    * stable — these constants are embedded verbatim in the DuckDB oracle
+    * SQL, so the two sides must agree forever.
+    */
+  val (minhashPermA31, minhashPermB31): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(20240812L)
+    val a = Array.fill(64)(1L + rnd.nextInt(2147483646)) // [1, p-1]
+    val b = Array.fill(64)(rnd.nextInt(2147483647).toLong) // [0, p-1]
+    (a, b)
+  }
+
   /** 64-permutation MinHash signature over a string set: xxhash64 each
     * element once, then min over k affine rehashes (wraparound long
     * arithmetic — standard practice; only relative order per permutation
@@ -85,15 +97,18 @@ object TextFunctions {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over a token array: per-bit signed counts of xxhash64
-    * token hashes, bit set where the count is positive. Delegates to the
-    * SimHash64 Catalyst expression (primitive loop; the HOF fold allocates
-    * a 64-long array per element). Pass a BOUND token column, not a token
+  /** 64-bit SimHash over a token array: per-bit signed counts of PORTABLE
+    * md5-62 token hashes (bits 62-63 are always clear, so the fingerprint
+    * is effectively 62-bit — DuckDB reproduces it with md5_number_lower),
+    * bit set where the count is positive. Delegates to the SimHash64
+    * Catalyst expression (primitive loop; the HOF fold allocates a 64-long
+    * array per element). Pass a BOUND token column, not a token
     * expression — see the layering note in Dedup.
     */
   def simhash(toks: Column): Column =
     graft.expressions.SetSketchExpressions.simhash64(
-      transform(toks, t => xxhash64(t)))
+      graft.expressions.PortableHashExpressions
+        .md5HashArray62(toks, distinctSorted = false))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

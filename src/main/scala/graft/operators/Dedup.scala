@@ -114,8 +114,10 @@ object Dedup {
     * 32 bands × 2 rows → candidates from band-key equality join → exact
     * Jaccard verify >= 0.2. The band join is the scale path: probability of
     * catching a pair rises steeply with similarity (s-curve), all-pairs work
-    * never happens. xxhash64-based, so no portable SQL oracle (rows-only
-    * driver check); recall is asserted against d2 in ScalaTest.
+    * never happens. Shingle hashes and the permutation family are fully
+    * engine-portable (md5-62 lanes + mod-(2^31-1) Carter-Wegman — see
+    * PortableHashExpressions), so the DuckDB oracle reproduces the exact
+    * signatures and the driver hash-checks the output.
     */
   val d3MinhashLsh: Q = (s, d) => {
     // LAYERED projections: tokens bound before n-gramming. Passing the
@@ -126,8 +128,8 @@ object Dedup {
     val base = docs(s, d)
       .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
       .select(col("doc_id"), wordNgrams(col("toks"), 3).as("ngrams"))
-      .select(col("doc_id"),
-        array_sort(transform(array_distinct(col("ngrams")), x => xxhash64(x))).as("sh"))
+      .select(col("doc_id"), graft.expressions.PortableHashExpressions
+        .md5HashArray62(col("ngrams"), distinctSorted = true).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     // Fused signature+banding expression: one evaluation per doc, no
     // intermediate sig column for CollapseProject to re-inline into 32 band
@@ -135,8 +137,8 @@ object Dedup {
     // Band index is baked into the key, so a single equality join on bkey
     // generates candidates; empty docs produce zero keys (no mega-bucket).
     val bands = base.select(col("doc_id"),
-      explode(graft.expressions.SetSketchExpressions.minhashBandKeys64(
-        col("sh"), minhashPermA, minhashPermB, bands = 32, rows = 2)).as("bkey"))
+      explode(graft.expressions.PortableHashExpressions.minhashBandKeysMod31(
+        col("sh"), minhashPermA31, minhashPermB31, bands = 32, rows = 2)).as("bkey"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -156,11 +158,58 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** DuckDB twin of d3, generated with the SAME permutation constants: the
+    * band collision condition is expressed as raw signature-row equality
+    * per band (Spark packs the rows into one mixed 64-bit key — identical
+    * semantics up to negligible mix collisions, which the exact-Jaccard
+    * verification neutralizes). MATERIALIZED CTEs keep DuckDB from
+    * re-running the md5 shingle build per band arm.
+    */
+  val d3MinhashLshSql: String = {
+    val p = 2147483647L
+    def bandRow(idx: Int): String = {
+      val a = minhashPermA31(idx)
+      val b = minhashPermB31(idx)
+      s"list_min(list_transform(h31, h -> ($a * h + $b) % $p))"
+    }
+    val bandArms = (0 until 32).map { bnd =>
+      s"  SELECT doc_id, $bnd AS band, ${bandRow(2 * bnd)} AS r0, ${bandRow(2 * bnd + 1)} AS r1 FROM g"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id, sh, list_transform(sh, h -> h & 2147483647) AS h31,
+       |    len(sh) AS n_sh
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_sort(list_distinct(list_transform(
+       |        CASE WHEN len(t) >= 3
+       |          THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |          ELSE CAST([] AS VARCHAR[]) END,
+       |        gm -> CAST(md5_number_lower(gm) & 4611686018427387903 AS BIGINT)))) AS sh
+       |    FROM (SELECT doc_id,
+       |            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
+       |          FROM documents))),
+       |bands AS MATERIALIZED (
+       |$bandArms),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1 AND x.doc_id < y.doc_id),
+       |j AS (
+       |  SELECT c.doc_a, c.doc_b, len(list_intersect(a.sh, b.sh)) AS inter,
+       |    a.n_sh AS n_a, b.n_sh AS n_b
+       |  FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b,
+       |  floor(inter / CAST(n_a + n_b - inter AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS jaccard
+       |FROM j WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // --------------------------------------------------------- d4_simhash
   /** SimHash fingerprint per doc + near-dup pairs via 16-bit chunk blocking
     * (pigeonhole: Hamming<=3 pairs must share a chunk) verified at
-    * Hamming <= 3. Output is the per-doc fingerprint table joined with its
-    * duplicate-cluster candidates; xxhash64-based → rows-only driver check.
+    * Hamming <= 3. Token hashes are portable md5-62 (simhash() in
+    * TextFunctions), so the DuckDB oracle rebuilds the identical
+    * fingerprints bit for bit and the driver hash-checks the pairs.
     */
   val d4Simhash: Q = (s, d) => {
     val sh = docs(s, d)
@@ -181,6 +230,37 @@ object Dedup {
     pairs.select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** DuckDB twin of d4: identical md5-62 token hashes, the 62 bit-majority
+    * votes unrolled via a range(62) lateral (bits 62-63 of the masked hash
+    * are always 0, so the count there is -n_tokens — never set), identical
+    * 16-bit chunk blocking and bit_count(xor) verification.
+    */
+  val d4SimhashSql: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_transform(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''),
+      |      tk -> CAST(md5_number_lower(tk) & 4611686018427387903 AS BIGINT)) AS hs
+      |  FROM documents),
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(coalesce(sum(CASE WHEN bitcnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END), 0) AS BIGINT) AS simhash
+      |  FROM (
+      |    SELECT doc_id, b,
+      |      list_sum(list_transform(hs, h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) AS bitcnt
+      |    FROM t, (SELECT unnest(range(62)) AS b))
+      |  GROUP BY doc_id),
+      |chunks AS (
+      |  SELECT doc_id, simhash, c, (simhash >> (c * 16)) & 65535 AS ckey
+      |  FROM sh, (SELECT unnest(range(4)) AS c)),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    x.simhash AS sh_a, y.simhash AS sh_b
+      |  FROM chunks x JOIN chunks y
+      |    ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+      |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------- d5_dedup_clusters
   /** Cluster resolution: connected components over the d2 near-dup pair
@@ -407,10 +487,11 @@ object Dedup {
     "d5_dedup_clusters" -> d5DedupClusters,
     "d6_keep_best" -> d6KeepBest)
 
-  /** d3/d4 are xxhash64-derived → no portable oracle (rows-only check). */
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1ExactDedupSql,
     "d2_ngram_jaccard" -> d2NgramJaccardSql,
+    "d3_minhash_lsh" -> d3MinhashLshSql,
+    "d4_simhash" -> d4SimhashSql,
     "d5_dedup_clusters" -> d5DedupClustersSql,
     "d6_keep_best" -> d6KeepBestSql)
 }

@@ -234,12 +234,12 @@ object TextAnalysis {
   /** Winnowing fingerprints (the MOSS scheme): char-5gram rolling hashes →
     * per-window (w=8) minimum → distinct selected hashes per doc. Guarantees
     * any match of length >= w+4 shares a fingerprint — the standard
-    * plagiarism/near-dup index. xxhash-based → rows-only driver check;
-    * determinism + coverage asserted in ScalaTest. Implemented as ONE fused
-    * Catalyst expression: the HOF formulation captured the computed
-    * normalized-string in the n-gram lambda, and interpreted HOF eval
-    * recomputes captured expressions per element (regex x grams x windows —
-    * minutes per 500 docs).
+    * plagiarism/near-dup index. Gram hashes are portable md5-62, so the
+    * DuckDB oracle below reproduces the selected fingerprints exactly.
+    * Implemented as ONE fused Catalyst expression: the HOF formulation
+    * captured the computed normalized-string in the n-gram lambda, and
+    * interpreted HOF eval recomputes captured expressions per element
+    * (regex x grams x windows — minutes per 500 docs).
     */
   val t6Winnowing: Q = (s, d) =>
     docs(s, d)
@@ -247,6 +247,28 @@ object TextAnalysis {
         explode(graft.expressions.SetSketchExpressions
           .winnowFingerprints(normText(col("text")), 5, 8)).as("fingerprint"))
       .orderBy("doc_id", "fingerprint")
+
+  /** DuckDB twin of t6: same normalization, md5-62 gram hashes, window
+    * minima via inclusive list slices (slices truncate at the end exactly
+    * like the kernel's min(j + w, m) bound), distinct per doc.
+    */
+  val t6WinnowingSql: String =
+    """WITH n AS MATERIALIZED (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+      |  FROM documents),
+      |h AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_transform(range(1, length(s) - 3),
+      |      i -> CAST(md5_number_lower(substring(s, CAST(i AS INTEGER), 5))
+      |             & 4611686018427387903 AS BIGINT)) AS hs
+      |  FROM n WHERE length(s) >= 5),
+      |w AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(hs) - 7, 1) + 1),
+      |      j -> list_min(hs[j:j+7]))) AS fps
+      |  FROM h)
+      |SELECT doc_id, unnest(fps) AS fingerprint
+      |FROM w ORDER BY doc_id, fingerprint""".stripMargin
 
   // -------------------------------------------------------- t7_chunking
   /** Sliding-window document chunking (window 160 chars, stride 120 → 40
@@ -578,6 +600,7 @@ object TextAnalysis {
     "t3_lang_id" -> t3LangIdSql,
     "t4_fingerprint" -> t4FingerprintSql,
     "t5_vocab" -> t5VocabSql,
+    "t6_winnowing" -> t6WinnowingSql,
     "t7_chunking" -> t7ChunkingSql,
     "t8_char_entropy" -> t8CharEntropySql,
     "t9_contamination" -> t9ContaminationSql,
