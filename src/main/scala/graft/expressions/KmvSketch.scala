@@ -6,15 +6,16 @@ import java.util.{Comparator, TreeSet => JTreeSet}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** KMV (k-minimum-values) distinct-count sketch — a custom typed imperative
   * AGGREGATE (the third extension kind after scalar expressions and the
-  * whole-plan as-of join): keep the k smallest xxhash64 values of the
-  * input; estimate |distinct| = (k-1) * 2^64 / kth-smallest-hash.
+  * whole-plan as-of join): keep the k smallest PORTABLE md5-62 hashes of
+  * the input's canonical string form; estimate
+  * |distinct| = (k-1) * 2^62 / kth-smallest-hash.
   *
   * Properties that matter at 100 TB:
   *  - constant state (k longs) per group, vs linear for exact distinct;
@@ -24,9 +25,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *    partitionings, retries, and cluster sizes (asserted in tests);
   *  - standard error ~ 1/sqrt(k-2) (~3% at k=1024).
   *
-  * Hashes order as UNSIGNED 64-bit (comparator below): xxhash64 output is
-  * uniform on the full 2^64 ring, and the estimator needs the fraction of
-  * the ring below the kth value.
+  * The hash is PortableHash.md5Lower62 of the value's canonical string
+  * (md5_number_lower(CAST(x AS VARCHAR)) & mask in DuckDB terms), uniform
+  * on the [0, 2^62) ring and non-negative, so natural signed ordering IS
+  * the ring ordering and a SQL oracle can re-derive the exact estimate
+  * from the 1024th-smallest distinct hash (q30's oracle does). Intended
+  * for integral/string inputs — float-to-string rendering differs across
+  * engines.
   */
 case class KmvSketch(
     child: Expression,
@@ -43,14 +48,14 @@ case class KmvSketch(
   override def prettyName: String = "graft_kmv_distinct"
 
   private def cmp: Comparator[java.lang.Long] =
-    (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compareUnsigned(a, b)
+    (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compare(a, b)
 
   override def createAggregationBuffer(): JTreeSet[java.lang.Long] =
     new JTreeSet[java.lang.Long](cmp)
 
   private def add(buf: JTreeSet[java.lang.Long], h: Long): Unit = {
     if (buf.size() < k) { buf.add(h); () }
-    else if (java.lang.Long.compareUnsigned(h, buf.last()) < 0) {
+    else if (h < buf.last()) {
       if (buf.add(h)) buf.remove(buf.last())
     }
   }
@@ -58,7 +63,7 @@ case class KmvSketch(
   override def update(
       buf: JTreeSet[java.lang.Long], input: InternalRow): JTreeSet[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) add(buf, XxHash64Function.hash(v, child.dataType, 42L))
+    if (v != null) add(buf, PortableHash.md5Lower62Any(v))
     buf
   }
 
@@ -73,10 +78,9 @@ case class KmvSketch(
   override def eval(buf: JTreeSet[java.lang.Long]): Any = {
     if (buf.size() < k) buf.size().toDouble
     else {
-      // unsigned kth value as a double in [0, 2^64)
+      // kth-smallest hash as a fraction of the [0, 2^62) ring
       val kth = buf.last().longValue()
-      val u = if (kth >= 0) kth.toDouble else kth.toDouble + math.pow(2, 64)
-      (k - 1).toDouble * math.pow(2, 64) / u
+      (k - 1).toDouble * PortableHash.Ring62 / kth.toDouble
     }
   }
 

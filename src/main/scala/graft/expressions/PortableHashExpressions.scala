@@ -30,6 +30,9 @@ object PortableHash {
   /** 2^62 as an exact double — the KMV estimator's ring size. */
   final val Ring62 = 4611686018427387904.0
 
+  /** 2^62 / 8 — the q22 hash-Bernoulli sampler's 1-in-8 threshold. */
+  final val Ring62Over8 = 576460752303423488L
+
   private val mdLocal: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
@@ -193,9 +196,37 @@ case class MinHashBandKeysMod31(
     copy(child = newChild)
 }
 
+/** Scalar portable md5-62 hash of a string — the deterministic Bernoulli
+  * sampler primitive (filter h < ring * rate selects a reproducible,
+  * uniform, engine-portable sample with no sort and no RNG state).
+  */
+case class Md5Hash62(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(PortableHash.md5Lower62(input.asInstanceOf[UTF8String]))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object PortableHashExpressions {
   def md5HashArray62(a: Column, distinctSorted: Boolean): Column =
     ColumnBridge.column(Md5HashArray62(ColumnBridge.expression(a), distinctSorted))
+
+  def md5Hash62(c: Column): Column =
+    ColumnBridge.column(Md5Hash62(ColumnBridge.expression(c)))
 
   def minhashBandKeysMod31(hashes: Column, permA: Array[Long], permB: Array[Long],
       bands: Int, rows: Int): Column =

@@ -545,21 +545,89 @@ object Relational {
       |FROM events ORDER BY event_id""".stripMargin
 
   // -------------------------------------------------- q22_approx_sketch
-  /** Approximate aggregates for 100 TB-scale profiling: HLL distinct counts
-    * and t-digest-style quantiles — constant memory per group vs the exact
-    * versions' linear state. No portable oracle (sketch internals are
-    * engine-specific) → rows-only driver check; accuracy vs exact values is
-    * asserted in RelationalSpec.
+  /** Approximate aggregates for 100 TB-scale profiling, built from
+    * DETERMINISTIC portable sketches so the driver hash-checks them
+    * (Spark's builtin approx_count_distinct/percentile_approx are
+    * HLL++/KLL — engine-private layouts no oracle can reproduce; the
+    * builtins stay available and the flag-gated ApproxDistinctRewrite in
+    * GraftExtensions rewrites them onto this same KMV):
+    *  - distinct counts: the KMV TypedImperativeAggregate (k=1024 →
+    *    ~3% s.e., constant state per group, map-side partial merge);
+    *  - quantiles: a hash-Bernoulli 1/8 sample (rows whose md5-62 row-key
+    *    hash falls below ring/8 — reproducible, uniform, RNG-free, pure
+    *    map-side filter) followed by the exact interpolated order
+    *    statistic over the sample. Sample state is 8x smaller than exact;
+    *    a fixed-size bottom-k-by-hash sample would bound it fully at the
+    *    cost of a per-group top-k pass.
     */
-  val q22ApproxSketch: Q = (s, d) =>
-    t(s, d, "lineitem")
-      .groupBy(col("l_returnflag"))
+  val q22ApproxSketch: Q = (s, d) => {
+    val ring8 = graft.expressions.PortableHash.Ring62Over8
+    val li = t(s, d, "lineitem")
+    val sampled = li
+      .filter(graft.expressions.PortableHashExpressions.md5Hash62(
+        concat_ws("|", col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"))) < lit(ring8))
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val ranked = sampled
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    // exact interpolated order statistic (quantile_cont semantics) over
+    // the sample: 0-based index p*(n-1), linear between ranks lo/lo+1
+    def idx(p: Double) = lit(p) * (col("n") - 1)
+    def qlo(p: Double) = max(when(col("rn") === floor(idx(p)) + 1, col("v")))
+    def qhi(p: Double) = max(when(col("rn") === floor(idx(p)) + 2, col("v")))
+    def qfrac(p: Double) = first(idx(p) - floor(idx(p)))
+    val quants = ranked.groupBy(col("l_returnflag"))
+      .agg(qlo(0.5).as("m_lo"), qhi(0.5).as("m_hi"), qfrac(0.5).as("m_f"),
+        qlo(0.95).as("p_lo"), qhi(0.95).as("p_hi"), qfrac(0.95).as("p_f"))
+      .select(col("l_returnflag"),
+        sround(col("m_lo") + col("m_f") * (coalesce(col("m_hi"), col("m_lo")) - col("m_lo")), 4)
+          .as("approx_median_price"),
+        sround(col("p_lo") + col("p_f") * (coalesce(col("p_hi"), col("p_lo")) - col("p_lo")), 4)
+          .as("approx_p95_price"))
+    li.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95_price"))
+        graft.expressions.KmvSketch.kmvDistinct(col("l_partkey"), 1024)
+          .as("approx_parts"),
+        graft.expressions.KmvSketch.kmvDistinct(col("l_suppkey"), 1024)
+          .as("approx_supps"))
+      .join(quants, "l_returnflag")
       .orderBy("l_returnflag")
+  }
+
+  val q22ApproxSketchSql: String =
+    s"""WITH sampled AS (
+       |  SELECT l_returnflag, l_extendedprice AS v
+       |  FROM lineitem
+       |  WHERE (md5_number_lower(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+       |           CAST(l_linenumber AS VARCHAR))) & 4611686018427387903)
+       |        < ${graft.expressions.PortableHash.Ring62Over8}),
+       |ranked AS (
+       |  SELECT l_returnflag, v,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+       |    count(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM sampled),
+       |quants AS (
+       |  SELECT l_returnflag,
+       |    max(CASE WHEN rn = floor(0.5 * (n - 1)) + 1 THEN v END) AS m_lo,
+       |    max(CASE WHEN rn = floor(0.5 * (n - 1)) + 2 THEN v END) AS m_hi,
+       |    any_value(0.5 * (n - 1) - floor(0.5 * (n - 1))) AS m_f,
+       |    max(CASE WHEN rn = floor(0.95 * (n - 1)) + 1 THEN v END) AS p_lo,
+       |    max(CASE WHEN rn = floor(0.95 * (n - 1)) + 2 THEN v END) AS p_hi,
+       |    any_value(0.95 * (n - 1) - floor(0.95 * (n - 1))) AS p_f
+       |  FROM ranked GROUP BY l_returnflag),
+       |${kmvOracleCte("parts", "l_partkey")},
+       |${kmvOracleCte("supps", "l_suppkey")}
+       |SELECT q.l_returnflag, p.kmv_parts AS approx_parts, s.kmv_supps AS approx_supps,
+       |  floor((m_lo + m_f * (coalesce(m_hi, m_lo) - m_lo)) * 10000.0 + 0.5) / 10000.0
+       |    AS approx_median_price,
+       |  floor((p_lo + p_f * (coalesce(p_hi, p_lo) - p_lo)) * 10000.0 + 0.5) / 10000.0
+       |    AS approx_p95_price
+       |FROM quants q
+       |JOIN parts p USING (l_returnflag) JOIN supps s USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------- q24_range_join
   /** Pure range join (NO equality key): error/purchase event pairs within
@@ -975,10 +1043,11 @@ object Relational {
   // --------------------------------------------------- q30_kmv_distinct
   /** Custom KMV distinct sketch (graft.expressions.KmvSketch, a
     * TypedImperativeAggregate): k-minimum-values estimate of per-group
-    * distinct counts. Unlike q22's built-in HLL, the state is an exact
-    * value-set sketch — mergeable, constant-size, and DETERMINISTIC under
-    * any partitioning (asserted in RelationalSpec). xxhash-based → rows-
-    * only driver check; accuracy vs exact distinct is asserted in tests.
+    * distinct counts. The state is an exact value-set sketch — mergeable,
+    * constant-size, and DETERMINISTIC under any partitioning (asserted in
+    * RelationalSpec) — and since round 4 the hash is portable md5-62, so
+    * the DuckDB oracle re-derives the IDENTICAL estimate from the
+    * 1024th-smallest distinct hash and the driver hash-checks it.
     */
   val q30KmvDistinct: Q = (s, d) =>
     t(s, d, "lineitem")
@@ -990,6 +1059,32 @@ object Relational {
           .as("kmv_supps"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
+
+  /** DuckDB CTE reproducing the KMV(k=1024) estimate for `keyCol` per
+    * l_returnflag: distinct md5-62 hashes, the 1024th-smallest located by
+    * window rank, the same (k-1)*2^62/kth arithmetic (both engines
+    * evaluate it as two IEEE double ops on identical inputs).
+    */
+  private def kmvOracleCte(name: String, keyCol: String): String =
+    s"""$name AS (
+       |  SELECT l_returnflag,
+       |    CASE WHEN count(*) < 1024 THEN CAST(count(*) AS DOUBLE)
+       |      ELSE 1023.0 * 4611686018427387904.0
+       |           / CAST(max(CASE WHEN rn = 1024 THEN h END) AS DOUBLE) END AS kmv_$name
+       |  FROM (SELECT l_returnflag, h,
+       |          row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+       |        FROM (SELECT DISTINCT l_returnflag,
+       |                md5_number_lower(CAST($keyCol AS VARCHAR)) & 4611686018427387903 AS h
+       |              FROM lineitem))
+       |  GROUP BY l_returnflag)""".stripMargin
+
+  val q30KmvDistinctSql: String =
+    s"""WITH ${kmvOracleCte("parts", "l_partkey")},
+       |${kmvOracleCte("supps", "l_suppkey")},
+       |cnt AS (SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, kmv_parts, kmv_supps, cnt
+       |FROM parts JOIN supps USING (l_returnflag) JOIN cnt USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------- q29_stratified_sample
   /** Deterministic stratified sampling: exactly ceil(10%) of every
@@ -1086,12 +1181,14 @@ object Relational {
     "q19_except" -> q19ExceptSql,
     "q20_sessionize" -> q20SessionizeSql,
     "q21_frame_spec" -> q21FrameSpecSql,
+    "q22_approx_sketch" -> q22ApproxSketchSql,
     "q24_range_join" -> q24RangeJoinSql,
     "q25_pivot" -> q25PivotSql,
     "q26_distinct_quantile" -> q26DistinctQuantileSql,
     "q27_full_outer" -> q27FullOuterSql,
     "q28_json_extract" -> q28JsonExtractSql,
     "q29_stratified_sample" -> q29StratifiedSampleSql,
+    "q30_kmv_distinct" -> q30KmvDistinctSql,
     "q31_rank_distributions" -> q31RankDistributionsSql,
     "q32_cube" -> q32CubeSql,
     "q33_collect_sorted" -> q33CollectSortedSql,

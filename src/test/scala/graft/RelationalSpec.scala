@@ -103,8 +103,8 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     Relational.q22ApproxSketch(spark, sfDir).collect().foreach { r =>
       val (parts, median) = exact(r.getString(0))
-      assert(math.abs(r.getLong(1) - parts).toDouble / parts < 0.1,
-        s"HLL off: ${r.getLong(1)} vs $parts")
+      assert(math.abs(r.getDouble(1) - parts) / parts < 0.1,
+        s"KMV off: ${r.getDouble(1)} vs $parts")
       assert(math.abs(r.getDouble(3) - median) / median < 0.05,
         s"approx median off: ${r.getDouble(3)} vs $median")
     }
