@@ -76,8 +76,10 @@ object Similarity {
   // ---------------------------------------------------------- v2_ann_lsh
   /** Approximate top-k: sign-LSH buckets on the corpus, query
     * side expanded to its Hamming-1 multiprobe set, cosine only within
-    * colliding buckets. xxhash-free but plane-seed-specific → rows-only
-    * driver check; recall vs v1 is asserted in ScalaTest.
+    * colliding buckets. The hyperplanes are fixed seeded constants, so the
+    * oracle SQL below embeds them as literals (exact shortest-roundtrip
+    * double rendering) and reproduces buckets, probes, and ranking —
+    * hash-checked by the driver; recall vs v1 is asserted in ScalaTest.
     */
   val v2AnnLsh: Q = (s, d) => {
     // 4 planes → 16 coarse buckets: this synthetic corpus is near-uniform on
@@ -104,6 +106,41 @@ object Similarity {
       .filter(col("rnk") <= K)
       .select(col("q_id"), col("rnk"), col("n_id"), sround(col("sim"), 4).as("sim"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB twin of v2 with the plane coefficients inlined: Scala's
+    * Double.toString is shortest-roundtrip, so DuckDB parses back the
+    * bit-identical double and every dot product replays exactly.
+    */
+  val v2AnnLshSql: String = {
+    val planes = hyperplanes(4, 64)
+    def dotPlane(p: Array[Double], vec: String): String =
+      s"list_sum(list_transform(range(1, len($vec) + 1), i -> CAST($vec[i] AS DOUBLE) * ([${p.mkString(",")}])[i]))"
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotPlane(p, "embedding")} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq,
+       |    CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nsq AS nsq_q,
+       |    unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
+       |  FROM e WHERE vec_id < $NQ),
+       |pairs AS (
+       |  SELECT DISTINCT q.q_id, c.vec_id AS n_id,
+       |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |      / (sqrt(q.nsq_q) * sqrt(c.nsq)) AS sim
+       |  FROM e c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
+       |  FROM pairs)
+       |SELECT q_id, rnk, n_id, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
+       |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
   }
 
   // ------------------------------------------------- v3_embedding_neardup
@@ -215,6 +252,74 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** DuckDB twin of v4: the whole IVF build — seed normalization, first
+    * assignment, the 4-decimal-rounded Lloyd refinement, re-assignment,
+    * nprobe selection, and final ranking — replayed as chained CTEs.
+    * Argmax ties break (score DESC, cell ASC) exactly like Spark's
+    * array_position-of-max. The refinement's avg() is the one
+    * order-sensitive float reduction; the 4-decimal rounding that makes
+    * the Spark side run-to-run deterministic also absorbs the cross-engine
+    * summation-order delta (flip risk ~1e-6 per coordinate — accepted).
+    */
+  val v4IvfAnnSql: String = {
+    def dotList(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+       |  FROM embeddings),
+       |seeds AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |    CASE WHEN sqrt(nsq) = 0 THEN list_transform(embedding, x -> 0.0)
+       |         ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(nsq)) END AS c
+       |  FROM e WHERE vec_id < 16),
+       |a0 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cell
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, s.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotList("e.embedding", "s.c")} DESC, s.cell ASC) AS rn
+       |    FROM e, seeds s)
+       |  WHERE rn = 1),
+       |refined AS MATERIALIZED (
+       |  SELECT cell, list(m ORDER BY i) AS c
+       |  FROM (
+       |    SELECT cell, i,
+       |      floor(avg(CAST(embedding[i] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS m
+       |    FROM a0, (SELECT unnest(range(1, 65)) AS i)
+       |    GROUP BY cell, i)
+       |  GROUP BY cell),
+       |corpus AS MATERIALIZED (
+       |  SELECT vec_id AS n_id, embedding AS n_emb, nsq AS nsq_n, cell
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, e.nsq, r.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotList("e.embedding", "r.c")} DESC, r.cell ASC) AS rn
+       |    FROM e, refined r)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nsq AS nsq_q, cell
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, e.nsq, r.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotList("e.embedding", "r.c")} DESC, r.cell ASC) AS rn
+       |    FROM e, refined r
+       |    WHERE e.vec_id < $NQ)
+       |  WHERE rn <= 4),
+       |pairs AS (
+       |  SELECT q.q_id, c.n_id,
+       |    ${dotList("q.q_emb", "c.n_emb")} / (sqrt(q.nsq_q) * sqrt(c.nsq_n)) AS sim
+       |  FROM corpus c JOIN probes q USING (cell)
+       |  WHERE c.n_id != q.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
+       |  FROM pairs)
+       |SELECT q_id, rnk, n_id, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
+       |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+  }
+
   // --------------------------------------------------------- v5_int8_ann
   /** Scalar int8 quantization + exact integer top-k — the memory-bound
     * scale path for brute-force search: per-vector symmetric quantization
@@ -293,9 +398,10 @@ object Similarity {
     "v4_ivf_ann" -> v4IvfAnn,
     "v5_int8_ann" -> v5Int8Ann)
 
-  /** v2 depends on plane seeds (no portable oracle) → rows-only check. */
   val oracles: Map[String, String] = Map(
     "v1_knn_brute" -> v1KnnBruteSql,
+    "v2_ann_lsh" -> v2AnnLshSql,
     "v3_embedding_neardup" -> v3EmbeddingNeardupSql,
+    "v4_ivf_ann" -> v4IvfAnnSql,
     "v5_int8_ann" -> v5Int8AnnSql)
 }
