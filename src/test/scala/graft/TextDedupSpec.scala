@@ -81,6 +81,26 @@ class TextDedupSpec extends SparkSpec {
     assert(perDoc.sum.toDouble / perDoc.size > 10, "suspiciously few fingerprints")
   }
 
+  test("d2 pair join is scale-adaptive: broadcast locally, shuffle past the threshold") {
+    // default session: the block-keyed build side is small → broadcast
+    val local = Dedup.d2NgramJaccard(spark, sfDir)
+    val localRows = local.collect().map(_.toSeq).toSeq
+    assert(local.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "small-scale d2 should broadcast the build side")
+    // 100 TB posture: past autoBroadcastJoinThreshold the SAME query must
+    // shuffle both sides on the block key instead of broadcasting a corpus
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val scaled = Dedup.d2NgramJaccard(s2, sfDir)
+    val scaledRows = scaled.collect().map(_.toSeq).toSeq
+    val plan = scaled.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"threshold disabled but plan still broadcasts:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffled block-key join:\n$plan")
+    assert(scaledRows == localRows, "join strategy must not change results")
+  }
+
   test("d1 exact dedup keeps one row per fingerprint") {
     val out = Dedup.d1ExactDedup(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents").count()
