@@ -356,14 +356,20 @@ object TextAnalysis {
     * document (deterministic split: doc_id % 20 == 0), what fraction of
     * its distinct word-8grams also occurs anywhere in the "train" side?
     *
-    * Distributed shape: ONE corpus scan explodes to md5(8-gram) keys
-    * (md5 so the key is engine-portable and fixed-width); one hash agg
-    * on the gram collects the (tiny) test-doc set per gram and a
-    * has-train flag, then the test sets explode back out to per-doc
-    * accounting. The gram agg is the only heavy shuffle — the same
-    * partitioning a semi-join would need, but without a second full
-    * scan for the train side. A bloom-filter pre-pass substitutes when
-    * approximate membership is acceptable.
+    * Distributed shape: the code derives both branches from one
+    * distinct-(gram, doc) frame, and Catalyst pushes the split predicate
+    * below the aggregates — the executed plan scans the TEST split
+    * (doc_id % 20 = 0) and the TRAIN split (the complement) as two
+    * disjoint pushed-filter scans, so every document is tokenized and
+    * exploded exactly once corpus-wide (CurationSpec asserts the
+    * disjoint pushdown). Train membership is a gram-keyed LEFT join
+    * against the distinct train-gram set. Every aggregation and the
+    * hash join carry O(1) state per key — the round-3 formulation
+    * collected the per-gram test-doc SET into one aggregation buffer,
+    * which a boilerplate gram occurring in millions of test docs turns
+    * into a single giant non-spillable array (verdict finding #2). A
+    * bloom-filter pre-pass substitutes when approximate membership is
+    * acceptable.
     */
   val t9Contamination: Q = (s, d) => {
     val grams = docs(s, d)
@@ -371,17 +377,15 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(wordNgrams(col("toks"), 8)).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("g"))
-    grams
-      .groupBy(col("g"))
-      .agg(
-        collect_set(when(col("doc_id") % 20 === 0, col("doc_id")))
-          .as("test_docs"),
-        max(when(col("doc_id") % 20 =!= 0, lit(1)).otherwise(lit(0)))
-          .as("in_train"))
-      .select(explode(col("test_docs")).as("doc_id"), col("in_train"))
+    val gd = grams.distinct()
+    val test = gd.filter(col("doc_id") % 20 === 0)
+    val trainGrams = gd.filter(col("doc_id") % 20 =!= 0)
+      .select(col("g")).distinct()
+    test
+      .join(trainGrams.withColumn("in_train", lit(1)), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(col("in_train")).as("n_contaminated"))
+        count(col("in_train")).as("n_contaminated"))
       .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
         sround(col("n_contaminated") / col("n_grams"), 4).as("contamination"))
       .orderBy("doc_id")

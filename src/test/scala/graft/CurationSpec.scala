@@ -21,6 +21,20 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("t9 plan: bounded per-key state (no collect_set), disjoint split scans") {
+    val q = TextAnalysis.t9Contamination(spark, sfDir)
+    q.collect() // finalize the adaptive plan before inspecting it
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_set"), s"unbounded per-gram set state:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"set-valued aggregation buffer crept back in:\n$plan")
+    // the split predicate must reach the scans, so the test and train
+    // branches read DISJOINT document sets (one corpus-wide tokenize)
+    assert(plan.contains("(doc_id#") && plan.contains("% 20) = 0)")
+      && plan.contains("NOT ((doc_id#"),
+      s"split filters not pushed to the scans:\n$plan")
+  }
+
   test("t9 contamination: a doc duplicated across the split is flagged") {
     // doc 0 (test) and doc 1 (train) share text → every 8-gram of doc 0
     // is contaminated; doc 20 is unique noise long enough to have grams.
