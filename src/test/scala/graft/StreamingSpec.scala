@@ -189,4 +189,46 @@ class StreamingSpec extends SparkSpec {
     assert(oneDay.count() ==
       base.filter(to_date($"ts") === lit("2024-01-05")).count())
   }
+
+  test("live CDC feed → apply → model refresh == batch, across a restart") {
+    import graft.streaming.{CdcApply, CdcPipeline}
+    import graft.streaming.CdcApply.Change
+    import org.apache.spark.sql.streaming.Trigger
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val changes = Files.createTempDirectory("cdc_feed").toString
+    val table = Files.createTempDirectory("cdc_tbl").toString + "/state"
+    val model = Files.createTempDirectory("cdc_mdl").toString + "/live"
+    val ckpt = Files.createTempDirectory("cdc_ckpt").toString
+
+    def land(batch: Seq[Change]): Unit =
+      batch.toDF().coalesce(1).write.mode("append").parquet(changes)
+    def drain(): Unit = {
+      val q = CdcPipeline.start(spark, changes, table, model, ckpt,
+        trigger = Trigger.AvailableNow())
+      try q.awaitTermination() finally q.stop()
+    }
+    // sync 1: inserts; sync 2: rename + delete — then the query STOPS
+    land(Seq(Change("B1", "Unter", 10L, None), Change("B2", "Grun", 5L, None)))
+    land(Seq(Change("B1", "Unter GmbH", 30L, None),
+      Change("B2", "Grun", 15L, Some(ts("2015-06-01 00:00:00")))))
+    drain()
+    // while "down": a stale out-of-order change and a fresh insert land
+    land(Seq(Change("B1", "Unter AG", 20L, None), Change("B3", "Hinter", 7L, None)))
+    drain() // restart from the checkpoint: replays nothing, applies the rest
+
+    val allChanges = Seq(
+      Change("B1", "Unter", 10L, None), Change("B2", "Grun", 5L, None),
+      Change("B1", "Unter GmbH", 30L, None),
+      Change("B2", "Grun", 15L, Some(ts("2015-06-01 00:00:00"))),
+      Change("B1", "Unter AG", 20L, None), Change("B3", "Hinter", 7L, None))
+    val expect = CdcApply.currentStateBatch(allChanges.toDF())
+      .as[(String, String, Long, Boolean)].collect().toSet
+    val got = spark.read.parquet(table)
+      .as[(String, String, Long, Boolean)].collect().toSet
+    assert(got == expect, s"stream state $got != batch $expect")
+    // the refreshed downstream model excludes the tombstoned key
+    val live = spark.read.parquet(model)
+      .select($"base_num", $"base_name").as[(String, String)].collect().toSet
+    assert(live == Set("B1" -> "Unter GmbH", "B3" -> "Hinter"))
+  }
 }
