@@ -14,11 +14,14 @@ import graft.Tables
   * rows), columnar output with an `array<float>` feature vector that feeds
   * straight into graft.operators.Similarity.
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * environment): `StubDecoder` derives deterministic pseudo-metadata and a
-  * 16-bin byte histogram as the "feature". Swapping in a real decoder means
-  * replacing ONLY `StubDecoder.decode` — the distributed plumbing is
-  * decoder-agnostic.
+  * Two codecs sit behind the seam: `ImageIoDecoder` is a REAL image
+  * decoder (JDK javax.imageio — PNG/BMP/GIF/JPEG, no external
+  * dependencies) producing a luminance-histogram feature from actual
+  * pixels; `StubDecoder` derives deterministic pseudo-metadata and a
+  * 16-bin byte histogram, and remains the driver-facing path because the
+  * synthetic corpus's binary payloads are text bytes, not images. The
+  * plumbing (`decodeFeaturesWith`) is decoder-agnostic — an audio/video
+  * codec drops in as another `(id, bytes) => MediaFeat`.
   */
 object Multimodal {
 
@@ -52,14 +55,57 @@ object Multimodal {
     }
   }
 
-  /** Decode a binary-payload Dataset partition-parallel. */
-  def decodeFeatures(media: Dataset[MediaIn]): Dataset[MediaFeat] = {
+  /** REAL pure-JVM image decoder behind the same seam: javax.imageio ships
+    * with the JDK (PNG/BMP/GIF/JPEG readers, zero dependencies). The
+    * feature is a 16-bin LUMINANCE histogram (integer Rec.601 weights —
+    * deterministic, no float rounding in the binning) normalized by pixel
+    * count, so identical images give identical vectors and the output
+    * feeds graft.operators.Similarity unchanged. StubDecoder remains the
+    * driver-oracle path (the synthetic corpus's payloads are text bytes,
+    * not images); SimilaritySpec decodes REAL PNG bytes through this one.
+    */
+  object ImageIoDecoder {
+    def decode(id: Long, bytes: Array[Byte]): MediaFeat = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"payload of doc $id is not a decodable image")
+      val hist = new Array[Float](16)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          hist(lum >> 4) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(w * h, 1)
+      var i = 0
+      while (i < 16) { hist(i) /= n; i += 1 }
+      MediaFeat(id, bytes.length, w, h, hist)
+    }
+  }
+
+  /** Decode a binary-payload Dataset partition-parallel with an arbitrary
+    * codec — the decoder is instantiated per PARTITION, not per row (the
+    * Scala analog of a Pandas-batch UDF's per-batch setup).
+    */
+  def decodeFeaturesWith(
+      media: Dataset[MediaIn],
+      decode: (Long, Array[Byte]) => MediaFeat): Dataset[MediaFeat] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition decoder setup would go here (load codec, model, ...)
-      it.map(m => StubDecoder.decode(m.doc_id, m.payload))
+      it.map(m => decode(m.doc_id, m.payload))
     }
   }
+
+  /** The driver-oracle decode path (stub codec over text-as-bytes). */
+  def decodeFeatures(media: Dataset[MediaIn]): Dataset[MediaFeat] =
+    decodeFeaturesWith(media, StubDecoder.decode)
 
   /** Driver-facing query: documents → binary payloads → decoded features.
     * Output is the decoded METADATA (scalar columns — the driver's pandas

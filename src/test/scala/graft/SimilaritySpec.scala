@@ -73,6 +73,40 @@ class SimilaritySpec extends SparkSpec {
     assert(feat.feature.toSeq == again.feature.toSeq)
   }
 
+  test("ImageIoDecoder decodes real PNG bytes into the feature pipeline") {
+    import graft.multimodal.Multimodal
+    // render real images and PNG-encode them — actual codec bytes, no fake
+    def png(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaIn(1L, png(0x000000, 8, 6)),  // black
+      Multimodal.MediaIn(2L, png(0x000000, 8, 6)),  // identical black
+      Multimodal.MediaIn(3L, png(0xFFFFFF, 8, 6)))  // white
+      .toDS()
+    val feats = Multimodal
+      .decodeFeaturesWith(media, Multimodal.ImageIoDecoder.decode)
+      .collect().map(f => f.doc_id -> f).toMap
+    // real decode: true pixel dimensions, normalized luminance histogram
+    assert(feats(1L).width == 8 && feats(1L).height == 6)
+    assert(feats(1L).feature(0) == 1.0f)  // all-black → lum bin 0
+    assert(feats(3L).feature(15) == 1.0f) // all-white → lum bin 15
+    // and the features feed the existing similarity operators unchanged
+    val fdf = feats.values.toSeq.map(f => (f.doc_id, f.feature.toSeq)).toDF("id", "feature")
+    val sims = fdf.as("a").join(fdf.as("b"), $"a.id" < $"b.id")
+      .select($"a.id", $"b.id",
+        cosine($"a.feature", $"b.feature").as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(sims((1L, 2L)) == 1.0)      // identical images
+    assert(sims((1L, 3L)) == 0.0)      // orthogonal histograms
+  }
+
   test("mm1 runs distributed and yields one feature row per document") {
     val out = Multimodal.mm1DecodeStub(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents").count()
