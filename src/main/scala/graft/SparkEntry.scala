@@ -29,9 +29,10 @@ object SparkEntry {
       graft.pipeline.CorpusPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys → driver records a weaker
-    * rows-only check (used only for ops whose hashes are not portable,
-    * e.g. xxhash64-based sketches).
+    * the same parquet tables. Since round 4 EVERY query has a twin — the
+    * sketch operators (MinHash, SimHash, winnowing, KMV, sign-LSH, IVF)
+    * run on engine-portable md5-62 hashes / replayable arithmetic, so
+    * even they hash-check instead of falling back to rows-only.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++

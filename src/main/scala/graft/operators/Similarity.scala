@@ -190,7 +190,8 @@ object Similarity {
     * assignment is one narrow pass over the corpus; search touches
     * nprobe/k of the data. Centroid means are rounded to 4 decimals so the
     * float-sum association order can't flip cell assignments between runs
-    * (rows-only driver check needs run-to-run determinism).
+    * or engines — which is what lets the SQL oracle below replay the
+    * whole build and the driver hash-check the output.
     */
   val v4IvfAnn: Q = (s, d) => {
     val k = 16

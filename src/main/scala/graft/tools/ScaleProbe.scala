@@ -25,12 +25,18 @@ object ScaleProbe {
       }.reduce(_ unionByName _).drop("__copy")
       union.write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
-    // fact tables replicated with shifted keys; dims copied as-is
+    // fact-like tables replicated with shifted keys; dims copied as-is.
+    // documents/embeddings replicate too (round 4): the curation and ANN
+    // ops must be probed against a 10x corpus, not a 10x fact table.
+    // Copies keep source/bucket/label, so dedup blocks get 10x denser —
+    // deliberately harsher than organic growth (pair candidates scale
+    // with block density squared).
     replicate("lineitem", Seq("l_orderkey"))
     replicate("orders", Seq("o_orderkey"))
     replicate("events", Seq("event_id"))
-    Seq("customer", "supplier", "part", "nation", "region",
-      "documents", "embeddings").foreach { n =>
+    replicate("documents", Seq("doc_id"))
+    replicate("embeddings", Seq("vec_id"))
+    Seq("customer", "supplier", "part", "nation", "region").foreach { n =>
       Tables.load(spark, src, n).write.mode("overwrite")
         .parquet(s"$out/$n.parquet")
     }
@@ -38,7 +44,10 @@ object ScaleProbe {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_agg", "q5_join_broadcast", "q6_join_3way", "q8_window_rank",
       "q15_events_hourly", "q20_sessionize", "q24_range_join",
-      "q26_distinct_quantile", "q29_stratified_sample", "q23_asof_join")
+      "q26_distinct_quantile", "q29_stratified_sample", "q23_asof_join",
+      // round-4 additions: the curation + quantized-ANN ops
+      "t9_contamination", "t10_tfidf", "t11_packing", "t12_redact",
+      "t13_repetition", "d6_keep_best", "v5_int8_ann")
     SparkEntry.queries(names.head)(spark, out)
       .write.format("noop").mode("overwrite").save() // warmup
     names.foreach { n =>
