@@ -47,6 +47,22 @@ object Checks {
           col(childCol) === col("__parent_key"), "left_anti")
         .count())
 
+  /** Meta-envelope contract: every `_airbyte_meta` parses against the
+    * declared schema AND carries no sync errors. A malformed envelope
+    * shows up as a NULL `errors` field after the typed parse (from_json
+    * is PERMISSIVE: bad JSON → null fields, not a null struct), a sync
+    * problem as a non-empty one — both counted by one scan-shaped
+    * aggregate.
+    */
+  def metaEnvelopeClean(df: DataFrame, table: String): CheckResult = {
+    val typed = Ingest.typedAirbyteMeta(df)
+    CheckResult(table, "meta_envelope_clean", "_airbyte_meta",
+      typed.filter(
+        col("_airbyte_meta").isNotNull && (
+          col("_airbyte_meta_typed.errors").isNull ||
+          size(col("_airbyte_meta_typed.errors")) > 0)).count())
+  }
+
   /** The reference schema's implicit contract (DDL PKs + FKs,
     * `Diary of Making.md:64-68`), expressed as the checks dbt never wrote.
     */
@@ -63,6 +79,7 @@ object Checks {
       relationship(raw, "dispatching_base_num", base, "base_num",
         "raw_data_janjune_15"),
       relationship(raw, "locationid", zone, "locationid",
-        "raw_data_janjune_15"))
+        "raw_data_janjune_15"),
+      metaEnvelopeClean(raw, "raw_data_janjune_15"))
   }
 }

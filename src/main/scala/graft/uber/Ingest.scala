@@ -48,6 +48,26 @@ object Ingest {
     .withColumn("_ab_cdc_deleted_at", lit(null).cast("timestamp_ntz"))
     .withColumn("_ab_cdc_updated_at", lit(null).cast("timestamp_ntz"))
 
+  /** Declared schema of the Airbyte meta envelope. BigQuery stores
+    * `_airbyte_meta` as a native JSON column (reference
+    * `Images/bq_raw_data_janjune_15.png`); Spark's analog is a typed
+    * struct. The wire column stays a JSON string (what a connector lands);
+    * this is the one declared parse every consumer shares.
+    */
+  val airbyteMetaSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("errors",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType), nullable = true)))
+
+  /** Typed view over the meta envelope: `_airbyte_meta_typed.errors` is a
+    * real array<string> (codegen'd from_json, parsed once per row).
+    * Malformed envelopes parse to NULL — surfaced by
+    * Checks.metaEnvelopeClean rather than silently dropped.
+    */
+  def typedAirbyteMeta(df: DataFrame): DataFrame =
+    df.withColumn("_airbyte_meta_typed",
+      from_json(col("_airbyte_meta"), airbyteMetaSchema))
+
   /** Ingest all three sources from `csvDir` into parquet tables under
     * `warehouseDir`, registering each as a temp view through the source
     * registry name. Idempotent overwrite per run (the reference rebuilds

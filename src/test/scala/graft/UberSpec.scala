@@ -87,6 +87,23 @@ class UberSpec extends SparkSpec {
     assert(partDirs.toSet.contains("pickup_month=5"))
   }
 
+  test("typed _airbyte_meta: declared-schema parse + envelope check") {
+    import spark.implicits._
+    val stamped = Ingest.withAirbyteMeta(Seq(("B1", "x")).toDF("k", "v"))
+    // the typed view exposes errors as a real array<string>
+    val errs = Ingest.typedAirbyteMeta(stamped)
+      .select($"_airbyte_meta_typed.errors").as[Seq[String]].head()
+    assert(errs == Seq.empty)
+    assert(graft.uber.Checks.metaEnvelopeClean(stamped, "t").passed)
+    // a sync error and a malformed envelope are both flagged, exactly once each
+    val dirty = stamped.select($"k", $"v", $"_airbyte_meta")
+      .withColumn("_airbyte_meta",
+        when($"k" === "B1", lit("""{"errors":["dropped column"]}""")))
+      .union(Seq(("B2", "y", "not json at all")).toDF("k", "v", "_airbyte_meta"))
+    val r = graft.uber.Checks.metaEnvelopeClean(dirty, "t")
+    assert(!r.passed && r.failures == 2L)
+  }
+
   test("SQL twin ≡ DataFrame twin for every model (reference-valid rows)") {
     ingested()
     Models.all.foreach { m =>
