@@ -413,6 +413,80 @@ object TextAnalysis {
       |FROM test t LEFT JOIN hits h ON t.doc_id = h.doc_id
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------------- t14_bloom_contamination
+  /** Approximate contamination pre-pass — t9's exact audit behind a
+    * PORTABLE Bloom filter (graft.expressions.BloomSketch): the distinct
+    * train grams build one 2^22-bit filter (constant 512 KiB state,
+    * OR-merged partials), the filter broadcasts, and every test gram is
+    * k=4 bit reads instead of a join. No false negatives, so
+    * flagged_rate >= t9's exact contamination per doc (asserted in
+    * CurationSpec); the tiny false-positive tail is the price of
+    * replacing the gram-keyed shuffle with a broadcast probe — at 100 TB
+    * this pass prunes the exact join's input to the flagged docs.
+    * Hash lanes and probe positions are plain md5-62 integer arithmetic,
+    * so the oracle below replays membership — collisions included — as a
+    * position-set semi-join and the driver hash-checks even this
+    * approximate operator.
+    */
+  val t14BloomContamination: Q = (s, d) => {
+    val grams = docs(s, d)
+      .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(wordNgrams(col("toks"), 8)).as("gram"))
+      .select(col("doc_id"),
+        graft.expressions.PortableHashExpressions.md5Hash62(col("gram")).as("h"))
+    val gd = grams.distinct()
+    val bloom = gd.filter(col("doc_id") % 20 =!= 0)
+      .agg(graft.expressions.BloomSketch.bloomBuild(col("h")).as("bloom"))
+    gd.filter(col("doc_id") % 20 === 0)
+      .crossJoin(broadcast(bloom)) // one 512 KiB row to every executor
+      .select(col("doc_id"),
+        graft.expressions.BloomSketch.bloomHit(col("bloom"), col("h")).as("hit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("hit").cast("long")).as("n_flagged"))
+      .select(col("doc_id"), col("n_grams"), col("n_flagged"),
+        sround(col("n_flagged") / col("n_grams"), 4).as("flagged_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of t14: the filter's probe positions are re-derived per
+    * gram ((h1 + i*h2) mod m over range(4)) and "bit is set" becomes
+    * "position occurs in the train side's position set" — bitwise the
+    * same predicate the BloomHit expression evaluates, false positives
+    * and all.
+    */
+  val t14BloomContaminationSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |grams AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(md5_number_lower(g) & 4611686018427387903 AS BIGINT) AS h
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(t) - 6),
+      |            i -> array_to_string(t[i:i+7], ' '))) AS g
+      |        FROM toks WHERE len(t) >= 8)),
+      |train_pos AS MATERIALIZED (
+      |  SELECT DISTINCT ((h & 2147483647) + i.i * ((h >> 31) | 1)) % 4194304 AS pos
+      |  FROM (SELECT DISTINCT h FROM grams WHERE doc_id % 20 != 0),
+      |       (SELECT unnest(range(4)) AS i) i),
+      |tp AS (
+      |  SELECT doc_id, h,
+      |    ((h & 2147483647) + i.i * ((h >> 31) | 1)) % 4194304 AS pos
+      |  FROM (SELECT doc_id, h FROM grams WHERE doc_id % 20 = 0),
+      |       (SELECT unnest(range(4)) AS i) i),
+      |flags AS (
+      |  SELECT doc_id, h,
+      |    CASE WHEN sum(CASE WHEN pos IN (SELECT pos FROM train_pos)
+      |                       THEN 1 ELSE 0 END) = 4
+      |         THEN 1 ELSE 0 END AS hit
+      |  FROM tp GROUP BY doc_id, h)
+      |SELECT doc_id, count(*) AS n_grams, CAST(sum(hit) AS BIGINT) AS n_flagged,
+      |  floor(sum(hit) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+      |    AS flagged_rate
+      |FROM flags GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- t10_tfidf
   /** TF-IDF-style salient terms per source: tf = term occurrences within
     * the source, df = number of distinct documents containing the term,
@@ -593,6 +667,7 @@ object TextAnalysis {
     "t7_chunking" -> t7Chunking,
     "t8_char_entropy" -> t8CharEntropy,
     "t9_contamination" -> t9Contamination,
+    "t14_bloom_contamination" -> t14BloomContamination,
     "t10_tfidf" -> t10Tfidf,
     "t11_packing" -> t11Packing,
     "t12_redact" -> t12Redact,
@@ -608,6 +683,7 @@ object TextAnalysis {
     "t7_chunking" -> t7ChunkingSql,
     "t8_char_entropy" -> t8CharEntropySql,
     "t9_contamination" -> t9ContaminationSql,
+    "t14_bloom_contamination" -> t14BloomContaminationSql,
     "t10_tfidf" -> t10TfidfSql,
     "t11_packing" -> t11PackingSql,
     "t12_redact" -> t12RedactSql,

@@ -51,6 +51,19 @@ class CurationSpec extends SparkSpec {
     assert(r(20L) == 0.0) // unique
   }
 
+  test("t14 bloom pre-pass: no false negatives vs t9 exact, same gram counts") {
+    val exact = TextAnalysis.t9Contamination(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bloom = TextAnalysis.t14BloomContamination(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bloom.keySet == exact.keySet)
+    bloom.foreach { case (doc, (nGrams, flagged)) =>
+      val (exGrams, exHits) = exact(doc)
+      assert(nGrams == exGrams, s"doc $doc gram counts differ")
+      assert(flagged >= exHits, s"doc $doc: bloom missed a true hit") // one-sided error
+    }
+  }
+
   test("t10 tfidf: ranks are 1..k per source, scores ordered, df consistent") {
     val rows = TextAnalysis.t10Tfidf(spark, sfDir).collect()
     assert(rows.nonEmpty)
