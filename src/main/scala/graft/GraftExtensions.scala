@@ -16,8 +16,13 @@ import graft.functions.TextFunctions
   *   graft_sorted_intersect_size(array<bigint>, array<bigint>) → int
   *   graft_minhash_sig(array<bigint>)                          → array<bigint>
   *   graft_minhash_band_keys(array<bigint>, bands, rows)       → array<bigint>
+  *   graft_minhash_band_keys_mod31(array<bigint>, bands, rows) → array<bigint>
   *   graft_simhash(array<bigint>)                              → bigint
   *   graft_winnow(string, n, w)                                → array<bigint>
+  *   graft_hash62(string)                                      → bigint
+  *   graft_hash62_array(array<string>, distinctSorted)         → array<bigint>
+  *   graft_bloom_build(bigint)  [aggregate]                    → binary
+  *   graft_bloom_hit(binary, bigint)                           → boolean
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -56,5 +61,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_winnow",
       args => WinnowFingerprints(args(0),
         intArg(args(1), "n"), intArg(args(2), "w")))
+    // the portable (oracle-reproducible) md5-62 hash family — round 4
+    register("graft_hash62", args => Md5Hash62(args(0)))
+    register("graft_hash62_array",
+      args => Md5HashArray62(args(0), args(1) match {
+        case Literal(b: Boolean, _) => b
+        case other => throw new IllegalArgumentException(
+          s"distinctSorted must be a boolean literal, got $other")
+      }))
+    register("graft_minhash_band_keys_mod31",
+      args => MinHashBandKeysMod31(args(0),
+        TextFunctions.minhashPermA31, TextFunctions.minhashPermB31,
+        intArg(args(1), "bands"), intArg(args(2), "rows")))
+    register("graft_bloom_build",
+      args => BloomSketch(args(0), BloomSketch.DefaultBits, BloomSketch.DefaultProbes))
+    register("graft_bloom_hit",
+      args => BloomHit(args(0), args(1),
+        BloomSketch.DefaultBits, BloomSketch.DefaultProbes))
   }
 }

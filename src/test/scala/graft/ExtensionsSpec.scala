@@ -40,6 +40,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("portable hash + bloom functions are callable from SQL") {
+    // graft_hash62 must return the frozen DuckDB-equivalent value
+    assert(spark.sql("SELECT graft_hash62('abc')").head().getLong(0)
+      == 3638874587954910934L)
+    assert(spark.sql(
+      "SELECT graft_hash62_array(array('abc', 'a', 'abc'), true)")
+      .head().getSeq[Long](0)
+      == Seq(2388727949023626033L, 3638874587954910934L))
+    assert(spark.sql(
+      "SELECT size(graft_minhash_band_keys_mod31(array(11L, 22L), 8, 2))")
+      .head().getInt(0) == 8)
+    // bloom: inserted keys hit, a fresh key misses (no false negative run)
+    val r = spark.sql(
+      """WITH b AS (SELECT graft_bloom_build(h) AS f
+        |           FROM (SELECT graft_hash62(x) AS h
+        |                 FROM VALUES ('k1'), ('k2') AS t(x)))
+        |SELECT graft_bloom_hit(f, graft_hash62('k1')),
+        |       graft_bloom_hit(f, graft_hash62('k2')),
+        |       graft_bloom_hit(f, graft_hash62('never-inserted'))
+        |FROM b""".stripMargin).head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
+  }
+
   test("graft_kmv_distinct works from SQL and matches the Column form") {
     import spark.implicits._
     Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
