@@ -59,5 +59,6 @@ object SparkEntry {
     "q14_set_ops", "q17_semi_join", "q18_anti_join", "q19_except",
     "q21_frame_spec", "t3_lang_id", "t5_vocab", "mm1_decode_stub",
     "t9_contamination", "t10_tfidf", "t11_packing", "d6_keep_best",
-    "t12_redact", "t13_repetition", "v5_int8_ann", "t14_bloom_contamination")
+    "t12_redact", "t13_repetition", "v5_int8_ann", "t14_bloom_contamination",
+    "t15_global_packing")
 }

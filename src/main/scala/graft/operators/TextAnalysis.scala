@@ -590,6 +590,81 @@ object TextAnalysis {
       |  floor(sum(n_tok) / 256.0 * 10000.0 + 0.5) / 10000.0 AS fill_ratio
       |FROM packed GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
 
+  // --------------------------------------------- t15_global_packing
+  /** STRICT-order global sequence packing — t11's packing with the
+    * cross-shard continuity t11's scaladoc only described: ONE global
+    * doc_id-ordered stream, pack_id = floor(exclusive_running_tokens /
+    * budget) across the whole corpus, so every pack boundary is exactly
+    * where a single sequential packer would put it.
+    *
+    * The global running sum is the q36 two-phase distributed prefix sum:
+    * the id range is cut into equal-width shards, each shard running-sums
+    * in a parallel window, and the per-shard token totals (one long each)
+    * are exclusive-prefix-summed on the driver and broadcast back as
+    * offsets — NO single-partition WindowExec at any scale (the naive
+    * global `Window.orderBy` formulation funnels 100 TB through one
+    * task). CurationSpec asserts equality with the naive form.
+    */
+  val t15GlobalPacking: Q = (s, d) => {
+    val budget = 256L
+    val counted = docs(s, d)
+      .select(col("doc_id"),
+        size(lowerTokens(col("text"))).cast("long").as("n_tok"))
+      .localCheckpoint(true) // read twice: shard totals + the ranked pass
+    val row = counted.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (row.getLong(0), row.getLong(1))
+    val nShards = math.max(1, s.sparkContext.defaultParallelism)
+    val width = math.max(1L, (hi - lo) / nShards + 1L)
+    val sharded = counted
+      .withColumn("shard", ((col("doc_id") - lit(lo)) / lit(width)).cast("int"))
+    val offsets: Map[Int, Long] = {
+      val totals = sharded.groupBy(col("shard"))
+        .agg(sum(col("n_tok")).as("tot"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val ids = totals.keys.toSeq.sorted
+      ids.zip(ids.scanLeft(0L)((acc, id) => acc + totals(id)).init).toMap
+    }
+    val offsetCol = coalesce(
+      element_at(
+        map(offsets.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+          Seq(lit(k), lit(v)) }: _*),
+        col("shard")),
+      lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("pack_id",
+        floor((coalesce(sum(col("n_tok")).over(w), lit(0L)) + offsetCol)
+          / lit(budget)).cast("long"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        sround(sum(col("n_tok")) / lit(budget.toDouble), 4).as("fill_ratio"))
+      .orderBy("pack_id")
+  }
+
+  /** Oracle: the same packing as ONE global window — affordable at oracle
+    * scale, which is exactly why the Spark side must not use it.
+    */
+  val t15GlobalPackingSql: String =
+    """WITH counted AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
+      |      AS BIGINT) AS pack_id
+      |  FROM counted)
+      |SELECT pack_id, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      |  floor(sum(n_tok) / 256.0 * 10000.0 + 0.5) / 10000.0 AS fill_ratio
+      |FROM packed GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
   // ------------------------------------------------------- t12_redact
   /** PII scrubbing — the redaction pass every published training corpus
     * runs: emails and phone-shaped numbers replaced with typed sentinels,
@@ -668,6 +743,7 @@ object TextAnalysis {
     "t8_char_entropy" -> t8CharEntropy,
     "t9_contamination" -> t9Contamination,
     "t14_bloom_contamination" -> t14BloomContamination,
+    "t15_global_packing" -> t15GlobalPacking,
     "t10_tfidf" -> t10Tfidf,
     "t11_packing" -> t11Packing,
     "t12_redact" -> t12Redact,
@@ -684,6 +760,7 @@ object TextAnalysis {
     "t8_char_entropy" -> t8CharEntropySql,
     "t9_contamination" -> t9ContaminationSql,
     "t14_bloom_contamination" -> t14BloomContaminationSql,
+    "t15_global_packing" -> t15GlobalPackingSql,
     "t10_tfidf" -> t10TfidfSql,
     "t11_packing" -> t11PackingSql,
     "t12_redact" -> t12RedactSql,

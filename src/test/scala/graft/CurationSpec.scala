@@ -64,6 +64,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("t15 global packing == naive single-window packing (cross-shard continuity)") {
+    val distributed = TextAnalysis.t15GlobalPacking(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // the formulation t15 must NEVER use at scale: one global window —
+    // fine here as the small-scale truth
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id",
+        size(graft.functions.TextFunctions.lowerTokens($"text")).cast("long").as("n_tok"))
+      .withColumn("pack_id",
+        floor(coalesce(sum($"n_tok").over(wAll), lit(0L)) / lit(256L)).cast("long"))
+      .groupBy($"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("pack_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"),
+        (floor(sum($"n_tok") / lit(256.0) * 10000.0 + 0.5) / 10000.0).as("fill_ratio"))
+      .orderBy("pack_id")
+      .collect().map(_.toSeq).toSeq
+    assert(distributed == naive)
+  }
+
   test("t10 tfidf: ranks are 1..k per source, scores ordered, df consistent") {
     val rows = TextAnalysis.t10Tfidf(spark, sfDir).collect()
     assert(rows.nonEmpty)
