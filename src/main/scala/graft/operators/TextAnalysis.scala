@@ -434,10 +434,13 @@ object TextAnalysis {
       .select(col("doc_id"), explode(wordNgrams(col("toks"), 8)).as("gram"))
       .select(col("doc_id"),
         graft.expressions.PortableHashExpressions.md5Hash62(col("gram")).as("h"))
-    val gd = grams.distinct()
-    val bloom = gd.filter(col("doc_id") % 20 =!= 0)
+    // the build side needs NO distinct and therefore NO shuffle: bloom
+    // inserts are idempotent, so each partition folds its raw gram stream
+    // into a 512 KiB partial map-side and only the partials merge — the
+    // train side of the audit costs one narrow pass at any scale
+    val bloom = grams.filter(col("doc_id") % 20 =!= 0)
       .agg(graft.expressions.BloomSketch.bloomBuild(col("h")).as("bloom"))
-    gd.filter(col("doc_id") % 20 === 0)
+    grams.filter(col("doc_id") % 20 === 0).distinct()
       .crossJoin(broadcast(bloom)) // one 512 KiB row to every executor
       .select(col("doc_id"),
         graft.expressions.BloomSketch.bloomHit(col("bloom"), col("h")).as("hit"))
