@@ -99,6 +99,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("portable hash laws: HOF-twin equality, order invariance, bag preservation") {
+    import graft.expressions.{PortableHash, PortableHashExpressions}
+    forAll(Gen.listOf(word), n = 20) { words =>
+      whenever(words.nonEmpty) {
+        val df = Seq(words).toDF("a")
+        // fused distinctSorted kernel == the three-pass HOF formulation
+        val fused = df.select(
+          PortableHashExpressions.md5HashArray62($"a", distinctSorted = true))
+          .as[Seq[Long]].head()
+        val hof = words.distinct
+          .map(w => PortableHash.md5Lower62(
+            org.apache.spark.unsafe.types.UTF8String.fromString(w))).sorted
+        assert(fused == hof)
+        // the plain variant preserves order and multiplicity (SimHash input)
+        val plain = df.select(
+          PortableHashExpressions.md5HashArray62($"a", distinctSorted = false))
+          .as[Seq[Long]].head()
+        assert(plain.length == words.length)
+        assert(plain.toSet == words.map(w => PortableHash.md5Lower62(
+          org.apache.spark.unsafe.types.UTF8String.fromString(w))).toSet)
+      }
+    }
+  }
+
+  test("mod-31 minhash bands: set-equality law and element-order invariance") {
+    import graft.expressions.PortableHashExpressions
+    def keys(hs: Seq[Long]): Seq[Long] =
+      spark.range(1).select(PortableHashExpressions.minhashBandKeysMod31(
+        typedlit(hs), minhashPermA31, minhashPermB31, 16, 2))
+        .as[Seq[Long]].head()
+    forAll(Gen.listOf(Gen.choose(0L, (1L << 62) - 1)), n = 20) { hs =>
+      whenever(hs.nonEmpty) {
+        assert(keys(hs) == keys(scala.util.Random.shuffle(hs)), "order must not matter")
+        assert(keys(hs).length == 16)
+        assert(keys(hs) == keys(hs ++ hs), "multiplicity must not matter (min-fold)")
+      }
+    }
+    assert(keys(Nil).isEmpty, "empty docs must produce zero band keys")
+  }
+
+  test("bloom filter: inserted keys always hit (no false negatives)") {
+    import graft.expressions.BloomSketch
+    forAll(Gen.listOf(Gen.choose(0L, (1L << 62) - 1)), n = 20) { hs =>
+      whenever(hs.nonEmpty) {
+        val bloom = hs.toDF("h").agg(BloomSketch.bloomBuild($"h").as("b"))
+        val misses = hs.toDF("h").crossJoin(bloom)
+          .filter(!BloomSketch.bloomHit($"b", $"h")).count()
+        assert(misses == 0, "bloom false negative")
+      }
+    }
+  }
+
   test("count(col) + count of nulls == count(*) (A2 law)") {
     forAll(Gen.listOf(Gen.option(Gen.choose(0, 100)))) { (vs: List[Option[Int]]) =>
       whenever(vs.nonEmpty) {
