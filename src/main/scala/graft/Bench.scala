@@ -37,10 +37,18 @@ object Bench {
     run(SparkEntry.headline.head) // warmup, untimed
 
     val results = SparkEntry.headline.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // COMPACT line, printed last, with logging silenced first: the driver
+    // keeps only the final ~2000 chars of output and parses the JSON out
+    // of that window — round 3's full-precision 66-entry line plus one
+    // shutdown log message overflowed it and the driver recorded
+    // parsed:null. 3-decimal seconds keep the line ~1.6 KB.
+    def f3(v: Double): String = // Locale.ROOT: a comma decimal point would corrupt the JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.sparkContext.setLogLevel("OFF") // keep shutdown chatter out of the tail
     spark.stop()
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }
