@@ -190,6 +190,39 @@ class StreamingSpec extends SparkSpec {
       base.filter(to_date($"ts") === lit("2024-01-05")).count())
   }
 
+  test("streaming corpus curation == batch quality+exact-dedup stages") {
+    import graft.streaming.CorpusStream
+    val feed = Files.createTempDirectory("doc_feed").toString
+    val curated = Files.createTempDirectory("doc_curated").toString + "/out"
+    val ckpt = Files.createTempDirectory("doc_ckpt").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val splitAt = 250L
+    docs.filter($"doc_id" < splitAt).coalesce(1)
+      .write.mode("append").parquet(feed)
+    val q = CorpusStream.start(spark, feed, curated, ckpt)
+    try {
+      q.processAllAvailable()
+      // second sync lands more docs — including duplicates of batch-1 docs,
+      // which the fingerprint state must reject
+      docs.filter($"doc_id" >= splitAt).coalesce(1)
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(curated)
+    // same survivors as the batch pipeline's quality + exact_dedup stages
+    // (compared as fingerprint SETS: the stream keeps the first arrival
+    // per fingerprint, the batch keeps the min doc_id — same clusters)
+    val batchKeepers = graft.pipeline.CorpusPipeline.stages(spark, sfDir)
+      .collect { case ("exact_dedup", df) => df }.head
+      .select(md5(graft.functions.TextFunctions.normText($"text")).as("fp"))
+    assert(streamed.count() == batchKeepers.count())
+    assert(streamed.select($"fp").as[String].collect().toSet ==
+      batchKeepers.as[String].collect().toSet)
+    assert(streamed.filter($"quality" < 0.5).count() == 0)
+  }
+
   test("live CDC feed → apply → model refresh == batch, across a restart") {
     import graft.streaming.{CdcApply, CdcPipeline}
     import graft.streaming.CdcApply.Change
