@@ -36,6 +36,31 @@ class JoinOpsSpec extends SparkSpec {
     assert(salts == 8)
   }
 
+  test("AQE splits a skewed join partition at runtime (the d2 hot-block story)") {
+    val s2 = spark.newSession()
+    // thresholds scaled down so the fixture-sized skew trips the rewrite
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    import s2.implicits._
+    // one pathological key carrying ~all rows vs a uniform right side
+    val left = s2.range(40000)
+      .select(when($"id" < 39000, lit(7L)).otherwise($"id").as("k"),
+        concat(lit("payload-"), $"id").as("pad"))
+    val right = s2.range(200).select($"id".as("k"), lit("dim").as("v"))
+    val joined = left.join(right, "k")
+    // collect() drives THIS DataFrame's QueryExecution so its adaptive
+    // plan finalizes (count() would execute a different wrapping plan
+    // and leave this one isFinalPlan=false)
+    assert(joined.collect().length == 39000) // only the hot key resolves
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE skew-join rewrite did not engage:\n$plan")
+  }
+
   test("bucketed tables sort-merge join with NO exchange") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val s2 = spark.newSession()
