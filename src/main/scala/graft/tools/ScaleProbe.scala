@@ -47,7 +47,8 @@ object ScaleProbe {
       "q26_distinct_quantile", "q29_stratified_sample", "q23_asof_join",
       // round-4 additions: the curation + quantized-ANN ops
       "t9_contamination", "t10_tfidf", "t11_packing", "t12_redact",
-      "t13_repetition", "d6_keep_best", "v5_int8_ann")
+      "t13_repetition", "d6_keep_best", "v5_int8_ann",
+      "t14_bloom_contamination", "t15_global_packing")
     SparkEntry.queries(names.head)(spark, out)
       .write.format("noop").mode("overwrite").save() // warmup
     names.foreach { n =>
