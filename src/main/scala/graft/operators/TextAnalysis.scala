@@ -608,13 +608,20 @@ object TextAnalysis {
     * global `Window.orderBy` formulation funnels 100 TB through one
     * task). CurationSpec asserts equality with the naive form.
     */
-  val t15GlobalPacking: Q = (s, d) => {
-    val budget = 256L
-    val counted = docs(s, d)
-      .select(col("doc_id"),
-        size(lowerTokens(col("text"))).cast("long").as("n_tok"))
+  /** The two-phase distributed prefix-sum packing over any
+    * (doc_id, n_tok) frame — t15's core, reused by the p2 training-prep
+    * pipeline on its decontaminated survivor set.
+    */
+  def globalPacking(countedIn: DataFrame, budget: Long): DataFrame = {
+    val s = countedIn.sparkSession
+    val counted = countedIn
       .localCheckpoint(true) // read twice: shard totals + the ranked pass
     val row = counted.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (row.isNullAt(0)) { // empty corpus → empty packing
+      return counted.select(col("doc_id").as("pack_id"), lit(0L).as("n_docs"),
+        lit(0L).as("pack_tokens"), col("doc_id").as("first_doc"),
+        col("doc_id").as("last_doc"), lit(0.0).as("fill_ratio")).limit(0)
+    }
     val (lo, hi) = (row.getLong(0), row.getLong(1))
     val nShards = math.max(1, s.sparkContext.defaultParallelism)
     val width = math.max(1L, (hi - lo) / nShards + 1L)
@@ -646,6 +653,12 @@ object TextAnalysis {
         sround(sum(col("n_tok")) / lit(budget.toDouble), 4).as("fill_ratio"))
       .orderBy("pack_id")
   }
+
+  val t15GlobalPacking: Q = (s, d) =>
+    globalPacking(
+      docs(s, d).select(col("doc_id"),
+        size(lowerTokens(col("text"))).cast("long").as("n_tok")),
+      budget = 256L)
 
   /** Oracle: the same packing as ONE global window — affordable at oracle
     * scale, which is exactly why the Spark side must not use it.

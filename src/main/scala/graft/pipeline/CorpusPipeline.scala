@@ -34,11 +34,11 @@ object CorpusPipeline {
       (lit(1.0) - col("digit") / nullif(col("len_c"), lit(0L))) * lit(0.2)
   }
 
-  /** The survivor frame after each stage, keyed by stage name (insertion
-    * order = pipeline order). Exposed for tests; each frame carries the
-    * full document columns so any stage output is directly usable.
+  /** The shared front end — raw → quality gate → exact dedup — used by
+    * p1 (which continues into near-dup components) and p2 (which
+    * continues into decontamination + packing).
     */
-  def stages(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+  def frontEnd(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
     val raw = Tables.load(s, d, "documents")
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
 
@@ -64,14 +64,22 @@ object CorpusPipeline {
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
       .localCheckpoint(true)
 
+    Seq("raw" -> raw, "quality" -> qualityM, "exact_dedup" -> keepers)
+  }
+
+  /** The survivor frame after each stage, keyed by stage name (insertion
+    * order = pipeline order). Exposed for tests; each frame carries the
+    * full document columns so any stage output is directly usable.
+    */
+  def stages(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+    val front = frontEnd(s, d)
+    val keepers = front.last._2
     val comps = Dedup.minLabelComponents(
       keepers.select(col("doc_id")), Dedup.ngramPairs(keepers))
     val canon = keepers.join(
       comps.filter(col("doc_id") === col("cluster_id")).select(col("doc_id")),
       "doc_id").localCheckpoint(true)
-
-    Seq("raw" -> raw, "quality" -> qualityM, "exact_dedup" -> keepers,
-      "neardup_dedup" -> canon)
+    front :+ ("neardup_dedup" -> canon)
   }
 
   /** Chunk the final survivors into 160/120 sliding windows. */
@@ -150,8 +158,124 @@ object CorpusPipeline {
       |  (SELECT count(*) FROM canon), (SELECT n FROM chk)
       |ORDER BY stage""".stripMargin
 
+  // ------------------------------------------------ p2_training_prep
+  /** The full LLM TRAINING-DATA preparation flow, composed end to end —
+    * what the individual curation operators exist for:
+    *
+    *   raw documents
+    *     → quality filter      (t2's blend >= 0.5)
+    *     → exact dedup         (d1's canonical-md5, keep min doc_id)
+    *     → holdout split       (doc_id % 20 == 0 held out for eval —
+    *                            NEVER trains)
+    *     → decontamination     (drop any training doc sharing a word-8gram
+    *                            with ANY raw holdout doc — t9's audit
+    *                            applied as a filter, against the full raw
+    *                            holdout so filtered/deduped eval docs
+    *                            still protect)
+    *     → sequence packing    (t15's strict global prefix-sum packing)
+    *
+    * Output is the per-stage funnel; the final row reports packed
+    * training units. Distributed shape: the decontamination is a
+    * gram-keyed left-anti join (both sides distinct on the gram — O(1)
+    * state per key), everything else inherits the component operators'
+    * audited shapes.
+    */
+  def p2TrainingPrep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions._
+    val front = frontEnd(s, d)
+    val raw = front.head._2
+    val keepers = front.last._2
+
+    val train = keepers.filter(col("doc_id") % 20 =!= 0).localCheckpoint(true)
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(wordNgrams(col("toks"), 8)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("g"))
+    val holdoutGrams = grams(raw.filter(col("doc_id") % 20 === 0))
+      .select(col("g")).distinct()
+    val contaminated = grams(train).join(holdoutGrams, "g")
+      .select(col("doc_id")).distinct()
+    val decon = train.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    val packs = graft.operators.TextAnalysis.globalPacking(
+      decon.select(col("doc_id"),
+        size(lowerTokens(col("text"))).cast("long").as("n_tok")),
+      budget = 256L)
+
+    val counts = front.map { case (name, df) => name -> df.count() } ++
+      Seq("holdout_split" -> train.count(), "decontaminate" -> decon.count())
+    val funnel = counts.sliding(2).collect {
+      case Seq((_, in), (stage, out)) => (stage, in, out)
+    }.toSeq :+ (("packing", counts.last._2, packs.count()))
+    funnel.toDF("stage", "docs_in", "docs_out").orderBy("stage")
+  }
+
+  /** Full-pipeline SQL replay for the oracle, composed from the component
+    * oracles' fragments (quality/fp CTEs from p1, the gram semi-join from
+    * t9, the global-window packing from t15).
+    */
+  val p2TrainingPrepSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS len_c,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tok,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      t -> t IN ('the','a','of','and','to','is','in','that','it','for'))) AS BIGINT) AS stop
+      |  FROM documents),
+      |q AS (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN f USING (doc_id)
+      |  WHERE least(n_tok / 100.0, 1.0) * 0.5 + (stop / nullif(n_tok, 0)) * 0.3
+      |        + (1.0 - digit / nullif(len_c, 0)) * 0.2 >= 0.5),
+      |fp AS (
+      |  SELECT *, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint FROM q),
+      |ex AS (
+      |  SELECT doc_id, text FROM fp
+      |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fingerprint)),
+      |train AS (SELECT doc_id, text FROM ex WHERE doc_id % 20 != 0),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |hold_g AS (
+      |  SELECT DISTINCT md5(unnest(list_transform(range(1, len(t) - 6),
+      |      i -> array_to_string(t[i:i+7], ' ')))) AS g
+      |  FROM toks WHERE len(t) >= 8 AND doc_id % 20 = 0),
+      |train_g AS (
+      |  SELECT DISTINCT tk.doc_id,
+      |    md5(unnest(list_transform(range(1, len(tk.t) - 6),
+      |      i -> array_to_string(tk.t[i:i+7], ' ')))) AS g
+      |  FROM toks tk JOIN train tr USING (doc_id) WHERE len(tk.t) >= 8),
+      |dirty AS (SELECT DISTINCT doc_id FROM train_g WHERE g IN (SELECT g FROM hold_g)),
+      |decon AS (
+      |  SELECT tr.doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(tr.text), '\s+'),
+      |      x -> x != '')) AS BIGINT) AS n_tok
+      |  FROM train tr WHERE tr.doc_id NOT IN (SELECT doc_id FROM dirty)),
+      |packs AS (
+      |  SELECT count(DISTINCT pid) AS n FROM (
+      |    SELECT CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS pid
+      |    FROM decon))
+      |SELECT 'quality' AS stage,
+      |  (SELECT count(*) FROM documents) AS docs_in,
+      |  (SELECT count(*) FROM q) AS docs_out
+      |UNION ALL SELECT 'exact_dedup',
+      |  (SELECT count(*) FROM q), (SELECT count(*) FROM ex)
+      |UNION ALL SELECT 'holdout_split',
+      |  (SELECT count(*) FROM ex), (SELECT count(*) FROM train)
+      |UNION ALL SELECT 'decontaminate',
+      |  (SELECT count(*) FROM train), (SELECT count(*) FROM decon)
+      |UNION ALL SELECT 'packing',
+      |  (SELECT count(*) FROM decon), (SELECT n FROM packs)
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("p1_corpus_pipeline" -> (p1CorpusPipeline _))
+    Map("p1_corpus_pipeline" -> (p1CorpusPipeline _),
+      "p2_training_prep" -> (p2TrainingPrep _))
   val oracles: Map[String, String] =
-    Map("p1_corpus_pipeline" -> p1CorpusPipelineSql)
+    Map("p1_corpus_pipeline" -> p1CorpusPipelineSql,
+      "p2_training_prep" -> p2TrainingPrepSql)
 }

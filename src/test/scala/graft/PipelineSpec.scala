@@ -21,6 +21,26 @@ class PipelineSpec extends SparkSpec {
     assert(Set("doc_id", "text", "source", "n_chars").subsetOf(cols))
   }
 
+  test("p2 training prep: monotone funnel, holdout never trains, decontaminated is clean") {
+    val funnel = CorpusPipeline.p2TrainingPrep(spark, sfDir)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(funnel.keySet ==
+      Set("quality", "exact_dedup", "holdout_split", "decontaminate", "packing"))
+    // chained: each stage's input is the previous stage's output
+    assert(funnel("exact_dedup")._1 == funnel("quality")._2)
+    assert(funnel("holdout_split")._1 == funnel("exact_dedup")._2)
+    assert(funnel("decontaminate")._1 == funnel("holdout_split")._2)
+    assert(funnel("packing")._1 == funnel("decontaminate")._2)
+    // doc stages only shrink; something must survive to be packed
+    Seq("quality", "exact_dedup", "holdout_split", "decontaminate").foreach { s =>
+      assert(funnel(s)._2 <= funnel(s)._1, s"$s grew")
+    }
+    assert(funnel("packing")._2 > 0)
+    // the fixture plants exact cross-split duplicates, so decontamination
+    // must actually remove something (a no-op filter would be a bug)
+    assert(funnel("decontaminate")._2 < funnel("decontaminate")._1)
+  }
+
   test("near-dup stage drops exactly the non-canonical cluster members") {
     val st = CorpusPipeline.stages(spark, sfDir).toMap
     val keepers = st("exact_dedup")
