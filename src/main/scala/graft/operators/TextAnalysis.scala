@@ -681,6 +681,66 @@ object TextAnalysis {
       |  floor(sum(n_tok) / 256.0 * 10000.0 + 0.5) / 10000.0 AS fill_ratio
       |FROM packed GROUP BY pack_id ORDER BY pack_id""".stripMargin
 
+  // ----------------------------------------------- t16_corpus_mix
+  /** Deterministic corpus MIXING — the data-mixture step of LLM training
+    * prep: each source gets a target sampling fraction (here a
+    * deterministic rule standing in for the usual hand-tuned weights
+    * table: source index mod 3 → 0.2 / 0.5 / 0.8), and the operator takes
+    * EXACTLY ceil(frac x n_source) docs per source, selected by
+    * md5-of-id order — the q29 hash-order sampler generalized to
+    * per-stratum fractions. Hash-order selection makes the mixture (a)
+    * reproducible across engines/runs, (b) uniform within each source,
+    * and (c) exact-size — rand() sampling gives none of these. Output is
+    * the mixture report: per-source doc counts, target fraction, and the
+    * realized share of the mixed corpus.
+    *
+    * Scale shape: one shuffle on the source key for the rank; the final
+    * share divides by a 1-row broadcast total (no global window).
+    */
+  val t16CorpusMix: Q = (s, d) => {
+    val frac = lit(0.2) + lit(0.3) *
+      (expr("CAST(substring(source, 4) AS INT)") % 3).cast("double")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val sampled = docs(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(wAll))
+      .withColumn("frac", frac)
+      .filter(col("rn") <= ceil(col("n_docs") * col("frac")))
+    val perSource = sampled.groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_sampled"),
+        first(col("frac")).as("target_frac"))
+    val total = perSource.agg(sum(col("n_sampled")).as("total_sampled"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        col("target_frac"),
+        sround(col("n_sampled") / col("total_sampled"), 6).as("actual_share"))
+      .orderBy("source")
+  }
+
+  val t16CorpusMixSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    0.2 + 0.3 * CAST(CAST(substring(source, 4) AS INTEGER) % 3 AS DOUBLE) AS frac,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n_docs
+      |  FROM documents),
+      |sampled AS (SELECT * FROM ranked WHERE rn <= ceil(n_docs * frac)),
+      |per_source AS (
+      |  SELECT source, CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+      |    count(*) AS n_sampled, any_value(frac) AS target_frac
+      |  FROM sampled GROUP BY source),
+      |total AS (SELECT CAST(sum(n_sampled) AS BIGINT) AS total_sampled FROM per_source)
+      |SELECT source, n_docs, n_sampled, target_frac,
+      |  floor(n_sampled / CAST(total_sampled AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+      |    AS actual_share
+      |FROM per_source CROSS JOIN total
+      |ORDER BY source""".stripMargin
+
   // ------------------------------------------------------- t12_redact
   /** PII scrubbing — the redaction pass every published training corpus
     * runs: emails and phone-shaped numbers replaced with typed sentinels,
@@ -760,6 +820,7 @@ object TextAnalysis {
     "t9_contamination" -> t9Contamination,
     "t14_bloom_contamination" -> t14BloomContamination,
     "t15_global_packing" -> t15GlobalPacking,
+    "t16_corpus_mix" -> t16CorpusMix,
     "t10_tfidf" -> t10Tfidf,
     "t11_packing" -> t11Packing,
     "t12_redact" -> t12Redact,
@@ -777,6 +838,7 @@ object TextAnalysis {
     "t9_contamination" -> t9ContaminationSql,
     "t14_bloom_contamination" -> t14BloomContaminationSql,
     "t15_global_packing" -> t15GlobalPackingSql,
+    "t16_corpus_mix" -> t16CorpusMixSql,
     "t10_tfidf" -> t10TfidfSql,
     "t11_packing" -> t11PackingSql,
     "t12_redact" -> t12RedactSql,

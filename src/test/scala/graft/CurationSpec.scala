@@ -85,6 +85,18 @@ class CurationSpec extends SparkSpec {
     assert(distributed == naive)
   }
 
+  test("t16 corpus mix: exact per-source quota by hash order, deterministic") {
+    val a = TextAnalysis.t16CorpusMix(spark, sfDir).collect()
+    val b = TextAnalysis.t16CorpusMix(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "mix must be reproducible")
+    a.foreach { r =>
+      val (n, k, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k == math.ceil(n * f).toLong,
+        s"${r.getString(0)}: took $k of $n at frac $f")
+    }
+    assert(math.abs(a.map(_.getDouble(4)).sum - 1.0) < 1e-3, "shares must sum to 1")
+  }
+
   test("t10 tfidf: ranks are 1..k per source, scores ordered, df consistent") {
     val rows = TextAnalysis.t10Tfidf(spark, sfDir).collect()
     assert(rows.nonEmpty)
