@@ -60,5 +60,6 @@ object SparkEntry {
     "q21_frame_spec", "t3_lang_id", "t5_vocab", "mm1_decode_stub",
     "t9_contamination", "t10_tfidf", "t11_packing", "d6_keep_best",
     "t12_redact", "t13_repetition", "v5_int8_ann", "t14_bloom_contamination",
-    "t15_global_packing", "t16_corpus_mix", "p2_training_prep")
+    "t15_global_packing", "t16_corpus_mix", "t17_lm_score",
+    "p2_training_prep")
 }

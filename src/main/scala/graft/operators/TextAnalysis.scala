@@ -741,6 +741,74 @@ object TextAnalysis {
       |FROM per_source CROSS JOIN total
       |ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- t17_lm_score
+  /** Statistical LM quality scoring — the CCNet/KenLM-style perplexity
+    * filter: a bigram model with add-one smoothing is estimated from the
+    * corpus ITSELF (self-perplexity), and each document is scored by the
+    * average -log2 p(w_i | w_{i-1}) of its bigram occurrences. Gibberish
+    * and atypical text score high, templated boilerplate scores low —
+    * the standard third axis after t2's shape heuristics and t8's
+    * character entropy.
+    *
+    * Distributed shape: model estimation is two hash aggs (bigram and
+    * context counts) + a 1-row vocabulary count; scoring joins each
+    * bigram occurrence to the model on the bigram key — every stage is
+    * gram-partitioned, nothing is collected. Float discipline: the
+    * per-bigram -log2 terms are exact-integer-ratio logs, summed per doc
+    * via the SORTED fold (t8's trick) so the doubles match the oracle
+    * bit for bit.
+    */
+  val t17LmScore: Q = (s, d) => {
+    val toks = docs(s, d)
+      .select(col("doc_id"), lowerTokens(col("text")).as("t"))
+      .localCheckpoint(true) // feeds bigrams, contexts, and the vocab count
+    val big = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w1")),
+        col("t"))
+      .filter(col("i") < size(col("t")) - 1)
+      .select(col("doc_id"), col("w1"),
+        element_at(col("t"), col("i") + 2).as("w2"))
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val ctx = big.groupBy(col("w1")).agg(count(lit(1)).as("cc"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    big
+      .join(bc, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (-log2((col("c") + 1) / (col("cc") + col("v")).cast("double"))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(array_sort(collect_list(col("term"))),
+          lit(0.0), (acc, x) => acc + x).as("h"))
+      .select(col("doc_id"), col("n_bigrams"),
+        sround(col("h") / col("n_bigrams"), 4).as("avg_neg_log2p"))
+      .orderBy("doc_id")
+  }
+
+  val t17LmScoreSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |big AS MATERIALIZED (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+      |        WHERE len(t) >= 2)),
+      |bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+      |ctx AS (SELECT w1, count(*) AS cc FROM big GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v
+      |      FROM (SELECT unnest(t) AS w FROM toks)),
+      |terms AS (
+      |  SELECT b.doc_id,
+      |    -log2((bc.c + 1) / CAST(ctx.cc + v.v AS DOUBLE)) AS term
+      |  FROM big b JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  floor(list_aggregate(list_sort(list(term)), 'sum') / count(*)
+      |    * 10000.0 + 0.5) / 10000.0 AS avg_neg_log2p
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- t12_redact
   /** PII scrubbing — the redaction pass every published training corpus
     * runs: emails and phone-shaped numbers replaced with typed sentinels,
@@ -821,6 +889,7 @@ object TextAnalysis {
     "t14_bloom_contamination" -> t14BloomContamination,
     "t15_global_packing" -> t15GlobalPacking,
     "t16_corpus_mix" -> t16CorpusMix,
+    "t17_lm_score" -> t17LmScore,
     "t10_tfidf" -> t10Tfidf,
     "t11_packing" -> t11Packing,
     "t12_redact" -> t12Redact,
@@ -839,6 +908,7 @@ object TextAnalysis {
     "t14_bloom_contamination" -> t14BloomContaminationSql,
     "t15_global_packing" -> t15GlobalPackingSql,
     "t16_corpus_mix" -> t16CorpusMixSql,
+    "t17_lm_score" -> t17LmScoreSql,
     "t10_tfidf" -> t10TfidfSql,
     "t11_packing" -> t11PackingSql,
     "t12_redact" -> t12RedactSql,

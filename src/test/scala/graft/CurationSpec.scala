@@ -97,6 +97,25 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(a.map(_.getDouble(4)).sum - 1.0) < 1e-3, "shares must sum to 1")
   }
 
+  test("t17 LM score: predictable text scores lower than diverse text") {
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam spam spam spam spam", "x", 49L),
+      (1L, "quick brown foxes jump over seven lazy sleeping dogs today", "x", 58L))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text"))
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars".cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("t17").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.t17LmScore(spark, dir)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(0L) < r(1L),
+      s"repetitive doc must be more predictable: ${r(0L)} vs ${r(1L)}")
+    assert(r.values.forall(_ > 0.0))
+    // corpus-level sanity: every sf doc with >= 2 tokens gets a score
+    val out = TextAnalysis.t17LmScore(spark, sfDir)
+    assert(out.count() > 0 && out.filter($"avg_neg_log2p" <= 0).count() == 0)
+  }
+
   test("t10 tfidf: ranks are 1..k per source, scores ordered, df consistent") {
     val rows = TextAnalysis.t10Tfidf(spark, sfDir).collect()
     assert(rows.nonEmpty)
