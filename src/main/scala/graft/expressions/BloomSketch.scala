@@ -62,7 +62,9 @@ case class BloomSketch(
 
   override def eval(buf: Array[Byte]): Any = buf
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  // both directions copy: the framework may keep serialized bytes around
+  // while the live buffer keeps mutating (and vice versa)
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BloomSketch =

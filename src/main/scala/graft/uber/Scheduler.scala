@@ -91,7 +91,13 @@ object Scheduler {
 
     def runLoop(maxSleepMs: Long = 60000L): Unit = {
       while (!stopped) {
-        pollOnce()
+        // a failed build leaves the tick un-advanced (pollOnce writes
+        // state only after success) and the DAEMON alive: the next poll
+        // retries the same tick — rebuilds are idempotent
+        try pollOnce()
+        catch { case e: Exception =>
+          System.err.println(s"[schedule] build failed, will retry: ${e.getMessage}")
+        }
         val next = schedule.tickTime(schedule.currentTick(clock()) + 1)
         val sleep = math.max(0L, math.min(next - clock(), maxSleepMs))
         Thread.sleep(sleep)
