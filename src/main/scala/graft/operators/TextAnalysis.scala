@@ -608,19 +608,18 @@ object TextAnalysis {
     * global `Window.orderBy` formulation funnels 100 TB through one
     * task). CurationSpec asserts equality with the naive form.
     */
-  /** The two-phase distributed prefix-sum packing over any
-    * (doc_id, n_tok) frame — t15's core, reused by the p2 training-prep
-    * pipeline on its decontaminated survivor set.
+  /** Per-DOCUMENT pack assignment (doc_id, n_tok, pack_id) via the
+    * two-phase distributed prefix sum — t15's core, also what the
+    * training-set exporter writes (each doc must know its pack).
     */
-  def globalPacking(countedIn: DataFrame, budget: Long): DataFrame = {
+  def globalPackingDocs(countedIn: DataFrame, budget: Long): DataFrame = {
     val s = countedIn.sparkSession
     val counted = countedIn
       .localCheckpoint(true) // read twice: shard totals + the ranked pass
     val row = counted.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    if (row.isNullAt(0)) { // empty corpus → empty packing
-      return counted.select(col("doc_id").as("pack_id"), lit(0L).as("n_docs"),
-        lit(0L).as("pack_tokens"), col("doc_id").as("first_doc"),
-        col("doc_id").as("last_doc"), lit(0.0).as("fill_ratio")).limit(0)
+    if (row.isNullAt(0)) { // empty corpus → empty assignment
+      return counted.select(col("doc_id"), lit(0L).as("n_tok"),
+        lit(0L).as("pack_id")).limit(0)
     }
     val (lo, hi) = (row.getLong(0), row.getLong(1))
     val nShards = math.max(1, s.sparkContext.defaultParallelism)
@@ -647,12 +646,17 @@ object TextAnalysis {
       .withColumn("pack_id",
         floor((coalesce(sum(col("n_tok")).over(w), lit(0L)) + offsetCol)
           / lit(budget)).cast("long"))
+      .select(col("doc_id"), col("n_tok"), col("pack_id"))
+  }
+
+  /** Per-pack accounting over the assignment — t15's driver-facing shape. */
+  def globalPacking(countedIn: DataFrame, budget: Long): DataFrame =
+    globalPackingDocs(countedIn, budget)
       .groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
         sround(sum(col("n_tok")) / lit(budget.toDouble), 4).as("fill_ratio"))
       .orderBy("pack_id")
-  }
 
   val t15GlobalPacking: Q = (s, d) =>
     globalPacking(

@@ -180,8 +180,12 @@ object CorpusPipeline {
     * state per key), everything else inherits the component operators'
     * audited shapes.
     */
-  def p2TrainingPrep(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** p2's materialized frames: the funnel rows, the decontaminated
+    * survivor set (full doc columns), and the per-document pack
+    * assignment — exactly what the training-set exporter ships.
+    */
+  def p2Frames(s: SparkSession, d: String)
+      : (Seq[(String, Long, Long)], DataFrame, DataFrame) = {
     import graft.functions.TextFunctions._
     val front = frontEnd(s, d)
     val raw = front.head._2
@@ -199,16 +203,26 @@ object CorpusPipeline {
     val decon = train.join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
-    val packs = graft.operators.TextAnalysis.globalPacking(
+    val packedDocs = graft.operators.TextAnalysis.globalPackingDocs(
       decon.select(col("doc_id"),
         size(lowerTokens(col("text"))).cast("long").as("n_tok")),
-      budget = 256L)
+      budget = PackBudget).localCheckpoint(true)
 
     val counts = front.map { case (name, df) => name -> df.count() } ++
       Seq("holdout_split" -> train.count(), "decontaminate" -> decon.count())
     val funnel = counts.sliding(2).collect {
       case Seq((_, in), (stage, out)) => (stage, in, out)
-    }.toSeq :+ (("packing", counts.last._2, packs.count()))
+    }.toSeq :+ (("packing", counts.last._2,
+      packedDocs.select(col("pack_id")).distinct().count()))
+    (funnel, decon, packedDocs)
+  }
+
+  /** Packing budget (tokens per training unit) shared by p2 and Export. */
+  val PackBudget = 256L
+
+  def p2TrainingPrep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (funnel, _, _) = p2Frames(s, d)
     funnel.toDF("stage", "docs_in", "docs_out").orderBy("stage")
   }
 

@@ -41,6 +41,29 @@ class PipelineSpec extends SparkSpec {
     assert(funnel("decontaminate")._2 < funnel("decontaminate")._1)
   }
 
+  test("export: manifest certifies the files on disk (counts, buckets, signature)") {
+    import graft.pipeline.Export
+    val out = java.nio.file.Files.createTempDirectory("export").toString
+    val m = Export.writeTrainingSet(spark, sfDir, out, nBuckets = 8)
+    // the shipped doc count is exactly the decontaminate stage's output
+    assert(m.nDocs == m.funnel.find(_._1 == "decontaminate").get._3)
+    assert(m.nPacks == m.funnel.find(_._1 == "packing").get._3)
+    val back = spark.read.parquet(s"$out/docs")
+    assert(back.count() == m.nDocs)
+    assert(back.filter(
+      pmod($"pack_id", lit(8)).cast("int") =!= $"pack_bucket").count() == 0)
+    // the signature re-derives from the shipped text alone — an auditor
+    // needs no pipeline, only md5
+    val sig = back.agg(sum(
+      graft.expressions.PortableHashExpressions.md5Hash62($"text")))
+      .head().getLong(0)
+    assert(sig == m.signature)
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/_manifest.json"))
+    assert(txt.contains(s""""n_docs":${m.nDocs}"""))
+    assert(txt.contains(s""""signature":${m.signature}"""))
+  }
+
   test("near-dup stage drops exactly the non-canonical cluster members") {
     val st = CorpusPipeline.stages(spark, sfDir).toMap
     val keepers = st("exact_dedup")
