@@ -321,6 +321,186 @@ object Similarity {
        |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
   }
 
+  // ------------------------------------------------------------ v6_pq_ann
+  /** Product quantization ANN — the memory-bound scale path beyond v5's
+    * scalar quantization: the 64-dim space splits into M=8 subspaces of 8
+    * dims, each with its own 16-centroid codebook (seeded from the lowest
+    * vec_ids + one Lloyd step, the v4 recipe per subspace), and every
+    * corpus vector compresses to 8 ONE-BYTE codes (64x smaller than the
+    * float vector). Search is asymmetric distance computation: per query,
+    * an 8x16 lookup table of query-subvector x centroid dots; scoring a
+    * candidate is 8 table reads — no float vector is touched.
+    *
+    * Determinism/portability: centroid refinement rounds to 4 decimals
+    * (v4's trick — absorbs cross-engine float-sum association deltas);
+    * L2 assignment argmin is expressed as argmax(dot - |c|^2/2) with
+    * first-max-wins ties in both engines; the per-candidate sums over the
+    * 8 subspaces fold in ascending-m order on both sides (left-assoc
+    * column chain here, ORDER BY m list fold in the oracle). The oracle
+    * replays the ENTIRE build — seeds, refinement, encoding, LUT scoring —
+    * as SQL, so even this two-level approximation hash-checks.
+    *
+    * Scale shape: codebooks are an M x 16 x 8 driver artifact; encoding is
+    * one narrow pass; search streams the (tiny) code table against the
+    * broadcast LUTs. All 16 cells stay non-empty per subspace because each
+    * seed subvector self-assigns at L2 distance zero.
+    */
+  val v6PqAnn: Q = (s, d) => {
+    val M = 8     // subspaces
+    val dSub = 8  // dims per subspace
+    val Kc = 16   // centroids per codebook
+    val e = emb(s, d)
+
+    def seqDot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def seqSumSq(a: Array[Double]): Double = seqDot(a, a)
+
+    def assignCol(centroid: Int => Array[Double], vecSub: Column): Column = {
+      val scores = array((0 until Kc).map { c =>
+        val cb = centroid(c)
+        dot(vecSub, typedlit(cb.toSeq)) - lit(seqSumSq(cb) / 2.0)
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+
+    val subsCols = (0 until M).map(m =>
+      slice(col("embedding"), m * dSub + 1, dSub).as(s"sub_$m"))
+    val withSubs = e.select((col("vec_id") +: col("embedding") +: subsCols): _*)
+
+    // seeds: the Kc lowest vec_ids' subvectors (raw, not normalized — PQ
+    // quantizes offsets, not directions)
+    val seedVecs: Array[Array[Double]] = e.filter(col("vec_id") < Kc)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def seedSub(m: Int)(c: Int): Array[Double] =
+      seedVecs(c).slice(m * dSub, (m + 1) * dSub)
+
+    // one Lloyd step per subspace, all subspaces in one long-form pass
+    val assigned0 = withSubs.select(
+      (col("vec_id") +: col("embedding") +:
+        (0 until M).map(m => assignCol(seedSub(m), col(s"sub_$m")).as(s"cell_$m"))): _*)
+    val longCells = assigned0.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until M).map(m => col(s"cell_$m")): _*)).as(Seq("m", "cell")))
+    val refinedRows = longCells
+      .select(col("m"), col("cell"),
+        posexplode(slice(col("embedding"), col("m") * dSub + 1, lit(dSub)))
+          .as(Seq("pos", "v")))
+      .groupBy(col("m"), col("cell"), col("pos"))
+      .agg(avg(col("v")).as("mv"))
+      .collect()
+    val refined: Array[Array[Array[Double]]] =
+      Array.tabulate(M)(m => Array.tabulate(Kc)(c => seedSub(m)(c).clone()))
+    refinedRows.foreach { r =>
+      refined(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+        math.floor(r.getDouble(3) * 1e4 + 0.5) / 1e4
+    }
+
+    // encode the corpus: 8 one-byte codes per vector
+    val coded = withSubs.select(
+      (col("vec_id").as("n_id") +:
+        (0 until M).map(m => assignCol(refined(m), col(s"sub_$m")).as(s"code_$m"))): _*)
+
+    // query-side LUTs (driver artifact: NQ x M x Kc doubles)
+    import s.implicits._
+    val qRows: Seq[(Long, Double, Seq[Seq[Double]])] =
+      e.filter(col("vec_id") < NQ).orderBy("vec_id").collect().toSeq.map { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+        val luts = (0 until M).map(m => (0 until Kc).map(c =>
+          seqDot(qv.slice(m * dSub, (m + 1) * dSub), refined(m)(c))).toSeq).toSeq
+        (qid, seqSumSq(qv), luts)
+      }
+    val qdf = qRows.map { case (qid, nsq, luts) =>
+      (qid, nsq, luts(0), luts(1), luts(2), luts(3), luts(4), luts(5), luts(6), luts(7))
+    }.toDF(("q_id" +: "nsq_q" +: (0 until M).map(m => s"lut_$m")): _*)
+    val nsqLut = (0 until M).map(m =>
+      typedlit((0 until Kc).map(c => seqSumSq(refined(m)(c))).toSeq))
+
+    // ADC scoring: ascending-m left-assoc folds (must match the oracle's
+    // ORDER BY m list fold bit for bit)
+    val adot = (0 until M).map(m =>
+      element_at(col(s"lut_$m"), col(s"code_$m") + 1)).reduce(_ + _)
+    val ansq = (0 until M).map(m =>
+      element_at(nsqLut(m), col(s"code_$m") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    coded.join(broadcast(qdf), col("n_id") =!= col("q_id"))
+      .withColumn("sim", adot / (sqrt(col("nsq_q")) * sqrt(ansq)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("n_id"), sround(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB twin of v6: the full PQ build replayed — per-subspace seeds,
+    * L2 argmin assignment (as argmax(dot - |c|^2/2), first-max ties),
+    * rounded Lloyd refinement, encoding, and ADC scoring with the
+    * ascending-m ordered fold.
+    */
+  val v6PqAnnSql: String = {
+    def dotSub(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 9), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def nsqSub(a: String): String = dotSub(a, a)
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |subs AS MATERIALIZED (
+       |  SELECT vec_id, m, embedding[(m*8+1):(m*8+8)] AS sub
+       |  FROM e, (SELECT unnest(range(8)) AS m)),
+       |seeds AS MATERIALIZED (
+       |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |    sub AS c
+       |  FROM subs WHERE vec_id < 16),
+       |a0 AS MATERIALIZED (
+       |  SELECT vec_id, m, cell, sub FROM (
+       |    SELECT s.vec_id, s.m, sd.cell, s.sub,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${dotSub("s.sub", "sd.c")} - ${nsqSub("sd.c")} / 2 DESC, sd.cell ASC) AS rn
+       |    FROM subs s JOIN seeds sd USING (m))
+       |  WHERE rn = 1),
+       |refined AS MATERIALIZED (
+       |  SELECT m, cell, list(mv ORDER BY pos) AS c
+       |  FROM (
+       |    SELECT m, cell, pos,
+       |      floor(avg(CAST(sub[pos] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mv
+       |    FROM a0, (SELECT unnest(range(1, 9)) AS pos)
+       |    GROUP BY m, cell, pos)
+       |  GROUP BY m, cell),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, m, cell FROM (
+       |    SELECT s.vec_id, s.m, r.cell,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${dotSub("s.sub", "r.c")} - ${nsqSub("r.c")} / 2 DESC, r.cell ASC) AS rn
+       |    FROM subs s JOIN refined r USING (m))
+       |  WHERE rn = 1),
+       |qn AS (
+       |  SELECT vec_id AS q_id,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq_q
+       |  FROM e WHERE vec_id < $NQ),
+       |terms AS (
+       |  SELECT cd.vec_id AS n_id, qs.vec_id AS q_id, cd.m,
+       |    ${dotSub("qs.sub", "r.c")} AS adot_term,
+       |    ${nsqSub("r.c")} AS ansq_term
+       |  FROM codes cd
+       |  JOIN refined r ON r.m = cd.m AND r.cell = cd.cell
+       |  JOIN subs qs ON qs.m = cd.m AND qs.vec_id < $NQ
+       |  WHERE cd.vec_id != qs.vec_id),
+       |sims AS (
+       |  SELECT n_id, q_id,
+       |    list_aggregate(list(adot_term ORDER BY m), 'sum') AS adot,
+       |    list_aggregate(list(ansq_term ORDER BY m), 'sum') AS ansq
+       |  FROM terms GROUP BY n_id, q_id),
+       |ranked AS (
+       |  SELECT s.q_id, s.n_id,
+       |    s.adot / (sqrt(qn.nsq_q) * sqrt(s.ansq)) AS sim,
+       |    CAST(row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY s.adot / (sqrt(qn.nsq_q) * sqrt(s.ansq)) DESC, s.n_id ASC) AS INTEGER) AS rnk
+       |  FROM sims s JOIN qn USING (q_id))
+       |SELECT q_id, rnk, n_id, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
+       |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+  }
+
   // --------------------------------------------------------- v5_int8_ann
   /** Scalar int8 quantization + exact integer top-k — the memory-bound
     * scale path for brute-force search: per-vector symmetric quantization
@@ -397,12 +577,14 @@ object Similarity {
     "v2_ann_lsh" -> v2AnnLsh,
     "v3_embedding_neardup" -> v3EmbeddingNeardup,
     "v4_ivf_ann" -> v4IvfAnn,
-    "v5_int8_ann" -> v5Int8Ann)
+    "v5_int8_ann" -> v5Int8Ann,
+    "v6_pq_ann" -> v6PqAnn)
 
   val oracles: Map[String, String] = Map(
     "v1_knn_brute" -> v1KnnBruteSql,
     "v2_ann_lsh" -> v2AnnLshSql,
     "v3_embedding_neardup" -> v3EmbeddingNeardupSql,
     "v4_ivf_ann" -> v4IvfAnnSql,
-    "v5_int8_ann" -> v5Int8AnnSql)
+    "v5_int8_ann" -> v5Int8AnnSql,
+    "v6_pq_ann" -> v6PqAnnSql)
 }

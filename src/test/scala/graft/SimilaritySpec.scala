@@ -73,6 +73,24 @@ class SimilaritySpec extends SparkSpec {
     assert(feat.feature.toSeq == again.feature.toSeq)
   }
 
+  test("v6 PQ beats random-subset recall and is deterministic") {
+    val exact = Similarity.v1KnnBrute(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val a = Similarity.v6PqAnn(spark, sfDir).collect().map(_.toSeq).toSeq
+    val b = Similarity.v6PqAnn(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a == b, "PQ build+search must be run-to-run deterministic")
+    val approx = a.groupBy(_.head.asInstanceOf[Long])
+      .map { case (q, rs) => q -> rs.map(_(2).asInstanceOf[Long]).toSet }
+    val recalls = exact.map { case (q, truth) =>
+      approx.get(q).map(f => truth.intersect(f).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // 8-byte codes over near-uniform random vectors quantize coarsely —
+    // the bar is "far better than chance" (random 10-of-corpus ≈ 0.005),
+    // not exact-search parity
+    assert(mean > 0.05, s"PQ mean recall@10 too low: $mean")
+  }
+
   test("ImageIoDecoder decodes real PNG bytes into the feature pipeline") {
     import graft.multimodal.Multimodal
     // render real images and PNG-encode them — actual codec bytes, no fake
