@@ -48,7 +48,8 @@ object ScaleProbe {
       // round-4 additions: the curation + quantized-ANN ops
       "t9_contamination", "t10_tfidf", "t11_packing", "t12_redact",
       "t13_repetition", "d6_keep_best", "v5_int8_ann",
-      "t14_bloom_contamination", "t15_global_packing")
+      "t14_bloom_contamination", "t15_global_packing", "t16_corpus_mix",
+      "t17_lm_score", "v6_pq_ann", "p2_training_prep")
     SparkEntry.queries(names.head)(spark, out)
       .write.format("noop").mode("overwrite").save() // warmup
     names.foreach { n =>
