@@ -223,6 +223,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter($"quality" < 0.5).count() == 0)
   }
 
+  test("corpus curation survives a restart: dedup state restores from checkpoint") {
+    import graft.streaming.CorpusStream
+    import org.apache.spark.sql.streaming.Trigger
+    val feed = Files.createTempDirectory("cur_feed").toString
+    val curated = Files.createTempDirectory("cur_out").toString + "/out"
+    val ckpt = Files.createTempDirectory("cur_ckpt").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    def drain(): Unit = {
+      val q = CorpusStream.curate(CorpusStream.readDocStream(spark, feed))
+        .writeStream.format("parquet")
+        .option("path", curated).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    docs.filter($"doc_id" < 250).coalesce(1).write.mode("append").parquet(feed)
+    drain() // process batch 1, then the process "dies"
+    // batch 2 lands while down — INCLUDING exact copies of batch-1 docs,
+    // which only the RESTORED fingerprint state can reject
+    docs.filter($"doc_id" >= 250).coalesce(1).write.mode("append").parquet(feed)
+    docs.filter($"doc_id" < 50).coalesce(1).write.mode("append").parquet(feed)
+    drain() // fresh query, same checkpoint
+
+    val streamed = spark.read.parquet(curated)
+    assert(streamed.select($"fp").distinct().count() == streamed.count(),
+      "restart re-admitted a duplicate fingerprint")
+    val batchKeepers = graft.pipeline.CorpusPipeline.frontEnd(spark, sfDir)
+      .collect { case ("exact_dedup", df) => df }.head
+    assert(streamed.count() == batchKeepers.count())
+  }
+
   test("live CDC feed → apply → model refresh == batch, across a restart") {
     import graft.streaming.{CdcApply, CdcPipeline}
     import graft.streaming.CdcApply.Change
