@@ -130,10 +130,13 @@ case class Md5HashArray62(child: Expression, distinctSorted: Boolean)
   * out in engines with checked integer overflow.
   *
   * The per-band key mixes the band's `rows` signature values through
-  * splitmix64 (engine-local — candidates are verified by exact Jaccard
-  * downstream, so a mix collision can only add a candidate pair that the
-  * verification then scores identically in both engines). Empty input →
-  * empty key array (empty documents must not collide into one bucket).
+  * splitmix64 (engine-local): a mix COLLISION can add a Spark-side
+  * candidate pair the oracle's raw signature-equality join never
+  * generates, and if that pair also passed the Jaccard threshold the
+  * hash-check would diverge — an accepted residual risk of order
+  * (candidate keys)^2 / 2^64 (~1e-9 at sf0.1), not a neutralized one.
+  * Empty input → empty key array (empty documents must not collide into
+  * one bucket).
   */
 case class MinHashBandKeysMod31(
     child: Expression,

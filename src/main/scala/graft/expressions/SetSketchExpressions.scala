@@ -282,8 +282,12 @@ case class WinnowFingerprints(child: Expression, n: Int, w: Int)
     val u = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
     val bytes = u.getBytes
     val ascii = u.numChars() == bytes.length
-    val s = if (ascii) null else u.toString
-    val chars = if (ascii) bytes.length else s.length
+    // General path windows over CODE POINTS, not UTF-16 units: DuckDB's
+    // substring/length count code points, and a UTF-16 window would both
+    // miscount astral text and split surrogate pairs — breaking the t6
+    // oracle contract exactly where it is hardest to notice.
+    val cps: Array[Int] = if (ascii) null else u.toString.codePoints().toArray
+    val chars = if (ascii) bytes.length else cps.length
     if (chars < n) return new GenericArrayData(Array.emptyLongArray)
     val m = chars - n + 1
     val hs = new Array[Long](m)
@@ -292,7 +296,8 @@ case class WinnowFingerprints(child: Expression, n: Int, w: Int)
       hs(i) =
         if (ascii) PortableHash.md5Lower62(bytes, i, n)
         else PortableHash.md5Lower62(
-          org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(i, i + n)))
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            new String(cps, i, n)))
       i += 1
     }
     val nw = math.max(m - w + 1, 1)

@@ -342,8 +342,10 @@ object Similarity {
     *
     * Scale shape: codebooks are an M x 16 x 8 driver artifact; encoding is
     * one narrow pass; search streams the (tiny) code table against the
-    * broadcast LUTs. All 16 cells stay non-empty per subspace because each
-    * seed subvector self-assigns at L2 distance zero.
+    * broadcast LUTs. Cells are normally all occupied (each seed subvector
+    * self-assigns at L2 distance zero); if duplicate seed subvectors DO
+    * empty a cell, the encoder argmaxes over the present cells with their
+    * original ids — the same set the oracle's refined CTE contains.
     */
   val v6PqAnn: Q = (s, d) => {
     val M = 8     // subspaces
@@ -391,17 +393,39 @@ object Similarity {
       .groupBy(col("m"), col("cell"), col("pos"))
       .agg(avg(col("v")).as("mv"))
       .collect()
-    val refined: Array[Array[Array[Double]]] =
-      Array.tabulate(M)(m => Array.tabulate(Kc)(c => seedSub(m)(c).clone()))
-    refinedRows.foreach { r =>
-      refined(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-        math.floor(r.getDouble(3) * 1e4 + 0.5) / 1e4
+    // refined codebooks hold ONLY the cells that received members —
+    // mirroring the oracle's refined CTE exactly. (A cell goes empty only
+    // if two seed subvectors are identical in a subspace; the encoder
+    // must then argmax over the PRESENT cells with their original ids,
+    // not fall back to a stale seed the oracle no longer has.)
+    val refinedMap: Map[(Int, Int), Array[Double]] = refinedRows
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (key, rows) =>
+        val c = new Array[Double](dSub)
+        rows.foreach(r =>
+          c(r.getInt(2)) = math.floor(r.getDouble(3) * 1e4 + 0.5) / 1e4)
+        key -> c
+      }
+    val presentCells: Array[Seq[Int]] = Array.tabulate(M)(m =>
+      refinedMap.keys.collect { case (`m`, c) => c }.toSeq.sorted)
+    def refined(m: Int)(c: Int): Array[Double] = refinedMap((m, c))
+
+    def assignRefined(m: Int, vecSub: Column): Column = {
+      val cells = presentCells(m)
+      val scores = array(cells.map { c =>
+        val cb = refined(m)(c)
+        dot(vecSub, typedlit(cb.toSeq)) - lit(seqSumSq(cb) / 2.0)
+      }: _*)
+      // first-max-wins over ascending PRESENT cell ids == the oracle's
+      // (score DESC, cell ASC) over the refined CTE's rows
+      element_at(typedlit(cells),
+        array_position(scores, array_max(scores)).cast("int"))
     }
 
     // encode the corpus: 8 one-byte codes per vector
     val coded = withSubs.select(
       (col("vec_id").as("n_id") +:
-        (0 until M).map(m => assignCol(refined(m), col(s"sub_$m")).as(s"code_$m"))): _*)
+        (0 until M).map(m => assignRefined(m, col(s"sub_$m")).as(s"code_$m"))): _*)
 
     // query-side LUTs (driver artifact: NQ x M x Kc doubles)
     import s.implicits._
@@ -409,15 +433,20 @@ object Similarity {
       e.filter(col("vec_id") < NQ).orderBy("vec_id").collect().toSeq.map { r =>
         val qid = r.getLong(0)
         val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+        // LUT slots for absent cells are never read (no vector can carry
+        // an absent code) — 0.0 placeholders keep the arrays dense
         val luts = (0 until M).map(m => (0 until Kc).map(c =>
-          seqDot(qv.slice(m * dSub, (m + 1) * dSub), refined(m)(c))).toSeq).toSeq
+          refinedMap.get((m, c))
+            .map(cb => seqDot(qv.slice(m * dSub, (m + 1) * dSub), cb))
+            .getOrElse(0.0)).toSeq).toSeq
         (qid, seqSumSq(qv), luts)
       }
     val qdf = qRows.map { case (qid, nsq, luts) =>
       (qid, nsq, luts(0), luts(1), luts(2), luts(3), luts(4), luts(5), luts(6), luts(7))
     }.toDF(("q_id" +: "nsq_q" +: (0 until M).map(m => s"lut_$m")): _*)
     val nsqLut = (0 until M).map(m =>
-      typedlit((0 until Kc).map(c => seqSumSq(refined(m)(c))).toSeq))
+      typedlit((0 until Kc).map(c =>
+        refinedMap.get((m, c)).map(seqSumSq).getOrElse(0.0)).toSeq))
 
     // ADC scoring: ascending-m left-assoc folds (must match the oracle's
     // ORDER BY m list fold bit for bit)

@@ -702,8 +702,13 @@ object TextAnalysis {
     * share divides by a 1-row broadcast total (no global window).
     */
   val t16CorpusMix: Q = (s, d) => {
-    val frac = lit(0.2) + lit(0.3) *
-      (expr("CAST(substring(source, 4) AS INT)") % 3).cast("double")
+    // unparseable source suffixes take the DEFAULT fraction instead of a
+    // NULL that would silently drop the whole source from the mixture
+    // (the oracle mirrors with TRY_CAST + coalesce)
+    val frac = coalesce(
+      lit(0.2) + lit(0.3) *
+        (expr("CAST(substring(source, 4) AS INT)") % 3).cast("double"),
+      lit(0.2))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
@@ -728,7 +733,7 @@ object TextAnalysis {
   val t16CorpusMixSql: String =
     """WITH ranked AS (
       |  SELECT doc_id, source,
-      |    0.2 + 0.3 * CAST(CAST(substring(source, 4) AS INTEGER) % 3 AS DOUBLE) AS frac,
+      |    coalesce(0.2 + 0.3 * CAST(TRY_CAST(substring(source, 4) AS INTEGER) % 3 AS DOUBLE), 0.2) AS frac,
       |    CAST(row_number() OVER (PARTITION BY source
       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn,
       |    count(*) OVER (PARTITION BY source) AS n_docs
@@ -772,6 +777,9 @@ object TextAnalysis {
       .filter(col("i") < size(col("t")) - 1)
       .select(col("doc_id"), col("w1"),
         element_at(col("t"), col("i") + 2).as("w2"))
+      // the widest frame in the query feeds THREE consumers (bigram
+      // counts, context counts, the scoring join) — materialize once
+      .localCheckpoint(true)
     val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
     val ctx = big.groupBy(col("w1")).agg(count(lit(1)).as("cc"))
     val vocab = toks.select(explode(col("t")).as("w"))

@@ -39,15 +39,19 @@ object Export {
       .partitionBy("pack_bucket").parquet(s"$outDir/docs")
 
     // stats from the files actually written — the manifest certifies the
-    // dataset on disk, not the plan that produced it
-    val back = s.read.parquet(s"$outDir/docs")
-    val row = back.agg(
-      count(lit(1)),
-      countDistinct(col("pack_id")),
-      sum(col("n_tok")),
-      sum(graft.expressions.PortableHashExpressions.md5Hash62(col("text")))).head()
-    val m = Manifest(row.getLong(0), row.getLong(1), row.getLong(2),
-      row.getLong(3), funnel)
+    // dataset on disk, not the plan that produced it. A fully-filtered
+    // corpus writes no part files (schema inference would fail) and its
+    // aggregates would be NULL; certify the empty dataset explicitly.
+    val m = {
+      val row = s.read.schema(docsOut.schema).parquet(s"$outDir/docs").agg(
+        count(lit(1)),
+        countDistinct(col("pack_id")),
+        sum(col("n_tok")),
+        sum(graft.expressions.PortableHashExpressions.md5Hash62(col("text")))).head()
+      if (row.getLong(0) == 0L) Manifest(0L, 0L, 0L, 0L, funnel)
+      else Manifest(row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getLong(3), funnel)
+    }
 
     def esc(x: String) = x.flatMap { case '"' => "\\\""; case c => c.toString }
     val funnelJson = m.funnel.map { case (st, in, out) =>

@@ -47,20 +47,21 @@ object Checks {
           col(childCol) === col("__parent_key"), "left_anti")
         .count())
 
-  /** Meta-envelope contract: every `_airbyte_meta` parses against the
-    * declared schema AND carries no sync errors. A malformed envelope
-    * shows up as a NULL `errors` field after the typed parse (from_json
-    * is PERMISSIVE: bad JSON → null fields, not a null struct), a sync
-    * problem as a non-empty one — both counted by one scan-shaped
-    * aggregate.
+  /** Meta-envelope contract: every row CARRIES an `_airbyte_meta` that
+    * parses against the declared schema AND reports no sync errors. A
+    * missing envelope (NULL column) fails outright — it is strictly worse
+    * than a malformed one; a malformed envelope shows up as a NULL
+    * `errors` field after the typed parse (from_json is PERMISSIVE: bad
+    * JSON → null fields, not a null struct); a sync problem as a
+    * non-empty one. One scan-shaped aggregate counts all three.
     */
   def metaEnvelopeClean(df: DataFrame, table: String): CheckResult = {
     val typed = Ingest.typedAirbyteMeta(df)
     CheckResult(table, "meta_envelope_clean", "_airbyte_meta",
       typed.filter(
-        col("_airbyte_meta").isNotNull && (
-          col("_airbyte_meta_typed.errors").isNull ||
-          size(col("_airbyte_meta_typed.errors")) > 0)).count())
+        col("_airbyte_meta").isNull ||
+        col("_airbyte_meta_typed.errors").isNull ||
+        size(col("_airbyte_meta_typed.errors")) > 0).count())
   }
 
   /** The reference schema's implicit contract (DDL PKs + FKs,

@@ -95,13 +95,15 @@ class UberSpec extends SparkSpec {
       .select($"_airbyte_meta_typed.errors").as[Seq[String]].head()
     assert(errs == Seq.empty)
     assert(graft.uber.Checks.metaEnvelopeClean(stamped, "t").passed)
-    // a sync error and a malformed envelope are both flagged, exactly once each
+    // a sync error, a malformed envelope, and a MISSING envelope are all
+    // flagged, exactly once each
     val dirty = stamped.select($"k", $"v", $"_airbyte_meta")
       .withColumn("_airbyte_meta",
         when($"k" === "B1", lit("""{"errors":["dropped column"]}""")))
       .union(Seq(("B2", "y", "not json at all")).toDF("k", "v", "_airbyte_meta"))
+      .union(Seq(("B3", "z", null.asInstanceOf[String])).toDF("k", "v", "_airbyte_meta"))
     val r = graft.uber.Checks.metaEnvelopeClean(dirty, "t")
-    assert(!r.passed && r.failures == 2L)
+    assert(!r.passed && r.failures == 3L)
   }
 
   test("SQL twin ≡ DataFrame twin for every model (reference-valid rows)") {
