@@ -46,6 +46,15 @@ case class BloomSketch(
   override def nullable: Boolean = false
   override def prettyName: String = "graft_bloom_build"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bloom_build expects a bigint (md5-62 lane), got $other")
+    }
+
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](mBits / 8)
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
@@ -83,8 +92,14 @@ object BloomSketch {
   val DefaultProbes: Int = 4
 
   private[expressions] def positions(h: Long, mBits: Int, kProbes: Int): Array[Int] = {
-    val h1 = h & 0x7FFFFFFFL
-    val h2 = (h >> 31) | 1L
+    // In-contract inputs are md5-62 lanes (non-negative 62-bit), for which
+    // this mask is a no-op — oracle parity preserved. Out-of-contract
+    // negative longs (e.g. raw xxhash64 fed via the SQL-registered
+    // functions) would otherwise shift to a negative h2 and produce
+    // negative probe positions → AIOOBE in set()/hit().
+    val h62 = h & PortableHash.Mask62
+    val h1 = h62 & 0x7FFFFFFFL
+    val h2 = (h62 >> 31) | 1L
     val out = new Array[Int](kProbes)
     var i = 0
     while (i < kProbes) {

@@ -78,8 +78,13 @@ case class KmvSketch(
   override def eval(buf: JTreeSet[java.lang.Long]): Any = {
     if (buf.size() < k) buf.size().toDouble
     else {
-      // kth-smallest hash as a fraction of the [0, 2^62) ring
-      val kth = buf.last().longValue()
+      // kth-smallest hash as a fraction of the [0, 2^62) ring. kth == 0 is
+      // unreachable for k >= 2 (the buffer holds k DISTINCT non-negative
+      // hashes, so the largest of them is >= k-1 > 0), but guard anyway so
+      // an out-of-contract k=1 sketch hitting the literal 0 hash yields a
+      // finite estimate instead of Infinity; the guard never fires for the
+      // shipped k=1024, so DuckDB oracle parity is untouched.
+      val kth = math.max(buf.last().longValue(), 1L)
       (k - 1).toDouble * PortableHash.Ring62 / kth.toDouble
     }
   }

@@ -360,8 +360,8 @@ object Similarity {
     }
     def seqSumSq(a: Array[Double]): Double = seqDot(a, a)
 
-    def assignCol(centroid: Int => Array[Double], vecSub: Column): Column = {
-      val scores = array((0 until Kc).map { c =>
+    def assignCol(nCells: Int, centroid: Int => Array[Double], vecSub: Column): Column = {
+      val scores = array((0 until nCells).map { c =>
         val cb = centroid(c)
         dot(vecSub, typedlit(cb.toSeq)) - lit(seqSumSq(cb) / 2.0)
       }: _*)
@@ -373,17 +373,22 @@ object Similarity {
     val withSubs = e.select((col("vec_id") +: col("embedding") +: subsCols): _*)
 
     // seeds: the Kc lowest vec_ids' subvectors (raw, not normalized — PQ
-    // quantizes offsets, not directions)
+    // quantizes offsets, not directions). Cell ids are RANKS over the
+    // ordered seed set (= the oracle's row_number()-1 renumbering), so a
+    // corpus with fewer than Kc seed ids degrades gracefully instead of
+    // indexing past the array.
     val seedVecs: Array[Array[Double]] = e.filter(col("vec_id") < Kc)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val nSeeds = seedVecs.length
+    require(nSeeds > 0, s"v6_pq_ann needs at least one seed vector (vec_id < $Kc)")
     def seedSub(m: Int)(c: Int): Array[Double] =
       seedVecs(c).slice(m * dSub, (m + 1) * dSub)
 
     // one Lloyd step per subspace, all subspaces in one long-form pass
     val assigned0 = withSubs.select(
       (col("vec_id") +: col("embedding") +:
-        (0 until M).map(m => assignCol(seedSub(m), col(s"sub_$m")).as(s"cell_$m"))): _*)
+        (0 until M).map(m => assignCol(nSeeds, seedSub(m), col(s"sub_$m")).as(s"cell_$m"))): _*)
     val longCells = assigned0.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until M).map(m => col(s"cell_$m")): _*)).as(Seq("m", "cell")))
     val refinedRows = longCells

@@ -50,9 +50,14 @@ object CdcPipeline {
     */
   def mergeBatch(updates: Dataset[Current], tablePath: String, modelPath: String): Unit = {
     val spark = updates.sparkSession
+    // Scope the first-batch fallback to the READ only: an AnalysisException
+    // from unionByName itself (schema drift vs the stored state table) must
+    // fail loudly, not silently discard the whole current-state table.
+    val prior: Option[DataFrame] =
+      try Some(spark.read.parquet(tablePath))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     val existing: DataFrame =
-      try spark.read.parquet(tablePath).unionByName(updates.toDF())
-      catch { case _: org.apache.spark.sql.AnalysisException => updates.toDF() }
+      prior.map(_.unionByName(updates.toDF())).getOrElse(updates.toDF())
     val w = Window.partitionBy(col("base_num")).orderBy(col("lsn").desc)
     val merged = existing
       .withColumn("rn", row_number().over(w))

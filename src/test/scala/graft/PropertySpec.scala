@@ -151,6 +151,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bloom filter: out-of-contract negative hashes don't crash and still hit") {
+    import graft.expressions.BloomSketch
+    // raw xxhash64-style inputs are negative longs; the 62-bit mask must
+    // keep probe positions in range (no AIOOBE) and stay self-consistent
+    val hs = Seq(Long.MinValue, -1L, -987654321L, 42L)
+    val bloom = hs.toDF("h").agg(BloomSketch.bloomBuild($"h").as("b"))
+    val misses = hs.toDF("h").crossJoin(bloom)
+      .filter(!BloomSketch.bloomHit($"b", $"h")).count()
+    assert(misses == 0)
+    // and a raw negative probes the same positions as its 62-bit-masked
+    // form: a filter built from masked hashes must report hits for raws
+    val masked = hs.map(_ & graft.expressions.PortableHash.Mask62)
+    val bloomMasked = masked.toDF("h").agg(BloomSketch.bloomBuild($"h").as("b"))
+    val crossMisses = hs.toDF("h").crossJoin(bloomMasked)
+      .filter(!BloomSketch.bloomHit($"b", $"h")).count()
+    assert(crossMisses == 0, "masked-build vs raw-probe must agree")
+  }
+
+  test("bloom build rejects non-bigint input at analysis time") {
+    import graft.expressions.BloomSketch
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("a", "b").toDF("s").agg(BloomSketch.bloomBuild($"s")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("bigint"))
+  }
+
   test("count(col) + count of nulls == count(*) (A2 law)") {
     forAll(Gen.listOf(Gen.option(Gen.choose(0, 100)))) { (vs: List[Option[Int]]) =>
       whenever(vs.nonEmpty) {

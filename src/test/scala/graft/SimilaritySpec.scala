@@ -91,6 +91,22 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.05, s"PQ mean recall@10 too low: $mean")
   }
 
+  test("v6/v4 degrade gracefully when seed vec_ids are sparse (< 16 present)") {
+    // a corpus where only 4 of the ids below 16 exist: the codebooks must
+    // derive their cell count from the seeds actually present (the
+    // oracle's row_number()-1 renumbering), not index 0..15 positionally
+    val rnd = new scala.util.Random(7)
+    val ids = Seq(0L, 3L, 7L, 11L) ++ (16L until 40L)
+    val rows = ids.map(id => (id, Seq.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sparse_emb").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val pq = Similarity.v6PqAnn(spark, dir).collect()
+    assert(pq.nonEmpty, "sparse-seed PQ must still produce ranked neighbors")
+    val ivf = Similarity.v4IvfAnn(spark, dir).collect()
+    assert(ivf.nonEmpty, "sparse-seed IVF must still produce ranked neighbors")
+  }
+
   test("ImageIoDecoder decodes real PNG bytes into the feature pipeline") {
     import graft.multimodal.Multimodal
     // render real images and PNG-encode them — actual codec bytes, no fake

@@ -295,4 +295,20 @@ class StreamingSpec extends SparkSpec {
       .select($"base_num", $"base_name").as[(String, String)].collect().toSet
     assert(live == Set("B1" -> "Unter GmbH", "B3" -> "Hinter"))
   }
+
+  test("CDC merge fails loudly on state-table schema drift (no silent clobber)") {
+    import graft.streaming.CdcApply.Current
+    import graft.streaming.CdcPipeline
+    val table = Files.createTempDirectory("cdc_drift").toString + "/state"
+    val model = Files.createTempDirectory("cdc_drift_m").toString + "/live"
+    // a stored state table whose schema does NOT match Current
+    Seq(("B1", 1L)).toDF("base_num", "other_col").write.parquet(table)
+    val updates = Seq(Current("B2", "Neu", 3L, deleted = false)).toDS()
+    intercept[org.apache.spark.sql.AnalysisException] {
+      CdcPipeline.mergeBatch(updates, table, model)
+    }
+    // the drifted table survives untouched — the first-batch fallback must
+    // not treat a union failure as "table absent" and overwrite it
+    assert(spark.read.parquet(table).columns.toSeq == Seq("base_num", "other_col"))
+  }
 }
