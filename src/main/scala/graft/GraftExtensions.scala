@@ -23,6 +23,8 @@ import graft.functions.TextFunctions
   *   graft_hash62_array(array<string>, distinctSorted)         → array<bigint>
   *   graft_bloom_build(bigint)  [aggregate]                    → binary
   *   graft_bloom_hit(binary, bigint)                           → boolean
+  *   graft_cms_build(bigint)  [aggregate]                      → binary
+  *   graft_cms_estimate(binary, bigint)                        → bigint
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -78,5 +80,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_bloom_hit",
       args => BloomHit(args(0), args(1),
         BloomSketch.DefaultBits, BloomSketch.DefaultProbes))
+    register("graft_cms_build",
+      args => CmsSketch(args(0), CmsSketch.DefaultDepth, CmsSketch.DefaultWidth))
+    register("graft_cms_estimate",
+      args => CmsEstimate(args(0), args(1),
+        CmsSketch.DefaultDepth, CmsSketch.DefaultWidth))
   }
 }

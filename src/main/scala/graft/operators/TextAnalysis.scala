@@ -887,6 +887,72 @@ object TextAnalysis {
       |    AS top_bigram_share
       |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- t18_heavy_hitters
+  /** Heavy hitters via a PORTABLE Count-Min sketch
+    * (graft.expressions.CmsSketch) — the frequency counterpart of t14's
+    * Bloom membership pass: the whole token stream folds into one
+    * 4x8192 counter matrix (256 KiB, elementwise-ADD-merged partials, so
+    * the shuffle ships one matrix per partition, not tokens), then the
+    * distinct candidate tokens probe it with d=4 long reads each. The
+    * output compares each top token's CMS estimate against its exact
+    * count, so the one-sided error (estimate >= exact, collisions only
+    * over-count) is visible in the result and hash-checked by the
+    * oracle, which rebuilds the identical matrix with a GROUP BY
+    * (depth, position) over the same md5-62 lanes.
+    *
+    * At 100 TB the exact branch here is itself a full word count; the
+    * sketch's value is that the BUILD is shuffle-free (map-side fold +
+    * tiny merge) — the exact count exists in this query only to exhibit
+    * the error bound. A production pass would probe candidates from a
+    * sample or a prior round instead.
+    */
+  val t18HeavyHitters: Q = (s, d) => {
+    import graft.expressions.CmsSketch
+    val toks = docs(s, d)
+      .select(explode(lowerTokens(col("text"))).as("token"))
+      .select(col("token"),
+        graft.expressions.PortableHashExpressions.md5Hash62(col("token")).as("h"))
+    val cms = toks.agg(CmsSketch.cmsBuild(col("h")).as("cms"))
+    toks.groupBy(col("token"), col("h")).agg(count(lit(1)).as("exact_cnt"))
+      .crossJoin(broadcast(cms)) // one 256 KiB row to every executor
+      .select(col("token"), col("exact_cnt"),
+        CmsSketch.cmsEstimate(col("cms"), col("h")).as("est_cnt"))
+      .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token").asc)
+      .limit(20)
+  }
+
+  /** DuckDB twin of t18: the counter matrix is rebuilt relationally —
+    * every token occurrence contributes one count at each of its d
+    * Kirsch-Mitzenmacher positions, GROUP BY (depth, pos) IS the sketch —
+    * and each candidate's estimate is the min of its d cells. Bitwise the
+    * arithmetic CmsSketch.update/estimate performs, collisions included.
+    */
+  val t18HeavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> x != '')) AS token
+      |  FROM documents),
+      |h AS MATERIALIZED (
+      |  SELECT token,
+      |    CAST(md5_number_lower(token) & 4611686018427387903 AS BIGINT) AS h
+      |  FROM toks),
+      |cms AS MATERIALIZED (
+      |  SELECT i.i AS i, ((h & 2147483647) + i.i * ((h >> 31) | 1)) % 8192 AS pos,
+      |    count(*) AS c
+      |  FROM h, (SELECT unnest(range(4)) AS i) i
+      |  GROUP BY 1, 2),
+      |cand AS (SELECT token, h, count(*) AS exact_cnt FROM h GROUP BY 1, 2),
+      |probe AS (
+      |  SELECT cand.token, cand.exact_cnt, i.i AS i,
+      |    ((cand.h & 2147483647) + i.i * ((cand.h >> 31) | 1)) % 8192 AS pos
+      |  FROM cand, (SELECT unnest(range(4)) AS i) i)
+      |SELECT p.token, p.exact_cnt, min(c.c) AS est_cnt,
+      |  min(c.c) - p.exact_cnt AS overcount
+      |FROM probe p JOIN cms c ON c.i = p.i AND c.pos = p.pos
+      |GROUP BY p.token, p.exact_cnt
+      |ORDER BY p.exact_cnt DESC, p.token ASC LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t1_text_stats" -> t1TextStats,
@@ -902,6 +968,7 @@ object TextAnalysis {
     "t15_global_packing" -> t15GlobalPacking,
     "t16_corpus_mix" -> t16CorpusMix,
     "t17_lm_score" -> t17LmScore,
+    "t18_heavy_hitters" -> t18HeavyHitters,
     "t10_tfidf" -> t10Tfidf,
     "t11_packing" -> t11Packing,
     "t12_redact" -> t12Redact,
@@ -921,6 +988,7 @@ object TextAnalysis {
     "t15_global_packing" -> t15GlobalPackingSql,
     "t16_corpus_mix" -> t16CorpusMixSql,
     "t17_lm_score" -> t17LmScoreSql,
+    "t18_heavy_hitters" -> t18HeavyHittersSql,
     "t10_tfidf" -> t10TfidfSql,
     "t11_packing" -> t11PackingSql,
     "t12_redact" -> t12RedactSql,

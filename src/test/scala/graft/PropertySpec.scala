@@ -177,6 +177,32 @@ class PropertySpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("bigint"))
   }
 
+  test("count-min sketch: estimate >= exact, partitioning-invariant") {
+    import graft.expressions.CmsSketch
+    forAll(Gen.listOf(Gen.choose(0L, 200L)), n = 15) { keys =>
+      whenever(keys.nonEmpty) {
+        // small key domain forces repeats, so exact counts > 1 exist
+        val hs = keys.map(k => graft.expressions.PortableHash.md5Lower62(
+          org.apache.spark.unsafe.types.UTF8String.fromString(k.toString)))
+        def estimates(parts: Int): Map[Long, Long] = {
+          val df = spark.sparkContext.parallelize(hs, parts).toDF("h")
+          val cms = df.agg(CmsSketch.cmsBuild($"h").as("cms"))
+          df.distinct().crossJoin(cms)
+            .select($"h", CmsSketch.cmsEstimate($"cms", $"h").as("est"))
+            .as[(Long, Long)].collect().toMap
+        }
+        val est = estimates(1)
+        val exact = hs.groupBy(identity).map { case (h, o) => h -> o.size.toLong }
+        exact.foreach { case (h, c) =>
+          assert(est(h) >= c, s"CMS under-counted: est ${est(h)} < exact $c")
+        }
+        // elementwise-add merge: the estimate is a function of the value
+        // multiset, not how it was partitioned
+        assert(estimates(7) == est, "CMS must be partitioning-invariant")
+      }
+    }
+  }
+
   test("count(col) + count of nulls == count(*) (A2 law)") {
     forAll(Gen.listOf(Gen.option(Gen.choose(0, 100)))) { (vs: List[Option[Int]]) =>
       whenever(vs.nonEmpty) {
