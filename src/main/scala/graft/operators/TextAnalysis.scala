@@ -953,6 +953,83 @@ object TextAnalysis {
       |GROUP BY p.token, p.exact_cnt
       |ORDER BY p.exact_cnt DESC, p.token ASC LIMIT 20""".stripMargin
 
+  // --------------------------------------------- t19_dsir_importance
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): documents are
+    * scored by the log-likelihood ratio of a TARGET distribution vs the
+    * RAW corpus distribution under bag-of-hashed-bigram unigram models —
+    * the standard cheap way to steer a 100 TB crawl toward a target
+    * domain without training a classifier. Here the target is the
+    * labeled-'en' slice and features are word bigrams hashed into 4096
+    * buckets (md5-62 mod, portable).
+    *
+    * Distributed shape: ONE pass builds both models (a single
+    * bucket-keyed agg computing raw and target counts together) plus a
+    * 1-row total; scoring joins each bigram occurrence to the 4096-row
+    * model — which AQE broadcasts — so nothing wide depends on corpus
+    * size. Float discipline: each term is a difference of logs of
+    * exact-integer ratios; per-doc summation uses the sorted fold (t8's
+    * trick) so the doubles match the oracle bit for bit.
+    */
+  val t19DsirImportance: Q = (s, d) => {
+    val B = 4096
+    val toks = docs(s, d)
+      .select(col("doc_id"), col("lang"), lowerTokens(col("text")).as("t"))
+    val big = toks
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), posexplode(col("t")).as(Seq("i", "w1")),
+        col("t"))
+      .filter(col("i") < size(col("t")) - 1)
+      .select(col("doc_id"), col("lang"),
+        (graft.expressions.PortableHashExpressions.md5Hash62(
+          concat_ws(" ", col("w1"), element_at(col("t"), col("i") + 2))) % B).as("b"))
+      // feeds the model agg, the totals agg, and the scoring join
+      .localCheckpoint(true)
+    val isTgt = when(col("lang") === "en", 1L).otherwise(0L)
+    val model = big.groupBy(col("b"))
+      .agg(count(lit(1)).as("rc"), sum(isTgt).as("tc"))
+    val tots = big.agg(count(lit(1)).as("rtot"), sum(isTgt).as("ttot"))
+    big
+      .join(model, Seq("b"))
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"),
+        (log2((col("tc") + 1) / (col("ttot") + lit(B)).cast("double")) -
+          log2((col("rc") + 1) / (col("rtot") + lit(B)).cast("double"))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        aggregate(array_sort(collect_list(col("term"))),
+          lit(0.0), (acc, x) => acc + x).as("lr"))
+      .select(col("doc_id"), col("n_feats"), sround(col("lr"), 4).as("dsir_logratio"))
+      .orderBy("doc_id")
+  }
+
+  val t19DsirImportanceSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |big AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |    CAST(md5_number_lower(t[i] || ' ' || t[i + 1])
+      |      & 4611686018427387903 AS BIGINT) % 4096 AS b
+      |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM toks
+      |        WHERE len(t) >= 2)),
+      |model AS (SELECT b, count(*) AS rc,
+      |            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+      |          FROM big GROUP BY 1),
+      |tots AS (SELECT count(*) AS rtot,
+      |           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ttot
+      |         FROM big),
+      |terms AS (
+      |  SELECT big.doc_id,
+      |    log2((m.tc + 1) / CAST(t.ttot + 4096 AS DOUBLE))
+      |      - log2((m.rc + 1) / CAST(t.rtot + 4096 AS DOUBLE)) AS term
+      |  FROM big JOIN model m USING (b) CROSS JOIN tots t)
+      |SELECT doc_id, count(*) AS n_feats,
+      |  floor(list_aggregate(list_sort(list(term)), 'sum') * 10000.0 + 0.5)
+      |    / 10000.0 AS dsir_logratio
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t1_text_stats" -> t1TextStats,
@@ -969,6 +1046,7 @@ object TextAnalysis {
     "t16_corpus_mix" -> t16CorpusMix,
     "t17_lm_score" -> t17LmScore,
     "t18_heavy_hitters" -> t18HeavyHitters,
+    "t19_dsir_importance" -> t19DsirImportance,
     "t10_tfidf" -> t10Tfidf,
     "t11_packing" -> t11Packing,
     "t12_redact" -> t12Redact,
@@ -989,6 +1067,7 @@ object TextAnalysis {
     "t16_corpus_mix" -> t16CorpusMixSql,
     "t17_lm_score" -> t17LmScoreSql,
     "t18_heavy_hitters" -> t18HeavyHittersSql,
+    "t19_dsir_importance" -> t19DsirImportanceSql,
     "t10_tfidf" -> t10TfidfSql,
     "t11_packing" -> t11PackingSql,
     "t12_redact" -> t12RedactSql,

@@ -200,6 +200,25 @@ class CurationSpec extends SparkSpec {
     assert(r(2L)._2 == 1L && r(2L)._3 == 0.2) // 5 distinct bigrams
   }
 
+  test("t19 DSIR: target-language docs score higher; t18 CMS top-20 ⊆ exact vocab order") {
+    val dsir = TextAnalysis.t19DsirImportance(spark, sfDir)
+      .join(graft.Tables.load(spark, sfDir, "documents").select($"doc_id", $"lang"), "doc_id")
+    val byTgt = dsir.groupBy($"lang" === "en")
+      .agg(avg($"dsir_logratio")).as[(Boolean, Double)].collect().toMap
+    assert(byTgt(true) > byTgt(false),
+      s"en docs must out-score non-en under the en-target model: $byTgt")
+
+    val hh = TextAnalysis.t18HeavyHitters(spark, sfDir).collect()
+    val vocabTop = TextAnalysis.t5Vocab(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    hh.foreach { r =>
+      val (tok, exact, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS under-count for $tok")
+      assert(vocabTop.get(tok).contains(exact),
+        s"t18 exact count for $tok disagrees with t5 vocab")
+    }
+  }
+
   test("d5 components: driver union-find ≡ iterative min-label propagation") {
     val nodes = (1L to 12L).toDF("doc_id")
     // two chains and a triangle: {1..4}, {5,6,7}, {8,9,10}; 11,12 isolated
