@@ -483,6 +483,103 @@ object Dedup {
       |SELECT fp, doc_id AS keep_id, quality_score AS best_quality, n_copies
       |FROM ranked WHERE rk = 1 ORDER BY fp""".stripMargin
 
+  // ------------------------------------------------- d7_semantic_dedup
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): documents
+    * whose EMBEDDINGS are near-identical are duplicates even when their
+    * text n-grams differ — the complement of d2/d3's lexical matching.
+    * Pipeline: cell-blocked cosine pairs (the IVF coarse-cell trick, via
+    * the embedding table's label cells — same blocking v3 uses) →
+    * connected components over the pair graph (d5's machinery on a new
+    * edge set) → keep the highest-QUALITY member per cluster (d6's
+    * packed-argmax, t2's quality blend), not the min id — SemDeDup's
+    * point is that you choose which near-duplicate survives.
+    *
+    * Scale shape: pairs are equality-joined within cells (never
+    * all-pairs), components iterate on the tiny pair graph, and the
+    * keep-best argmax is ONE primitive max(long) hash-agg; the final
+    * per-doc join is cluster-keyed. Every stage is the already-audited
+    * d5/d6 shape.
+    */
+  val d7SemanticDedup: Q = (s, d) => {
+    import graft.functions.VectorFunctions.{cosineWithNorms, dot, normSq}
+    val MaxId = (1L << 41) - 1
+    val e = Tables.load(s, d, "embeddings")
+    val a = e.select(col("vec_id").as("doc_a"), col("label"),
+      col("embedding").as("emb_a"), normSq(col("embedding")).as("nsq_a"))
+    val b = e.select(col("vec_id").as("doc_b"), col("label"),
+      col("embedding").as("emb_b"), normSq(col("embedding")).as("nsq_b"))
+    val pairs = a.join(b, Seq("label"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(cosineWithNorms(dot(col("emb_a"), col("emb_b")),
+        col("nsq_a"), col("nsq_b")) >= 0.35)
+      .select(col("doc_a"), col("doc_b"))
+    val comps = minLabelComponents(e.select(col("vec_id").as("doc_id")), pairs)
+    val scored = TextAnalysis.qualityCounts(s, d).select(col("doc_id"),
+      coalesce(floor(TextAnalysis.qualityBlend * lit(10000.0) + lit(0.5))
+        .cast("long"), lit(-1L)).as("q4"))
+    val best = comps.join(scored, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(shiftleft(col("q4") + 1, 41) + (lit(MaxId) - col("doc_id"))).as("key"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"),
+        (lit(MaxId) - col("key").bitwiseAND(lit(MaxId))).as("keep_id"),
+        col("cluster_size"))
+    comps.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("keep_id")).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of d7: v3's cell-blocked cosine pairs feed d5's
+    * recursive-CTE reachability, and the keep-best argmax is replayed as
+    * a (q4 DESC, doc_id ASC) window rank over d6's quality integer.
+    */
+  val d7SemanticDedupSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+      |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+      |    >= 0.35),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |comp AS (
+      |  SELECT em.vec_id AS doc_id,
+      |    least(em.vec_id, coalesce(min(r.v), em.vec_id)) AS cluster_id
+      |  FROM embeddings em LEFT JOIN reach r ON r.u = em.vec_id
+      |  GROUP BY em.vec_id),
+      |q AS (
+      |  SELECT doc_id,
+      |    coalesce(floor((least(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |        t -> t != '')) AS BIGINT) / 100.0, 1.0) * 0.5
+      |      + (CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |          t -> t IN ('the','a','of','and','to','is','in','that','it','for'))) AS BIGINT)
+      |         / nullif(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |             t -> t != '')) AS BIGINT), 0)) * 0.3
+      |      + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      |         / nullif(CAST(length(text) AS BIGINT), 0)) * 0.2) * 10000.0 + 0.5), -1)
+      |      AS q4
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT c.doc_id, c.cluster_id, q.q4,
+      |    row_number() OVER (PARTITION BY c.cluster_id
+      |      ORDER BY q.q4 DESC, c.doc_id ASC) AS rk,
+      |    count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      |  FROM comp c JOIN q USING (doc_id))
+      |SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+      |  rk = 1 AS is_kept
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
@@ -490,7 +587,8 @@ object Dedup {
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d4_simhash" -> d4Simhash,
     "d5_dedup_clusters" -> d5DedupClusters,
-    "d6_keep_best" -> d6KeepBest)
+    "d6_keep_best" -> d6KeepBest,
+    "d7_semantic_dedup" -> d7SemanticDedup)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1ExactDedupSql,
@@ -498,5 +596,6 @@ object Dedup {
     "d3_minhash_lsh" -> d3MinhashLshSql,
     "d4_simhash" -> d4SimhashSql,
     "d5_dedup_clusters" -> d5DedupClustersSql,
-    "d6_keep_best" -> d6KeepBestSql)
+    "d6_keep_best" -> d6KeepBestSql,
+    "d7_semantic_dedup" -> d7SemanticDedupSql)
 }

@@ -219,6 +219,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("d7 semantic dedup: one keeper per cluster, keeper maximizes quality, pairs co-clustered") {
+    val d7 = Dedup.d7SemanticDedup(spark, sfDir).collect()
+    val byCluster = d7.groupBy(_.getLong(1))
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.count(_.getBoolean(3)) == 1, s"cluster $c must keep exactly one doc")
+      assert(rows.forall(_.getLong(2) == rows.length), s"cluster $c size mismatch")
+    }
+    // the keeper has the max packed (quality, -doc_id) in its cluster
+    val q4 = TextAnalysis.qualityCounts(spark, sfDir).select($"doc_id",
+      coalesce(floor(TextAnalysis.qualityBlend * lit(10000.0) + lit(0.5))
+        .cast("long"), lit(-1L)).as("q4")).as[(Long, Long)].collect().toMap
+    byCluster.values.filter(_.length > 1).foreach { rows =>
+      val keeper = rows.find(_.getBoolean(3)).get.getLong(0)
+      val best = rows.map(_.getLong(0)).maxBy(id => (q4(id), -id))
+      assert(keeper == best, s"keeper $keeper != quality argmax $best")
+    }
+    // every v3 near-dup pair must land in one cluster
+    val cluster = d7.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.operators.Similarity.v3EmbeddingNeardup(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().foreach { case (x, y) =>
+        assert(cluster(x) == cluster(y), s"pair ($x,$y) split across clusters")
+      }
+  }
+
   test("d5 components: driver union-find ≡ iterative min-label propagation") {
     val nodes = (1L to 12L).toDF("doc_id")
     // two chains and a triangle: {1..4}, {5,6,7}, {8,9,10}; 11,12 isolated
