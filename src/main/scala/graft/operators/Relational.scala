@@ -849,6 +849,34 @@ object Relational {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------- q38_grouping_sets
+  /** Arbitrary GROUPING SETS — the general form q16's ROLLUP and q32's
+    * CUBE are special cases of: here the three sets (rf,ls), (rf), (ls)
+    * deliberately form neither a hierarchy nor a power set (no grand
+    * total). Spark still plans ONE Expand + hash agg — one scan for all
+    * sets — and the grouping() flags disambiguate expansion NULLs from
+    * data NULLs.
+    */
+  val q38GroupingSets: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val q38GroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS qty,
+      |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+      |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   // ------------------------------------------------ q33_collect_sorted
   /** Ordered collection aggregate: per-customer sorted month list as a
     * joined string (collect_list is unordered by contract — array_sort
@@ -1157,7 +1185,8 @@ object Relational {
     "q34_value_windows" -> q34ValueWindows,
     "q35_gap_fill" -> q35GapFill,
     "q36_sweep_concurrency" -> q36SweepConcurrency,
-    "q37_lateral_topk" -> q37LateralTopk)
+    "q37_lateral_topk" -> q37LateralTopk,
+    "q38_grouping_sets" -> q38GroupingSets)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1195,5 +1224,6 @@ object Relational {
     "q34_value_windows" -> q34ValueWindowsSql,
     "q35_gap_fill" -> q35GapFillSql,
     "q36_sweep_concurrency" -> q36SweepConcurrencySql,
-    "q37_lateral_topk" -> q37LateralTopkSql)
+    "q37_lateral_topk" -> q37LateralTopkSql,
+    "q38_grouping_sets" -> q38GroupingSetsSql)
 }
