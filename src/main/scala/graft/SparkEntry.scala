@@ -62,5 +62,6 @@ object SparkEntry {
     "t12_redact", "t13_repetition", "v5_int8_ann", "t14_bloom_contamination",
     "t15_global_packing", "t16_corpus_mix", "t17_lm_score",
     "v6_pq_ann", "p2_training_prep", "t18_heavy_hitters",
-    "t19_dsir_importance", "d7_semantic_dedup", "q38_grouping_sets")
+    "t19_dsir_importance", "d7_semantic_dedup", "q38_grouping_sets",
+    "q39_time_range_window", "q40_fuzzy_join", "q41_scd2")
 }

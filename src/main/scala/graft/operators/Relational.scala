@@ -877,6 +877,126 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
       |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ------------------------------------------- q39_time_range_window
+  /** RANGE-by-time window frame — the sliding-window complement of q21's
+    * ROWS frames: per event, the user's event count and value total over
+    * the TRAILING HOUR. RANGE frames bound by the ORDER-BY value (epoch
+    * micros here), not row position, so timestamp ties all share one
+    * frame — deterministic without a tie-break column. Same
+    * user-partitioned single WindowExec shape as q21 (no global window);
+    * money sums in integer cents for oracle parity.
+    */
+  val q39TimeRangeWindow: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    t(s, d, "events").select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("cnt_1h"),
+      (sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")).over(w)
+        / lit(100.0)).as("val_1h"))
+      .orderBy("event_id")
+  }
+
+  val q39TimeRangeWindowSql: String =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS cnt_1h,
+      |  sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w / 100.0 AS val_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------- q40_fuzzy_join
+  /** Fuzzy (edit-distance) self-join — the entity-resolution primitive:
+    * candidate pairs from an EQUALITY join on a blocking key (the name's
+    * last token), verified with levenshtein <= 2. Runs on the DISTINCT
+    * name dictionary with per-name row counts carried along, so the
+    * quadratic step is dictionary-sized, never row-sized — the d2
+    * blocking discipline applied to string matching. Blocking trades
+    * recall for scale by construction (pairs differing in the blocked
+    * token are never compared; here the planted typo-pairs all share
+    * their noun, so measured recall is 24/24 at sf0.01).
+    */
+  val q40FuzzyJoin: Q = (s, d) => {
+    val names = t(s, d, "part")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("name_a"), col("n_rows").as("n_a"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"), col("n_rows").as("n_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val q40FuzzyJoinSql: String =
+    """WITH names AS (
+      |  SELECT p_name, count(*) AS n_rows, string_split(p_name, ' ')[-1] AS blk
+      |  FROM part GROUP BY 1)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+      |  a.n_rows AS n_a, b.n_rows AS n_b
+      |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
+  // ------------------------------------------------------- q41_scd2
+  /** Slowly-changing-dimension type-2 builder — the warehouse counterpart
+    * of the CDC apply (streaming/CdcPipeline keeps ONLY latest state;
+    * SCD2 keeps the full validity history): per customer, consecutive
+    * runs of equal order priority collapse to one versioned row with
+    * [valid_from, valid_to) bounds, open-ended (NULL valid_to +
+    * is_current) on the last run. Gaps-and-islands shape: one
+    * lag-compare marks change points, a running sum numbers the runs,
+    * one hash agg collapses them, one lead closes the intervals — all
+    * windows customer-partitioned, no global ordering anywhere.
+    */
+  val q41Scd2: Q = (s, d) => {
+    val wRow = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val chg = when(lag(col("o_orderpriority"), 1).over(wRow).isNull ||
+      lag(col("o_orderpriority"), 1).over(wRow) =!= col("o_orderpriority"), 1L)
+      .otherwise(0L)
+    val wRun = Window.partitionBy(col("custkey")).orderBy(col("version"))
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_orderdate"),
+        col("o_orderkey"))
+      .withColumn("version",
+        sum(chg).over(wRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("o_custkey").as("custkey"), col("version"))
+      .agg(min(col("o_orderpriority")).as("priority"),
+        min(col("o_orderdate")).as("valid_from"))
+      .select(col("custkey"), col("priority"), col("version"), col("valid_from"),
+        lead(col("valid_from"), 1).over(wRun).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("custkey", "version")
+  }
+
+  val q41Scd2Sql: String =
+    """WITH s AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+      |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+      |           OR lag(o_orderpriority) OVER w != o_orderpriority
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |r AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate,
+      |    sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |  FROM s),
+      |runs AS (
+      |  SELECT o_custkey AS custkey, CAST(version AS BIGINT) AS version,
+      |    min(o_orderpriority) AS priority, min(o_orderdate) AS valid_from
+      |  FROM r GROUP BY 1, 2)
+      |SELECT custkey, priority, version, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY custkey ORDER BY version) AS valid_to,
+      |  lead(valid_from) OVER (PARTITION BY custkey ORDER BY version) IS NULL
+      |    AS is_current
+      |FROM runs ORDER BY custkey, version""".stripMargin
+
   // ------------------------------------------------ q33_collect_sorted
   /** Ordered collection aggregate: per-customer sorted month list as a
     * joined string (collect_list is unordered by contract — array_sort
@@ -1186,7 +1306,10 @@ object Relational {
     "q35_gap_fill" -> q35GapFill,
     "q36_sweep_concurrency" -> q36SweepConcurrency,
     "q37_lateral_topk" -> q37LateralTopk,
-    "q38_grouping_sets" -> q38GroupingSets)
+    "q38_grouping_sets" -> q38GroupingSets,
+    "q39_time_range_window" -> q39TimeRangeWindow,
+    "q40_fuzzy_join" -> q40FuzzyJoin,
+    "q41_scd2" -> q41Scd2)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1225,5 +1348,8 @@ object Relational {
     "q35_gap_fill" -> q35GapFillSql,
     "q36_sweep_concurrency" -> q36SweepConcurrencySql,
     "q37_lateral_topk" -> q37LateralTopkSql,
-    "q38_grouping_sets" -> q38GroupingSetsSql)
+    "q38_grouping_sets" -> q38GroupingSetsSql,
+    "q39_time_range_window" -> q39TimeRangeWindowSql,
+    "q40_fuzzy_join" -> q40FuzzyJoinSql,
+    "q41_scd2" -> q41Scd2Sql)
 }
