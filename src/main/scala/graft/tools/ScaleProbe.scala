@@ -49,7 +49,12 @@ object ScaleProbe {
       "t9_contamination", "t10_tfidf", "t11_packing", "t12_redact",
       "t13_repetition", "d6_keep_best", "v5_int8_ann",
       "t14_bloom_contamination", "t15_global_packing", "t16_corpus_mix",
-      "t17_lm_score", "v6_pq_ann", "p2_training_prep")
+      "t17_lm_score", "v6_pq_ann", "p2_training_prep",
+      // round-5 additions: sketch/importance/semantic-dedup + the new
+      // relational shapes
+      "t18_heavy_hitters", "t19_dsir_importance", "d7_semantic_dedup",
+      "q38_grouping_sets", "q39_time_range_window", "q40_fuzzy_join",
+      "q41_scd2")
     SparkEntry.queries(names.head)(spark, out)
       .write.format("noop").mode("overwrite").save() // warmup
     names.foreach { n =>
