@@ -41,7 +41,12 @@ case class CmsSketch(
     with UnaryLike[Expression] {
 
   require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
-  require(width > 0, s"width must be positive, got $width")
+  require(width >= 1 && width <= CmsSketch.MaxWidth,
+    s"width must be in [1,${CmsSketch.MaxWidth}], got $width")
+  // Keeps depth*width, buf.length*8 and every byte offset inside Int range
+  // (the encode buffer and estimate() offsets are Int-addressed).
+  require(depth.toLong * width <= CmsSketch.MaxCells,
+    s"depth*width must be <= ${CmsSketch.MaxCells} cells, got ${depth.toLong * width}")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
@@ -97,6 +102,13 @@ object CmsSketch {
   val DefaultDepth: Int = 4
   val DefaultWidth: Int = 8192
 
+  /** Geometry bounds: width alone and total cells are capped so that
+    * depth*width*8 (encoded bytes, estimate() offsets) stays well inside
+    * Int range — a 2^27-cell sketch is already 1 GiB of aggregate state.
+    */
+  val MaxWidth: Int = 1 << 26
+  val MaxCells: Long = 1L << 27
+
   private[expressions] def encode(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(buf.length * 8).order(ByteOrder.LITTLE_ENDIAN)
     bb.asLongBuffer().put(buf)
@@ -115,6 +127,10 @@ object CmsSketch {
     */
   private[expressions] def estimate(
       bytes: Array[Byte], h: Long, depth: Int, width: Int): Long = {
+    require(bytes.length == depth * width * 8,
+      s"CMS geometry mismatch: sketch is ${bytes.length} bytes but probe expects " +
+        s"depth=$depth x width=$width (${depth * width * 8} bytes) — build and " +
+        "estimate must use the same (depth, width)")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val h62 = h & PortableHash.Mask62
     val h1 = h62 & 0x7FFFFFFFL

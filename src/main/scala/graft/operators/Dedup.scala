@@ -525,7 +525,11 @@ object Dedup {
       .select(col("cluster_id"),
         (lit(MaxId) - col("key").bitwiseAND(lit(MaxId))).as("keep_id"),
         col("cluster_size"))
-    comps.join(best, "cluster_id")
+    // Semi-join back through `scored` so embedding ids with no documents
+    // row drop here exactly like the oracle's `comp JOIN q USING (doc_id)`
+    // does — parity must not hinge on the vec_id ⊆ doc_id testdata invariant.
+    comps.join(scored.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(best, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("keep_id")).as("is_kept"))
       .orderBy("doc_id")

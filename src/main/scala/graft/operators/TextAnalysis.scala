@@ -908,10 +908,13 @@ object TextAnalysis {
     */
   val t18HeavyHitters: Q = (s, d) => {
     import graft.expressions.CmsSketch
+    // toks feeds BOTH the sketch build and the exact groupBy; checkpoint so
+    // the explode+md5 tokenization pass — the dominant scan — runs once.
     val toks = docs(s, d)
       .select(explode(lowerTokens(col("text"))).as("token"))
       .select(col("token"),
         graft.expressions.PortableHashExpressions.md5Hash62(col("token")).as("h"))
+      .localCheckpoint(true)
     val cms = toks.agg(CmsSketch.cmsBuild(col("h")).as("cms"))
     toks.groupBy(col("token"), col("h")).agg(count(lit(1)).as("exact_cnt"))
       .crossJoin(broadcast(cms)) // one 256 KiB row to every executor
