@@ -25,6 +25,7 @@ import graft.functions.TextFunctions
   *   graft_bloom_hit(binary, bigint)                           → boolean
   *   graft_cms_build(bigint)  [aggregate]                      → binary
   *   graft_cms_estimate(binary, bigint)                        → bigint
+  *   graft_span_chunks(array<string>, n)  [generator]          → (idx int, span string)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -85,5 +86,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_cms_estimate",
       args => CmsEstimate(args(0), args(1),
         CmsSketch.DefaultDepth, CmsSketch.DefaultWidth))
+    // generator (table-valued): SELECT graft_span_chunks(tokens, 3) — round 6
+    register("graft_span_chunks",
+      args => SpanChunks(args(0), intArg(args(1), "n")))
   }
 }

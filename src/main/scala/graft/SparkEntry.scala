@@ -63,5 +63,7 @@ object SparkEntry {
     "t15_global_packing", "t16_corpus_mix", "t17_lm_score",
     "v6_pq_ann", "p2_training_prep", "t18_heavy_hitters",
     "t19_dsir_importance", "d7_semantic_dedup", "q38_grouping_sets",
-    "q39_time_range_window", "q40_fuzzy_join", "q41_scd2")
+    "q39_time_range_window", "q40_fuzzy_join", "q41_scd2",
+    "q42_merge_upsert", "q43_unpivot", "q44_hll_distinct",
+    "t20_quality_classifier", "d8_span_dedup")
 }

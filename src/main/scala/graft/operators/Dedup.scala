@@ -584,6 +584,87 @@ object Dedup {
       |  rk = 1 AS is_kept
       |FROM ranked ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- d8_span_dedup
+  /** SPAN-level exact dedup (the chunk-granularity approximation of Lee et
+    * al. 2022 "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §4.1 ExactSubstr): documents are cut into
+    * non-overlapping 3-token spans and every span that already occurred
+    * earlier in the corpus — first occurrence = smallest (doc_id, idx) —
+    * is dropped from later documents. Unlike d1–d7 (which keep or drop
+    * WHOLE documents), this rewrites document CONTENT, the shape used to
+    * strip boilerplate that repeats across millions of pages.
+    *
+    * Spans come from the custom [[graft.expressions.SpanChunks]] GENERATOR,
+    * which streams one span at a time through GenerateExec instead of
+    * materializing the per-doc chunk array (t7's HOF shape) — constant
+    * per-row memory on arbitrarily long documents.
+    *
+    * Scale shape: one generate (narrow) → one hash-agg shuffle on the span
+    * text for the global argmin → one span-keyed join back — the d1 exact
+    * pattern at span granularity. The winner key packs (doc_id, idx) into
+    * one long so the argmin is a primitive min, not a struct compare.
+    * Reconstruction is a per-doc sort of ≤ len/3 kept spans.
+    */
+  val d8SpanDedup: Q = (s, d) => {
+    import graft.expressions.SpanChunks.spanChunks
+    val spans = docs(s, d)
+      .select(col("doc_id"), lowerTokens(col("text")).as("t"))
+      .select(col("doc_id"), spanChunks(col("t"), 3).as(Seq("idx", "span")))
+      // feeds the winner agg, the kept join AND the per-doc totals
+      .localCheckpoint(true)
+    val winners = spans.groupBy(col("span"))
+      .agg(min(col("doc_id") * lit(1048576L) + col("idx")).as("wkey"))
+    val kept = spans.join(winners, Seq("span"))
+      .filter(col("doc_id") * lit(1048576L) + col("idx") === col("wkey"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("idx"), col("span")))),
+            x => x.getField("span")))).as("kept_md5"))
+    val totals = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    docs(s, d).select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_spans"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of d8: list slices replay the generator's spans
+    * byte-for-byte; string_agg(... ORDER BY idx) replays the ordered
+    * reconstruction (idx is unique per doc, so the order is total).
+    */
+  val d8SpanDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |chunks AS MATERIALIZED (
+      |  SELECT doc_id, CAST(i AS INT) AS idx,
+      |    array_to_string(t[(i*3)+1:(i*3)+3], ' ') AS span
+      |  FROM toks, unnest(range(CAST(ceil(len(t) / 3.0) AS BIGINT))) AS u(i)),
+      |w AS (SELECT span, min(doc_id * 1048576 + idx) AS wkey
+      |      FROM chunks GROUP BY span),
+      |kept AS (
+      |  SELECT c.doc_id, count(*) AS n_kept,
+      |    md5(string_agg(c.span, ' ' ORDER BY c.idx)) AS kept_md5
+      |  FROM chunks c JOIN w ON c.span = w.span
+      |    AND c.doc_id * 1048576 + c.idx = w.wkey
+      |  GROUP BY c.doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_spans FROM chunks GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(tot.n_spans, 0) AS n_spans,
+      |  coalesce(kept.n_kept, 0) AS n_kept,
+      |  coalesce(tot.n_spans, 0) - coalesce(kept.n_kept, 0) AS n_dropped,
+      |  coalesce(kept.kept_md5, md5('')) AS kept_md5
+      |FROM documents d
+      |LEFT JOIN tot USING (doc_id) LEFT JOIN kept USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
@@ -592,7 +673,8 @@ object Dedup {
     "d4_simhash" -> d4Simhash,
     "d5_dedup_clusters" -> d5DedupClusters,
     "d6_keep_best" -> d6KeepBest,
-    "d7_semantic_dedup" -> d7SemanticDedup)
+    "d7_semantic_dedup" -> d7SemanticDedup,
+    "d8_span_dedup" -> d8SpanDedup)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1ExactDedupSql,
@@ -601,5 +683,6 @@ object Dedup {
     "d4_simhash" -> d4SimhashSql,
     "d5_dedup_clusters" -> d5DedupClustersSql,
     "d6_keep_best" -> d6KeepBestSql,
-    "d7_semantic_dedup" -> d7SemanticDedupSql)
+    "d7_semantic_dedup" -> d7SemanticDedupSql,
+    "d8_span_dedup" -> d8SpanDedupSql)
 }

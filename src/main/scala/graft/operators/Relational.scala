@@ -1268,6 +1268,176 @@ object Relational {
       |FROM ranked WHERE rn <= ceil(stratum_n * 0.1)
       |ORDER BY event_type, rn""".stripMargin
 
+  // --------------------------------------------------- q42_merge_upsert
+  /** MERGE INTO semantics (the lakehouse upsert: WHEN MATCHED UPDATE /
+    * WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT) expressed as ONE
+    * full-outer join on the key — Spark has no writable-table MERGE
+    * without a table format, but the relational core is exactly this
+    * join + per-row case resolution. The change batch is derived
+    * deterministically from the snapshot itself (keys ≡0 mod 10 update
+    * price +5%, ≡1 delete, ≡2 insert under a shifted key) so both
+    * engines replay it.
+    *
+    * Scale shape: one shuffle join on the merge key — with the target
+    * bucketed by key (sources/Maintenance covers bucketing) the merge is
+    * zero-exchange on the target side; AQE handles a skewed change
+    * batch. Copy-on-write table formats run precisely this plan per
+    * touched file group.
+    */
+  val q42MergeUpsert: Q = (s, d) => {
+    val target = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = target.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        lit(null).cast("string").as("new_status"),
+        (col("o_totalprice") * lit(1.05)).as("new_price"))
+    val deletes = target.filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit(null).cast("string").as("new_status"),
+        lit(null).cast("double").as("new_price"))
+    val inserts = target.filter(col("o_orderkey") % 10 === 2)
+      .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+        lit("I").as("op"), lit("N").as("new_status"),
+        col("o_totalprice").as("new_price"))
+    val changes = updates.unionAll(deletes).unionAll(inserts)
+    target.join(changes, Seq("o_orderkey"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("o_orderkey"),
+        coalesce(col("new_status"), col("o_orderstatus")).as("o_orderstatus"),
+        sround(coalesce(col("new_price"), col("o_totalprice")), 2)
+          .as("o_totalprice"),
+        coalesce(col("op"), lit("=")).as("change_type"))
+      .orderBy("o_orderkey")
+  }
+
+  val q42MergeUpsertSql: String =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey, 'U' AS op, CAST(NULL AS VARCHAR) AS new_status,
+      |    o_totalprice * 1.05 AS new_price
+      |  FROM target WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      |  FROM target WHERE o_orderkey % 10 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'I', 'N', o_totalprice
+      |  FROM target WHERE o_orderkey % 10 = 2)
+      |SELECT coalesce(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+      |  coalesce(c.new_status, t.o_orderstatus) AS o_orderstatus,
+      |  floor(coalesce(c.new_price, t.o_totalprice) * 100.0 + 0.5) / 100.0
+      |    AS o_totalprice,
+      |  coalesce(c.op, '=') AS change_type
+      |FROM target t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
+      |WHERE coalesce(c.op, '') != 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------- q43_unpivot
+  /** UNPIVOT / melt (wide → long): the inverse of q25's PIVOT, closing
+    * the reshape pair. Spark plans `Dataset.unpivot` as ONE Expand pass
+    * (each input row emits 4 measure rows in the same scan — no
+    * self-union, no 4x rescan), then a 4-group aggregate. The oracle
+    * spells the same semantics as UNION ALL arms. Money sums go through
+    * integer cents (sumCents) so the doubles are order-independent.
+    */
+  val q43Unpivot: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .groupBy(col("measure"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sumCents(col("val")) / lit(100.0)).as("sum_val"),
+        sround(sumCents(col("val")) / (count(lit(1)) * lit(100.0)), 6)
+          .as("avg_val"))
+      .orderBy("measure")
+
+  val q43UnpivotSql: String =
+    """WITH u AS (
+      |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      |SELECT measure, count(*) AS n,
+      |  CAST(sum(CAST(floor(val * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_val,
+      |  floor((CAST(sum(CAST(floor(val * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |    / (count(*) * 100.0)) * 1000000.0 + 0.5) / 1000000.0 AS avg_val
+      |FROM u GROUP BY measure ORDER BY measure""".stripMargin
+
+  // --------------------------------------------------- q44_hll_distinct
+  /** Portable HyperLogLog distinct estimate (Flajolet et al. 2007),
+    * composed ENTIRELY from built-ins — the counterpart of q30's custom
+    * KMV aggregate, demonstrating that the register algebra is itself
+    * relational: register = low 6 bits of the md5-62 hash, rho = leading
+    * -zero rank of the remaining 56 bits via `57 - bit_length(w)` (both
+    * engines spell it `length(bin(w))`), register state = max(rho) per
+    * (group, register) — ONE partial-agg-friendly shuffle of at most
+    * m=64 rows per group per partition. The harmonic sum folds 2^-rho
+    * terms in sorted order (t8's trick) so the double matches the oracle
+    * bitwise; the raw estimator (no small-range correction — documented,
+    * deterministic) applies alpha_64 = 0.709.
+    *
+    * At 100 TB: the KMV/HLL choice is state size (8 KiB KMV vs 64 longs
+    * HLL per group) — this query keeps the exact distinct alongside so
+    * the error is visible, like t18 does for CMS.
+    */
+  val q44HllDistinct: Q = (s, d) => {
+    val m = 64
+    val regs = t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        graft.expressions.PortableHashExpressions
+          .md5Hash62(col("l_partkey").cast("string")).as("h"))
+      .select(col("l_returnflag"), (col("h") % m).as("reg"),
+        shiftright(col("h"), 6).as("w"))
+      .select(col("l_returnflag"), col("reg"),
+        when(col("w") === 0, lit(57))
+          .otherwise(lit(57) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("l_returnflag"), col("reg"))
+      .agg(max(col("rho")).as("r"))
+    val est = regs.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_regs"),
+        aggregate(array_sort(collect_list(pow(lit(2.0), -col("r")))),
+          lit(0.0), (acc, x) => acc + x).as("zsum"))
+      .select(col("l_returnflag"), col("n_regs"),
+        sround(lit(0.709) * lit(m.toDouble * m) /
+          (col("zsum") + (lit(m.toLong) - col("n_regs"))), 1).as("hll_est"))
+    val exact = t(s, d, "lineitem").groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    est.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_exact"), col("hll_est"), col("n_regs"))
+      .orderBy("l_returnflag")
+  }
+
+  val q44HllDistinctSql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |    CAST(md5_number_lower(CAST(l_partkey AS VARCHAR))
+      |      & 4611686018427387903 AS BIGINT) AS h
+      |  FROM lineitem),
+      |rho AS (
+      |  SELECT l_returnflag, h % 64 AS reg,
+      |    CASE WHEN (h >> 6) = 0 THEN 57
+      |      ELSE 57 - length(bin(h >> 6)) END AS rho
+      |  FROM h),
+      |regs AS (
+      |  SELECT l_returnflag, reg, max(rho) AS r
+      |  FROM rho GROUP BY 1, 2),
+      |est AS (
+      |  SELECT l_returnflag, count(*) AS n_regs,
+      |    floor(0.709 * 4096.0
+      |      / (list_aggregate(list_sort(list(power(2.0, -r))), 'sum')
+      |         + (64 - count(*))) * 10.0 + 0.5) / 10.0 AS hll_est
+      |  FROM regs GROUP BY l_returnflag),
+      |exact AS (
+      |  SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n_exact, hll_est, n_regs
+      |FROM est JOIN exact USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -1309,7 +1479,10 @@ object Relational {
     "q38_grouping_sets" -> q38GroupingSets,
     "q39_time_range_window" -> q39TimeRangeWindow,
     "q40_fuzzy_join" -> q40FuzzyJoin,
-    "q41_scd2" -> q41Scd2)
+    "q41_scd2" -> q41Scd2,
+    "q42_merge_upsert" -> q42MergeUpsert,
+    "q43_unpivot" -> q43Unpivot,
+    "q44_hll_distinct" -> q44HllDistinct)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1351,5 +1524,8 @@ object Relational {
     "q38_grouping_sets" -> q38GroupingSetsSql,
     "q39_time_range_window" -> q39TimeRangeWindowSql,
     "q40_fuzzy_join" -> q40FuzzyJoinSql,
-    "q41_scd2" -> q41Scd2Sql)
+    "q41_scd2" -> q41Scd2Sql,
+    "q42_merge_upsert" -> q42MergeUpsertSql,
+    "q43_unpivot" -> q43UnpivotSql,
+    "q44_hll_distinct" -> q44HllDistinctSql)
 }

@@ -956,6 +956,56 @@ object TextAnalysis {
       |GROUP BY p.token, p.exact_cnt
       |ORDER BY p.exact_cnt DESC, p.token ASC LIMIT 20""".stripMargin
 
+  // --------------------------------------------- t20_quality_classifier
+  /** Linear quality-classifier scoring — the fastText-style model-based
+    * filter (Joulin et al. 2016 arXiv:1607.01759; the CCNet/GPT-3 data
+    * pipelines run exactly this shape): each document's hashed
+    * bag-of-words features are dotted with a FROZEN weight vector and the
+    * mean activation is the keep/drop logit. Here the frozen weights are
+    * derived arithmetically from the feature id (Knuth multiplicative
+    * hash into [-0.5, 0.5)) so both engines materialize the identical
+    * model without shipping an artifact; a production run would
+    * `broadcast` the trained weights table instead — same plan shape,
+    * the weight lookup is a map-side join either way.
+    *
+    * Float discipline: every weight is a dyadic rational k/2^20 with
+    * |sum| < 2^10, so ANY summation order is exact in IEEE doubles — the
+    * per-doc sum needs no sorted fold (unlike t8/t17's logs) and the
+    * plan keeps the plain partial-agg sum. Scale shape: narrow
+    * explode → one doc-keyed hash agg; nothing wide.
+    */
+  val t20QualityClassifier: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), explode(lowerTokens(col("text"))).as("token"))
+      .select(col("doc_id"),
+        (graft.expressions.PortableHashExpressions.md5Hash62(col("token"))
+          % lit(262144L)).as("fid"))
+      .select(col("doc_id"),
+        (((col("fid") * lit(2654435761L)) % lit(1048576L)) / lit(1048576.0)
+          - lit(0.5)).as("wt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("act"))
+      .select(col("doc_id"), col("n_tokens"),
+        sround(col("act") / col("n_tokens"), 6).as("logit"),
+        (col("act") > 0.0).as("keep"))
+      .orderBy("doc_id")
+
+  val t20QualityClassifierSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '')) AS token
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |    (((CAST(md5_number_lower(token) & 4611686018427387903 AS BIGINT)
+      |        % 262144) * 2654435761) % 1048576) / 1048576.0 - 0.5 AS wt
+      |  FROM toks)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  floor((sum(wt) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS logit,
+      |  sum(wt) > 0.0 AS keep
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------- t19_dsir_importance
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): documents are
@@ -1050,6 +1100,7 @@ object TextAnalysis {
     "t17_lm_score" -> t17LmScore,
     "t18_heavy_hitters" -> t18HeavyHitters,
     "t19_dsir_importance" -> t19DsirImportance,
+    "t20_quality_classifier" -> t20QualityClassifier,
     "t10_tfidf" -> t10Tfidf,
     "t11_packing" -> t11Packing,
     "t12_redact" -> t12Redact,
@@ -1071,6 +1122,7 @@ object TextAnalysis {
     "t17_lm_score" -> t17LmScoreSql,
     "t18_heavy_hitters" -> t18HeavyHittersSql,
     "t19_dsir_importance" -> t19DsirImportanceSql,
+    "t20_quality_classifier" -> t20QualityClassifierSql,
     "t10_tfidf" -> t10TfidfSql,
     "t11_packing" -> t11PackingSql,
     "t12_redact" -> t12RedactSql,
