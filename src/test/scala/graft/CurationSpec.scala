@@ -116,6 +116,24 @@ class CurationSpec extends SparkSpec {
     assert(out.count() > 0 && out.filter($"avg_neg_log2p" <= 0).count() == 0)
   }
 
+  test("t20 classifier: dyadic weights make the score partition-order exact") {
+    val out = TextAnalysis.t20QualityClassifier(spark, sfDir)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // keep is exactly sign(logit) (both derive from the same exact sum)
+    rows.foreach { case (id, n, logit, keep) =>
+      assert(n > 0)
+      assert(keep == (logit > 0.0) || logit == 0.0, s"doc $id keep/logit disagree")
+    }
+    // the sum is EXACT (every weight is k/2^20, |sum| << 2^53): any
+    // partitioning/merge order yields byte-identical doubles
+    val a = out.collect().toSeq
+    val b = TextAnalysis.t20QualityClassifier(spark, sfDir)
+      .repartition(7).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("t10 tfidf: ranks are 1..k per source, scores ordered, df consistent") {
     val rows = TextAnalysis.t10Tfidf(spark, sfDir).collect()
     assert(rows.nonEmpty)

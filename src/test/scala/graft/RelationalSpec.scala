@@ -135,4 +135,54 @@ class RelationalSpec extends SparkSpec {
     // (hence any partial-agg merge order) yields the identical double
     assert(kmv(li.repartition(1)) == kmv(li.repartition(13, $"l_orderkey")))
   }
+
+  test("q42 merge upsert: deletes gone, inserts present, updates repriced") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val orders = Tables.load(spark, sfDir, "orders")
+    val out = Relational.q42MergeUpsert(spark, sfDir)
+    val byType = out.groupBy($"change_type").count()
+      .as[(String, Long)].collect().toMap
+    val nByMod = orders.select(($"o_orderkey" % 10).as("m")).groupBy($"m")
+      .count().as[(Long, Long)].collect().toMap
+    // no deleted key survives; every insert lands under the shifted key
+    assert(out.filter($"o_orderkey" % 10 === 1 && $"o_orderkey" < 100000000L)
+      .count() == 0)
+    assert(byType("I") == nByMod(2L) &&
+      out.filter($"o_orderkey" >= 100000000L).count() == byType("I"))
+    assert(byType("U") == nByMod(0L))
+    // total = target - deletes + inserts
+    assert(out.count() == orders.count() - nByMod(1L) + nByMod(2L))
+    // an updated row carries the +5% price of its source row
+    val probe = orders.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", $"o_totalprice").as[(Long, Double)].head()
+    val merged = out.filter($"o_orderkey" === probe._1)
+      .select($"o_totalprice").as[Double].head()
+    assert(math.abs(merged - probe._2 * 1.05) < 0.01)
+  }
+
+  test("q43 unpivot: one Expand pass, long-form counts match wide row count") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val out = Relational.q43Unpivot(spark, sfDir)
+    val rows = out.as[(String, Long, Double, Double)].collect()
+    assert(rows.length == 4 && rows.forall(_._2 == li.count()))
+    // melt is planned as a single Expand over one scan, not a self-union
+    val plan = Relational.q43Unpivot(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected Expand in:\n$plan")
+    assert(!plan.contains("Union"), "unpivot must not plan a self-union")
+  }
+
+  test("q44 HLL: raw estimate within 20% of exact on every group") {
+    import spark.implicits._
+    val rows = Relational.q44HllDistinct(spark, sfDir)
+      .as[(String, Long, Double, Long)].collect()
+    rows.foreach { case (flag, exact, est, nregs) =>
+      assert(nregs <= 64)
+      assert(math.abs(est - exact) / exact < 0.20,
+        s"$flag: HLL $est vs exact $exact")
+    }
+  }
 }

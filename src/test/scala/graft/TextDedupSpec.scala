@@ -129,4 +129,58 @@ class TextDedupSpec extends SparkSpec {
     }
     assert(chained || pairs.isEmpty)
   }
+
+  test("SpanChunks generator == HOF chunking; empty/null inputs emit nothing") {
+    import graft.expressions.SpanChunks.spanChunks
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f", "g")), // trailing partial span
+      (2L, Seq("x", "y", "z")),                     // exactly one span
+      (3L, Seq("q")),                               // sub-span doc
+      (4L, Seq.empty[String])                       // no tokens -> no rows
+    ).toDF("id", "t")
+    val gen = df.select($"id", spanChunks($"t", 3).as(Seq("idx", "span")))
+      .as[(Long, Int, String)].collect().toSet
+    // the HOF twin (t7's shape): materialize the chunk array, posexplode
+    val hof = df.filter(size($"t") > 0)
+      .select($"id", posexplode(
+        transform(sequence(lit(0), floor((size($"t") + 2) / lit(3)).cast("int") - 1),
+          i => concat_ws(" ", slice($"t", i * 3 + 1, lit(3))))).as(Seq("idx", "span")))
+      .as[(Long, Int, String)].collect().toSet
+    assert(gen == hof)
+    assert(gen.contains((1L, 2, "g")) && gen.contains((2L, 0, "x y z")))
+    assert(!gen.exists(_._1 == 4L))
+    // null array -> no rows (not a null row)
+    val withNull = Seq((5L, null: Seq[String])).toDF("id", "t")
+      .select($"id", spanChunks($"t", 3).as(Seq("idx", "span")))
+    assert(withNull.count() == 0)
+    // SQL surface via GraftExtensions
+    df.createOrReplaceTempView("spanchunks_in")
+    val sql = spark.sql(
+      "SELECT id, graft_span_chunks(t, 3) FROM spanchunks_in")
+      .as[(Long, Int, String)].collect().toSet
+    assert(sql == gen)
+  }
+
+  test("d8 span dedup: kept spans count + first-occurrence wins + reconstruction") {
+    val out = Dedup.d8SpanDedup(spark, sfDir)
+    val rows = out.as[(Long, Long, Long, Long, String)].collect()
+    // every doc accounted for, n_kept + n_dropped == n_spans
+    assert(rows.length == Tables.load(spark, sfDir, "documents").count())
+    rows.foreach { case (id, n, k, drp, _) =>
+      assert(k + drp == n && k >= 0 && drp >= 0, s"doc $id inconsistent")
+    }
+    // global invariant: total kept spans == number of DISTINCT spans
+    import graft.expressions.SpanChunks.spanChunks
+    val spans = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", lowerTokens($"text").as("t"))
+      .select($"doc_id", spanChunks($"t", 3).as(Seq("idx", "span")))
+    assert(rows.map(_._3).sum == spans.select($"span").distinct().count())
+    // the globally FIRST document (min doc_id) wins every inter-doc race:
+    // it keeps exactly its DISTINCT spans (drops only self-repeats)
+    val firstDoc = rows.minBy(_._1)
+    val firstDistinct = spans.filter($"doc_id" === firstDoc._1)
+      .select($"span").distinct().count()
+    assert(firstDoc._3 == firstDistinct,
+      s"first doc kept ${firstDoc._3}, expected $firstDistinct")
+  }
 }
