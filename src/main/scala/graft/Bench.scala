@@ -41,14 +41,18 @@ object Bench {
     // keeps only the final ~2000 chars of output and parses the JSON out
     // of that window — round 3's full-precision 66-entry line plus one
     // shutdown log message overflowed it and the driver recorded
-    // parsed:null. 3-decimal seconds keep the line ~1.6 KB.
+    // parsed:null. With 82 queries even 3-decimal seconds hit 1986 chars,
+    // so per-query times are now integer MILLISECONDS (declared via
+    // queries_unit) and sf is the basename — ~1.8 KB with headroom.
     def f3(v: Double): String = // Locale.ROOT: a comma decimal point would corrupt the JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val sfName = new java.io.File(sfDir).getName
     spark.sparkContext.setLogLevel("OFF") // keep shutdown chatter out of the tail
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_unit":"ms","queries":$qs,"sf":"$sfName"}""")
   }
 }
