@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Relational, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,7 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ graft.plans.Asof.queries ++
-      graft.pipeline.CorpusPipeline.queries
+      graft.pipeline.CorpusPipeline.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Since round 4 EVERY query has a twin — the
@@ -37,7 +37,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ graft.plans.Asof.oracles ++
-      graft.pipeline.CorpusPipeline.oracles
+      graft.pipeline.CorpusPipeline.oracles ++ Graph.oracles
 
   /** Headline subset timed by Bench (kept representative but bounded). */
   def headline: Seq[String] = Seq(
@@ -65,5 +65,5 @@ object SparkEntry {
     "t19_dsir_importance", "d7_semantic_dedup", "q38_grouping_sets",
     "q39_time_range_window", "q40_fuzzy_join", "q41_scd2",
     "q42_merge_upsert", "q43_unpivot", "q44_hll_distinct",
-    "t20_quality_classifier", "d8_span_dedup")
+    "t20_quality_classifier", "d8_span_dedup", "g1_pagerank")
 }
