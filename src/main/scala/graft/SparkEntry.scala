@@ -65,5 +65,6 @@ object SparkEntry {
     "t19_dsir_importance", "d7_semantic_dedup", "q38_grouping_sets",
     "q39_time_range_window", "q40_fuzzy_join", "q41_scd2",
     "q42_merge_upsert", "q43_unpivot", "q44_hll_distinct",
-    "t20_quality_classifier", "d8_span_dedup", "g1_pagerank")
+    "t20_quality_classifier", "d8_span_dedup", "g1_pagerank",
+    "mm3_audio_energy")
 }

@@ -151,9 +151,65 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // ----------------------------------------------------- mm3_audio_energy
+  /** Sliding-window ENERGY extraction for audio-shaped payloads: the binary
+    * is treated as a PCM-ish sample stream, framed into 256-byte windows at
+    * a 128-byte hop (the standard 50%-overlap STFT framing), each window
+    * reduced to its unsigned-byte energy sum — the loudness/VAD front-end
+    * shape. Framing + reduction run in the SAME per-partition seam as the
+    * mm1 decoder (one codec instance per partition, streamed rows); the
+    * per-doc peak window is a packed-long argmax (d6's trick — primitive
+    * max, no struct compare, ties break to the EARLIEST window).
+    *
+    * Energies are exact integer sums, so the oracle replays them with
+    * ord()-sums over character positions (the corpus is ASCII: byte ==
+    * code point, asserted in the spec) and every column hash-checks.
+    */
+  final case class AudioWin(doc_id: Long, win_idx: Int, win_len: Int, energy: Long)
+
+  /** Frame a binary payload stream into (win, hop) windows with per-window
+    * energy — per-partition streamed, trailing partial windows included.
+    */
+  def audioWindows(media: Dataset[MediaIn], win: Int = 256, hop: Int = 128)
+      : Dataset[AudioWin] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val b = m.payload
+      val n = math.max(1, math.ceil(b.length / hop.toDouble).toInt)
+      (0 until n).iterator.map { i =>
+        val start = i * hop
+        val end = math.min(start + win, b.length)
+        var e = 0L
+        var j = start
+        while (j < end) { e += (b(j) & 0xFF); j += 1 }
+        AudioWin(m.doc_id, i, end - start, e)
+      }
+    }
+  }
+
+  def mm3AudioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+    audioWindows(media)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("total_energy"),
+        max(col("energy") * lit(1048576L) + (lit(1048575L) - col("win_idx")))
+          .as("key"))
+      .select(col("doc_id"), col("n_windows"), col("total_energy"),
+        (lit(1048575L) - col("key").bitwiseAND(lit(1048575L))).cast("int")
+          .as("peak_idx"),
+        shiftright(col("key"), 20).as("peak_energy"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_decode_stub" -> (mm1DecodeStub _),
-    "mm2_frame_sample" -> (mm2FrameSample _))
+    "mm2_frame_sample" -> (mm2FrameSample _),
+    "mm3_audio_energy" -> (mm3AudioEnergy _))
 
   /** DuckDB twin of the metadata decode: byte_len is the UTF-8 byte count
     * of `text`, pseudo-dims derive from it, feature_dim is the fixed
@@ -177,5 +233,27 @@ object Multimodal {
         |FROM (SELECT doc_id, blen, n_frames,
         |        unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
         |      FROM f)
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // byte == code point here (ASCII corpus, asserted in SimilaritySpec),
+    // so the window energy replays as an ord()-sum over char positions
+    "mm3_audio_energy" ->
+      """WITH wins AS (
+        |  SELECT doc_id, CAST(i AS INT) AS win_idx,
+        |    CAST(list_aggregate(list_transform(
+        |      range(i * 128 + 1, least(i * 128 + 256, blen) + 1),
+        |      p -> ord(substr(text, CAST(p AS INT), 1))), 'sum') AS BIGINT)
+        |      AS energy
+        |  FROM (SELECT doc_id, text, octet_length(encode(text)) AS blen,
+        |          unnest(range(CAST(ceil(octet_length(encode(text)) / 128.0)
+        |            AS BIGINT))) AS i
+        |        FROM documents)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_windows,
+        |    CAST(sum(energy) AS BIGINT) AS total_energy,
+        |    max(energy * 1048576 + (1048575 - win_idx)) AS key
+        |  FROM wins GROUP BY doc_id)
+        |SELECT doc_id, n_windows, total_energy,
+        |  CAST(1048575 - (key & 1048575) AS INTEGER) AS peak_idx,
+        |  CAST(key >> 20 AS BIGINT) AS peak_energy
+        |FROM agg ORDER BY doc_id""".stripMargin)
 }

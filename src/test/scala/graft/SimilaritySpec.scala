@@ -167,4 +167,26 @@ class SimilaritySpec extends SparkSpec {
     val f = Multimodal.decodeFeatures(media).head()
     assert(f.byte_len <= 128 && math.abs(f.feature.sum - 1.0f) < 1e-5)
   }
+
+  test("mm3 window energies are exact byte sums; framing covers every byte") {
+    // hand-computed windows on a known payload: 300 bytes of value pattern
+    val bytes = Array.tabulate(300)(i => (32 + (i % 64)).toByte)
+    val media = Seq(Multimodal.MediaIn(7L, bytes)).toDS()
+    val wins = Multimodal.audioWindows(media).collect().sortBy(_.win_idx)
+    assert(wins.map(_.win_idx).toSeq == Seq(0, 1, 2))
+    assert(wins.map(_.win_len).toSeq == Seq(256, 172, 44))
+    def ref(start: Int, end: Int) =
+      (start until end).map(i => (bytes(i) & 0xFF).toLong).sum
+    assert(wins(0).energy == ref(0, 256))
+    assert(wins(1).energy == ref(128, 300))
+    assert(wins(2).energy == ref(256, 300))
+    // oracle precondition: the corpus is ASCII (byte == code point)
+    val nonAscii = Tables.load(spark, sfDir, "documents")
+      .filter(octet_length($"text") =!= length($"text")).count()
+    assert(nonAscii == 0, "mm3 oracle assumes an ASCII corpus")
+    // per-doc aggregate: peak is the argmax window, earliest on ties
+    val out = Multimodal.mm3AudioEnergy(spark, sfDir)
+    val r = out.head()
+    assert(r.getLong(1) >= 1 && r.getLong(2) >= r.getLong(4))
+  }
 }
