@@ -55,9 +55,11 @@ object ScaleProbe {
       "t18_heavy_hitters", "t19_dsir_importance", "d7_semantic_dedup",
       "q38_grouping_sets", "q39_time_range_window", "q40_fuzzy_join",
       "q41_scd2",
-      // round-6 additions: merge/unpivot/HLL + classifier + span dedup
+      // round-6 additions: merge/unpivot/HLL + classifier + span dedup +
+      // graph + audio windows
       "q42_merge_upsert", "q43_unpivot", "q44_hll_distinct",
-      "t20_quality_classifier", "d8_span_dedup")
+      "t20_quality_classifier", "d8_span_dedup", "g1_pagerank",
+      "mm3_audio_energy")
     SparkEntry.queries(names.head)(spark, out)
       .write.format("noop").mode("overwrite").save() // warmup
     names.foreach { n =>

@@ -57,4 +57,35 @@ class FormatsSpec extends SparkSpec {
     val after = spark.read.parquet(compacted).collect().map(_.toSeq).toSet
     assert(after == before)
   }
+
+  test("zorder layout: files tile BOTH dimensions; second-dim predicates skip files") {
+    import graft.sources.Maintenance
+    // a 64x64 grid: every (x, y) cell once
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).cast("int").as("x"),
+      (col("id") / 64).cast("int").as("y"))
+    val zdir = Files.createTempDirectory("fmt_z").toString + "/t"
+    val ldir = Files.createTempDirectory("fmt_l").toString + "/t"
+    Maintenance.zorderWrite(grid, "x", "y", nFiles = 16, dstDir = zdir, bits = 6)
+    // the linear baseline: range-sorted by x only (classic single-key sort)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(ldir)
+    // per-file bounding boxes, as parquet footer min/max stats would see them
+    def boxes(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("y").as("ylo"), max("y").as("yhi"),
+        min("x").as("xlo"), max("x").as("xhi"))
+      .collect()
+    val zb = boxes(zdir)
+    val lb = boxes(ldir)
+    assert(zb.length == 16 && lb.length == 16)
+    // probe: WHERE y = 17 — count files whose [ylo, yhi] excludes it
+    def skipped(bs: Array[org.apache.spark.sql.Row]) =
+      bs.count(r => r.getInt(1) > 17 || r.getInt(2) < 17)
+    assert(skipped(lb) == 0, "x-sorted files span all y: nothing skips")
+    assert(skipped(zb) >= 8,
+      s"z-order should skip most files on a y predicate, skipped ${skipped(zb)}")
+    // no rows lost by the rewrite
+    assert(spark.read.parquet(zdir).count() == 4096)
+  }
 }
