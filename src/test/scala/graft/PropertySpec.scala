@@ -255,4 +255,41 @@ class PropertySpec extends SparkSpec {
     // set 0: the, shared, THE(lower), shared -> 4; set 1: shared, der, shared -> 3
     assert(out == Seq(4L, 3L))
   }
+
+  test("zorder key is a bijection: de-interleaving recovers (x, y) exactly") {
+    val pts = forAllPairs(Gen.choose(0, 255), Gen.choose(0, 255))
+    val df = pts.toDF("x", "y")
+      .withColumn("z", graft.sources.Maintenance.zorderKey2($"x", $"y", bits = 8))
+    df.as[(Int, Int, Long)].collect().foreach { case (x, y, z) =>
+      var (rx, ry) = (0, 0)
+      for (i <- 0 until 8) {
+        rx |= (((z >> (2 * i)) & 1L) << i).toInt
+        ry |= (((z >> (2 * i + 1)) & 1L) << i).toInt
+      }
+      assert(rx == x && ry == y, s"z=$z decoded to ($rx,$ry), expected ($x,$y)")
+      assert(z >= 0 && z < (1L << 16))
+    }
+  }
+
+  private def forAllPairs(gx: Gen[Int], gy: Gen[Int], n: Int = 60): Seq[(Int, Int)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    forAll(Gen.zip(gx, gy), n) { case (a, b) => buf += ((a, b)) }
+    buf.toSeq
+  }
+
+  test("span chunks partition the token stream: concatenation law, sizes law") {
+    import graft.expressions.SpanChunks.spanChunks
+    forAll(Gen.choose(2, 5).flatMap(n =>
+      Gen.zip(Gen.const(n), Gen.listOfN(11, word))), 20) { case (n, toks) =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+        .select(spanChunks($"t", n).as(Seq("idx", "span")))
+      val spans = df.as[(Int, String)].collect().sortBy(_._1).map(_._2)
+      // concatenating the spans in idx order recovers the token stream
+      assert(spans.mkString(" ") == toks.mkString(" "))
+      // every span is n tokens except possibly the last
+      val sizes = spans.map(_.split(" ").length)
+      assert(sizes.dropRight(1).forall(_ == n))
+      assert(sizes.isEmpty || (sizes.last <= n && sizes.last >= 1))
+    }
+  }
 }
