@@ -44,8 +44,6 @@ object Bench {
     // parsed:null. With 82 queries even 3-decimal seconds hit 1986 chars,
     // so per-query times are now integer MILLISECONDS (declared via
     // queries_unit) and sf is the basename — ~1.8 KB with headroom.
-    def f3(v: Double): String = // Locale.ROOT: a comma decimal point would corrupt the JSON
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
     }.mkString("{", ",", "}")
@@ -53,6 +51,9 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     spark.sparkContext.setLogLevel("OFF") // keep shutdown chatter out of the tail
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_unit":"ms","queries":$qs,"sf":"$sfName"}""")
+    // value to 1 decimal and the short "qunit" key: every byte of this
+    // line competes with the driver's capture window
+    val t1 = String.format(java.util.Locale.ROOT, "%.1f", Double.box(total))
+    println(s"""{"metric":"total","value":$t1,"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sfName"}""")
   }
 }

@@ -6,9 +6,10 @@ import graft.Tables
 
 /** Graph analytics over relationally-derived edge lists — the iterative
   * family alongside d5's connected components. The engine's stance: a graph
-  * is an edge DataFrame; one iteration is one join + one aggregation; the
-  * driver loop cuts lineage per round (localCheckpoint) so plans stay flat
-  * at any iteration count (the round-2 plan-growth lesson).
+  * is an edge DataFrame; one iteration is one join + one aggregation. With
+  * a FIXED iteration count the whole unrolled DAG plans as one job; a
+  * data-dependent loop would cut lineage per round with localCheckpoint
+  * (d5's shape — the round-2 plan-growth lesson).
   *
   * Scale shape: each PageRank round shuffles the edge list once on the
   * source key and once on the destination key — the same partitioning every
@@ -52,26 +53,29 @@ object Graph {
         concat(lit("k"), get_json_object(col("props"), "$.k")).as("dst"))
       .where(col("dst").isNotNull)
       .distinct()
-    val edges = base
-      .unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true) // reused every iteration
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    // ONE eager materialization: edges carry (src, dst, deg-of-src) so the
+    // per-iteration work is a single join + agg. nodes derive from the
+    // checkpointed frame (tiny re-agg per use beats extra eager jobs).
+    val edges = {
+      val e = base.unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+        .localCheckpoint(true)
+    }
     val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
 
+    // FIXED 3 iterations: lineage depth is bounded, so no per-round
+    // checkpoint — Catalyst plans the whole unrolled DAG in one job (a
+    // data-dependent iteration count would checkpoint per round, d5-style).
     var rank = nodes.select(col("node"), lit(1.0).as("rank"))
     for (_ <- 1 to 3) {
       val contribs = edges
         .join(rank, edges("src") === rank("node"))
-        .join(outdeg, "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
       rank = nodes
         .join(contribs.groupBy(col("node")).agg(sortedFoldSum(col("c")).as("csum")),
           Seq("node"), "left")
         .select(col("node"),
           (lit(0.15) + lit(0.85) * coalesce(col("csum"), lit(0.0))).as("rank"))
-        .localCheckpoint(true) // flat plan per round; ranks computed once
     }
     rank.select(col("node"), sround(col("rank"), 6).as("rank"))
       .orderBy(col("rank").desc, col("node"))
