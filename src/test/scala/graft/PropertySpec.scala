@@ -203,6 +203,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch: mismatched probe geometry fails loudly, not silently") {
+    import graft.expressions.CmsSketch
+    val df = Seq(1L, 2L, 3L).toDF("h")
+    val cms = df.agg(CmsSketch.cmsBuild($"h", depth = 4, width = 8192).as("cms"))
+    // probing a 4x8192 sketch as 4x1024 must throw the geometry message
+    val e = intercept[Exception] {
+      df.crossJoin(cms)
+        .select(CmsSketch.cmsEstimate($"cms", $"h", depth = 4, width = 1024))
+        .collect()
+    }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+    assert(root(e).getMessage.contains("geometry mismatch"),
+      s"unexpected error: ${root(e).getMessage}")
+    // out-of-bounds build geometry is rejected at construction
+    val bad = intercept[IllegalArgumentException] {
+      CmsSketch.cmsBuild($"h", depth = 16, width = 1 << 26)
+    }
+    assert(bad.getMessage.contains("depth*width"))
+  }
+
   test("count(col) + count of nulls == count(*) (A2 law)") {
     forAll(Gen.listOf(Gen.option(Gen.choose(0, 100)))) { (vs: List[Option[Int]]) =>
       whenever(vs.nonEmpty) {
