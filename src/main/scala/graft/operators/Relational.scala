@@ -1438,6 +1438,205 @@ object Relational {
       |FROM est JOIN exact USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------ q45_argmax
+  /** Deterministic argmax/argmin aggregates. Spark's `max_by`/`min_by`
+    * (and DuckDB's arg_max) leave ties UNSPECIFIED — worthless for a
+    * reproducible pipeline. Here the (value, tiebreak) pair is PACKED
+    * into one long — cents(price) * 2^31 + (2^31-1 - custkey) — so a
+    * plain primitive max IS "argmax by price, ties to the smallest
+    * custkey", in one partial-agg-friendly hash aggregate (d6's packed
+    * trick promoted to the relational surface; a window row_number
+    * formulation would cost a full sort per group instead). The mode
+    * aggregate runs as a two-level count + rank over the tiny
+    * (priority × status) grid.
+    *
+    * Cents via floor(p*100 + 0.5): o_totalprice*100 is NOT exactly
+    * integral in ~10% of rows, but both engines run the identical IEEE
+    * double ops on the identical double, so the packed longs agree
+    * bit-for-bit.
+    */
+  val q45Argmax: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    val two31 = 1L << 31
+    val mask = two31 - 1
+    val pcents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+    val days = datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long")
+    val main = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(pcents * lit(two31) + (lit(mask) - col("o_custkey"))).as("pk_best"),
+        min(days * lit(two31) + col("o_orderkey")).as("pk_first"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        (shiftright(col("pk_best"), 31).cast("double") / lit(100.0)).as("best_price"),
+        (lit(mask) - col("pk_best").bitwiseAND(lit(mask))).as("best_cust"),
+        col("pk_first").bitwiseAND(lit(mask)).as("first_orderkey"))
+    val sc = o.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("c"))
+    val wm = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("c").desc, col("o_orderstatus"))
+    val mode = sc.withColumn("rn", row_number().over(wm))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"))
+    main.join(mode, Seq("o_orderpriority")).orderBy("o_orderpriority")
+  }
+
+  val q45ArgmaxSql: String =
+    """WITH main AS (
+      |  SELECT o_orderpriority, count(*) AS n_orders,
+      |    max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) * 2147483648
+      |        + (2147483647 - o_custkey)) AS pk_best,
+      |    min(CAST(date_diff('day', DATE '1992-01-01',
+      |          CAST(o_orderdate AS DATE)) AS BIGINT) * 2147483648
+      |        + o_orderkey) AS pk_first
+      |  FROM orders GROUP BY o_orderpriority),
+      |sc AS (
+      |  SELECT o_orderpriority, o_orderstatus, count(*) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |mode AS (
+      |  SELECT o_orderpriority, o_orderstatus AS mode_status
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+      |          ORDER BY c DESC, o_orderstatus) AS rn FROM sc)
+      |  WHERE rn = 1)
+      |SELECT o_orderpriority, n_orders,
+      |  CAST(pk_best >> 31 AS DOUBLE) / 100.0 AS best_price,
+      |  2147483647 - (pk_best & 2147483647) AS best_cust,
+      |  pk_first & 2147483647 AS first_orderkey,
+      |  mode_status
+      |FROM main JOIN mode USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------- q46_rcd
+  /** Running COUNT(DISTINCT) over a window — an aggregate neither engine
+    * supports natively in a running frame. Rewrite: flag the FIRST
+    * occurrence of each (user, event_type) (row_number = 1 over the
+    * dedup key), then running-sum the flags over the event order. Both
+    * windows partition on user_id, so the whole query is ONE shuffle and
+    * two in-partition sorts — the direct formulation (distinct-count per
+    * prefix) would be quadratic.
+    */
+  val q46Rcd: Q = (s, d) => {
+    val e = t(s, d, "events")
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("flag",
+        when(row_number().over(wFirst) === 1, lit(1L)).otherwise(lit(0L)))
+      .withColumn("rcd", sum(col("flag")).over(wRun))
+      .select(col("event_id"), col("user_id"), col("rcd"))
+      .orderBy("event_id")
+  }
+
+  val q46RcdSql: String =
+    """WITH flagged AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+      |        ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS flag,
+      |    ts
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rcd
+      |FROM flagged ORDER BY event_id""".stripMargin
+
+  // ----------------------------------------------------- q47_setkmv
+  /** Set-operation cardinality estimates from MERGED KMV sketches
+    * (Beyer et al. 2007): one pass builds a k=512 sketch per side (first
+    * vs second half-year customer sets) via conditional updates in a
+    * SINGLE hash aggregate; union/intersection estimates then derive
+    * from the sketch ARRAYS alone — |A∪B| from the kth-smallest of the
+    * combined hash set, |A∩B| = Jaccard-on-the-union-sketch × |A∪B|.
+    * The exact counts ride along (one flag-agg pass) so the sketch
+    * error is visible, like q44/t18.
+    *
+    * This is the round-trip q30 couldn't show: sketches as mergeable
+    * VALUES (graft_kmv_values → array<long>), combinable after the
+    * fact — the shape that lets a 100 TB scan publish per-partition
+    * sketches and answer any union/intersection question later without
+    * rescanning.
+    */
+  val q47Setkmv: Q = (s, d) => {
+    val k = 512
+    val o = t(s, d, "orders")
+      .select(col("o_custkey"), month(col("o_orderdate")).as("m"))
+    val sk = o.agg(
+      graft.expressions.KmvSketch.kmvValues(
+        when(col("m") <= 6, col("o_custkey")), k).as("ska"),
+      graft.expressions.KmvSketch.kmvValues(
+        when(col("m") >= 7, col("o_custkey")), k).as("skb"))
+    // estimate from a sorted sketch array: exact size below k, else the
+    // (k-1) * 2^62 / kth-smallest KMV estimator
+    def est(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(size(a) < k, size(a).cast("double"))
+        .otherwise(lit((k - 1).toDouble * graft.expressions.PortableHash.Ring62)
+          / element_at(a, k).cast("double"))
+    val merged = sk
+      .withColumn("sku", slice(array_sort(array_distinct(
+        concat(col("ska"), col("skb")))), 1, k))
+      .withColumn("inter_k", size(filter(col("sku"),
+        x => array_contains(col("ska"), x) && array_contains(col("skb"), x))))
+      .select(
+        sround(est(col("ska")), 1).as("est_a"),
+        sround(est(col("skb")), 1).as("est_b"),
+        sround(est(col("sku")), 1).as("est_union"),
+        sround(col("inter_k").cast("double") / least(size(col("sku")), lit(k))
+          * est(col("sku")), 1).as("est_inter"))
+    val exact = o.groupBy(col("o_custkey"))
+      .agg(max(when(col("m") <= 6, 1).otherwise(0)).as("ina"),
+        max(when(col("m") >= 7, 1).otherwise(0)).as("inb"))
+      .agg(sum(col("ina")).as("exact_a"), sum(col("inb")).as("exact_b"),
+        count(lit(1)).as("exact_union"),
+        sum(col("ina") * col("inb")).as("exact_inter"))
+    merged.crossJoin(exact)
+  }
+
+  /** DuckDB twin: per-side k-smallest distinct md5-62 hash sets via
+    * window rank, the same estimator arithmetic, intersection membership
+    * via joins.
+    */
+  val q47SetkmvSql: String =
+    """WITH h AS (
+      |  SELECT md5_number_lower(CAST(o_custkey AS VARCHAR))
+      |           & 4611686018427387903 AS h,
+      |    max(CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 0 END) AS ina,
+      |    max(CASE WHEN month(o_orderdate) >= 7 THEN 1 ELSE 0 END) AS inb
+      |  FROM orders GROUP BY 1),
+      |ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn
+      |  FROM h WHERE ina = 1) WHERE rn <= 512),
+      |skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn
+      |  FROM h WHERE inb = 1) WHERE rn <= 512),
+      |sku AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn
+      |  FROM (SELECT h FROM ska UNION SELECT h FROM skb)) WHERE rn <= 512),
+      |ests AS (SELECT
+      |  (SELECT CASE WHEN count(*) < 512 THEN CAST(count(*) AS DOUBLE)
+      |     ELSE 511.0 * 4611686018427387904.0 / CAST(max(CASE WHEN rn = 512
+      |       THEN h END) AS DOUBLE) END
+      |   FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM ska)) AS ea,
+      |  (SELECT CASE WHEN count(*) < 512 THEN CAST(count(*) AS DOUBLE)
+      |     ELSE 511.0 * 4611686018427387904.0 / CAST(max(CASE WHEN rn = 512
+      |       THEN h END) AS DOUBLE) END
+      |   FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM skb)) AS eb,
+      |  (SELECT CASE WHEN count(*) < 512 THEN CAST(count(*) AS DOUBLE)
+      |     ELSE 511.0 * 4611686018427387904.0 / CAST(max(CASE WHEN rn = 512
+      |       THEN h END) AS DOUBLE) END
+      |   FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM sku)) AS eu,
+      |  (SELECT count(*) FROM sku
+      |     WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb))
+      |    AS ik,
+      |  (SELECT least(count(*), 512) FROM sku) AS ku),
+      |exact AS (SELECT CAST(sum(ina) AS BIGINT) AS exact_a,
+      |    CAST(sum(inb) AS BIGINT) AS exact_b,
+      |    count(*) AS exact_union,
+      |    CAST(sum(ina * inb) AS BIGINT) AS exact_inter
+      |  FROM h)
+      |SELECT floor(ea * 10.0 + 0.5) / 10.0 AS est_a,
+      |  floor(eb * 10.0 + 0.5) / 10.0 AS est_b,
+      |  floor(eu * 10.0 + 0.5) / 10.0 AS est_union,
+      |  floor(CAST(ik AS DOUBLE) / ku * eu * 10.0 + 0.5) / 10.0 AS est_inter,
+      |  exact_a, exact_b, exact_union, exact_inter
+      |FROM ests, exact""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -1482,7 +1681,10 @@ object Relational {
     "q41_scd2" -> q41Scd2,
     "q42_merge_upsert" -> q42MergeUpsert,
     "q43_unpivot" -> q43Unpivot,
-    "q44_hll_distinct" -> q44HllDistinct)
+    "q44_hll_distinct" -> q44HllDistinct,
+    "q45_argmax" -> q45Argmax,
+    "q46_rcd" -> q46Rcd,
+    "q47_setkmv" -> q47Setkmv)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1527,5 +1729,8 @@ object Relational {
     "q41_scd2" -> q41Scd2Sql,
     "q42_merge_upsert" -> q42MergeUpsertSql,
     "q43_unpivot" -> q43UnpivotSql,
-    "q44_hll_distinct" -> q44HllDistinctSql)
+    "q44_hll_distinct" -> q44HllDistinctSql,
+    "q45_argmax" -> q45ArgmaxSql,
+    "q46_rcd" -> q46RcdSql,
+    "q47_setkmv" -> q47SetkmvSql)
 }

@@ -605,6 +605,103 @@ object Similarity {
        |SELECT q_id, rnk, n_id, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
        |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
 
+  // ------------------------------------------------------------ v7_mips
+  /** Maximum-inner-product search (MIPS) — retrieval scored by RAW dot
+    * product, the objective for recommendation / routing workloads where
+    * vector NORM carries signal that cosine throws away. Sign-LSH is
+    * cosine-native, so the corpus is AUGMENTED first (Bachrach et al.
+    * 2014 / Shrivastava-Li 2014): append sqrt(M² − |x|²) as a 65th
+    * component (M = max corpus norm, a 1-row broadcast aggregate — never
+    * a driver collect). Augmented vectors share the norm M, making
+    * inner-product order equal cosine order, so 65-dim sign-LSH buckets
+    * + Hamming-1 multiprobe give candidates by EQUALITY join; queries
+    * keep augmented component 0 (their norm scales scores uniformly).
+    * Exact dot re-scores candidates.
+    *
+    * Scale shape: identical to v2 — linear corpus scan to buckets, tiny
+    * broadcast probe set, no all-pairs. The augmentation term costs one
+    * extra multiply-add per plane, computed in the same scan projection
+    * as the norm.
+    */
+  val v7Mips: Q = (s, d) => {
+    val nPlanes = 4
+    val planes = hyperplanes(nPlanes, 65)
+    val e = emb(s, d).select(col("vec_id"), col("embedding"),
+      normSq(col("embedding")).as("nsq"))
+    val m2 = e.agg(max(col("nsq")).as("m2"))
+    def rawBucket(vec: Column): Column =
+      planes.zipWithIndex.map { case (p, i) =>
+        when(dot(vec, typedlit(p.take(64).toSeq)) > 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    val corpus = e.crossJoin(broadcast(m2))
+      .withColumn("aug", sqrt(greatest(col("m2") - col("nsq"), lit(0.0))))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        planes.zipWithIndex.map { case (p, i) =>
+          when(dot(col("embedding"), typedlit(p.take(64).toSeq))
+            + col("aug") * lit(p(64)) > 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_)).as("bucket"))
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(multiprobeBuckets(rawBucket(col("embedding")), nPlanes))
+          .as("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", dot(col("q_emb"), col("n_emb")))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("n_id"), sround(col("score"), 4).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB twin with the 65-dim plane coefficients inlined; the max-norm
+    * scalar subquery, augmentation sqrt, bucket bits, probes, and exact
+    * dot re-score all replay bitwise.
+    */
+  val v7MipsSql: String = {
+    val planes = hyperplanes(4, 65)
+    def dotPlane(p: Array[Double], vec: String): String =
+      s"list_sum(list_transform(range(1, len($vec) + 1), i -> CAST($vec[i] AS DOUBLE) * ([${p.take(64).mkString(",")}])[i]))"
+    val cBucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotPlane(p, "embedding")} + aug * (${p(64)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotPlane(p, "embedding")} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+       |  FROM embeddings),
+       |c AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    CAST($cBucket AS BIGINT) AS bucket
+       |  FROM (SELECT vec_id, embedding,
+       |      sqrt(greatest((SELECT max(nsq) FROM e) - nsq, 0.0)) AS aug
+       |    FROM e)),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb,
+       |    unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+       |      xor(bucket, 8)]) AS bucket
+       |  FROM (SELECT vec_id, embedding, CAST($qBucket AS BIGINT) AS bucket
+       |    FROM e WHERE vec_id < $NQ)),
+       |pairs AS (
+       |  SELECT DISTINCT q.q_id, c.vec_id AS n_id,
+       |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |      AS score
+       |  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, score,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, n_id ASC) AS INTEGER) AS rnk
+       |  FROM pairs)
+       |SELECT q_id, rnk, n_id, floor(score * 10000.0 + 0.5) / 10000.0 AS score
+       |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "v1_knn_brute" -> v1KnnBrute,
@@ -612,7 +709,8 @@ object Similarity {
     "v3_embedding_neardup" -> v3EmbeddingNeardup,
     "v4_ivf_ann" -> v4IvfAnn,
     "v5_int8_ann" -> v5Int8Ann,
-    "v6_pq_ann" -> v6PqAnn)
+    "v6_pq_ann" -> v6PqAnn,
+    "v7_mips" -> v7Mips)
 
   val oracles: Map[String, String] = Map(
     "v1_knn_brute" -> v1KnnBruteSql,
@@ -620,5 +718,6 @@ object Similarity {
     "v3_embedding_neardup" -> v3EmbeddingNeardupSql,
     "v4_ivf_ann" -> v4IvfAnnSql,
     "v5_int8_ann" -> v5Int8AnnSql,
-    "v6_pq_ann" -> v6PqAnnSql)
+    "v6_pq_ann" -> v6PqAnnSql,
+    "v7_mips" -> v7MipsSql)
 }

@@ -30,4 +30,58 @@ class GraphSpec extends SparkSpec {
     val again = Graph.g1Pagerank(spark, sfDir).as[(String, Double)].collect()
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("g2 triangles: oriented enumeration matches brute-force reference") {
+    val out = Graph.g2Triangles(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    // brute-force reference on the same (small) edge set
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter($"l_quantity" >= 45)
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey"), col("b.l_suppkey"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val adj = e0.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def connected(a: Long, b: Long): Boolean =
+      e0.contains((math.min(a, b), math.max(a, b)))
+    val nodes = e0.flatMap(p => Seq(p._1, p._2))
+    val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, bs) <- adj; b <- bs; c <- adj.getOrElse(b, Set.empty)
+      if connected(a, c)
+    } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
+    val got = out.map { case (n, _, t) => n -> t }.toMap
+    assert(got.keySet == nodes, "every node of the graph is reported")
+    nodes.foreach { n =>
+      assert(got(n) == naive(n), s"node $n: got ${got(n)} expected ${naive(n)}")
+    }
+    // per-node counts triple-count each triangle
+    assert(out.map(_._3).sum % 3 == 0)
+  }
+
+  test("g3 reach: ring counts match an in-memory BFS") {
+    val out = Graph.g3Reach(spark, sfDir).as[(Int, Long)].collect().toMap
+    // reference BFS on collected edges
+    val base = Tables.load(spark, sfDir, "events")
+      .select(concat(lit("u"), $"user_id").as("src"),
+        concat(lit("k"), get_json_object($"props", "$.k")).as("dst"))
+      .where($"dst".isNotNull).distinct()
+      .as[(String, String)].collect()
+    val adj = (base ++ base.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val seeds = Tables.load(spark, sfDir, "events")
+      .filter($"event_type" === "signup" && $"user_id" % 199 === 0)
+      .select(concat(lit("u"), $"user_id")).as[String].collect().toSet
+    assert(seeds.nonEmpty, "seed set must be non-empty at this SF")
+    var dist = seeds.map(_ -> 0).toMap
+    for (k <- 1 to 4) {
+      val frontier = dist.filter(_._2 == k - 1).keySet
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      dist = dist ++ next.map(_ -> k)
+    }
+    val expected = dist.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(out == expected, s"got $out expected $expected")
+  }
 }

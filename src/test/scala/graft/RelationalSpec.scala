@@ -185,4 +185,74 @@ class RelationalSpec extends SparkSpec {
         s"$flag: HLL $est vs exact $exact")
     }
   }
+
+  test("q45 argmax: packed-long aggregate matches sort-based reference") {
+    import spark.implicits._
+    val rows = Relational.q45Argmax(spark, sfDir)
+      .as[(String, Long, Double, Long, Long, String)].collect()
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select($"o_orderpriority", $"o_orderkey", $"o_custkey",
+        $"o_totalprice", to_date($"o_orderdate").cast("string"), $"o_orderstatus")
+      .as[(String, Long, Long, Double, String, String)].collect()
+    rows.foreach { case (pri, n, bestPrice, bestCust, firstKey, modeStatus) =>
+      val g = orders.filter(_._1 == pri)
+      assert(n == g.length)
+      // argmax by CENTS of price (the declared tie granularity), min custkey
+      val cents = (p: Double) => math.floor(p * 100.0 + 0.5).toLong
+      val best = g.maxBy(o => (cents(o._4), -o._3))
+      assert(cents(best._4).toDouble / 100.0 == bestPrice)
+      assert(best._3 == bestCust, s"$pri best_cust")
+      // argmin by day, min orderkey
+      val first = g.minBy(o => (o._5, o._2))
+      assert(first._2 == firstKey, s"$pri first_orderkey")
+      // mode with min-status tiebreak
+      val mode = g.groupBy(_._6).view.mapValues(_.size).toSeq
+        .minBy { case (st, c) => (-c, st) }._1
+      assert(mode == modeStatus, s"$pri mode")
+    }
+  }
+
+  test("q46 running count-distinct: per-user prefix counts are exact") {
+    import spark.implicits._
+    val rcd = Relational.q46Rcd(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val ev = Tables.load(spark, sfDir, "events")
+      // cast to double keeps sub-second precision — the query orders by the
+      // full-resolution timestamp, so the reference must too
+      .select($"event_id", $"user_id", $"ts".cast("double"), $"event_type")
+      .as[(Long, Long, Double, String)].collect()
+    val byUser = ev.groupBy(_._2)
+    val expect = byUser.toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val seen = scala.collection.mutable.Set.empty[String]
+      sorted.map { r => seen += r._4; r._1 -> seen.size.toLong }.toSeq
+    }
+    val got = rcd.map(r => r._1 -> r._3).toMap
+    expect.foreach { case (eid, n) =>
+      assert(got(eid) == n, s"event $eid: got ${got(eid)} expected $n")
+    }
+    // final per-user value equals the user's distinct-type count
+    byUser.foreach { case (u, rows) =>
+      val last = rows.maxBy(r => (r._3, r._1))._1
+      assert(got(last) == rows.map(_._4).distinct.length.toLong, s"user $u")
+    }
+  }
+
+  test("q47 KMV set-ops: exact below k, invariant under partitioning") {
+    import spark.implicits._
+    // sf0.001 has ~150 distinct customers < k=512: the sketch is the exact
+    // set, so every estimate must EQUAL its exact count
+    val r = Relational.q47Setkmv(spark, sfDir)
+      .as[(Double, Double, Double, Double, Long, Long, Long, Long)].head()
+    assert(r._1 == r._5.toDouble, s"est_a ${r._1} vs exact ${r._5}")
+    assert(r._2 == r._6.toDouble, s"est_b ${r._2} vs exact ${r._6}")
+    assert(r._3 == r._7.toDouble, s"est_union ${r._3} vs exact ${r._7}")
+    assert(r._4 == r._8.toDouble, s"est_inter ${r._4} vs exact ${r._8}")
+    // sketch-values aggregate is partitioning-invariant (merge path)
+    val o = Tables.load(spark, sfDir, "orders")
+    def sk(parts: Int) = o.repartition(parts)
+      .agg(graft.expressions.KmvSketch.kmvValues($"o_custkey", 64))
+      .head().getSeq[Long](0)
+    assert(sk(1) == sk(13))
+  }
 }
