@@ -206,10 +206,98 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------- mm4_phash
+  /** Perceptual-hash near-duplicate detection — the IMAGE analog of d4's
+    * SimHash: each payload reduces to a 56-bit average-hash (aHash), and
+    * near-dup candidates come from 14-bit CHUNK BLOCKING (two hashes
+    * within Hamming distance 3 must share one of the four chunks —
+    * pigeonhole), verified by exact `bit_count(xor)`. On the synthetic
+    * corpus the "thumbnail" is a deterministic 56-point byte downsample
+    * of the payload (stride = len/56, tail-clamped) — with a real image
+    * codec the same pipeline hashes an 8×7 luminance grid from the
+    * decoder seam ([[aHash56]] over ImageIoDecoder output, exercised in
+    * ScalaTest).
+    *
+    * Scale shape: hashing is one narrow scan; candidate generation is an
+    * equality join on (chunk_idx, chunk) — never all-pairs; verification
+    * is O(candidates). 56 bits (not 64) keeps every engine's BIGINT
+    * arithmetic signed-overflow-free.
+    */
+  def mm4Phash(s: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.load(s, d, "documents")
+      .selectExpr("doc_id", "text", "octet_length(text) AS blen")
+      .selectExpr("doc_id",
+        // 56 byte samples at fixed stride, tail positions clamped
+        """transform(sequence(0, 55), k -> ascii(substring(text,
+           CAST(least(k * greatest(blen DIV 56, 1), blen - 1) AS INT) + 1,
+           1))) AS samples""")
+      .selectExpr("doc_id", "samples",
+        "aggregate(samples, 0L, (a, x) -> a + x) DIV 56 AS mean")
+      .selectExpr("doc_id",
+        """aggregate(sequence(0, 55), 0L, (a, k) ->
+           a + IF(element_at(samples, k + 1) > mean, shiftleft(1L, k), 0L))
+           AS phash""")
+      .localCheckpoint(true) // consumed by 4 chunk projections + 2 join sides
+    val chunks = hashed.selectExpr("doc_id", "phash",
+      "explode(sequence(0, 3)) AS ci")
+      .selectExpr("doc_id", "phash", "ci",
+        "shiftright(phash, ci * 14) & 16383 AS chunk")
+    val pairs = chunks.as("a").join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 56-bit average-hash of a decoded image: 8×7 luminance grid from the
+    * ImageIoDecoder pixel path — the real-codec twin of mm4's byte-stub
+    * hash, sharing the threshold-against-mean bit layout.
+    */
+  def aHash56(img: java.awt.image.BufferedImage): Long = {
+    val (gw, gh) = (8, 7)
+    val cells = new Array[Long](gw * gh)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        // average luminance of the cell's pixel block
+        val (x0, x1) = (gx * w / gw, math.max((gx + 1) * w / gw, gx * w / gw + 1))
+        val (y0, y1) = (gy * h / gh, math.max((gy + 1) * h / gh, gy * h / gh + 1))
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        cells(gy * gw + gx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = cells.sum / cells.length
+    cells.zipWithIndex.foldLeft(0L) { case (acc, (c, k)) =>
+      if (c > mean) acc | (1L << k) else acc
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
-    "mm3_audio_energy" -> (mm3AudioEnergy _))
+    "mm3_audio_energy" -> (mm3AudioEnergy _),
+    "mm4_phash" -> (mm4Phash _))
 
   /** DuckDB twin of the metadata decode: byte_len is the UTF-8 byte count
     * of `text`, pseudo-dims derive from it, feature_dim is the fixed
@@ -255,5 +343,36 @@ object Multimodal {
         |SELECT doc_id, n_windows, total_energy,
         |  CAST(1048575 - (key & 1048575) AS INTEGER) AS peak_idx,
         |  CAST(key >> 20 AS BIGINT) AS peak_energy
-        |FROM agg ORDER BY doc_id""".stripMargin)
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // identical 56-point downsample, mean threshold, bit fold, chunk-block
+    // join, and bit_count verification (ASCII corpus: ord == byte)
+    "mm4_phash" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 56), k -> ord(substr(text,
+        |      CAST(least(k * greatest(octet_length(encode(text)) // 56, 1),
+        |                 octet_length(encode(text)) - 1) AS INT) + 1, 1)))
+        |      AS samples
+        |  FROM documents),
+        |m AS (SELECT doc_id, samples,
+        |    CAST(list_aggregate(samples, 'sum') AS BIGINT) // 56 AS mean
+        |  FROM h),
+        |ph AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 56),
+        |      k -> CASE WHEN samples[CAST(k AS INT) + 1] > mean
+        |           THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END))
+        |      AS BIGINT) AS phash
+        |  FROM m),
+        |chunks AS (
+        |  SELECT doc_id, phash, ci, (phash >> CAST(ci * 14 AS INT)) & 16383
+        |      AS chunk
+        |  FROM (SELECT doc_id, phash, unnest(range(0, 4)) AS ci FROM ph)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.phash AS ha, b.phash AS hb
+        |  FROM chunks a JOIN chunks b
+        |    ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin)
 }

@@ -1637,6 +1637,111 @@ object Relational {
       |  exact_a, exact_b, exact_union, exact_inter
       |FROM ests, exact""".stripMargin
 
+  // -------------------------------------------------------- q48_ivm
+  /** Incremental view maintenance: refresh a materialized aggregate from a
+    * CDC batch by aggregating ONLY the deltas. Each change row becomes
+    * signed delta(s) — update = retract old + assert new, delete =
+    * retract, insert = assert — the deltas aggregate to per-group
+    * (Δcount, Δsum), and the refreshed view is base ⊎ delta (full-outer
+    * merge, groups with count 0 dropped). The change batch reuses q42's
+    * deterministic derivation (keys ≡0 mod 10 reprice ×1.05, ≡1 delete,
+    * ≡2 insert shifted +1000.0) so both engines replay it.
+    *
+    * Scale shape: the delta side touches O(|changes|) rows and the merge
+    * is a tiny join on the group key — the whole point of IVM at 100 TB
+    * is that the base table is NEVER rescanned (here the base aggregate
+    * is computed once because no MV store exists; in production it's the
+    * stored view). The oracle recomputes the view from the post-change
+    * table, so hash-parity PROVES incremental ≡ recompute.
+    */
+  val q48Ivm: Q = (s, d) => {
+    val cents = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(100.0) + lit(0.5)).cast("long")
+    val o = t(s, d, "orders").select(col("o_orderkey"),
+      month(col("o_orderdate")).as("m"), col("o_orderpriority").as("pri"),
+      col("o_totalprice").as("price"))
+    val base = o.groupBy(col("m"), col("pri"))
+      .agg(count(lit(1)).as("cnt"), sum(cents(col("price"))).as("rev"))
+    // signed deltas from the derived change batch
+    val upd = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("m"), col("pri"), lit(0L).as("dc"),
+        (cents(col("price") * lit(1.05)) - cents(col("price"))).as("dr"))
+    val del = o.filter(col("o_orderkey") % 10 === 1)
+      .select(col("m"), col("pri"), lit(-1L).as("dc"),
+        (-cents(col("price"))).as("dr"))
+    val ins = o.filter(col("o_orderkey") % 10 === 2)
+      .select(col("m"), col("pri"), lit(1L).as("dc"),
+        cents(col("price") + lit(1000.0)).as("dr"))
+    val delta = upd.unionAll(del).unionAll(ins)
+      .groupBy(col("m"), col("pri"))
+      .agg(sum(col("dc")).as("dc"), sum(col("dr")).as("dr"))
+    base.join(delta, Seq("m", "pri"), "full_outer")
+      .select(col("m"), col("pri"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cnt"),
+        (coalesce(col("rev"), lit(0L)) + coalesce(col("dr"), lit(0L))).as("rev"))
+      .filter(col("cnt") > 0)
+      .select(col("m"), col("pri"), col("cnt"),
+        (col("rev") / lit(100.0)).as("revenue"))
+      .orderBy("m", "pri")
+  }
+
+  /** DuckDB twin: FULL RECOMPUTE over the post-change table — parity with
+    * the Spark incremental path is the IVM correctness proof.
+    */
+  val q48IvmSql: String =
+    """WITH o AS (SELECT o_orderkey, CAST(month(o_orderdate) AS INTEGER) AS m,
+      |    o_orderpriority AS pri, o_totalprice AS price FROM orders),
+      |applied AS (
+      |  SELECT m, pri, price * 1.05 AS price FROM o WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT m, pri, price FROM o
+      |  WHERE o_orderkey % 10 NOT IN (0, 1)
+      |  UNION ALL
+      |  SELECT m, pri, price + 1000.0 FROM o WHERE o_orderkey % 10 = 2)
+      |SELECT m, pri, count(*) AS cnt,
+      |  CAST(sum(CAST(floor(price * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |    / 100.0 AS revenue
+      |FROM applied GROUP BY m, pri HAVING count(*) > 0
+      |ORDER BY m, pri""".stripMargin
+
+  // -------------------------------------------------------- q49_locf
+  /** Sparse-series imputation: last-observation-carried-forward. Only
+    * purchase events carry an observed value; every event row gets the
+    * most recent purchase value for its user (and the carry's age in
+    * seconds) via `last(..., ignoreNulls)` over the running frame — the
+    * canonical LOCF shape, one shuffle on the series key, one
+    * in-partition sort shared by both window columns. No arithmetic on
+    * the carried value (it is COPIED), so parity is exact.
+    */
+  val q49Locf: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isP = col("event_type") === "purchase"
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"))
+      .withColumn("filled", last(when(isP, col("value")), ignoreNulls = true).over(w))
+      .withColumn("carried_sec",
+        last(when(isP, col("ts").cast("long")), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("filled"),
+        (col("ts").cast("long") - col("carried_sec")).as("age_s"))
+      .orderBy("event_id")
+  }
+
+  val q49LocfSql: String =
+    """SELECT event_id, user_id,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+      |    IGNORE NULLS) OVER w AS filled,
+      |  CAST(floor(epoch(ts)) AS BIGINT)
+      |    - last_value(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+      |      OVER w AS age_s
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -1684,7 +1789,9 @@ object Relational {
     "q44_hll_distinct" -> q44HllDistinct,
     "q45_argmax" -> q45Argmax,
     "q46_rcd" -> q46Rcd,
-    "q47_setkmv" -> q47Setkmv)
+    "q47_setkmv" -> q47Setkmv,
+    "q48_ivm" -> q48Ivm,
+    "q49_locf" -> q49Locf)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1732,5 +1839,7 @@ object Relational {
     "q44_hll_distinct" -> q44HllDistinctSql,
     "q45_argmax" -> q45ArgmaxSql,
     "q46_rcd" -> q46RcdSql,
-    "q47_setkmv" -> q47SetkmvSql)
+    "q47_setkmv" -> q47SetkmvSql,
+    "q48_ivm" -> q48IvmSql,
+    "q49_locf" -> q49LocfSql)
 }

@@ -255,4 +255,48 @@ class RelationalSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(sk(1) == sk(13))
   }
+
+  test("q48 IVM: delta-merge refresh equals full recompute") {
+    import spark.implicits._
+    val inc = Relational.q48Ivm(spark, sfDir)
+      .as[(Int, String, Long, Double)].collect().toSeq
+    // full recompute over the post-change table, built independently
+    val o = Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey", month($"o_orderdate").as("m"),
+        $"o_orderpriority".as("pri"), $"o_totalprice".as("price"))
+    val applied = o.filter($"o_orderkey" % 10 === 0)
+      .select($"m", $"pri", ($"price" * 1.05).as("price"))
+      .unionAll(o.filter($"o_orderkey" % 10 =!= 0 && $"o_orderkey" % 10 =!= 1)
+        .select($"m", $"pri", $"price"))
+      .unionAll(o.filter($"o_orderkey" % 10 === 2)
+        .select($"m", $"pri", ($"price" + 1000.0).as("price")))
+    val cents = floor($"price" * 100.0 + 0.5).cast("long")
+    val full = applied.groupBy($"m", $"pri")
+      .agg(count(lit(1)).as("cnt"), (sum(cents) / 100.0).as("revenue"))
+      .orderBy("m", "pri")
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(inc == full, "incremental refresh must equal recompute")
+  }
+
+  test("q49 LOCF: carried values match a per-user scan reference") {
+    import spark.implicits._
+    val got = Relational.q49Locf(spark, sfDir)
+      .as[(Long, Long, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"ts".cast("double"),
+        $"ts".cast("long"), $"event_type", $"value")
+      .as[(Long, Long, Double, Long, String, Double)].collect()
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      var carried: Option[(Double, Long)] = None
+      rows.sortBy(r => (r._3, r._1)).foreach { r =>
+        if (r._5 == "purchase") carried = Some((r._6, r._4))
+        val expect = carried match {
+          case Some((v, t)) => (Some(v), Some(r._4 - t))
+          case None => (None, None)
+        }
+        assert(got(r._1) == expect, s"event ${r._1}")
+      }
+    }
+  }
 }

@@ -169,6 +169,56 @@ class SimilaritySpec extends SparkSpec {
     assert(sims((1L, 3L)) == 0.0)      // orthogonal histograms
   }
 
+  test("mm4 perceptual hash: chunk blocking finds every close pair; real-image aHash ranks perturbation under replacement") {
+    import graft.multimodal.Multimodal
+    // stub path: the query's blocked pairs must equal brute force over all
+    // pairs of hashes (pigeonhole: hamming<=3 with 4 chunks is complete)
+    val pairs = Multimodal.mm4Phash(spark, sfDir)
+      .as[(Long, Long, Int)].collect().toSet
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def phash(text: String): Long = {
+      val b = text.getBytes("UTF-8")
+      val stride = math.max(b.length / 56, 1)
+      val samples = (0 until 56).map(k => b(math.min(k * stride, b.length - 1)) & 0xFF)
+      val mean = samples.map(_.toLong).sum / 56
+      samples.zipWithIndex.foldLeft(0L) { case (acc, (v, k)) =>
+        if (v > mean) acc | (1L << k) else acc
+      }
+    }
+    val hs = docs.map { case (id, t) => id -> phash(t) }
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      hd = java.lang.Long.bitCount(ha ^ hb) if hd <= 3
+    } yield (a, b, hd)).toSet
+    assert(pairs == brute, s"blocked=${pairs.size} brute=${brute.size}")
+
+    // real-image path: a 2-pixel perturbation of a gradient stays within a
+    // small aHash distance; a structurally different image lands far away
+    def grad(flip: Int, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 28, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 28; x <- 0 until 32) {
+        val v0 = (x * 255) / 31
+        val v = if (invert) 255 - v0 else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      (0 until flip).foreach(i => img.setRGB(i, 0, 0xFF0000))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def hashOf(bytes: Array[Byte]): Long = Multimodal.aHash56(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    val base = hashOf(grad(0, invert = false))
+    val near = hashOf(grad(2, invert = false))
+    val far = hashOf(grad(0, invert = true))
+    val dNear = java.lang.Long.bitCount(base ^ near)
+    val dFar = java.lang.Long.bitCount(base ^ far)
+    assert(dNear <= 3, s"perturbed image drifted $dNear bits")
+    assert(dFar > 20, s"inverted image only $dFar bits away")
+  }
+
   test("mm1 runs distributed and yields one feature row per document") {
     val out = Multimodal.mm1DecodeStub(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents").count()
