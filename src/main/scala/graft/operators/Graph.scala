@@ -210,14 +210,18 @@ object Graph {
   // --------------------------------------------------------- g3_reach
   /** Bounded multi-source BFS: hop distance (≤4) from the signup-user
     * seed set over the undirected user↔item graph, reported as nodes per
-    * distance ring. Each round is one equi-join (frontier ⋈ edges) + one
-    * min-aggregation — the standard distributed BFS step. Integer-only
-    * state, so cross-engine parity is exact with no float discipline.
+    * distance ring. FRONTIER-ONLY expansion (delta iteration): each round
+    * joins the edges against just the nodes discovered LAST round and
+    * anti-joins the visited set — never re-relaxes the whole distance
+    * relation (the naive min-relaxation re-aggregated every visited node
+    * every round; at 10x data that was 4.4x wall — frontier BFS probes
+    * O(frontier) per round instead). Integer-only state, so cross-engine
+    * parity is exact with no float discipline.
     *
-    * Fixed 4 rounds ⇒ the unrolled DAG plans as one job (g1's lesson); a
-    * run-to-fixpoint variant would localCheckpoint per round like d5. At
-    * cluster scale both sides pre-partition on the node key so every
-    * round's join is co-partitioned.
+    * Each frontier is localCheckpoint'd: it feeds BOTH the next round's
+    * join and the final union, and the checkpoint keeps the per-round
+    * plan flat (d5's lesson for data-dependent growth). At cluster scale
+    * edges pre-partition on src so every round's probe is co-partitioned.
     */
   val g3Reach: Q = (s, d) => {
     val base = bipartiteBase(s, d)
@@ -229,15 +233,19 @@ object Graph {
     val seeds = Tables.load(s, d, "events")
       .filter(col("event_type") === "signup" && col("user_id") % 199 === 0)
       .select(concat(lit("u"), col("user_id")).as("node")).distinct()
-      .select(col("node"), lit(0).as("dist"))
-    var cur = seeds
-    for (_ <- 1 to 4) {
-      cur = cur.unionAll(
-          edges.join(cur, edges("src") === cur("node"))
-            .select(col("dst").as("node"), (col("dist") + lit(1)).as("dist")))
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      .localCheckpoint(true)
+    var visited = seeds.select(col("node"), lit(0).as("dist"))
+    var frontier = seeds
+    for (k <- 1 to 4) {
+      val next = edges.join(frontier, edges("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+      // the LAST frontier has a single consumer (the final union) — a
+      // checkpoint there would be a pure extra materialization
+      frontier = if (k < 4) next.localCheckpoint(true) else next
+      visited = visited.unionAll(frontier.select(col("node"), lit(k).as("dist")))
     }
-    cur.groupBy(col("dist")).agg(count(lit(1)).as("cnt")).orderBy(col("dist"))
+    visited.groupBy(col("dist")).agg(count(lit(1)).as("cnt")).orderBy(col("dist"))
   }
 
   /** DuckDB twin: the four relaxation rounds unrolled as CTEs. */
