@@ -68,5 +68,6 @@ object SparkEntry {
     "t20_quality_classifier", "d8_span_dedup", "g1_pagerank",
     "mm3_audio_energy",
     "g2_triangles", "g3_reach", "q45_argmax", "q46_rcd", "q47_setkmv",
-    "v7_mips", "q48_ivm", "q49_locf", "mm4_phash")
+    "v7_mips", "q48_ivm", "q49_locf", "mm4_phash",
+    "q50_histogram", "q51_interp_linear", "q52_funnel", "q53_salted_agg")
 }

@@ -1742,6 +1742,217 @@ object Relational {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------- q50_histogram
+  /** Equi-width histogram with IN-PLAN global bounds. The classic
+    * profiling query needs min/max before it can bin — the naive form
+    * collects the stats to the driver and stamps them into a second job.
+    * Here the 1-row stats aggregate is cross-joined back as a broadcast
+    * (v7's max-norm pattern): one scan for stats, one scan to bin, no
+    * driver round-trip, so the whole thing survives a 100 TB input as
+    * two map-side-combined passes. Bin arithmetic is the identical IEEE
+    * double expression on both engines; the top edge folds into the last
+    * bin via least(_, 15).
+    */
+  val q50Histogram: Q = (s, d) => {
+    val e = t(s, d, "events").select(col("event_type"), col("value"))
+    val stats = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val width = (col("mx") - col("mn")) / lit(16.0)
+    val bin = least(floor((col("value") - col("mn")) / width), lit(15L))
+    e.crossJoin(broadcast(stats))
+      .select(col("event_type"), bin.as("bin"),
+        (col("mn") + bin.cast("double") * width).as("lo"))
+      .groupBy(col("event_type"), col("bin"), col("lo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  val q50HistogramSql: String =
+    """WITH stats AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+      |binned AS (
+      |  SELECT event_type,
+      |    least(CAST(floor((value - mn) / ((mx - mn) / 16.0)) AS BIGINT),
+      |          15) AS bin,
+      |    mn + CAST(least(CAST(floor((value - mn) / ((mx - mn) / 16.0))
+      |          AS BIGINT), 15) AS DOUBLE) * ((mx - mn) / 16.0) AS lo
+      |  FROM events CROSS JOIN stats)
+      |SELECT event_type, bin, lo, count(*) AS n
+      |FROM binned GROUP BY 1, 2, 3 ORDER BY event_type, bin""".stripMargin
+
+  // ------------------------------------------------- q51_interp_linear
+  /** Linear interpolation of a sparse series — the step past q49's LOCF:
+    * every event row gets an estimate of the purchase-value signal,
+    * linearly interpolated between the surrounding observations (carried
+    * flat when only one side exists). Both direction windows share ONE
+    * user_id shuffle and ONE (ts, event_id) sort; the strictly-preceding
+    * / strictly-following frames keep observation rows from seeing
+    * themselves, so `kind` cleanly splits obs/interp/edge. The fraction
+    * is long-subtraction cast to double, divided then multiplied in the
+    * same order on both engines — bit-exact parity on doubles.
+    */
+  val q51InterpLinear: Q = (s, d) => {
+    val tl = col("ts").cast("long")
+    val isP = col("event_type") === "purchase"
+    val order = Seq(col("ts"), col("event_id"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val interp = col("pv") + (col("nv") - col("pv")) *
+      ((tl - col("pt")).cast("double") / (col("nt") - col("pt")).cast("double"))
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"))
+      .withColumn("pv", last(when(isP, col("value")), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(when(isP, tl), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(when(isP, col("value")), ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(when(isP, tl), ignoreNulls = true).over(wNext))
+      .select(col("event_id"), col("user_id"),
+        when(isP, col("value"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            when(col("nt") > col("pt"), interp).otherwise(col("pv")))
+          .when(col("pv").isNotNull, col("pv"))
+          .when(col("nv").isNotNull, col("nv"))
+          .as("est"),
+        when(isP, lit("obs"))
+          .when(col("pv").isNotNull && col("nv").isNotNull, lit("interp"))
+          .when(col("pv").isNotNull || col("nv").isNotNull, lit("edge"))
+          .otherwise(lit("none")).as("kind"))
+      .orderBy(col("event_id"))
+  }
+
+  val q51InterpLinearSql: String =
+    """WITH marked AS (
+      |  SELECT event_id, user_id,
+      |    event_type = 'purchase' AS is_obs, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tl,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN value END
+      |      IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+      |      OVER wp AS pt,
+      |    first_value(CASE WHEN event_type = 'purchase' THEN value END
+      |      IGNORE NULLS) OVER wn AS nv,
+      |    first_value(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+      |      OVER wn AS nt
+      |  FROM events
+      |  WINDOW
+      |    wp AS (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    wn AS (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id,
+      |  CASE WHEN is_obs THEN value
+      |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      |      CASE WHEN nt > pt THEN pv + (nv - pv) *
+      |        (CAST(tl - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+      |      ELSE pv END
+      |    WHEN pv IS NOT NULL THEN pv
+      |    WHEN nv IS NOT NULL THEN nv END AS est,
+      |  CASE WHEN is_obs THEN 'obs'
+      |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+      |    WHEN pv IS NOT NULL OR nv IS NOT NULL THEN 'edge'
+      |    ELSE 'none' END AS kind
+      |FROM marked ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------- q52_funnel
+  /** Cohort conversion funnel — first-touch ordered stages view → click
+    * → purchase, cohorted by the month of each user's first event. The
+    * per-user stage timestamps are CONDITIONAL MINS in one hash
+    * aggregate (no window, no self-join — the naive funnel is a 3-way
+    * self-join on the events table); stage predicates are then pure row
+    * arithmetic and the cohort rollup is a second, tiny aggregate. At
+    * 100 TB this is one map-side-combined shuffle on user_id, then
+    * effectively nothing.
+    */
+  val q52Funnel: Q = (s, d) => {
+    val tl = col("ts").cast("long")
+    def stageTs(stage: String) = min(when(col("event_type") === stage, tl))
+    val u = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"),
+        stageTs("view").as("v"), stageTs("click").as("c"),
+        stageTs("purchase").as("p"))
+    val s1 = col("v").isNotNull
+    val s2 = s1 && col("c").isNotNull && (col("c") > col("v"))
+    val s3 = s2 && col("p").isNotNull && (col("p") > col("c"))
+    val st = u.select(
+      (year(col("first_ts")) * lit(100) + month(col("first_ts"))).as("cohort"),
+      s1.as("s1"), s2.as("s2"), s3.as("s3"))
+    st.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("s1").cast("long")).as("n_view"),
+        sum(col("s2").cast("long")).as("n_click"),
+        sum(col("s3").cast("long")).as("n_purchase"))
+      .select(col("cohort"), col("n_users"), col("n_view"), col("n_click"),
+        col("n_purchase"),
+        when(col("n_view") > 0,
+          col("n_purchase").cast("double") / col("n_view").cast("double"))
+          .as("cvr"))
+      .orderBy(col("cohort"))
+  }
+
+  val q52FunnelSql: String =
+    """WITH u AS (
+      |  SELECT user_id, min(ts) AS first_ts,
+      |    min(CASE WHEN event_type = 'view'
+      |      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS v,
+      |    min(CASE WHEN event_type = 'click'
+      |      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS c,
+      |    min(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS p
+      |  FROM events GROUP BY user_id),
+      |st AS (
+      |  SELECT CAST(year(first_ts) * 100 + month(first_ts) AS INT) AS cohort,
+      |    v IS NOT NULL AS s1,
+      |    v IS NOT NULL AND c IS NOT NULL AND c > v AS s2,
+      |    v IS NOT NULL AND c IS NOT NULL AND c > v
+      |      AND p IS NOT NULL AND p > c AS s3
+      |  FROM u)
+      |SELECT cohort, count(*) AS n_users,
+      |  CAST(sum(CAST(s1 AS BIGINT)) AS BIGINT) AS n_view,
+      |  CAST(sum(CAST(s2 AS BIGINT)) AS BIGINT) AS n_click,
+      |  CAST(sum(CAST(s3 AS BIGINT)) AS BIGINT) AS n_purchase,
+      |  CASE WHEN sum(CAST(s1 AS BIGINT)) > 0 THEN
+      |    CAST(sum(CAST(s3 AS BIGINT)) AS DOUBLE)
+      |      / CAST(sum(CAST(s1 AS BIGINT)) AS DOUBLE) END AS cvr
+      |FROM st GROUP BY cohort ORDER BY cohort""".stripMargin
+
+  // --------------------------------------------------- q53_salted_agg
+  /** Two-phase (salted) aggregation — the hot-key template, proven
+    * equivalent to the direct form by oracle parity. event_type has FIVE
+    * values: at 100 TB a single-phase grouping on it funnels 20 TB into
+    * each of five reducers. For algebraic aggs Spark's map-side partial
+    * aggregation already absorbs that, but anything non-algebraic
+    * (exact distinct, collect-based, median) does not combine — the
+    * production answer is the explicit two-phase shape shown here:
+    * phase 1 groups on (key, salt) [resp. (key, user) for the exact
+    * distinct], phase 2 merges the ≤32·|keys| partials. Sums ride as
+    * half-up cents longs so re-association across salts cannot move a
+    * floating-point bit.
+    */
+  val q53SaltedAgg: Q = (s, d) => {
+    val e = t(s, d, "events")
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    val merged = e
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(32)).as("salt"))
+      .agg(count(lit(1)).as("pc"), sum(cents).as("ps"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pc")).as("n"), sum(col("ps")).as("sum_cents"))
+    val ndv = e.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("ndv_users"))
+    merged.join(ndv, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        (col("sum_cents") / lit(100.0)).as("sum_val"), col("ndv_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val q53SaltedAggSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_val,
+      |  count(DISTINCT user_id) AS ndv_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -1791,7 +2002,11 @@ object Relational {
     "q46_rcd" -> q46Rcd,
     "q47_setkmv" -> q47Setkmv,
     "q48_ivm" -> q48Ivm,
-    "q49_locf" -> q49Locf)
+    "q49_locf" -> q49Locf,
+    "q50_histogram" -> q50Histogram,
+    "q51_interp_linear" -> q51InterpLinear,
+    "q52_funnel" -> q52Funnel,
+    "q53_salted_agg" -> q53SaltedAgg)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1841,5 +2056,9 @@ object Relational {
     "q46_rcd" -> q46RcdSql,
     "q47_setkmv" -> q47SetkmvSql,
     "q48_ivm" -> q48IvmSql,
-    "q49_locf" -> q49LocfSql)
+    "q49_locf" -> q49LocfSql,
+    "q50_histogram" -> q50HistogramSql,
+    "q51_interp_linear" -> q51InterpLinearSql,
+    "q52_funnel" -> q52FunnelSql,
+    "q53_salted_agg" -> q53SaltedAggSql)
 }

@@ -73,4 +73,33 @@ object Maintenance {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(dstDir)
+
+  /** Write `df` as a bucketed + sorted table (hash-partitioned into
+    * `nBuckets` files by `key`, sorted by it within each bucket). Two
+    * tables bucketed the same way join with NO shuffle and NO sort —
+    * Spark's bucketing is the persisted analog of co-partitioning, and
+    * it is THE 100 TB answer for a fact⋈fact join that recurs across
+    * jobs: pay the shuffle once at write time, then every downstream
+    * join on the key is a streaming zip of pre-sorted buckets.
+    * FormatsSpec asserts the joined plan is Exchange-free. (A residual
+    * in-partition sort remains unless
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` — since
+    * Spark 3.0 the scan only advertises bucket ordering behind that
+    * flag; the expensive part, the shuffle, is gone either way.)
+    *
+    * Requires a table name (bucketing metadata lives in the catalog, not
+    * the parquet footers); the data itself lands at `path`.
+    */
+  def bucketWrite(df: DataFrame, key: String, nBuckets: Int,
+      table: String, path: String): Unit =
+    // repartition on the SAME hash the bucketing uses, so each write task
+    // owns exactly one bucket → one file per bucket. With multiple files
+    // per bucket Spark must discard the sortBy property (files would need
+    // a merge) and reinstates a Sort under every join.
+    df.repartition(nBuckets, col(key))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }

@@ -88,4 +88,36 @@ class FormatsSpec extends SparkSpec {
     // no rows lost by the rewrite
     assert(spark.read.parquet(zdir).count() == 4096)
   }
+
+  test("bucketed tables join with no shuffle and no sort") {
+    import graft.sources.Maintenance
+    val base = Files.createTempDirectory("fmt_bkt").toString
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val items = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    Maintenance.bucketWrite(orders, "o_orderkey", 4, "bkt_orders",
+      s"$base/orders")
+    Maintenance.bucketWrite(items, "o_orderkey", 4, "bkt_items",
+      s"$base/items")
+    // force a sort-merge plan (the hint goes on a join INPUT) so absence
+    // of Exchange/Sort is the bucketed layout's doing
+    val smj = spark.table("bkt_orders").hint("merge")
+      .join(spark.table("bkt_items"), "o_orderkey")
+    val expected = orders.join(items, "o_orderkey").count()
+    assert(smj.count() == expected)
+    val exec = smj.queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange"),
+      s"bucketed join must not shuffle:\n$exec")
+    assert(exec.contains("Bucketed: true"), s"scan must be bucketed:\n$exec")
+    // since Spark 3.0 the scan reports bucket ORDERING only behind
+    // spark.sql.legacy.bucketedTableScan.outputOrdering, so a residual
+    // sort of each (already-sorted, single-file) bucket remains — it must
+    // be in-partition (global = false), never a shuffle-backed global sort
+    val sorts = exec.linesIterator.filter(_.trim.startsWith("+- Sort ")).toSeq
+    assert(sorts.forall(_.contains("], false, 0")),
+      s"sorts must be in-partition only:\n$exec")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_items")
+  }
 }

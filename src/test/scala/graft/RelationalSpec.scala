@@ -299,4 +299,89 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("q50 histogram: bins partition the table, edges span [min, max]") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    val total = ev.count()
+    val (mn, mx) = ev.agg(min($"value"), max($"value"))
+      .as[(Double, Double)].head()
+    val rows = Relational.q50Histogram(spark, sfDir)
+      .as[(String, Long, Double, Long)].collect()
+    assert(rows.map(_._4).sum == total, "bin counts must sum to row count")
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 15))
+    val width = (mx - mn) / 16.0
+    rows.foreach { case (_, bin, lo, _) =>
+      assert(lo == mn + bin.toDouble * width, s"edge of bin $bin")
+    }
+    // every row lands in the bin its value computes to (spot the formula)
+    val brute = ev.select($"event_type", $"value").as[(String, Double)]
+      .collect()
+      .groupBy { case (et, v) =>
+        (et, math.min(math.floor((v - mn) / width).toLong, 15L)) }
+      .map { case (k, vs) => k -> vs.length.toLong }
+    val gotMap = rows.map(r => (r._1, r._2) -> r._4).toMap
+    assert(gotMap == brute)
+  }
+
+  test("q51 interpolation: matches a per-user scan reference") {
+    import spark.implicits._
+    val got = Relational.q51InterpLinear(spark, sfDir)
+      .as[(Long, Long, Option[Double], String)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"ts".cast("double"),
+        $"ts".cast("long"), $"event_type", $"value")
+      .as[(Long, Long, Double, Long, String, Double)].collect()
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val obs = sorted.zipWithIndex.filter(_._1._5 == "purchase")
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val prev = obs.filter(_._2 < i).lastOption.map(_._1)
+        val next = obs.find(_._2 > i).map(_._1)
+        val expect: (Option[Double], String) =
+          if (r._5 == "purchase") (Some(r._6), "obs")
+          else (prev, next) match {
+            case (Some(p), Some(n)) =>
+              val est = if (n._4 > p._4)
+                p._6 + (n._6 - p._6) *
+                  ((r._4 - p._4).toDouble / (n._4 - p._4).toDouble)
+              else p._6
+              (Some(est), "interp")
+            case (Some(p), None) => (Some(p._6), "edge")
+            case (None, Some(n)) => (Some(n._6), "edge")
+            case _ => (None, "none")
+          }
+        assert(got(r._1) == expect, s"event ${r._1}")
+      }
+    }
+  }
+
+  test("q52 funnel: stages are monotone and users total out") {
+    import spark.implicits._
+    val rows = Relational.q52Funnel(spark, sfDir)
+      .as[(Int, Long, Long, Long, Long, Option[Double])].collect()
+    val nUsers = Tables.load(spark, sfDir, "events")
+      .select($"user_id").distinct().count()
+    assert(rows.map(_._2).sum == nUsers, "cohorts must partition the users")
+    rows.foreach { case (cohort, n, v, c, p, cvr) =>
+      assert(v <= n && c <= v && p <= c, s"cohort $cohort not monotone")
+      if (v > 0) assert(cvr.contains(p.toDouble / v.toDouble))
+      else assert(cvr.isEmpty)
+    }
+  }
+
+  test("q53 salted two-phase aggregate equals the direct single-phase form") {
+    import spark.implicits._
+    val got = Relational.q53SaltedAgg(spark, sfDir)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    val cents = floor($"value" * 100.0 + 0.5).cast("long")
+    val direct = Tables.load(spark, sfDir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), (sum(cents) / 100.0).as("sum_val"),
+        countDistinct($"user_id").as("ndv_users"))
+      .orderBy($"event_type")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(got == direct)
+  }
 }
