@@ -1800,12 +1800,15 @@ object Relational {
     val interp = col("pv") + (col("nv") - col("pv")) *
       ((tl - col("pt")).cast("double") / (col("nt") - col("pt")).cast("double"))
     t(s, d, "events")
+      // all four window columns in ONE projection so Catalyst collapses
+      // them into two Window nodes (one per frame) over a single
+      // shuffle+sort; chained withColumn left four nodes in the plan
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-        col("value"))
-      .withColumn("pv", last(when(isP, col("value")), ignoreNulls = true).over(wPrev))
-      .withColumn("pt", last(when(isP, tl), ignoreNulls = true).over(wPrev))
-      .withColumn("nv", first(when(isP, col("value")), ignoreNulls = true).over(wNext))
-      .withColumn("nt", first(when(isP, tl), ignoreNulls = true).over(wNext))
+        col("value"),
+        last(when(isP, col("value")), ignoreNulls = true).over(wPrev).as("pv"),
+        last(when(isP, tl), ignoreNulls = true).over(wPrev).as("pt"),
+        first(when(isP, col("value")), ignoreNulls = true).over(wNext).as("nv"),
+        first(when(isP, tl), ignoreNulls = true).over(wNext).as("nt"))
       .select(col("event_id"), col("user_id"),
         when(isP, col("value"))
           .when(col("pv").isNotNull && col("nv").isNotNull,
