@@ -702,6 +702,60 @@ object Similarity {
        |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
   }
 
+  // ----------------------------------------------------- v8_filtered_ann
+  /** Metadata-filtered vector search — the hybrid-search shape every
+    * retrieval stack needs (vector index + WHERE clause). PRE-filtering:
+    * the language predicate pushes into the documents parquet scan, a
+    * LEFT SEMI join on doc_id shrinks the corpus BEFORE any distance
+    * math, and only survivors pay the O(d) dot product. The alternative
+    * (post-filter: search first, filter the top-k) silently under-fills
+    * k when the predicate is selective — with a 20%-selective filter and
+    * k=10 you'd need k'=50+ to compensate. At cluster scale the same
+    * semi-join composes with v4's IVF routing (filter AND cell equality)
+    * unchanged; here the verification path is exact brute force so the
+    * oracle hash-checks instead of needing a recall bound.
+    */
+  val v8FilteredAnn: Q = (s, d) => {
+    val en = Tables.load(s, d, "documents")
+      .filter(col("lang") === "en").select(col("doc_id"))
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normSq(col("embedding")).as("nsq_q"))
+    val c = e.join(en, e("vec_id") === en("doc_id"), "left_semi")
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        normSq(col("embedding")).as("nsq_n"))
+    val sim = cosineWithNorms(dot(col("q_emb"), col("n_emb")),
+      col("nsq_q"), col("nsq_n"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("sim", sim)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("n_id"), sround(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val v8FilteredAnnSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQ),
+       |c AS (SELECT e.* FROM embeddings e
+       |  WHERE e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
+       |pairs AS (
+       |  SELECT q.q_id, e.vec_id AS n_id,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+       |         i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS sim
+       |  FROM c e, q WHERE e.vec_id != q.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
+       |  FROM pairs)
+       |SELECT q_id, rnk, n_id, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
+       |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "v1_knn_brute" -> v1KnnBrute,
@@ -710,7 +764,8 @@ object Similarity {
     "v4_ivf_ann" -> v4IvfAnn,
     "v5_int8_ann" -> v5Int8Ann,
     "v6_pq_ann" -> v6PqAnn,
-    "v7_mips" -> v7Mips)
+    "v7_mips" -> v7Mips,
+    "v8_filtered_ann" -> v8FilteredAnn)
 
   val oracles: Map[String, String] = Map(
     "v1_knn_brute" -> v1KnnBruteSql,
@@ -719,5 +774,6 @@ object Similarity {
     "v4_ivf_ann" -> v4IvfAnnSql,
     "v5_int8_ann" -> v5Int8AnnSql,
     "v6_pq_ann" -> v6PqAnnSql,
-    "v7_mips" -> v7MipsSql)
+    "v7_mips" -> v7MipsSql,
+    "v8_filtered_ann" -> v8FilteredAnnSql)
 }

@@ -59,7 +59,10 @@ object ScaleProbe {
       // graph + audio windows
       "q42_merge_upsert", "q43_unpivot", "q44_hll_distinct",
       "t20_quality_classifier", "d8_span_dedup", "g1_pagerank",
-      "mm3_audio_energy")
+      "mm3_audio_energy",
+      // round-6c additions: profiling, interpolation, funnel, salted agg
+      "q50_histogram", "q51_interp_linear", "q52_funnel", "q53_salted_agg",
+      "v8_filtered_ann")
     SparkEntry.queries(names.head)(spark, out)
       .write.format("noop").mode("overwrite").save() // warmup
     names.foreach { n =>

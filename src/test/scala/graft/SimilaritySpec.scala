@@ -267,4 +267,33 @@ class SimilaritySpec extends SparkSpec {
     val r = out.head()
     assert(r.getLong(1) >= 1 && r.getLong(2) >= r.getLong(4))
   }
+
+  test("v8 filtered search returns only in-predicate neighbors, ranked like v1 on the subset") {
+    val en = Tables.load(spark, sfDir, "documents")
+      .filter($"lang" === "en").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(en.nonEmpty && en.size < 500, "filter must be selective")
+    val v8 = Similarity.v8FilteredAnn(spark, sfDir).collect()
+    assert(v8.forall(r => en.contains(r.getLong(2))),
+      "every neighbor must satisfy the metadata predicate")
+    // per query: ranks contiguous from 1, sims non-increasing
+    v8.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length).toSeq)
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse, s"query $q sims not descending")
+    }
+    // agreement with v1 on queries where v1's top-k is entirely English:
+    // there the filter is a no-op and the two rankings must coincide
+    val v1 = Similarity.v1KnnBrute(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    v1.foreach { case (q, rows) =>
+      if (rows.forall(r => en.contains(r.getLong(2)))) {
+        val a = rows.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+        val b = v8.filter(_.getLong(0) == q).sortBy(_.getInt(1))
+          .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+        assert(a == b, s"query $q: filtered ranking diverged on all-English top-k")
+      }
+    }
+  }
 }
