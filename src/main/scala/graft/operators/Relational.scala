@@ -1956,6 +1956,99 @@ object Relational {
       |  count(DISTINCT user_id) AS ndv_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------- q54_attribution
+  /** Last-touch attribution with a time budget: every purchase is
+    * credited to the user's most recent view/click no older than one
+    * hour, else "unattributed". Same physical family as q49's LOCF —
+    * the carried (touch ts, touch type) pair rides ONE user-keyed
+    * window over one shuffle+sort; no events⋈events self-join, which is
+    * the naive attribution query's downfall at scale. The final
+    * per-channel rollup is a tiny hash aggregate; revenue sums ride as
+    * half-up cents longs.
+    */
+  val q54Attribution: Q = (s, d) => {
+    val tl = col("ts").cast("long")
+    val isTouch = col("event_type").isin("view", "click")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"),
+        last(when(isTouch, tl), ignoreNulls = true).over(w).as("touch_ts"),
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w)
+          .as("touch_type"))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("touch_ts").isNotNull && tl - col("touch_ts") <= 3600,
+          col("touch_type")).otherwise(lit("unattributed")).as("channel"),
+        col("value"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(cents) / lit(100.0)).as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  val q54AttributionSql: String =
+    """WITH touched AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tl,
+      |    last_value(CASE WHEN event_type IN ('view', 'click')
+      |      THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+      |      OVER w AS touch_ts,
+      |    last_value(CASE WHEN event_type IN ('view', 'click')
+      |      THEN event_type END IGNORE NULLS) OVER w AS touch_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT CASE WHEN touch_ts IS NOT NULL AND tl - touch_ts <= 3600
+      |    THEN touch_type ELSE 'unattributed' END AS channel,
+      |  count(*) AS n_purchases,
+      |  sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS revenue
+      |FROM touched WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
+  // ----------------------------------------------- q55_weighted_sample
+  /** Weighted sampling without replacement — priority sampling
+    * (Duffield–Lund–Thorup): each document gets priority w/u with
+    * u ~ Uniform(0,1], the k highest priorities are the sample. The
+    * corpus-mixing primitive (t16 sets the TARGET proportions; this
+    * DRAWS the documents, longer docs proportionally more likely).
+    * u derives from the portable md5-62 row hash, so the "random"
+    * sample is reproducible across engines, runs, and partitionings —
+    * and the only arithmetic is one IEEE division, no libm
+    * transcendentals to drift. Plan: narrow scan projection +
+    * TakeOrderedAndProject (per-partition top-k, then k·P merge on the
+    * driver side of the shuffle) — no global sort at any scale.
+    */
+  val q55WeightedSample: Q = (s, d) => {
+    val h = graft.expressions.PortableHashExpressions.md5Hash62(
+      col("doc_id").cast("string"))
+    val u = (h.cast("double") + lit(1.0)) / lit(4611686018427387904.0)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars").cast("double") / u).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("n_chars"),
+        sround(col("priority"), 4).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+  }
+
+  val q55WeightedSampleSql: String =
+    """WITH pri AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(n_chars AS DOUBLE) /
+      |      ((CAST(CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) &
+      |          4611686018427387903 AS BIGINT) AS DOUBLE) + 1.0)
+      |        / 4611686018427387904.0) AS priority
+      |  FROM documents
+      |  ORDER BY priority DESC, doc_id LIMIT 100)
+      |SELECT doc_id, n_chars,
+      |  floor(priority * 10000.0 + 0.5) / 10000.0 AS priority
+      |FROM pri ORDER BY priority DESC, doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -2009,7 +2102,9 @@ object Relational {
     "q50_histogram" -> q50Histogram,
     "q51_interp_linear" -> q51InterpLinear,
     "q52_funnel" -> q52Funnel,
-    "q53_salted_agg" -> q53SaltedAgg)
+    "q53_salted_agg" -> q53SaltedAgg,
+    "q54_attribution" -> q54Attribution,
+    "q55_weighted_sample" -> q55WeightedSample)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2063,5 +2158,7 @@ object Relational {
     "q50_histogram" -> q50HistogramSql,
     "q51_interp_linear" -> q51InterpLinearSql,
     "q52_funnel" -> q52FunnelSql,
-    "q53_salted_agg" -> q53SaltedAggSql)
+    "q53_salted_agg" -> q53SaltedAggSql,
+    "q54_attribution" -> q54AttributionSql,
+    "q55_weighted_sample" -> q55WeightedSampleSql)
 }

@@ -371,6 +371,52 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q54 attribution: channels partition purchases; matches a scan reference") {
+    import spark.implicits._
+    val got = Relational.q54Attribution(spark, sfDir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"ts".cast("double"),
+        $"ts".cast("long"), $"event_type")
+      .as[(Long, Long, Double, Long, String)].collect()
+    val expect = scala.collection.mutable.Map[String, Long]()
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      var lastTouch: Option[(Long, String)] = None
+      rows.sortBy(r => (r._3, r._1)).foreach { r =>
+        if (r._5 == "purchase") {
+          val ch = lastTouch match {
+            case Some((t, ty)) if r._4 - t <= 3600 => ty
+            case _ => "unattributed"
+          }
+          expect(ch) = expect.getOrElse(ch, 0L) + 1
+        }
+        if (r._5 == "view" || r._5 == "click") lastTouch = Some((r._4, r._5))
+      }
+    }
+    assert(got == expect.toMap)
+    assert(got.values.sum == ev.count(_._5 == "purchase"))
+  }
+
+  test("q55 priority sample: top-100 by w/u with the portable-hash u") {
+    import spark.implicits._
+    val rows = Relational.q55WeightedSample(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 100)
+    val pris = rows.map(_._3).toSeq
+    assert(pris == pris.sorted.reverse, "priorities must be descending")
+    // reproducible: the same query returns the identical sample
+    val again = Relational.q55WeightedSample(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.toSeq == again.toSeq)
+    // sampling is weight-sensitive: the sampled docs' mean length exceeds
+    // the corpus mean (long docs get proportionally higher priorities)
+    val corpusMean = Tables.load(spark, sfDir, "documents")
+      .agg(avg($"n_chars")).as[Double].head()
+    val sampleMean = rows.map(_._2).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("q53 salted two-phase aggregate equals the direct single-phase form") {
     import spark.implicits._
     val got = Relational.q53SaltedAgg(spark, sfDir)
