@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 24g default: the bench/verify mains run 100+ queries in ONE JVM and
+  // the iterative ones retain localCheckpoint blocks while running; at 8g
+  // the accumulated storage turned into multi-second GC stalls billed to
+  // innocent queries (the host has 128g; executors-per-node budgeting is
+  // a cluster concern, not a local[32] one).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+) ++ sys.env.get("SPARK_GC_LOG").map(p => s"-Xlog:gc*:file=$p:time,uptime").toSeq

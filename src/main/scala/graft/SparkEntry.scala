@@ -70,5 +70,7 @@ object SparkEntry {
     "g2_triangles", "g3_reach", "q45_argmax", "q46_rcd", "q47_setkmv",
     "v7_mips", "q48_ivm", "q49_locf", "mm4_phash",
     "q50_histogram", "q51_interp_linear", "q52_funnel", "q53_salted_agg",
-    "v8_filtered_ann", "q54_attribution", "q55_weighted_sample")
+    "v8_filtered_ann", "q54_attribution", "q55_weighted_sample",
+    "q56_bitmap_distinct", "q57_skyline", "q58_decay_score", "g4_sssp",
+    "mm5_shot_boundary", "q59_retention")
 }

@@ -293,11 +293,44 @@ object Multimodal {
     }
   }
 
+  // --------------------------------------------------- mm5_shot_boundary
+  /** Shot-boundary detection for video-shaped payloads: frame the binary
+    * into non-overlapping 128-byte "frames" (mm2's keyframe geometry, via
+    * mm3's per-partition framing seam with hop == win), reduce each to its
+    * exact integer energy, then flag a CUT wherever consecutive frame
+    * energies jump by more than the threshold — the standard
+    * histogram-difference shot detector with the codec stubbed to byte
+    * energy. The temporal compare is ONE lag window PARTITIONED BY doc
+    * (each document's frames sort within its own partition group — no
+    * global sort), and the rollup reuses the same grouping key, so the
+    * whole query is one Exchange on doc_id. Energies and deltas are exact
+    * integers; the oracle replays them as ord()-sums plus the identical
+    * lag window, so every column hash-checks.
+    */
+  def mm5ShotBoundary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    val cut = col("prev_e").isNotNull &&
+      abs(col("energy") - col("prev_e")) > lit(1500L)
+    audioWindows(media, win = 128, hop = 128).toDF()
+      .withColumn("prev_e", lag(col("energy"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        (sum(when(cut, lit(1L)).otherwise(lit(0L))) + lit(1L)).as("n_shots"),
+        min(when(cut, col("win_idx"))).as("first_cut"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_audio_energy" -> (mm3AudioEnergy _),
-    "mm4_phash" -> (mm4Phash _))
+    "mm4_phash" -> (mm4Phash _),
+    "mm5_shot_boundary" -> (mm5ShotBoundary _))
 
   /** DuckDB twin of the metadata decode: byte_len is the UTF-8 byte count
     * of `text`, pseudo-dims derive from it, feature_dim is the fixed
@@ -374,5 +407,28 @@ object Multimodal {
         |    ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
         |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same ord()-sum energy replay as mm3, non-overlapping 128-byte frames,
+    // then the identical per-doc lag window and cut rollup
+    "mm5_shot_boundary" ->
+      """WITH wins AS (
+        |  SELECT doc_id, CAST(i AS INT) AS win_idx,
+        |    CAST(list_aggregate(list_transform(
+        |      range(i * 128 + 1, least(i * 128 + 128, blen) + 1),
+        |      p -> ord(substr(text, CAST(p AS INT), 1))), 'sum') AS BIGINT)
+        |      AS energy
+        |  FROM (SELECT doc_id, text, octet_length(encode(text)) AS blen,
+        |          unnest(range(CAST(ceil(octet_length(encode(text)) / 128.0)
+        |            AS BIGINT))) AS i
+        |        FROM documents)),
+        |lagd AS (
+        |  SELECT doc_id, win_idx, energy,
+        |    lag(energy) OVER (PARTITION BY doc_id ORDER BY win_idx) AS prev_e
+        |  FROM wins)
+        |SELECT doc_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN prev_e IS NOT NULL AND abs(energy - prev_e) > 1500
+        |    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_shots,
+        |  CAST(min(CASE WHEN prev_e IS NOT NULL AND abs(energy - prev_e) > 1500
+        |    THEN win_idx END) AS INT) AS first_cut
+        |FROM lagd GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

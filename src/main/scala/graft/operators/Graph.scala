@@ -272,14 +272,103 @@ object Graph {
        |SELECT dist, count(*) AS cnt FROM d4 GROUP BY dist ORDER BY dist""".stripMargin
   }
 
+  // ---------------------------------------------------------- g4_sssp
+  /** Weighted single-source-set shortest paths (4 relaxation rounds of
+    * FRONTIER Bellman-Ford) over the undirected user↔item graph. Edge
+    * weights are integers 1..9 derived from the portable md5-62 hash of
+    * the CANONICAL endpoint pair (least‖greatest — the weight must be
+    * symmetric or the two directed copies of an undirected edge would
+    * disagree), so distances are exact integers with no float discipline.
+    *
+    * Frontier BF relaxes only edges out of nodes whose distance IMPROVED
+    * last round (g3's delta-iteration lesson: full re-relaxation
+    * re-aggregates every settled node every round — 4.4x wall at 10x).
+    * After k rounds this equals full Bellman-Ford's ≤k-edge shortest
+    * distances: a best ≤k-edge path's penultimate node improved at some
+    * round j < k, so its outgoing edge was relaxed at round j+1 with the
+    * final prefix value. The oracle replays the FULL relaxation (simpler
+    * SQL, same fixpoint) — parity PROVES the frontier optimization sound.
+    *
+    * Per-round state: `improved` feeds the next join and the dist update
+    * (localCheckpoint — d5's lesson); `visited` re-checkpoints so the
+    * data-dependent loop never stacks lineage. At cluster scale edges
+    * pre-partition on src; each round probes O(frontier).
+    */
+  val g4Sssp: Q = (s, d) => {
+    import graft.expressions.PortableHashExpressions.md5Hash62
+    val base = bipartiteBase(s, d)
+    val w = pmod(md5Hash62(concat(least(col("src"), col("dst")), lit(">"),
+      greatest(col("src"), col("dst")))), lit(9L)) + lit(1L)
+    val edges = base
+      .unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("src"), col("dst"), w.as("w"))
+      .localCheckpoint(true) // one eager materialization, probed 4x
+    val seeds = Tables.load(s, d, "events")
+      .filter(col("event_type") === "signup" && col("user_id") % 199 === 0)
+      .select(concat(lit("u"), col("user_id")).as("node")).distinct()
+    var visited = seeds.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited
+    for (k <- 1 to 4) {
+      val cand = edges
+        .join(frontier, edges("src") === frontier("node"))
+        .select(edges("dst").as("node"), (frontier("dist") + edges("w")).as("nd"))
+        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+      val improved = cand
+        .join(visited, Seq("node"), "left")
+        .where(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("node"), col("nd").as("dist"))
+        .localCheckpoint(true) // feeds next round's probe AND the update
+      visited = visited
+        .join(improved.select(col("node")), Seq("node"), "left_anti")
+        .unionAll(improved)
+      visited = if (k < 4) visited.localCheckpoint(true) else visited
+      frontier = improved
+    }
+    visited.orderBy(col("dist"), col("node")).limit(100)
+  }
+
+  /** DuckDB twin: four FULL Bellman-Ford rounds unrolled as CTEs (min over
+    * previous dists union relaxed edges), same canonical-pair weights.
+    */
+  val g4SsspSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM $prev UNION ALL
+         |  SELECT e.dst, r.dist + e.w FROM edges e JOIN $prev r ON e.src = r.node)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+       |    'k' || json_extract_string(props, '$$.k') AS dst
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    CAST(md5_number_lower(least(src, dst) || '>' || greatest(src, dst))
+       |      & 4611686018427387903 AS BIGINT) % 9 + 1 AS w
+       |  FROM (SELECT src, dst FROM base
+       |    UNION ALL SELECT dst, src FROM base)),
+       |d0 AS (
+       |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS node,
+       |    CAST(0 AS BIGINT) AS dist
+       |  FROM events WHERE event_type = 'signup' AND user_id % 199 = 0),
+       |${round("d0", "d1")},
+       |${round("d1", "d2")},
+       |${round("d2", "d3")},
+       |${round("d3", "d4")}
+       |SELECT node, dist FROM d4 ORDER BY dist, node LIMIT 100""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1Pagerank,
     "g2_triangles" -> g2Triangles,
-    "g3_reach" -> g3Reach)
+    "g3_reach" -> g3Reach,
+    "g4_sssp" -> g4Sssp)
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank" -> g1PagerankSql,
     "g2_triangles" -> g2TrianglesSql,
-    "g3_reach" -> g3ReachSql)
+    "g3_reach" -> g3ReachSql,
+    "g4_sssp" -> g4SsspSql)
 }

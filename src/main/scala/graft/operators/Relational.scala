@@ -2049,6 +2049,214 @@ object Relational {
       |  floor(priority * 10000.0 + 0.5) / 10000.0 AS priority
       |FROM pri ORDER BY priority DESC, doc_id""".stripMargin
 
+  // ----------------------------------------------- q56_bitmap_distinct
+  /** Daily-actives rollup with EXACT distinct users via the mergeable
+    * bitmap aggregate ([[graft.expressions.BitmapDistinct]]). Spark plans
+    * COUNT(DISTINCT user_id) by group as Expand + a second shuffle of
+    * every (group, user) pair — the dominant stage of a 100 TB DAU job.
+    * The bitmap collapses that to ONE ObjectHashAggregate pass: map-side
+    * partials absorb rows locally, the exchange carries one bitmap per
+    * (group, partition) — bounded by the id-domain size, not the row
+    * count — and merge is wordwise OR. The count is exact (one bit per
+    * id), so the oracle is plain COUNT(DISTINCT): no sketch replay, and
+    * any hash mismatch is a real bug, not estimate drift.
+    */
+  val q56BitmapDistinct: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        graft.expressions.BitmapDistinct.bitmapDistinct(col("user_id"))
+          .as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("day"))
+
+  val q56BitmapDistinctSql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
+  // ------------------------------------------------------- q57_skyline
+  /** Pareto frontier (skyline): users not strictly dominated on
+    * (total spend ↑, event count ↓) — "who gets the most value out of the
+    * fewest interactions". Classic DISTRIBUTED skyline shape:
+    *
+    *  1. per-partition pre-filter with ZERO exchange — the points stay
+    *     where the per-user agg left them (hash on user_id),
+    *     sortWithinPartitions orders each partition (v DESC, n ASC) and a
+    *     streaming O(1)-state filter drops every point whose running-min
+    *     n is strictly smaller (strictly dominated by a same-partition
+    *     predecessor — safe to drop at any scale; n-ties are KEPT,
+    *     conservative). mapPartitions is deliberate here: a Window
+    *     PARTITION BY spark_partition_id() plans a pointless full-data
+    *     hash Exchange on the pid (verified via explain) — partition-LOCAL
+    *     running state is the one shape Window can't express shuffle-free;
+    *  2. global exact pass over the tiny survivor set — two windows: a
+    *     RANGE frame over strictly-higher v (min n → dominated_hi) and a
+    *     per-v partition min (dominated_same). The global window is
+    *     single-partition BY DESIGN: its input is the union of local
+    *     skylines (≤ frontier size per partition), the same bounded merge
+    *     step as q36's shard rollup — never the raw point set.
+    *
+    * Money rides as integer cents so dominance compares are exact; the
+    * oracle states the SEMANTICS (NOT EXISTS a dominating point) rather
+    * than the staging, proving the two-stage plan computes the true
+    * skyline.
+    */
+  val q57Skyline: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val pts = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(sumCents(col("value")).as("v"), count(lit(1)).as("n"))
+    val survivors = pts
+      .sortWithinPartitions(col("v").desc, col("n").asc, col("user_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var mn = Long.MaxValue // min n over the preceding (higher-v) rows
+        it.filter { case (_, _, n) =>
+          val keep = n <= mn
+          if (n < mn) mn = n
+          keep
+        }
+      }
+      .toDF("user_id", "v", "n")
+    val hi = Window.orderBy(col("v").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val same = Window.partitionBy(col("v"))
+    survivors
+      .withColumn("mn_hi", min(col("n")).over(hi))
+      .withColumn("mn_same", min(col("n")).over(same))
+      .where((col("mn_hi").isNull || col("mn_hi") > col("n")) &&
+        col("mn_same") >= col("n"))
+      .select(col("user_id"), (col("v") / lit(100.0)).as("total_value"),
+        col("n").as("n_events"))
+      .orderBy(col("total_value").desc, col("n_events"), col("user_id"))
+  }
+
+  val q57SkylineSql: String =
+    """WITH pts AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v,
+      |    count(*) AS n
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, v / 100.0 AS total_value, n AS n_events
+      |FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.v >= p.v AND q.n <= p.n AND (q.v > p.v OR q.n < p.n))
+      |ORDER BY total_value DESC, n_events, user_id""".stripMargin
+
+  // --------------------------------------------------- q58_decay_score
+  /** Time-decayed engagement score: each event contributes
+    * value · 2^(−days_old) inside a 30-day horizon (half-life one day,
+    * stale events exactly zero). The FLOAT DISCIPLINE is the point:
+    * value rides as integer cents and the decay is a LEFT SHIFT —
+    * cents << (30 − d) — summed as BIGINT, then ONE division by 2^30.
+    * Integer sums are association-order-independent, so Spark's partial
+    * aggregation over any partitioning lands on the same bits as the
+    * oracle's sequential sum — pow()/exp() would drift in the last ulp
+    * and flip rounded output (the same trick as q55's division-only
+    * priorities; libm never runs).
+    *
+    * Plan: one tiny agg for the corpus max day (broadcast as a 1-row
+    * cross join), then scan → map-side partial agg → per-user hash agg →
+    * TakeOrderedAndProject top-200. No window, no second shuffle.
+    */
+  val q58DecayScore: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val mx = ev.agg(max(to_date(col("ts"))).as("mx_day"))
+    ev.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"),
+        datediff(col("mx_day"), to_date(col("ts"))).as("age"))
+      // shiftleft's bit count is a COLUMN here (the Scala wrapper only
+      // takes a literal), hence the SQL spelling; still codegen'd.
+      .select(col("user_id"),
+        expr("CASE WHEN age <= 30 THEN shiftleft(cents, 30 - age) " +
+          "ELSE 0L END").as("w"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("w")).as("ws"))
+      .where(col("ws") > 0)
+      .select(col("user_id"),
+        sround(col("ws") / lit(1073741824.0) / lit(100.0), 4)
+          .as("decay_score"))
+      .orderBy(col("decay_score").desc, col("user_id"))
+      .limit(200)
+  }
+
+  val q58DecayScoreSql: String =
+    """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mx_day FROM events),
+      |w AS (
+      |  SELECT user_id,
+      |    CASE WHEN date_diff('day', CAST(ts AS DATE), mx_day) <= 30
+      |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+      |        << (30 - date_diff('day', CAST(ts AS DATE), mx_day))
+      |      ELSE 0 END AS w
+      |  FROM events, mx)
+      |SELECT user_id,
+      |  floor(sum(w) / 1073741824.0 / 100.0 * 10000.0 + 0.5) / 10000.0
+      |    AS decay_score
+      |FROM w GROUP BY user_id HAVING sum(w) > 0
+      |ORDER BY decay_score DESC, user_id LIMIT 200""".stripMargin
+
+  // --------------------------------------------------- q59_retention
+  /** Weekly retention matrix — of the users active in week w, how many
+    * were active again in week w+k (k = 1..4) — via bitmap SET ALGEBRA:
+    * ONE scan builds an exact per-week user bitmap
+    * ([[graft.expressions.BitmapWords]]), then every (w, w+k) cell is
+    * pure in-plan array arithmetic — intersection = zip_with bitand,
+    * cardinality = Σ bit_count — over the tiny per-week rows. The naive
+    * formulation self-joins the fact table on user_id (a second full
+    * scan plus a user-keyed shuffle of every event pair); here the fact
+    * table is read once and the self-join touches ~weeks² bitmap rows.
+    * Week ids are floor(epoch-day/7) integers — immune to engine
+    * week-start conventions. The bitmaps are exact sets, so the oracle
+    * is the plain DISTINCT self-join — hash parity proves the algebra.
+    */
+  val q59Retention: Q = (s, d) => {
+    import graft.expressions.BitmapDistinct.bitmapWords
+    val wk = floor(datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+      / lit(7.0)).cast("long")
+    val wb = t(s, d, "events")
+      .select(wk.as("week"), col("user_id"))
+      .groupBy(col("week"))
+      .agg(bitmapWords(col("user_id"), 1 << 14).as("bm"))
+      .localCheckpoint(true) // one fact scan; both join sides reuse it
+    val pairs = wb.select(col("week"), col("bm").as("bma"))
+      .join(wb.select(col("week").as("wkb"), col("bm").as("bmb")),
+        col("wkb") - col("week") >= 1 && col("wkb") - col("week") <= 4)
+    pairs
+      .select(col("week"), (col("wkb") - col("week")).as("k"),
+        expr("aggregate(bma, 0L, (acc, x) -> acc + bit_count(x))")
+          .as("active"),
+        expr("aggregate(zip_with(bma, bmb, (x, y) -> x & y), 0L, " +
+          "(acc, x) -> acc + bit_count(x))").as("retained"))
+      // cells with zero survivors drop (the oracle's user-join never
+      // produces them); reporting keeps only populated cells
+      .where(col("retained") > 0)
+      .withColumn("rate",
+        sround(col("retained").cast("double") / col("active"), 4))
+      .orderBy(col("week"), col("k"))
+  }
+
+  val q59RetentionSql: String =
+    """WITH wu AS (
+      |  SELECT DISTINCT CAST(floor(date_diff('day', DATE '2024-01-01',
+      |      CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week, user_id
+      |  FROM events),
+      |wa AS (SELECT week, count(*) AS active FROM wu GROUP BY week),
+      |cells AS (
+      |  SELECT a.week AS week, b.week - a.week AS k,
+      |    count(*) AS retained
+      |  FROM wu a JOIN wu b ON a.user_id = b.user_id
+      |    AND b.week - a.week BETWEEN 1 AND 4
+      |  GROUP BY 1, 2)
+      |SELECT c.week, c.k, wa.active, c.retained,
+      |  floor(CAST(c.retained AS DOUBLE) / wa.active * 10000.0 + 0.5)
+      |    / 10000.0 AS rate
+      |FROM cells c JOIN wa ON wa.week = c.week
+      |ORDER BY c.week, c.k""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -2104,7 +2312,11 @@ object Relational {
     "q52_funnel" -> q52Funnel,
     "q53_salted_agg" -> q53SaltedAgg,
     "q54_attribution" -> q54Attribution,
-    "q55_weighted_sample" -> q55WeightedSample)
+    "q55_weighted_sample" -> q55WeightedSample,
+    "q56_bitmap_distinct" -> q56BitmapDistinct,
+    "q57_skyline" -> q57Skyline,
+    "q58_decay_score" -> q58DecayScore,
+    "q59_retention" -> q59Retention)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2160,5 +2372,9 @@ object Relational {
     "q52_funnel" -> q52FunnelSql,
     "q53_salted_agg" -> q53SaltedAggSql,
     "q54_attribution" -> q54AttributionSql,
-    "q55_weighted_sample" -> q55WeightedSampleSql)
+    "q55_weighted_sample" -> q55WeightedSampleSql,
+    "q56_bitmap_distinct" -> q56BitmapDistinctSql,
+    "q57_skyline" -> q57SkylineSql,
+    "q58_decay_score" -> q58DecayScoreSql,
+    "q59_retention" -> q59RetentionSql)
 }

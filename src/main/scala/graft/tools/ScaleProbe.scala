@@ -62,7 +62,10 @@ object ScaleProbe {
       "mm3_audio_energy",
       // round-6c additions: profiling, interpolation, funnel, salted agg
       "q50_histogram", "q51_interp_linear", "q52_funnel", "q53_salted_agg",
-      "v8_filtered_ann", "q54_attribution", "q55_weighted_sample")
+      "v8_filtered_ann", "q54_attribution", "q55_weighted_sample",
+      // round-6d additions: bitmap distinct, skyline, decay, SSSP, shots
+      "q56_bitmap_distinct", "q57_skyline", "q58_decay_score", "g4_sssp",
+      "mm5_shot_boundary")
     SparkEntry.queries(names.head)(spark, out)
       .write.format("noop").mode("overwrite").save() // warmup
     names.foreach { n =>

@@ -84,4 +84,34 @@ class GraphSpec extends SparkSpec {
     val expected = dist.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     assert(out == expected, s"got $out expected $expected")
   }
+
+  test("g4 sssp: frontier Bellman-Ford matches an in-memory full relaxation") {
+    val got = Graph.g4Sssp(spark, sfDir).as[(String, Long)].collect().toSeq
+    // reference: FULL (non-frontier) Bellman-Ford on collected weighted
+    // edges — proves the frontier pruning computes the same ≤4-edge dists
+    val base = Tables.load(spark, sfDir, "events")
+      .select(concat(lit("u"), $"user_id").as("src"),
+        concat(lit("k"), get_json_object($"props", "$.k")).as("dst"))
+      .where($"dst".isNotNull).distinct()
+      .as[(String, String)].collect()
+    def w(a: String, b: String): Long = {
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val bytes = s"$lo>$hi".getBytes("UTF-8")
+      graft.expressions.PortableHash.md5Lower62(bytes, 0, bytes.length) % 9 + 1
+    }
+    val edges = (base ++ base.map(_.swap)).map { case (s0, d0) => (s0, d0, w(s0, d0)) }
+    val seeds = Tables.load(spark, sfDir, "events")
+      .filter($"event_type" === "signup" && $"user_id" % 199 === 0)
+      .select(concat(lit("u"), $"user_id")).as[String].collect().toSet
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val relaxed = edges.flatMap { case (s0, d0, wt) =>
+        dist.get(s0).map(ds => d0 -> (ds + wt))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    val expect = dist.toSeq.sortBy(p => (p._2, p._1)).take(100)
+    assert(got == expect)
+  }
 }

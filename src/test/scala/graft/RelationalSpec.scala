@@ -430,4 +430,84 @@ class RelationalSpec extends SparkSpec {
       .as[(String, Long, Double, Long)].collect().toSeq
     assert(got == direct)
   }
+
+  test("q56 bitmap distinct: exact vs countDistinct, invariant under partitioning") {
+    import spark.implicits._
+    import graft.expressions.BitmapDistinct.bitmapDistinct
+    val ev = Tables.load(spark, sfDir, "events")
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("ndv"))
+      .orderBy($"event_type").as[(String, Long)].collect().toSeq
+    for (p <- Seq(1, 7, 32)) {
+      val got = ev.repartition(p).groupBy($"event_type")
+        .agg(bitmapDistinct($"user_id").as("ndv"))
+        .orderBy($"event_type").as[(String, Long)].collect().toSeq
+      assert(got == exact, s"bitmap distinct diverged at $p partitions")
+    }
+    // exactness contract: out-of-domain ids fail loudly, never wrap
+    val err = intercept[org.apache.spark.SparkException] {
+      Seq(5L, 1L << 40).toDF("id")
+        .agg(bitmapDistinct($"id")).collect()
+    }
+    assert(err.getMessage.contains("graft_bitmap_distinct") ||
+      Option(err.getCause).exists(_.getMessage.contains("graft_bitmap_distinct")))
+  }
+
+  test("q57 skyline: kept points are exactly the non-dominated set") {
+    import spark.implicits._
+    val pts = Tables.load(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(sum(floor($"value" * 100.0 + 0.5).cast("long")).as("v"),
+        count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    def dominated(p: (Long, Long, Long)) = pts.exists(q =>
+      q._2 >= p._2 && q._3 <= p._3 && (q._2 > p._2 || q._3 < p._3))
+    val expect = pts.filterNot(dominated)
+      .map(p => (p._1, p._2 / 100.0, p._3))
+      .sortBy(p => (-p._2, p._3, p._1)).toSeq
+    val got = Relational.q57Skyline(spark, sfDir)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("q59 retention: bitmap set algebra equals a distinct self-join reference") {
+    import spark.implicits._
+    val wu = Tables.load(spark, sfDir, "events")
+      .select(floor(datediff(to_date($"ts"), to_date(lit("2024-01-01"))) / 7.0)
+        .cast("long").as("week"), $"user_id")
+      .distinct().as[(Long, Long)].collect()
+    val byWeek = wu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = (for {
+      (wa, ua) <- byWeek.toSeq
+      k <- 1L to 4L
+      ub <- byWeek.get(wa + k).toSeq
+      r = (ua & ub).size
+      if r > 0
+    } yield (wa, k, ua.size.toLong, r.toLong,
+      math.floor(r.toDouble / ua.size * 10000.0 + 0.5) / 10000.0))
+      .sortBy(p => (p._1, p._2))
+    val got = Relational.q59Retention(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("q58 decay: matches driver-side recompute; stale events contribute zero") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"user_id", to_date($"ts").as("day"),
+        floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+      .as[(Long, java.sql.Date, Long)].collect()
+    val mx = ev.map(_._2.toLocalDate).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val scores = ev.groupBy(_._1).map { case (u, rows) =>
+      val ws = rows.map { case (_, day, cents) =>
+        val age = mx.toEpochDay - day.toLocalDate.toEpochDay
+        if (age <= 30) cents << (30 - age) else 0L
+      }.sum
+      (u, ws, math.floor(ws / 1073741824.0 / 100.0 * 10000.0 + 0.5) / 10000.0)
+    }.filter(_._2 > 0).map(p => (p._1, p._3)).toSeq
+    val expect = scores.sortBy(p => (-p._2, p._1)).take(200)
+    val got = Relational.q58DecayScore(spark, sfDir)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == expect)
+  }
 }

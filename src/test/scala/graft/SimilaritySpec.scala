@@ -268,6 +268,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getLong(1) >= 1 && r.getLong(2) >= r.getLong(4))
   }
 
+  test("mm5 shot boundaries match a per-doc scan over frame energies") {
+    val frames = Multimodal.audioWindows(
+      Tables.load(spark, sfDir, "documents")
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+        .as[Multimodal.MediaIn],
+      win = 128, hop = 128).collect()
+    val expect = frames.groupBy(_.doc_id).map { case (id, ws) =>
+      val es = ws.sortBy(_.win_idx).map(_.energy)
+      val cuts = es.indices.drop(1).filter(i => math.abs(es(i) - es(i - 1)) > 1500L)
+      (id, es.length.toLong, cuts.length + 1L,
+        cuts.headOption.map(_.toLong).getOrElse(-1L))
+    }.toSeq.sortBy(_._1)
+    val got = Multimodal.mm5ShotBoundary(spark, sfDir)
+      .select($"doc_id", $"n_frames", $"n_shots",
+        coalesce($"first_cut".cast("long"), lit(-1L)))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // at least one doc has a real cut and one has none (the detector
+    // separates, rather than firing on everything or nothing)
+    assert(expect.exists(_._3 > 1) && expect.exists(_._3 == 1))
+  }
+
   test("v8 filtered search returns only in-predicate neighbors, ranked like v1 on the subset") {
     val en = Tables.load(spark, sfDir, "documents")
       .filter($"lang" === "en").select($"doc_id")
