@@ -306,26 +306,30 @@ object Graph {
     val seeds = Tables.load(s, d, "events")
       .filter(col("event_type") === "signup" && col("user_id") % 199 === 0)
       .select(concat(lit("u"), col("user_id")).as("node")).distinct()
-    var visited = seeds.select(col("node"), lit(0L).as("dist"))
+    // state = (node, dist, imp) where imp marks last-round improvement.
+    // ONE full-outer join per round folds the relax-min, the dist update,
+    // and the next frontier into a single shuffle + single checkpoint
+    // (the first cut's left-join + anti-join + union did the same work in
+    // two joins and two checkpoints — 2x the per-round exchanges).
+    var state = seeds
+      .select(col("node"), lit(0L).as("dist"), lit(true).as("imp"))
       .localCheckpoint(true)
-    var frontier = visited
     for (k <- 1 to 4) {
+      val frontier = state.where(col("imp"))
       val cand = edges
         .join(frontier, edges("src") === frontier("node"))
         .select(edges("dst").as("node"), (frontier("dist") + edges("w")).as("nd"))
         .groupBy(col("node")).agg(min(col("nd")).as("nd"))
-      val improved = cand
-        .join(visited, Seq("node"), "left")
-        .where(col("dist").isNull || col("nd") < col("dist"))
-        .select(col("node"), col("nd").as("dist"))
-        .localCheckpoint(true) // feeds next round's probe AND the update
-      visited = visited
-        .join(improved.select(col("node")), Seq("node"), "left_anti")
-        .unionAll(improved)
-      visited = if (k < 4) visited.localCheckpoint(true) else visited
-      frontier = improved
+      state = state.select(col("node"), col("dist")).as("v")
+        .join(cand.as("c"), Seq("node"), "full_outer")
+        .select(col("node"),
+          least(col("v.dist"), col("c.nd")).as("dist"), // least skips nulls
+          (col("c.nd").isNotNull &&
+            (col("v.dist").isNull || col("c.nd") < col("v.dist"))).as("imp"))
+      state = if (k < 4) state.localCheckpoint(true) else state
     }
-    visited.orderBy(col("dist"), col("node")).limit(100)
+    state.select(col("node"), col("dist"))
+      .orderBy(col("dist"), col("node")).limit(100)
   }
 
   /** DuckDB twin: four FULL Bellman-Ford rounds unrolled as CTEs (min over
