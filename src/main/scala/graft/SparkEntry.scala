@@ -72,5 +72,5 @@ object SparkEntry {
     "q50_histogram", "q51_interp_linear", "q52_funnel", "q53_salted_agg",
     "v8_filtered_ann", "q54_attribution", "q55_weighted_sample",
     "q56_bitmap_distinct", "q57_skyline", "q58_decay_score", "g4_sssp",
-    "mm5_shot_boundary", "q59_retention")
+    "mm5_shot_boundary", "q59_retention", "t21_bpe_merges", "q60_profile")
 }

@@ -2257,6 +2257,51 @@ object Relational {
       |FROM cells c JOIN wa ON wa.week = c.week
       |ORDER BY c.week, c.k""".stripMargin
 
+  // ----------------------------------------------------- q60_profile
+  /** Data-profiling summary — per-column row count, fill count, exact
+    * NDV, lexicographic min/max — in ONE scan of the table: stack()
+    * unpivots the profiled columns to (col_name, val) rows (a single
+    * Expand, q43's machinery), then one grouped aggregation computes
+    * every statistic. The naive profiler runs N separate per-column
+    * queries — N scans of a 100 TB table; this is one scan + one
+    * Expand×N in-memory, the standard production shape. Values profile
+    * through their canonical STRING form (dates pre-cast to DATE) so
+    * min/max are engine-portable; the oracle is the N-fold UNION of
+    * per-column aggregates — DuckDB re-scans per column, Spark doesn't,
+    * results must agree anyway.
+    */
+  val q60Profile: Q = (s, d) => {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val stacked = t(s, d, "orders").select(expr(
+      s"stack(${cols.size + 1}, " +
+        cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
+        ", 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS STRING)" +
+        ") AS (col_name, val)"))
+    stacked.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("val")).as("n_filled"),
+        countDistinct(col("val")).as("n_distinct"),
+        min(col("val")).as("min_val"),
+        max(col("val")).as("max_val"))
+      .orderBy(col("col_name"))
+  }
+
+  val q60ProfileSql: String = {
+    def one(c: String, v: String): String =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count($v) AS n_filled, count(DISTINCT $v) AS n_distinct,
+         |  min(CAST($v AS VARCHAR)) AS min_val,
+         |  max(CAST($v AS VARCHAR)) AS max_val FROM orders""".stripMargin
+    Seq(
+      one("o_orderkey", "o_orderkey"),
+      one("o_custkey", "o_custkey"),
+      one("o_orderstatus", "o_orderstatus"),
+      one("o_orderpriority", "o_orderpriority"),
+      one("o_orderdate", "CAST(o_orderdate AS DATE)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -2316,7 +2361,8 @@ object Relational {
     "q56_bitmap_distinct" -> q56BitmapDistinct,
     "q57_skyline" -> q57Skyline,
     "q58_decay_score" -> q58DecayScore,
-    "q59_retention" -> q59Retention)
+    "q59_retention" -> q59Retention,
+    "q60_profile" -> q60Profile)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2376,5 +2422,6 @@ object Relational {
     "q56_bitmap_distinct" -> q56BitmapDistinctSql,
     "q57_skyline" -> q57SkylineSql,
     "q58_decay_score" -> q58DecayScoreSql,
-    "q59_retention" -> q59RetentionSql)
+    "q59_retention" -> q59RetentionSql,
+    "q60_profile" -> q60ProfileSql)
 }

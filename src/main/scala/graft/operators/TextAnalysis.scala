@@ -1083,6 +1083,103 @@ object TextAnalysis {
       |    / 10000.0 AS dsir_logratio
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- t21_bpe_merges
+  /** BPE merge LEARNING (the training half of a byte-pair tokenizer; t1
+    * counts tokens with the BPE-ish regex, this derives the merge table):
+    * 5 unrolled rounds of {count adjacent symbol pairs weighted by word
+    * frequency → take the most frequent pair (ties break lexicographic)
+    * → apply the merge}.
+    *
+    * The scale trick is that everything after the first aggregation runs
+    * on the WORD-FREQUENCY table, not the corpus: one corpus scan builds
+    * (word, freq) — vocab-sized, ~10k rows at any corpus size — and each
+    * round is {explode pairs → hash agg → 1-row top pair broadcast →
+    * columnar replace}, localCheckpoint'd so the loop's plan stays flat.
+    * This mirrors how production BPE trainers work (merge on the vocab
+    * multiset, never re-scan the corpus).
+    *
+    * Words carry their symbols space-separated with sentinel padding
+    * (" h e l l o "), a merge replaces " a b " with " ab " left-to-right
+    * non-overlapping — Spark's replace() and DuckDB's replace() share
+    * that scan rule, so the learned merges (and every intermediate
+    * frequency) hash-match the oracle's 5 unrolled CTE rounds.
+    */
+  val t21BpeMerges: Q = (s, d) => {
+    val words0 = docs(s, d)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .where(length(col("w")) >= 2 && length(col("w")) <= 12)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+        .as("syms"), col("freq"))
+      .localCheckpoint(true) // corpus scanned ONCE; rounds run on vocab
+    var words = words0
+    var merges: DataFrame = null
+    for (r <- 1 to 5) {
+      val top = words
+        .where(expr("size(split(trim(syms), ' ')) >= 2"))
+        .select(explode(expr(
+          "transform(sequence(0, size(split(trim(syms), ' ')) - 2), " +
+            "i -> struct(split(trim(syms), ' ')[i] AS a, " +
+            "split(trim(syms), ' ')[i + 1] AS b))")).as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("a"), col("b"))
+        .limit(1)
+        .select(lit(r).as("rank"), col("a"), col("b"),
+          concat(col("a"), col("b")).as("merged"), col("pf"))
+        .localCheckpoint(true) // consumed by the output union AND the apply
+      merges = if (merges == null) top else merges.unionAll(top)
+      if (r < 5) {
+        words = words.crossJoin(broadcast(top.select(
+            col("a").as("ma"), col("b").as("mb"), col("merged").as("mm"))))
+          .select(expr(
+            "replace(syms, ' ' || ma || ' ' || mb || ' ', ' ' || mm || ' ')")
+            .as("syms"), col("freq"))
+          .localCheckpoint(true) // keep the per-round plan flat
+      }
+    }
+    merges.orderBy(col("rank"))
+  }
+
+  val t21BpeMergesSql: String = {
+    def round(prev: String, r: Int): String =
+      s"""p$r AS (
+         |  SELECT l[i + 1] AS a, l[i + 2] AS b,
+         |    CAST(sum(freq) AS BIGINT) AS pf FROM (
+         |    SELECT string_split(trim(syms), ' ') AS l, freq,
+         |      unnest(range(len(string_split(trim(syms), ' ')) - 1)) AS i
+         |    FROM $prev WHERE len(string_split(trim(syms), ' ')) >= 2)
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT $r AS rank, a, b, a || b AS merged, pf
+         |  FROM p$r ORDER BY pf DESC, a, b LIMIT 1)""".stripMargin
+    def apply(prev: String, r: Int): String =
+      s"""words$r AS (
+         |  SELECT replace(syms, ' ' || a || ' ' || b || ' ',
+         |    ' ' || merged || ' ') AS syms, freq
+         |  FROM $prev, m$r)""".stripMargin
+    s"""WITH words0 AS (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS syms, freq
+       |  FROM (
+       |    SELECT w, count(*) AS freq FROM (
+       |      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |      FROM documents)
+       |    WHERE length(w) >= 2 AND length(w) <= 12 GROUP BY w)),
+       |${round("words0", 1)},
+       |${apply("words0", 1)},
+       |${round("words1", 2)},
+       |${apply("words1", 2)},
+       |${round("words2", 3)},
+       |${apply("words2", 3)},
+       |${round("words3", 4)},
+       |${apply("words3", 4)},
+       |${round("words4", 5)}
+       |SELECT rank, a, b, merged, pf FROM (
+       |  SELECT * FROM m1 UNION ALL SELECT * FROM m2
+       |  UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4
+       |  UNION ALL SELECT * FROM m5)
+       |ORDER BY rank""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t1_text_stats" -> t1TextStats,
@@ -1101,6 +1198,7 @@ object TextAnalysis {
     "t18_heavy_hitters" -> t18HeavyHitters,
     "t19_dsir_importance" -> t19DsirImportance,
     "t20_quality_classifier" -> t20QualityClassifier,
+    "t21_bpe_merges" -> t21BpeMerges,
     "t10_tfidf" -> t10Tfidf,
     "t11_packing" -> t11Packing,
     "t12_redact" -> t12Redact,
@@ -1123,6 +1221,7 @@ object TextAnalysis {
     "t18_heavy_hitters" -> t18HeavyHittersSql,
     "t19_dsir_importance" -> t19DsirImportanceSql,
     "t20_quality_classifier" -> t20QualityClassifierSql,
+    "t21_bpe_merges" -> t21BpeMergesSql,
     "t10_tfidf" -> t10TfidfSql,
     "t11_packing" -> t11PackingSql,
     "t12_redact" -> t12RedactSql,

@@ -261,6 +261,36 @@ class CurationSpec extends SparkSpec {
       }
   }
 
+  test("t21 BPE: learned merges match an in-memory greedy trainer") {
+    // reference: same 5 greedy rounds over the collected word-freq table
+    val wf = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(lower($"text"), "[^a-z]+")).as("w"))
+      .where(length($"w") >= 2 && length($"w") <= 12)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+    var words = wf.map { case (w, f) => (" " + w.map(_ + " ").mkString, f) }
+    val expect = (1 to 5).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        val l = syms.trim.split(' ')
+        (0 until l.length - 1).foreach { i =>
+          counts((l(i), l(i + 1))) = counts.getOrElse((l(i), l(i + 1)), 0L) + f
+        }
+      }
+      val ((a, b), pf) = counts.toSeq.minBy { case ((a, b), pf) => (-pf, a, b) }
+      // the SAME left-to-right non-overlapping replace as the query
+      words = words.map { case (s0, f) =>
+        (s0.replace(s" $a $b ", s" $a$b "), f)
+      }
+      (r, a, b, a + b, pf)
+    }
+    val got = graft.operators.TextAnalysis.t21BpeMerges(spark, sfDir)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == expect)
+    // the merges are non-trivial: top merge is a real bigram with mass
+    assert(expect.head._5 > 100)
+  }
+
   test("d5 components: driver union-find ≡ iterative min-label propagation") {
     val nodes = (1L to 12L).toDF("doc_id")
     // two chains and a triangle: {1..4}, {5,6,7}, {8,9,10}; 11,12 isolated

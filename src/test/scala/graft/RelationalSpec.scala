@@ -491,6 +491,23 @@ class RelationalSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q60 profile: one-scan stack equals per-column direct aggregates; plan scans once") {
+    import spark.implicits._
+    val o = Tables.load(spark, sfDir, "orders")
+    val prof = Relational.q60Profile(spark, sfDir)
+    val plan = prof.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      "profiling must read the table exactly once")
+    val got = prof.as[(String, Long, Long, Long, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    for (c <- Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")) {
+      val v = col(c).cast("string")
+      val d0 = o.agg(count(lit(1)), count(v), countDistinct(v), min(v), max(v))
+        .as[(Long, Long, Long, String, String)].head()
+      assert(got(c) == ((c, d0._1, d0._2, d0._3, d0._4, d0._5)), s"column $c")
+    }
+  }
+
   test("q58 decay: matches driver-side recompute; stale events contribute zero") {
     import spark.implicits._
     val ev = Tables.load(spark, sfDir, "events")
