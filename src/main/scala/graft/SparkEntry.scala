@@ -72,5 +72,6 @@ object SparkEntry {
     "q50_histogram", "q51_interp_linear", "q52_funnel", "q53_salted_agg",
     "v8_filtered_ann", "q54_attribution", "q55_weighted_sample",
     "q56_bitmap_distinct", "q57_skyline", "q58_decay_score", "g4_sssp",
-    "mm5_shot_boundary", "q59_retention", "t21_bpe_merges", "q60_profile")
+    "mm5_shot_boundary", "q59_retention", "t21_bpe_merges", "q60_profile",
+    "g5_kcore", "q61_table_diff")
 }

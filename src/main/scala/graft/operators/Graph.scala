@@ -363,16 +363,77 @@ object Graph {
        |SELECT node, dist FROM d4 ORDER BY dist, node LIMIT 100""".stripMargin
   }
 
+  // --------------------------------------------------------- g5_kcore
+  /** k-core peeling (k = 3, 5 unrolled rounds) over the undirected
+    * user↔item graph: each round computes degrees and drops every node
+    * (with its edges) whose degree fell below k — the standard dense-
+    * subgraph / community-seed primitive. Five rounds of peeling is the
+    * deterministic bounded variant (the true fixpoint is data-dependent;
+    * 5 rounds converges on this graph — asserted in GraphSpec — while
+    * keeping the oracle an exact unrolled replay, the g4 trade).
+    *
+    * Per round: one degree agg + one semi-join on each endpoint against
+    * the surviving-node set, localCheckpoint'd — at cluster scale edges
+    * stay partitioned by src and the node set broadcasts (it only
+    * shrinks). Output is the surviving 3-core with final degrees —
+    * integer-only state, no float discipline.
+    */
+  val g5Kcore: Q = (s, d) => {
+    val base = bipartiteBase(s, d)
+    var edges = base
+      .unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    for (r <- 1 to 5) {
+      val ok = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= 3)
+        .select(col("src").as("node"))
+      edges = edges
+        .join(ok.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(ok.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      edges = if (r < 5) edges.localCheckpoint(true) else edges
+    }
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node")).limit(100)
+  }
+
+  /** DuckDB twin: the five peel rounds unrolled (degree filter + edge
+    * restriction per round).
+    */
+  val g5KcoreSql: String = {
+    def peel(prev: String, r: Int): String =
+      s"""n$r AS (SELECT src AS node FROM $prev
+         |  GROUP BY src HAVING count(*) >= 3),
+         |e$r AS (SELECT e.src, e.dst FROM $prev e
+         |  WHERE EXISTS (SELECT 1 FROM n$r a WHERE a.node = e.src)
+         |    AND EXISTS (SELECT 1 FROM n$r b WHERE b.node = e.dst))""".stripMargin
+    s"""WITH base AS (
+       |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+       |    'k' || json_extract_string(props, '$$.k') AS dst
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |e0 AS MATERIALIZED (
+       |  SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+       |${peel("e0", 1)},
+       |${peel("e1", 2)},
+       |${peel("e2", 3)},
+       |${peel("e3", 4)},
+       |${peel("e4", 5)}
+       |SELECT src AS node, count(*) AS deg FROM e5
+       |GROUP BY src ORDER BY deg DESC, node LIMIT 100""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1Pagerank,
     "g2_triangles" -> g2Triangles,
     "g3_reach" -> g3Reach,
-    "g4_sssp" -> g4Sssp)
+    "g4_sssp" -> g4Sssp,
+    "g5_kcore" -> g5Kcore)
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank" -> g1PagerankSql,
     "g2_triangles" -> g2TrianglesSql,
     "g3_reach" -> g3ReachSql,
-    "g4_sssp" -> g4SsspSql)
+    "g4_sssp" -> g4SsspSql,
+    "g5_kcore" -> g5KcoreSql)
 }

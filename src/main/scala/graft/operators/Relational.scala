@@ -2302,6 +2302,72 @@ object Relational {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // -------------------------------------------------- q61_table_diff
+  /** Snapshot reconciliation (table diff): classify every key across two
+    * snapshots as added / removed / changed / same by comparing ROW
+    * HASHES under a full-outer join on the key — the anti-entropy /
+    * CDC-audit primitive. One hash per row means the compare shuffles
+    * (key, 16-byte hash) pairs, never row payloads — at 100 TB the diff
+    * costs two narrow scans plus one key shuffle regardless of row
+    * width. Snapshots derive deterministically from `orders` (old drops
+    * keys ≡0 mod 97, new drops ≡0 mod 83 and reprices keys ≡0 mod 89),
+    * so the oracle replays them exactly. Money enters the hash as
+    * integer CENTS — hashing the double's string form would couple the
+    * result to each engine's float formatter.
+    */
+  val q61TableDiff: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+    def rowHash(price: org.apache.spark.sql.Column) =
+      md5(concat_ws("|", col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"), col("o_orderstatus"),
+        price.cast("string")))
+    val snapA = o.where(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .select(col("o_orderkey").as("k"), rowHash(cents).as("ha"))
+    val snapB = o.where(pmod(col("o_orderkey"), lit(83)) =!= 0)
+      .select(col("o_orderkey").as("k"),
+        rowHash(when(pmod(col("o_orderkey"), lit(89)) === 0, cents + lit(150L))
+          .otherwise(cents)).as("hb"))
+    snapA.join(snapB, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("ha").isNull, lit("added"))
+          .when(col("hb").isNull, lit("removed"))
+          .when(col("ha") =!= col("hb"), lit("changed"))
+          .otherwise(lit("same")).as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("first_key"),
+        max(col("k")).as("last_key"))
+      .orderBy(col("status"))
+  }
+
+  val q61TableDiffSql: String =
+    """WITH a AS (
+      |  SELECT o_orderkey AS k,
+      |    md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+      |      CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+      |      CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+      |        AS VARCHAR)) AS ha
+      |  FROM orders WHERE o_orderkey % 97 <> 0),
+      |b AS (
+      |  SELECT o_orderkey AS k,
+      |    md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+      |      CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+      |      CAST(CASE WHEN o_orderkey % 89 = 0
+      |        THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) + 150
+      |        ELSE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END
+      |        AS VARCHAR)) AS hb
+      |  FROM orders WHERE o_orderkey % 83 <> 0),
+      |j AS (
+      |  SELECT coalesce(a.k, b.k) AS k,
+      |    CASE WHEN a.ha IS NULL THEN 'added'
+      |      WHEN b.hb IS NULL THEN 'removed'
+      |      WHEN a.ha <> b.hb THEN 'changed'
+      |      ELSE 'same' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+      |SELECT status, count(*) AS n, min(k) AS first_key,
+      |  max(k) AS last_key
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -2362,7 +2428,8 @@ object Relational {
     "q57_skyline" -> q57Skyline,
     "q58_decay_score" -> q58DecayScore,
     "q59_retention" -> q59Retention,
-    "q60_profile" -> q60Profile)
+    "q60_profile" -> q60Profile,
+    "q61_table_diff" -> q61TableDiff)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2423,5 +2490,6 @@ object Relational {
     "q57_skyline" -> q57SkylineSql,
     "q58_decay_score" -> q58DecayScoreSql,
     "q59_retention" -> q59RetentionSql,
-    "q60_profile" -> q60ProfileSql)
+    "q60_profile" -> q60ProfileSql,
+    "q61_table_diff" -> q61TableDiffSql)
 }

@@ -114,4 +114,28 @@ class GraphSpec extends SparkSpec {
     val expect = dist.toSeq.sortBy(p => (p._2, p._1)).take(100)
     assert(got == expect)
   }
+
+  test("g5 kcore: 5 peel rounds reach the true 3-core fixpoint") {
+    val base = Tables.load(spark, sfDir, "events")
+      .select(concat(lit("u"), $"user_id").as("src"),
+        concat(lit("k"), get_json_object($"props", "$.k")).as("dst"))
+      .where($"dst".isNotNull).distinct()
+      .as[(String, String)].collect()
+    // in-memory peel to FIXPOINT (not 5 rounds) — proves 5 rounds suffice
+    var edges = (base ++ base.map(_.swap)).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != edges.size
+      edges = next
+    }
+    val expect = edges.groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+      .map { case (n, dg) => (n, dg) }
+      .sortBy(p => (-p._2, p._1)).take(100)
+    val got = Graph.g5Kcore(spark, sfDir).as[(String, Long)].collect().toSeq
+    assert(got == expect,
+      "5 bounded peel rounds must equal the data-dependent fixpoint here")
+  }
 }

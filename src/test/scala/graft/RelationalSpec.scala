@@ -508,6 +508,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q61 table diff: statuses partition the key union and match a scan reference") {
+    import spark.implicits._
+    val rows = Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("cents"))
+      .as[(Long, Long, String, Long)].collect()
+    val a = rows.filter(_._1 % 97 != 0).map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val b = rows.filter(_._1 % 83 != 0).map { r =>
+      r._1 -> (r._2, r._3, if (r._1 % 89 == 0) r._4 + 150L else r._4)
+    }.toMap
+    val statuses = (a.keySet ++ b.keySet).toSeq.map { k =>
+      k -> ((a.get(k), b.get(k)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(x), Some(y)) => if (x == y) "same" else "changed"
+      })
+    }
+    val expect = statuses.groupBy(_._2).view.map { case (st, ks) =>
+      (st, ks.size.toLong, ks.map(_._1).min, ks.map(_._1).max)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.q61TableDiff(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    assert(got.map(_._2).sum == (a.keySet ++ b.keySet).size.toLong)
+  }
+
   test("q58 decay: matches driver-side recompute; stale events contribute zero") {
     import spark.implicits._
     val ev = Tables.load(spark, sfDir, "events")
