@@ -665,6 +665,88 @@ object Dedup {
       |LEFT JOIN tot USING (doc_id) LEFT JOIN kept USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------- d9_containment
+  /** Containment dedup (subset-duplicate detection): pairs where one
+    * doc's shingle set is ≥90% contained in the smaller side — the
+    * low-Jaccard partial-copy case Jaccard-keyed LSH (d3) structurally
+    * misses (a 10:1 length ratio caps Jaccard at ~0.1 however perfect
+    * the containment). Candidates come from RARE-SHINGLE BLOCKING, the
+    * inverted-index shape: only grams with document frequency in
+    * [2, 20] generate pairs — df-1 grams pair nothing, high-df grams
+    * would be the mega-bucket, and the cap bounds per-gram fanout at
+    * C(20,2), so candidate volume is Σ C(df,2) over rare grams, never
+    * all-pairs. Exact verification runs the codegen'd merge-walk
+    * intersect (d2's kernel) on the full sorted gram arrays.
+    */
+  val d9Containment: Q = (s, d) => {
+    val base = docs(s, d)
+      .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordNgrams(col("toks"), 3).as("ngrams"))
+      .select(col("doc_id"), graft.expressions.PortableHashExpressions
+        .md5HashArray62(col("ngrams"), distinctSorted = true).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .localCheckpoint(true) // consumed by the gram explode + 2 verify sides
+    val grams = base.select(col("doc_id"), explode(col("sh")).as("g"))
+    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= 20)
+      .select(col("g"))
+    val blocked = grams.join(rare, Seq("g"), "left_semi")
+    val cand = blocked.as("x").join(blocked.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val inter = graft.expressions.SetSketchExpressions
+      .sortedIntersectSize(col("sh_a"), col("sh_b"))
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("containment", inter / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        sround(col("containment"), 4).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin: identical shingle build (d3's), df-banded inverted
+    * index, exact list_intersect verification.
+    */
+  val d9ContainmentSql: String =
+    """WITH g AS MATERIALIZED (
+      |  SELECT doc_id, sh, len(sh) AS n_sh
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_sort(list_distinct(list_transform(
+      |        CASE WHEN len(t) >= 3
+      |          THEN list_transform(range(1, len(t) - 1),
+      |            i -> array_to_string(t[i:i+2], ' '))
+      |          ELSE CAST([] AS VARCHAR[]) END,
+      |        gm -> CAST(md5_number_lower(gm) & 4611686018427387903
+      |          AS BIGINT)))) AS sh
+      |    FROM (SELECT doc_id,
+      |            list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |              x -> x != '') AS t
+      |          FROM documents))),
+      |gr AS MATERIALIZED (SELECT doc_id, unnest(sh) AS gm FROM g),
+      |rare AS (SELECT gm FROM gr GROUP BY gm
+      |  HAVING count(*) BETWEEN 2 AND 20),
+      |bl AS (SELECT doc_id, gm FROM gr
+      |  WHERE gm IN (SELECT gm FROM rare)),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bl x JOIN bl y ON x.gm = y.gm AND x.doc_id < y.doc_id),
+      |j AS (
+      |  SELECT c.doc_a, c.doc_b, len(list_intersect(a.sh, b.sh)) AS inter,
+      |    a.n_sh AS n_a, b.n_sh AS n_b
+      |  FROM cand c JOIN g a ON a.doc_id = c.doc_a
+      |    JOIN g b ON b.doc_id = c.doc_b)
+      |SELECT doc_a, doc_b, CAST(n_a AS INTEGER) AS n_a,
+      |  CAST(n_b AS INTEGER) AS n_b,
+      |  floor(inter / CAST(least(n_a, n_b) AS DOUBLE) * 10000.0 + 0.5)
+      |    / 10000.0 AS containment
+      |FROM j WHERE inter / CAST(least(n_a, n_b) AS DOUBLE) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
@@ -674,7 +756,8 @@ object Dedup {
     "d5_dedup_clusters" -> d5DedupClusters,
     "d6_keep_best" -> d6KeepBest,
     "d7_semantic_dedup" -> d7SemanticDedup,
-    "d8_span_dedup" -> d8SpanDedup)
+    "d8_span_dedup" -> d8SpanDedup,
+    "d9_containment" -> d9Containment)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1ExactDedupSql,
@@ -684,5 +767,6 @@ object Dedup {
     "d5_dedup_clusters" -> d5DedupClustersSql,
     "d6_keep_best" -> d6KeepBestSql,
     "d7_semantic_dedup" -> d7SemanticDedupSql,
-    "d8_span_dedup" -> d8SpanDedupSql)
+    "d8_span_dedup" -> d8SpanDedupSql,
+    "d9_containment" -> d9ContainmentSql)
 }

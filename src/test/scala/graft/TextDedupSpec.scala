@@ -101,6 +101,41 @@ class TextDedupSpec extends SparkSpec {
     assert(scaledRows == localRows, "join strategy must not change results")
   }
 
+  test("d9 containment: exact precision; recall complete over rare-gram-sharing pairs") {
+    // in-memory shingle sets (word-3grams, same tokenization)
+    val sets = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", lowerTokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, t) =>
+        id -> (if (t.length >= 3) (0 to t.length - 3)
+          .map(i => t.slice(i, i + 3).mkString(" ")).toSet
+        else Set.empty[String])
+      }.toMap
+    def cont(a: Long, b: Long): Double = {
+      val (sa, sb) = (sets(a), sets(b))
+      if (sa.isEmpty || sb.isEmpty) 0.0
+      else (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+    }
+    val got = graft.operators.Dedup.d9Containment(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // precision: every reported pair truly has >= 0.9 containment
+    got.foreach { case (a, b) =>
+      assert(cont(a, b) >= 0.9, s"pair ($a,$b) containment ${cont(a, b)}")
+    }
+    // recall over the blocking's contract: every >=0.9 pair that SHARES a
+    // df-[2,20] gram is found
+    val df = sets.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size)
+    val rare = df.filter(v => v._2 >= 2 && v._2 <= 20).keys.toSet
+    val ids = sets.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if cont(a, b) >= 0.9 && (sets(a) & sets(b) & rare).nonEmpty
+    } yield (a, b)).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "corpus must contain containment dups to detect")
+  }
+
   test("d1 exact dedup keeps one row per fingerprint") {
     val out = Dedup.d1ExactDedup(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents").count()
