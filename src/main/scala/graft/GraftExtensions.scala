@@ -26,6 +26,8 @@ import graft.functions.TextFunctions
   *   graft_cms_build(bigint)  [aggregate]                      → binary
   *   graft_cms_estimate(binary, bigint)                        → bigint
   *   graft_span_chunks(array<string>, n)  [generator]          → (idx int, span string)
+  *   graft_bitmap_distinct(bigint, capacity)  [aggregate]      → bigint
+  *   graft_bitmap_words(bigint, capacity)  [aggregate]         → array<bigint>
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -89,5 +91,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // generator (table-valued): SELECT graft_span_chunks(tokens, 3) — round 6
     register("graft_span_chunks",
       args => SpanChunks(args(0), intArg(args(1), "n")))
+    // exact-distinct bitmap family (cast shields SQL int literals) — round 6
+    register("graft_bitmap_distinct",
+      args => BitmapDistinct(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          args(0), org.apache.spark.sql.types.LongType),
+        intArg(args(1), "capacity")))
+    register("graft_bitmap_words",
+      args => BitmapWords(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          args(0), org.apache.spark.sql.types.LongType),
+        intArg(args(1), "capacity")))
   }
 }

@@ -65,7 +65,11 @@ object ScaleProbe {
       "v8_filtered_ann", "q54_attribution", "q55_weighted_sample",
       // round-6d additions: bitmap distinct, skyline, decay, SSSP, shots
       "q56_bitmap_distinct", "q57_skyline", "q58_decay_score", "g4_sssp",
-      "mm5_shot_boundary")
+      "mm5_shot_boundary",
+      // round-6e additions: retention, BPE, profiling, k-core, diff,
+      // containment
+      "q59_retention", "t21_bpe_merges", "q60_profile", "g5_kcore",
+      "q61_table_diff", "d9_containment")
     SparkEntry.queries(names.head)(spark, out)
       .write.format("noop").mode("overwrite").save() // warmup
     names.foreach { n =>

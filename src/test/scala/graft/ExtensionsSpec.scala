@@ -76,6 +76,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sqlV == colV && sqlV > 0)
   }
 
+  test("graft_bitmap_distinct / graft_bitmap_words work from SQL, agree with exact") {
+    import spark.implicits._
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .createOrReplaceTempView("ev_bm")
+    val r = spark.sql(
+      """SELECT graft_bitmap_distinct(user_id, 65536) AS ndv,
+        |  aggregate(graft_bitmap_words(user_id, 65536), 0L,
+        |    (acc, x) -> acc + bit_count(x)) AS ndv_words
+        |FROM ev_bm""".stripMargin).as[(Long, Long)].head()
+    val exact = spark.sql("SELECT count(DISTINCT user_id) FROM ev_bm")
+      .as[Long].head()
+    assert(r._1 == exact && r._2 == exact)
+  }
+
   test("ApproxDistinctRewrite: opt-in flag swaps exact distinct for KMV") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
