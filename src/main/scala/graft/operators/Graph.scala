@@ -422,18 +422,95 @@ object Graph {
        |GROUP BY src ORDER BY deg DESC, node LIMIT 100""".stripMargin
   }
 
+  // ------------------------------------------------------- g6_cooccur
+  /** Item co-occurrence mining (the market-basket / item-item
+    * collaborative-filtering primitive): for items interacted with by
+    * the same user, count co-occurrences and score by LIFT
+    * (n_ij·N / n_i·n_j). The scale control is the PER-USER DEGREE CAP:
+    * each user contributes only their top-20 items (by interaction
+    * count, deterministic tie-break), so pair fanout is ≤ C(20,2) per
+    * user — without the cap one power-user with 10k items emits 50M
+    * pairs (the classic self-join blowup; capping is how production
+    * co-occurrence jobs bound it, and it also denoises: a user who
+    * touches everything says nothing about item affinity).
+    *
+    * Plan: interaction-count agg → per-user top-k window (partitioned
+    * by user — distributed) → self-join on user_id → pair agg → 1-row
+    * N broadcast → TakeOrderedAndProject. Counts are integers; lift is
+    * one identically-spelled double expression, and the top-50 cut
+    * orders by integer columns only — no float in any comparison.
+    */
+  val g6Cooccur: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val inter = Tables.load(s, d, "events")
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy(col("u"), col("k")).agg(count(lit(1)).as("cnt"))
+    val capped = inter
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("cnt").desc, col("k"))))
+      .where(col("rn") <= 20)
+      .select(col("u"), col("k"))
+      .localCheckpoint(true) // 2 join sides + item counts + the N scalar
+    val nUsers = capped.select(countDistinct(col("u")).as("n_users"))
+    val itemN = capped.groupBy(col("k")).agg(count(lit(1)).as("ni"))
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.u") === col("y.u") && col("x.k") < col("y.k"))
+      .groupBy(col("x.k").as("ka"), col("y.k").as("kb"))
+      .agg(count(lit(1)).as("n_ij"))
+    pairs
+      .join(itemN.select(col("k").as("ka"), col("ni").as("na")), "ka")
+      .join(itemN.select(col("k").as("kb"), col("ni").as("nb")), "kb")
+      .crossJoin(broadcast(nUsers))
+      .select(col("ka"), col("kb"), col("n_ij"),
+        sround(col("n_ij").cast("double") * col("n_users") / col("na")
+          / col("nb"), 4).as("lift"))
+      .orderBy(col("n_ij").desc, col("ka"), col("kb"))
+      .limit(50)
+  }
+
+  val g6CooccurSql: String =
+    """WITH inter AS (
+      |  SELECT user_id AS u,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |    count(*) AS cnt
+      |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |  GROUP BY 1, 2),
+      |capped AS MATERIALIZED (
+      |  SELECT u, k FROM (
+      |    SELECT u, k, row_number() OVER (
+      |      PARTITION BY u ORDER BY cnt DESC, k) AS rn
+      |    FROM inter) WHERE rn <= 20),
+      |nu AS (SELECT count(DISTINCT u) AS n_users FROM capped),
+      |itemn AS (SELECT k, count(*) AS ni FROM capped GROUP BY k),
+      |pairs AS (
+      |  SELECT x.k AS ka, y.k AS kb, count(*) AS n_ij
+      |  FROM capped x JOIN capped y ON x.u = y.u AND x.k < y.k
+      |  GROUP BY 1, 2)
+      |SELECT ka, kb, n_ij,
+      |  floor(CAST(n_ij AS DOUBLE) * n_users / na / nb * 10000.0 + 0.5)
+      |    / 10000.0 AS lift
+      |FROM pairs
+      |JOIN (SELECT k AS ka, ni AS na FROM itemn) USING (ka)
+      |JOIN (SELECT k AS kb, ni AS nb FROM itemn) USING (kb)
+      |CROSS JOIN nu
+      |ORDER BY n_ij DESC, ka, kb LIMIT 50""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1Pagerank,
     "g2_triangles" -> g2Triangles,
     "g3_reach" -> g3Reach,
     "g4_sssp" -> g4Sssp,
-    "g5_kcore" -> g5Kcore)
+    "g5_kcore" -> g5Kcore,
+    "g6_cooccur" -> g6Cooccur)
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank" -> g1PagerankSql,
     "g2_triangles" -> g2TrianglesSql,
     "g3_reach" -> g3ReachSql,
     "g4_sssp" -> g4SsspSql,
-    "g5_kcore" -> g5KcoreSql)
+    "g5_kcore" -> g5KcoreSql,
+    "g6_cooccur" -> g6CooccurSql)
 }

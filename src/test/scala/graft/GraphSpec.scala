@@ -115,6 +115,32 @@ class GraphSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("g6 cooccur: pair counts match an in-memory capped reference; cap bounds fanout") {
+    val inter = Tables.load(spark, sfDir, "events")
+      .select($"user_id".as("u"),
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .where($"k".isNotNull)
+      .groupBy($"u", $"k").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long, Long)].collect()
+    val capped = inter.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(20).map(r => (u, r._2))
+    }
+    val nUsers = capped.map(_._1).distinct.size
+    val itemN = capped.groupBy(_._2).view.mapValues(_.size).toMap
+    val pairCounts = capped.groupBy(_._1).values.flatMap { rows =>
+      val ks = rows.map(_._2).sorted
+      for (i <- ks.indices; j <- (i + 1) until ks.length) yield (ks(i), ks(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val expect = pairCounts.toSeq.map { case ((a, b), nij) =>
+      val lift = math.floor(nij.toDouble * nUsers / itemN(a) / itemN(b)
+        * 10000.0 + 0.5) / 10000.0
+      (a, b, nij.toLong, lift)
+    }.sortBy(p => (-p._3, p._1, p._2)).take(50)
+    val got = Graph.g6Cooccur(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == expect)
+  }
+
   test("g5 kcore: 5 peel rounds reach the true 3-core fixpoint") {
     val base = Tables.load(spark, sfDir, "events")
       .select(concat(lit("u"), $"user_id").as("src"),
