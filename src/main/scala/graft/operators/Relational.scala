@@ -2368,6 +2368,79 @@ object Relational {
       |  max(k) AS last_key
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------- q62_debounce
+  /** Event debouncing: drop repeats of the same (user, event_type)
+    * arriving within a 300-second cooldown of the LAST KEPT event — the
+    * double-click / retry-storm cleaner every event pipeline runs at
+    * ingest. Note the semantics: the cooldown anchors on the last KEPT
+    * event (a steady stream of sub-cooldown repeats collapses to one
+    * event per window), which a plain lag() cannot express — lag sees
+    * the previous RAW event. The kept-anchor recurrence runs inside one
+    * per-key session walk: events sort within their (user, type)
+    * partition group and a streaming pass carries the last kept
+    * timestamp — the same zero-exchange mapPartitions shape as q57's
+    * local skyline, keyed by a repartition on the group columns (ONE
+    * exchange total). The oracle replays the recurrence with a
+    * recursive CTE over per-key row numbers.
+    *
+    * Output is the per-key keep accounting (kept/dropped), ordered.
+    */
+  val q62Debounce: Q = (s, d) => {
+    import s.implicits._
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+    val kept = ev
+      .repartition(col("user_id"), col("event_type"))
+      .sortWithinPartitions(col("user_id"), col("event_type"), col("tus"),
+        col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .mapPartitions { it =>
+        var key: (Long, String) = null
+        var lastKept = Long.MinValue
+        it.map { case (u, et, tus, _) =>
+          if (key == null || key != ((u, et))) { key = (u, et); lastKept = Long.MinValue }
+          val keep = lastKept == Long.MinValue || tus - lastKept >= 300000000L
+          if (keep) lastKept = tus
+          (u, et, if (keep) 1L else 0L)
+        }
+      }
+      .toDF("user_id", "event_type", "keep")
+    kept.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("keep")).as("n_kept"),
+        (count(lit(1)) - sum(col("keep"))).as("n_dropped"))
+      .where(col("n_dropped") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** DuckDB twin: the kept-anchor recurrence as a recursive CTE over
+    * per-key row numbers (keep row 1; keep row n iff it clears the last
+    * kept timestamp by the cooldown).
+    */
+  val q62DebounceSql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tus,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |walk AS (
+      |  SELECT user_id, event_type, tus, rn, TRUE AS keep, tus AS last_kept
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.event_type, e.tus, e.rn,
+      |    e.tus - w.last_kept >= 300000000 AS keep,
+      |    CASE WHEN e.tus - w.last_kept >= 300000000 THEN e.tus
+      |      ELSE w.last_kept END AS last_kept
+      |  FROM ev e JOIN walk w ON e.user_id = w.user_id
+      |    AND e.event_type = w.event_type AND e.rn = w.rn + 1)
+      |SELECT user_id, event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped
+      |FROM walk GROUP BY 1, 2 HAVING count(*) - sum(CASE WHEN keep THEN 1
+      |  ELSE 0 END) > 0
+      |ORDER BY user_id, event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -2429,7 +2502,8 @@ object Relational {
     "q58_decay_score" -> q58DecayScore,
     "q59_retention" -> q59Retention,
     "q60_profile" -> q60Profile,
-    "q61_table_diff" -> q61TableDiff)
+    "q61_table_diff" -> q61TableDiff,
+    "q62_debounce" -> q62Debounce)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2491,5 +2565,6 @@ object Relational {
     "q58_decay_score" -> q58DecayScoreSql,
     "q59_retention" -> q59RetentionSql,
     "q60_profile" -> q60ProfileSql,
-    "q61_table_diff" -> q61TableDiffSql)
+    "q61_table_diff" -> q61TableDiffSql,
+    "q62_debounce" -> q62DebounceSql)
 }

