@@ -2390,26 +2390,37 @@ object Relational {
     val ev = t(s, d, "events")
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("tus"), col("event_id"))
-    val kept = ev
-      .repartition(col("user_id"), col("event_type"))
+    // The walk AGGREGATES inline at key boundaries (keys are contiguous
+    // after the in-partition sort), so the plan is exactly one hash
+    // exchange + the output sort — a post-walk groupBy would re-shuffle
+    // the same keys because mapPartitions hides the child partitioning
+    // from the aggregate's requirement check (plan-asserted in the spec).
+    ev.repartition(col("user_id"), col("event_type"))
       .sortWithinPartitions(col("user_id"), col("event_type"), col("tus"),
         col("event_id"))
       .as[(Long, String, Long, Long)]
       .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
         var key: (Long, String) = null
         var lastKept = Long.MinValue
-        it.map { case (u, et, tus, _) =>
-          if (key == null || key != ((u, et))) { key = (u, et); lastKept = Long.MinValue }
-          val keep = lastKept == Long.MinValue || tus - lastKept >= 300000000L
-          if (keep) lastKept = tus
-          (u, et, if (keep) 1L else 0L)
+        var n = 0L
+        var kept = 0L
+        def flush(): Unit =
+          if (key != null && n > kept) out += ((key._1, key._2, n, kept))
+        it.foreach { case (u, et, tus, _) =>
+          if (key == null || key != ((u, et))) {
+            flush(); key = (u, et); lastKept = Long.MinValue; n = 0L; kept = 0L
+          }
+          n += 1
+          if (lastKept == Long.MinValue || tus - lastKept >= 300000000L) {
+            lastKept = tus; kept += 1
+          }
         }
+        flush()
+        out.iterator
       }
-      .toDF("user_id", "event_type", "keep")
-    kept.groupBy(col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("keep")).as("n_kept"),
-        (count(lit(1)) - sum(col("keep"))).as("n_dropped"))
-      .where(col("n_dropped") > 0)
+      .toDF("user_id", "event_type", "n_events", "n_kept")
+      .withColumn("n_dropped", col("n_events") - col("n_kept"))
       .orderBy(col("user_id"), col("event_type"))
   }
 

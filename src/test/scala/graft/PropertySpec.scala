@@ -298,6 +298,25 @@ class PropertySpec extends SparkSpec {
     buf.toSeq
   }
 
+  test("bitmap distinct laws: == distinct count, partition-invariant, words popcount agrees") {
+    import graft.expressions.BitmapDistinct.{bitmapDistinct, bitmapWords}
+    forAll(Gen.zip(Gen.choose(1, 40),
+      Gen.listOfN(60, Gen.choose(0L, 4095L))), 15) { case (parts, ids) =>
+      val df = ids.toDF("id").repartition(parts)
+      val got = df.agg(bitmapDistinct($"id", 4096)).as[Long].head()
+      assert(got == ids.distinct.size.toLong)
+      // words form: popcount over the fixed-width array == the count, and
+      // set bits are exactly the distinct ids
+      val words = df.agg(bitmapWords($"id", 4096)).as[Seq[Long]].head()
+      assert(words.length == 4096 / 64)
+      val bits = for {
+        (w, wi) <- words.zipWithIndex; b <- 0 until 64
+        if (w & (1L << b)) != 0L
+      } yield wi * 64L + b
+      assert(bits.toSet == ids.toSet)
+    }
+  }
+
   test("span chunks partition the token stream: concatenation law, sizes law") {
     import graft.expressions.SpanChunks.spanChunks
     forAll(Gen.choose(2, 5).flatMap(n =>

@@ -560,6 +560,23 @@ class RelationalSpec extends SparkSpec {
     // 100s/100s/200s are all < 300s) — proving the two differ
   }
 
+  test("plan shapes: q56 aggregates without Expand; q62 shuffles once; d9 has no cartesian") {
+    val p56 = Relational.q56BitmapDistinct(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p56.contains("ObjectHashAggregate"), "bitmap agg must plan object hash agg")
+    assert(!p56.contains("Expand"),
+      "bitmap distinct must NOT use COUNT(DISTINCT)'s Expand rewrite")
+    val p62 = Relational.q62Debounce(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p62).size == 1,
+      "debounce walk must shuffle exactly once (the per-key repartition)")
+    val pd9 = graft.operators.Dedup.d9Containment(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!pd9.contains("CartesianProduct") &&
+      !pd9.contains("BroadcastNestedLoopJoin"),
+      "containment candidates must come from the inverted-index equi-join")
+  }
+
   test("q58 decay: matches driver-side recompute; stale events contribute zero") {
     import spark.implicits._
     val ev = Tables.load(spark, sfDir, "events")
