@@ -325,12 +325,69 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------ mm6_vad
+  /** Voice-activity segmentation: group consecutive LOW-energy audio
+    * windows (mm3's framing, hop == win) into silence ISLANDS via the
+    * island-numbering trick (q20's sessionize shape — a window boundary
+    * flag, a running sum for island ids, then per-island extents). The
+    * silence threshold is each doc's mean window energy scaled by 7/8 in
+    * INTEGER arithmetic (energy * 8 < total * 7 / n_wins... spelled as
+    * exact integer compares), so no float enters any predicate. Output
+    * per doc: window count, silent-window count, island count, and the
+    * longest silent run — the VAD summary a speech pipeline computes
+    * before chunking. One doc-keyed exchange serves the mean, the lag
+    * window, and the rollup.
+    */
+  def mm6Vad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+    val wins = audioWindows(media, win = 128, hop = 128).toDF()
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val w = byDoc.orderBy(col("win_idx"))
+    // silent iff energy * n_windows * 8 < total_energy * 7 — the integer
+    // spelling of energy < mean * 7/8 (cross-multiplied, overflow-safe:
+    // energy ≤ 255*128 < 2^15, totals < 2^25, n < 2^10). No float enters
+    // any predicate.
+    val flagged = wins
+      .withColumn("nw", count(lit(1)).over(byDoc))
+      .withColumn("tot", sum(col("energy")).over(byDoc))
+      .withColumn("is_silent",
+        col("energy") * col("nw") * lit(8L) < col("tot") * lit(7L))
+      .withColumn("boundary",
+        when(col("is_silent") &&
+          !coalesce(lag(col("is_silent"), 1).over(w), lit(false)), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        when(col("is_silent"), sum(col("boundary")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .localCheckpoint(true) // feeds the island rollup AND the doc rollup
+    // island lengths, then per-doc — both group on doc_id(+island), so the
+    // window's doc-keyed exchange satisfies every downstream clustering
+    val runStats = flagged.where(col("is_silent"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_islands"), max(col("run_len")).as("longest_run"))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("is_silent"), 1L).otherwise(0L)).as("n_silent"))
+      .join(runStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_silent"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_audio_energy" -> (mm3AudioEnergy _),
     "mm4_phash" -> (mm4Phash _),
-    "mm5_shot_boundary" -> (mm5ShotBoundary _))
+    "mm5_shot_boundary" -> (mm5ShotBoundary _),
+    "mm6_vad" -> (mm6Vad _))
 
   /** DuckDB twin of the metadata decode: byte_len is the UTF-8 byte count
     * of `text`, pseudo-dims derive from it, feature_dim is the fixed
@@ -430,5 +487,51 @@ object Multimodal {
         |    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_shots,
         |  CAST(min(CASE WHEN prev_e IS NOT NULL AND abs(energy - prev_e) > 1500
         |    THEN win_idx END) AS INT) AS first_cut
-        |FROM lagd GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM lagd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same ord()-sum energy replay; the island numbering is the identical
+    // boundary-flag running sum, and the silence predicate is the exact
+    // integer cross-multiplication
+    "mm6_vad" ->
+      """WITH wins AS (
+        |  SELECT doc_id, CAST(i AS INT) AS win_idx,
+        |    CAST(list_aggregate(list_transform(
+        |      range(i * 128 + 1, least(i * 128 + 128, blen) + 1),
+        |      p -> ord(substr(text, CAST(p AS INT), 1))), 'sum') AS BIGINT)
+        |      AS energy
+        |  FROM (SELECT doc_id, text, octet_length(encode(text)) AS blen,
+        |          unnest(range(CAST(ceil(octet_length(encode(text)) / 128.0)
+        |            AS BIGINT))) AS i
+        |        FROM documents)),
+        |st AS (
+        |  SELECT doc_id, win_idx, energy,
+        |    count(*) OVER (PARTITION BY doc_id) AS nw,
+        |    sum(energy) OVER (PARTITION BY doc_id) AS tot
+        |  FROM wins),
+        |fl AS (
+        |  SELECT *, energy * nw * 8 < tot * 7 AS is_silent FROM st),
+        |fb AS (
+        |  SELECT *, CASE WHEN is_silent AND NOT coalesce(
+        |      lag(is_silent) OVER (PARTITION BY doc_id ORDER BY win_idx),
+        |      FALSE) THEN 1 ELSE 0 END AS boundary
+        |  FROM fl),
+        |fi AS (
+        |  SELECT *, CASE WHEN is_silent THEN sum(boundary) OVER (
+        |      PARTITION BY doc_id ORDER BY win_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS island
+        |  FROM fb),
+        |isl AS (
+        |  SELECT doc_id, island, count(*) AS run_len
+        |  FROM fi WHERE is_silent GROUP BY 1, 2),
+        |rs AS (
+        |  SELECT doc_id, count(*) AS n_islands, max(run_len) AS longest_run
+        |  FROM isl GROUP BY 1),
+        |b AS (
+        |  SELECT doc_id, count(*) AS n_windows,
+        |    CAST(sum(CASE WHEN is_silent THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_silent
+        |  FROM fi GROUP BY 1)
+        |SELECT b.doc_id, n_windows, n_silent,
+        |  CAST(coalesce(n_islands, 0) AS BIGINT) AS n_islands,
+        |  CAST(coalesce(longest_run, 0) AS BIGINT) AS longest_run
+        |FROM b LEFT JOIN rs USING (doc_id) ORDER BY doc_id""".stripMargin)
 }

@@ -1180,6 +1180,43 @@ object TextAnalysis {
        |ORDER BY rank""".stripMargin
   }
 
+  // ------------------------------------------------ t22_langid_audit
+  /** Classifier audit for the language-ID heuristic: the confusion
+    * matrix of declared vs predicted language plus per-cell recall and
+    * precision shares — the eval harness every labeling operator needs
+    * before it gates a corpus. Composes t3's fused scoring kernel, one
+    * (truth, pred) hash agg, and two tiny re-aggregations joined back
+    * (everything after the first agg is ≤ |langs|² rows). Shares divide
+    * identically-spelled integer counts, so the doubles are bit-stable.
+    */
+  val t22LangidAudit: Q = (s, d) => {
+    val cells = t3LangId(s, d)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    val truth = cells.groupBy(col("lang")).agg(sum(col("n")).as("nt"))
+    val pred = cells.groupBy(col("pred_lang")).agg(sum(col("n")).as("np"))
+    cells.join(truth, "lang").join(pred, "pred_lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        sround(col("n").cast("double") / col("nt"), 4).as("recall_share"),
+        sround(col("n").cast("double") / col("np"), 4).as("precision_share"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val t22LangidAuditSql: String =
+    s"""WITH preds AS ($t3LangIdSql),
+       |cells AS (
+       |  SELECT lang, pred_lang, count(*) AS n FROM preds GROUP BY 1, 2),
+       |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nt
+       |  FROM cells GROUP BY 1),
+       |pr AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS np
+       |  FROM cells GROUP BY 1)
+       |SELECT c.lang, c.pred_lang, c.n,
+       |  floor(CAST(c.n AS DOUBLE) / nt * 10000.0 + 0.5) / 10000.0
+       |    AS recall_share,
+       |  floor(CAST(c.n AS DOUBLE) / np * 10000.0 + 0.5) / 10000.0
+       |    AS precision_share
+       |FROM cells c JOIN t USING (lang) JOIN pr USING (pred_lang)
+       |ORDER BY c.lang, c.pred_lang""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t1_text_stats" -> t1TextStats,
@@ -1199,6 +1236,7 @@ object TextAnalysis {
     "t19_dsir_importance" -> t19DsirImportance,
     "t20_quality_classifier" -> t20QualityClassifier,
     "t21_bpe_merges" -> t21BpeMerges,
+    "t22_langid_audit" -> t22LangidAudit,
     "t10_tfidf" -> t10Tfidf,
     "t11_packing" -> t11Packing,
     "t12_redact" -> t12Redact,
@@ -1222,6 +1260,7 @@ object TextAnalysis {
     "t19_dsir_importance" -> t19DsirImportanceSql,
     "t20_quality_classifier" -> t20QualityClassifierSql,
     "t21_bpe_merges" -> t21BpeMergesSql,
+    "t22_langid_audit" -> t22LangidAuditSql,
     "t10_tfidf" -> t10TfidfSql,
     "t11_packing" -> t11PackingSql,
     "t12_redact" -> t12RedactSql,

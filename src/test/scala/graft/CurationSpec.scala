@@ -291,6 +291,25 @@ class CurationSpec extends SparkSpec {
     assert(expect.head._5 > 100)
   }
 
+  test("t22 langid audit: cells recompute from t3; recall shares sum to 1 per truth") {
+    val preds = graft.operators.TextAnalysis.t3LangId(spark, sfDir)
+      .select($"lang", $"pred_lang").as[(String, String)].collect()
+    val cells = preds.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nt = preds.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val np = preds.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val expect = cells.toSeq.map { case ((l, p), n) =>
+      (l, p, n, r4(n.toDouble / nt(l)), r4(n.toDouble / np(p)))
+    }.sortBy(c => (c._1, c._2))
+    val got = graft.operators.TextAnalysis.t22LangidAudit(spark, sfDir)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(got == expect)
+    // per-truth recall cells account for every labeled doc
+    got.groupBy(_._1).foreach { case (l, rows) =>
+      assert(rows.map(_._3).sum == nt(l))
+    }
+  }
+
   test("d5 components: driver union-find ≡ iterative min-label propagation") {
     val nodes = (1L to 12L).toDF("doc_id")
     // two chains and a triangle: {1..4}, {5,6,7}, {8,9,10}; 11,12 isolated

@@ -290,6 +290,33 @@ class SimilaritySpec extends SparkSpec {
     assert(expect.exists(_._3 > 1) && expect.exists(_._3 == 1))
   }
 
+  test("mm6 VAD islands match a per-doc scan reference") {
+    val frames = Multimodal.audioWindows(
+      Tables.load(spark, sfDir, "documents")
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+        .as[Multimodal.MediaIn],
+      win = 128, hop = 128).collect()
+    val expect = frames.groupBy(_.doc_id).map { case (id, ws) =>
+      val es = ws.sortBy(_.win_idx).map(_.energy)
+      val (nw, tot) = (es.length.toLong, es.sum)
+      val silent = es.map(e => e * nw * 8L < tot * 7L)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var cur = 0
+      silent.foreach { s0 =>
+        if (s0) cur += 1
+        else { if (cur > 0) runs += cur; cur = 0 }
+      }
+      if (cur > 0) runs += cur
+      (id, nw, silent.count(identity).toLong, runs.length.toLong,
+        if (runs.isEmpty) 0L else runs.max.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Multimodal.mm6Vad(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // detector separates: some doc has silence, no doc is all-silence
+    assert(expect.exists(_._4 > 0) && expect.forall(r => r._3 < r._2))
+  }
+
   test("v8 filtered search returns only in-predicate neighbors, ranked like v1 on the subset") {
     val en = Tables.load(spark, sfDir, "documents")
       .filter($"lang" === "en").select($"doc_id")
