@@ -2452,6 +2452,48 @@ object Relational {
       |  ELSE 0 END) > 0
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ------------------------------------------------- q63_transitions
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current) — the behavioral-model primitive
+    * behind next-action prediction and anomaly scoring (funnels fix the
+    * stage order; this learns the full matrix). ONE user-keyed exchange
+    * drives a lead() window; the (from, to) hash agg and the per-from
+    * totals are tiny re-aggregations. Probabilities divide
+    * identically-spelled integer counts.
+    */
+  val q63Transitions: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val cells = steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("from_type")).agg(sum(col("n")).as("nt"))
+    cells.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        sround(col("n").cast("double") / col("nt"), 4).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q63TransitionsSql: String =
+    """WITH steps AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |cells AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS nt
+      |  FROM cells GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  floor(CAST(c.n AS DOUBLE) / nt * 10000.0 + 0.5) / 10000.0 AS p
+      |FROM cells c JOIN t USING (from_type)
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -2514,7 +2556,8 @@ object Relational {
     "q59_retention" -> q59Retention,
     "q60_profile" -> q60Profile,
     "q61_table_diff" -> q61TableDiff,
-    "q62_debounce" -> q62Debounce)
+    "q62_debounce" -> q62Debounce,
+    "q63_transitions" -> q63Transitions)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2577,5 +2620,6 @@ object Relational {
     "q59_retention" -> q59RetentionSql,
     "q60_profile" -> q60ProfileSql,
     "q61_table_diff" -> q61TableDiffSql,
-    "q62_debounce" -> q62DebounceSql)
+    "q62_debounce" -> q62DebounceSql,
+    "q63_transitions" -> q63TransitionsSql)
 }

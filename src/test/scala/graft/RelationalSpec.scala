@@ -577,6 +577,29 @@ class RelationalSpec extends SparkSpec {
       "containment candidates must come from the inverted-index equi-join")
   }
 
+  test("q63 transitions: row-stochastic matrix matching a scan reference") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val trans = ev.groupBy(_._1).values.flatMap { rows =>
+      val seq0 = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      seq0.zip(seq0.drop(1))
+    }.toSeq
+    val cells = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nt = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expect = cells.toSeq.map { case ((f, t0), n) =>
+      (f, t0, n, math.floor(n.toDouble / nt(f) * 10000.0 + 0.5) / 10000.0)
+    }.sortBy(c => (c._1, c._2))
+    val got = Relational.q63Transitions(spark, sfDir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == expect)
+    // per-from counts account for every observed transition
+    got.groupBy(_._1).foreach { case (f, rows) =>
+      assert(rows.map(_._3).sum == nt(f))
+    }
+  }
+
   test("q58 decay: matches driver-side recompute; stale events contribute zero") {
     import spark.implicits._
     val ev = Tables.load(spark, sfDir, "events")
