@@ -311,4 +311,44 @@ class StreamingSpec extends SparkSpec {
     // not treat a union failure as "table absent" and overwrite it
     assert(spark.read.parquet(table).columns.toSeq == Seq("base_num", "other_col"))
   }
+
+  test("streaming debounce == q62 batch accounting across ordered micro-batches") {
+    import graft.streaming.Debounce
+    // stage the events as THREE consecutive time slices so every key's
+    // rows arrive in order across micro-batches (the stream contract)
+    val evs = Tables.load(spark, sfDir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tus"), $"event_id")
+      .as[Debounce.Ev].collect().sortBy(e => (e.tus, e.event_id))
+    val src = Files.createTempDirectory("debounce_stream").toString
+    val slice = (evs.length + 2) / 3
+    evs.grouped(slice).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toSeq.toDS().repartition(1).write.parquet(s"$src/slice_$i")
+    }
+    val stream = spark.readStream
+      .schema("user_id LONG, event_type STRING, tus LONG, event_id LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/slice_*")
+      .as[Debounce.Ev]
+    val q = Debounce.debounce(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("debounce_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamedKept = spark.table("debounce_out")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_kept"))
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // q62 reports only keys with drops; keys absent there kept everything
+    val batchTotals = evs.groupBy(e => (e.user_id, e.event_type)).view
+      .mapValues(_.size.toLong).toMap
+    val batchKept = graft.operators.Relational.q62Debounce(spark, sfDir)
+      .select($"user_id", $"event_type", $"n_kept")
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val expect = batchTotals.map { case (k, total) =>
+      k -> batchKept.getOrElse(k, total)
+    }
+    assert(streamedKept == expect)
+  }
 }
