@@ -71,7 +71,8 @@ object ScaleProbe {
       "q59_retention", "t21_bpe_merges", "q60_profile", "g5_kcore",
       "q61_table_diff", "d9_containment",
       // round-6f additions: co-occurrence, debounce, VAD, langid audit
-      "g6_cooccur", "q62_debounce", "mm6_vad", "t22_langid_audit")
+      "g6_cooccur", "q62_debounce", "mm6_vad", "t22_langid_audit",
+      "q63_transitions")
     SparkEntry.queries(names.head)(spark, out)
       .write.format("noop").mode("overwrite").save() // warmup
     names.foreach { n =>
