@@ -2494,6 +2494,53 @@ object Relational {
       |FROM cells c JOIN t USING (from_type)
       |ORDER BY c.from_type, c.to_type""".stripMargin
 
+  // ------------------------------------------------- q64_rank_family
+  /** The complete SQL ranking-function surface in ONE window pass:
+    * rank, dense_rank, percent_rank, cume_dist, ntile(10), and
+    * nth_value (3rd-highest, full-partition frame) over customers per
+    * market segment. One Exchange + one Sort serves every function (all
+    * share the partition/order; the nth_value full frame rides the same
+    * sorted run). Ordering is integer cents with a unique id tie-break,
+    * so the rank-derived doubles are identically-spelled integer
+    * divisions — bit-stable across engines.
+    */
+  val q64RankFamily: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("bal").desc, col("c_custkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), cents.as("bal"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("bal"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        sround(percent_rank().over(w), 6).as("prank"),
+        sround(cume_dist().over(w), 6).as("cdist"),
+        ntile(10).over(w).as("decile"),
+        nth_value(col("bal"), 3).over(wf).as("third_bal"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  val q64RankFamilySql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+      |  FROM customer)
+      |SELECT c_custkey, c_mktsegment, bal,
+      |  CAST(rank() OVER w AS INTEGER) AS rnk,
+      |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+      |  floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS prank,
+      |  floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cdist,
+      |  CAST(ntile(10) OVER w AS INTEGER) AS decile,
+      |  nth_value(bal, 3) OVER (PARTITION BY c_mktsegment
+      |    ORDER BY bal DESC, c_custkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS third_bal
+      |FROM c
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal DESC, c_custkey)
+      |ORDER BY c_mktsegment, rnk""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -2557,7 +2604,8 @@ object Relational {
     "q60_profile" -> q60Profile,
     "q61_table_diff" -> q61TableDiff,
     "q62_debounce" -> q62Debounce,
-    "q63_transitions" -> q63Transitions)
+    "q63_transitions" -> q63Transitions,
+    "q64_rank_family" -> q64RankFamily)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2621,5 +2669,6 @@ object Relational {
     "q60_profile" -> q60ProfileSql,
     "q61_table_diff" -> q61TableDiffSql,
     "q62_debounce" -> q62DebounceSql,
-    "q63_transitions" -> q63TransitionsSql)
+    "q63_transitions" -> q63TransitionsSql,
+    "q64_rank_family" -> q64RankFamilySql)
 }

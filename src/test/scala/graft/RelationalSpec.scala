@@ -600,6 +600,33 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q64 rank family: laws hold per segment (contiguous ranks, balanced deciles, 3rd value)") {
+    import spark.implicits._
+    val rows = Relational.q64RankFamily(spark, sfDir)
+      .as[(Long, String, Long, Int, Int, Double, Double, Int, Option[Long])]
+      .collect().toSeq
+    rows.groupBy(_._2).foreach { case (_, seg0) =>
+      val seg = seg0.sortBy(_._4)
+      val n = seg.length
+      // unique tie-break → rank is exactly 1..n and dense_rank tracks
+      // distinct bal prefixes
+      assert(seg.map(_._4) == (1 to n))
+      // percent_rank = (rank-1)/(n-1); cume_dist = rank/n (no ties)
+      seg.foreach { r =>
+        def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+        if (n > 1) assert(r._6 == r6((r._4 - 1).toDouble / (n - 1)))
+        assert(r._7 == r6(r._4.toDouble / n))
+      }
+      // ntile balance: sizes differ by at most 1, larger tiles first
+      val sizes = seg.groupBy(_._8).toSeq.sortBy(_._1).map(_._2.size)
+      assert(sizes.max - sizes.min <= 1)
+      assert(sizes == sizes.sortBy(-_))
+      // nth_value: every row carries the segment's 3rd-highest bal
+      val third = if (n >= 3) Some(seg(2)._3) else None
+      assert(seg.forall(_._9 == third))
+    }
+  }
+
   test("q58 decay: matches driver-side recompute; stale events contribute zero") {
     import spark.implicits._
     val ev = Tables.load(spark, sfDir, "events")
