@@ -74,5 +74,5 @@ object SparkEntry {
     "q56_bitmap_distinct", "q57_skyline", "q58_decay_score", "g4_sssp",
     "mm5_shot_boundary", "q59_retention", "t21_bpe_merges", "q60_profile",
     "g5_kcore", "q61_table_diff", "d9_containment", "g6_cooccur", "q62_debounce", "mm6_vad",
-    "t22_langid_audit", "q63_transitions", "q64_rank_family")
+    "t22_langid_audit", "q63_transitions", "q64_rank_family", "q65_twap")
 }

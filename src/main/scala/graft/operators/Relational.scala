@@ -2541,6 +2541,56 @@ object Relational {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal DESC, c_custkey)
       |ORDER BY c_mktsegment, rnk""".stripMargin
 
+  // --------------------------------------------------------- q65_twap
+  /** Time-weighted average value per user (TWAP): each event's value
+    * holds until the next event, so the average weights values by their
+    * holding DURATION, not their count — the financial/monitoring
+    * primitive a plain avg() gets wrong whenever sampling is uneven.
+    * One user-keyed exchange drives a lead() window; weights are integer
+    * SECONDS (floor division of the micros gap — bounded so
+    * cents × seconds stays far inside BIGINT) and the weighted sum is
+    * an integer sum — association-order-free — with ONE double division
+    * at the end (q58's discipline).
+    */
+  val q65Twap: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .withColumn("dur_s",
+        expr("(lead(tus, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id)" +
+          " - tus) DIV 1000000"))
+      .where(col("dur_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("cents") * col("dur_s")).as("wsum"),
+        sum(col("dur_s")).as("tdur"))
+      .where(col("tdur") > 0)
+      .select(col("user_id"), col("n_segs"),
+        sround(col("wsum").cast("double") / col("tdur") / lit(100.0), 4)
+          .as("twap"))
+      .orderBy(col("user_id"))
+  }
+
+  val q65TwapSql: String =
+    """WITH seg AS (
+      |  SELECT user_id,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+      |    (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts)) // 1000000
+      |      AS dur_s
+      |  FROM events),
+      |agg AS (
+      |  SELECT user_id, count(*) AS n_segs,
+      |    CAST(sum(cents * dur_s) AS BIGINT) AS wsum,
+      |    CAST(sum(dur_s) AS BIGINT) AS tdur
+      |  FROM seg WHERE dur_s IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_segs,
+      |  floor(CAST(wsum AS DOUBLE) / tdur / 100.0 * 10000.0 + 0.5) / 10000.0
+      |    AS twap
+      |FROM agg WHERE tdur > 0 ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -2605,7 +2655,8 @@ object Relational {
     "q61_table_diff" -> q61TableDiff,
     "q62_debounce" -> q62Debounce,
     "q63_transitions" -> q63Transitions,
-    "q64_rank_family" -> q64RankFamily)
+    "q64_rank_family" -> q64RankFamily,
+    "q65_twap" -> q65Twap)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2670,5 +2721,6 @@ object Relational {
     "q61_table_diff" -> q61TableDiffSql,
     "q62_debounce" -> q62DebounceSql,
     "q63_transitions" -> q63TransitionsSql,
-    "q64_rank_family" -> q64RankFamilySql)
+    "q64_rank_family" -> q64RankFamilySql,
+    "q65_twap" -> q65TwapSql)
 }

@@ -72,7 +72,7 @@ object ScaleProbe {
       "q61_table_diff", "d9_containment",
       // round-6f additions: co-occurrence, debounce, VAD, langid audit
       "g6_cooccur", "q62_debounce", "mm6_vad", "t22_langid_audit",
-      "q63_transitions", "q64_rank_family")
+      "q63_transitions", "q64_rank_family", "q65_twap")
     SparkEntry.queries(names.head)(spark, out)
       .write.format("noop").mode("overwrite").save() // warmup
     names.foreach { n =>

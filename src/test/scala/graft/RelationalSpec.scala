@@ -627,6 +627,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q65 TWAP: matches a per-user scan reference; differs from plain avg under uneven gaps") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)].collect()
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val seq0 = rows.sortBy(r => (r._2, r._3))
+      val segs = seq0.zip(seq0.drop(1)).map { case (a, b) =>
+        (a._4, (b._2 - a._2) / 1000000L)
+      }
+      val tdur = segs.map(_._2).sum
+      if (segs.isEmpty || tdur <= 0) None
+      else {
+        val wsum = segs.map { case (c, d0) => c * d0 }.sum
+        Some((u, segs.length.toLong,
+          math.floor(wsum.toDouble / tdur / 100.0 * 10000.0 + 0.5) / 10000.0))
+      }
+    }.sortBy(_._1)
+    val got = Relational.q65Twap(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == expect)
+    // the duration weighting is load-bearing: TWAP != unweighted mean for
+    // at least some user (uneven gaps exist in the corpus)
+    val means = ev.groupBy(_._1).view.mapValues { rows =>
+      val seq0 = rows.sortBy(r => (r._2, r._3)).dropRight(1)
+      if (seq0.isEmpty) 0.0
+      else seq0.map(_._4).sum.toDouble / seq0.length / 100.0
+    }.toMap
+    assert(got.exists { case (u, _, tw) => math.abs(tw - means(u)) > 0.01 })
+  }
+
   test("q58 decay: matches driver-side recompute; stale events contribute zero") {
     import spark.implicits._
     val ev = Tables.load(spark, sfDir, "events")
