@@ -74,5 +74,6 @@ object SparkEntry {
     "q56_bitmap_distinct", "q57_skyline", "q58_decay_score", "g4_sssp",
     "mm5_shot_boundary", "q59_retention", "t21_bpe_merges", "q60_profile",
     "g5_kcore", "q61_table_diff", "d9_containment", "g6_cooccur", "q62_debounce", "mm6_vad",
-    "t22_langid_audit", "q63_transitions", "q64_rank_family", "q65_twap")
+    "t22_langid_audit", "q63_transitions", "q64_rank_family", "q65_twap",
+    "q66_weighted_median", "t23_novelty", "g7_linkpred", "mm7_resize")
 }

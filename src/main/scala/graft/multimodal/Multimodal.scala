@@ -381,13 +381,79 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------ mm7_resize
+  /** Nearest-neighbor RESIZE for image-shaped payloads — the one step of
+    * the decode / feature-extract / resize / frame-sample quartet the
+    * engine had not yet materialized as an operator. The binary is an
+    * in_h x 32 byte grid (full rows only); a 2x2 stride keeps the
+    * top-left byte of each block, producing an out_h x 16 payload —
+    * actual resized BYTES, not just stats, built in the same
+    * per-partition codec seam as mm1/mm3 (a real image codec would swap
+    * into the same loop; the grid arithmetic, batch shape, and output
+    * schema would not change). Verification carries three independent
+    * integer/exact witnesses per doc: the byte sum, a position-WEIGHTED
+    * sum (pins byte ORDER, which a plain sum cannot), and the md5 of the
+    * resized payload itself (the corpus is ASCII, so the oracle rebuilds
+    * the identical string from substr picks and md5s it).
+    */
+  final case class Resized(
+      doc_id: Long, in_h: Long, out_h: Long, payload: Array[Byte],
+      bsum: Long, wsum: Long)
+
+  /** Stride-f nearest-neighbor downsample of an inW-wide byte grid —
+    * per-partition streamed; docs with fewer than f full rows drop.
+    */
+  def resizeNearest(media: Dataset[MediaIn], inW: Int = 32, f: Int = 2)
+      : Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val b = m.payload
+      val inH = b.length / inW
+      if (inH < f) Iterator.empty
+      else {
+        val outH = inH / f
+        val outW = inW / f
+        val out = new Array[Byte](outH * outW)
+        var bsum = 0L
+        var wsum = 0L
+        var r = 0
+        while (r < outH) {
+          var c = 0
+          while (c < outW) {
+            val px = b(r * f * inW + c * f)
+            val i = r * outW + c
+            out(i) = px
+            bsum += (px & 0xFF)
+            wsum += (i + 1).toLong * (px & 0xFF)
+            c += 1
+          }
+          r += 1
+        }
+        Iterator.single(Resized(m.doc_id, inH.toLong, outH.toLong, out, bsum, wsum))
+      }
+    }
+  }
+
+  def mm7Resize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+    resizeNearest(media)
+      .select(col("doc_id"), col("in_h"), col("out_h"), lit(16L).as("out_w"),
+        (col("out_h") * lit(16L)).as("out_len"), col("bsum"), col("wsum"),
+        md5(col("payload")).as("out_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_audio_energy" -> (mm3AudioEnergy _),
     "mm4_phash" -> (mm4Phash _),
     "mm5_shot_boundary" -> (mm5ShotBoundary _),
-    "mm6_vad" -> (mm6Vad _))
+    "mm6_vad" -> (mm6Vad _),
+    "mm7_resize" -> (mm7Resize _))
 
   /** DuckDB twin of the metadata decode: byte_len is the UTF-8 byte count
     * of `text`, pseudo-dims derive from it, feature_dim is the fixed
@@ -533,5 +599,30 @@ object Multimodal {
         |SELECT b.doc_id, n_windows, n_silent,
         |  CAST(coalesce(n_islands, 0) AS BIGINT) AS n_islands,
         |  CAST(coalesce(longest_run, 0) AS BIGINT) AS longest_run
-        |FROM b LEFT JOIN rs USING (doc_id) ORDER BY doc_id""".stripMargin)
+        |FROM b LEFT JOIN rs USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // identical 2x2-stride picks over the in_h x 32 grid (ASCII corpus:
+    // char == byte), rebuilt as a string so even the payload md5 replays
+    "mm7_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    octet_length(encode(text)) // 32 AS in_h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, in_h, in_h // 2 AS out_h,
+        |    list_transform(range(0, (in_h // 2) * 16),
+        |      p -> ord(substr(text,
+        |        CAST((p // 16) * 64 + (p % 16) * 2 AS INT) + 1, 1)))
+        |      AS px,
+        |    array_to_string(list_transform(range(0, (in_h // 2) * 16),
+        |      p -> substr(text,
+        |        CAST((p // 16) * 64 + (p % 16) * 2 AS INT) + 1, 1)), '')
+        |      AS rs
+        |  FROM g WHERE in_h >= 2)
+        |SELECT doc_id, in_h, out_h, CAST(16 AS BIGINT) AS out_w,
+        |  out_h * 16 AS out_len,
+        |  CAST(list_aggregate(px, 'sum') AS BIGINT) AS bsum,
+        |  CAST(list_sum(list_transform(range(0, out_h * 16),
+        |    i -> (i + 1) * px[CAST(i AS INT) + 1])) AS BIGINT) AS wsum,
+        |  md5(rs) AS out_md5
+        |FROM r ORDER BY doc_id""".stripMargin)
 }

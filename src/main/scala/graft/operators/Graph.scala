@@ -497,6 +497,77 @@ object Graph {
       |CROSS JOIN nu
       |ORDER BY n_ij DESC, ka, kb LIMIT 50""".stripMargin
 
+  // ----------------------------------------------------- g7_linkpred
+  /** Link prediction over g2's supplier co-occurrence graph: for every
+    * NON-adjacent pair with at least one common neighbor, the
+    * resource-allocation index RA(u,v) = Σ_z 1/deg(z) over common
+    * neighbors z — the strongest of the simple local link predictors
+    * (hubs contribute little by construction), ranked top-100.
+    *
+    * Scale shape: wedges are enumerated THROUGH the middle node z, and z
+    * is degree-capped (deg ≤ 64) before the self-join — a hub of degree
+    * Δ would otherwise emit C(Δ,2) candidate pairs, the classic wedge
+    * blowup; the cap bounds output at Σ C(min(deg,64),2) ≤ 32·m and is
+    * principled here because 1/deg makes super-hub evidence negligible
+    * anyway. Existing edges leave via one anti-join on the canonical
+    * (u<v) pair. The per-pair Σ folds 1/deg(z) in SORTED order (g1's
+    * float discipline) so the score doubles — and the top-100 cut —
+    * are bitwise-identical across engines.
+    */
+  val g7Linkpred: Q = (s, d) => {
+    val li = Tables.load(s, d, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .distinct()
+      .localCheckpoint(true) // feeds deg, the wedge join, and the anti-join
+    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val byZ = und.select(col("v").as("z"), col("u").as("nb"))
+      .join(deg.select(col("node").as("z"), col("deg")), "z")
+      .where(col("deg") <= 64)
+    val cands = byZ.as("x").join(byZ.as("y"),
+        col("x.z") === col("y.z") && col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("u"), col("y.nb").as("v"),
+        (lit(1.0) / col("x.deg")).as("ra"))
+      .join(e0, Seq("u", "v"), "left_anti")
+    cands.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"), sortedFoldSum(col("ra")).as("raw"))
+      .orderBy(col("raw").desc, col("u"), col("v"))
+      .limit(100)
+      .select(col("u"), col("v"), col("cn"), sround(col("raw"), 6).as("ra_score"))
+  }
+
+  /** DuckDB twin: identical graph, degree cap, wedge enumeration,
+    * NOT-EXISTS edge exclusion, and sorted-fold RA sums.
+    */
+  val g7LinkpredSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
+      |  FROM lineitem WHERE l_quantity >= 45),
+      |e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_suppkey < b.l_suppkey),
+      |und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY 1),
+      |byz AS (SELECT und.v AS z, und.u AS nb, deg.deg
+      |  FROM und JOIN deg ON und.v = deg.node WHERE deg.deg <= 64),
+      |cands AS (
+      |  SELECT x.nb AS u, y.nb AS v, 1.0 / x.deg AS ra
+      |  FROM byz x JOIN byz y ON x.z = y.z AND x.nb < y.nb
+      |  WHERE NOT EXISTS (SELECT 1 FROM e0
+      |    WHERE e0.u = x.nb AND e0.v = y.nb)),
+      |scored AS (
+      |  SELECT u, v, count(*) AS cn,
+      |    list_aggregate(list_sort(list(ra)), 'sum') AS raw
+      |  FROM cands GROUP BY 1, 2)
+      |SELECT u, v, cn,
+      |  floor(raw * 1000000.0 + 0.5) / 1000000.0 AS ra_score
+      |FROM scored
+      |ORDER BY raw DESC, u, v LIMIT 100""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1Pagerank,
@@ -504,7 +575,8 @@ object Graph {
     "g3_reach" -> g3Reach,
     "g4_sssp" -> g4Sssp,
     "g5_kcore" -> g5Kcore,
-    "g6_cooccur" -> g6Cooccur)
+    "g6_cooccur" -> g6Cooccur,
+    "g7_linkpred" -> g7Linkpred)
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank" -> g1PagerankSql,
@@ -512,5 +584,6 @@ object Graph {
     "g3_reach" -> g3ReachSql,
     "g4_sssp" -> g4SsspSql,
     "g5_kcore" -> g5KcoreSql,
-    "g6_cooccur" -> g6CooccurSql)
+    "g6_cooccur" -> g6CooccurSql,
+    "g7_linkpred" -> g7LinkpredSql)
 }

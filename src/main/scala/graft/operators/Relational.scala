@@ -2591,6 +2591,74 @@ object Relational {
       |    AS twap
       |FROM agg WHERE tdur > 0 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------- q66_weighted_median
+  /** Exact WEIGHTED median — q65's robust-statistics counterpart: the
+    * duration-weighted p50 of each event type's value stream (the value
+    * covering the midpoint of total holding time, lower-median
+    * convention), which outlier spikes cannot move the way they move the
+    * weighted MEAN. Shape: the q65 lead() gap builds (value, duration)
+    * segments in one user-keyed exchange, then a (type, cents) hash agg
+    * COLLAPSES the stream to its distinct-value histogram BEFORE any
+    * window runs — the cumulative-weight window walks rows bounded by
+    * the value domain, not the event count, so the per-type partitioning
+    * (few partitions) is over a tiny frame by construction. Integers
+    * end-to-end; the only division is the final cents→currency spell.
+    */
+  val q66WeightedMedian: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val seg = t(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .withColumn("dur_s",
+        expr("(lead(tus, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id)" +
+          " - tus) DIV 1000000"))
+      .where(col("dur_s").isNotNull && col("dur_s") > 0)
+    val hist = seg.groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("dur_s")).as("w"), count(lit(1)).as("n"))
+    val wcum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cum", sum(col("w")).over(wcum))
+      .withColumn("tot", sum(col("w")).over(wall))
+      .withColumn("ns", sum(col("n")).over(wall))
+      .where(col("cum") * lit(2) >= col("tot"))
+      .groupBy(col("event_type"))
+      .agg(max(col("ns")).as("n_segs"),
+        max(col("tot")).as("total_dur_s"),
+        (min(col("cents")).cast("double") / lit(100.0)).as("wmedian"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin: identical histogram collapse, cumulative-weight walk,
+    * and lower-median pick (min value with 2*cum >= total).
+    */
+  val q66WeightedMedianSql: String =
+    """WITH seg AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+      |    (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts)) // 1000000
+      |      AS dur_s
+      |  FROM events),
+      |hist AS (
+      |  SELECT event_type, cents, CAST(sum(dur_s) AS BIGINT) AS w,
+      |    count(*) AS n
+      |  FROM seg WHERE dur_s IS NOT NULL AND dur_s > 0 GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, cents,
+      |    CAST(sum(w) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS ns
+      |  FROM hist)
+      |SELECT event_type, max(ns) AS n_segs, max(tot) AS total_dur_s,
+      |  CAST(min(cents) AS DOUBLE) / 100.0 AS wmedian
+      |FROM ranked WHERE cum * 2 >= tot
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -2656,7 +2724,8 @@ object Relational {
     "q62_debounce" -> q62Debounce,
     "q63_transitions" -> q63Transitions,
     "q64_rank_family" -> q64RankFamily,
-    "q65_twap" -> q65Twap)
+    "q65_twap" -> q65Twap,
+    "q66_weighted_median" -> q66WeightedMedian)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2722,5 +2791,6 @@ object Relational {
     "q62_debounce" -> q62DebounceSql,
     "q63_transitions" -> q63TransitionsSql,
     "q64_rank_family" -> q64RankFamilySql,
-    "q65_twap" -> q65TwapSql)
+    "q65_twap" -> q65TwapSql,
+    "q66_weighted_median" -> q66WeightedMedianSql)
 }

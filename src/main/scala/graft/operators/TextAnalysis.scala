@@ -1217,6 +1217,60 @@ object TextAnalysis {
        |FROM cells c JOIN t USING (lang) JOIN pr USING (pred_lang)
        |ORDER BY c.lang, c.pred_lang""".stripMargin
 
+  // ---------------------------------------------------- t23_novelty
+  /** Corpus NOVELTY audit: per document, the share of its distinct word
+    * trigrams whose global FIRST occurrence (minimum doc_id over every
+    * document containing the gram) is this document — the
+    * redundancy-growth metric behind "is the new crawl adding anything?"
+    * decisions (a near-dup contributes ~0 novel grams; fresh content
+    * scores high). Shape: one corpus scan explodes distinct
+    * (doc_id, gram) pairs, ONE gram-keyed shuffle serves BOTH the
+    * global-argmin aggregate and the join back (same key, same
+    * partitioning — AQE reuses the exchange), then a doc-keyed agg
+    * closes. Per-gram state is one min(long) — no collect_set, so no
+    * hot-gram blowup (t9's lesson); boilerplate grams occurring in
+    * millions of docs still carry 8 bytes of aggregate state.
+    */
+  val t23Novelty: Q = (s, d) => {
+    val grams = docs(s, d)
+      .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(wordNgrams(col("toks"), 3)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("g"))
+      .distinct()
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        sround(col("n_novel") / col("n_grams"), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: identical tokenization (t9's spelling at n=3), distinct
+    * pairs, min-doc argmin, and share arithmetic.
+    */
+  val t23NoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(unnest(list_transform(range(1, len(t) - 1),
+      |      i -> array_to_string(t[i:i+2], ' ')))) AS g
+      |  FROM toks WHERE len(t) >= 3),
+      |first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+      |SELECT gr.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  floor(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+      |    / count(*) * 10000.0 + 0.5) / 10000.0 AS novelty
+      |FROM grams gr JOIN first f USING (g)
+      |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t1_text_stats" -> t1TextStats,
@@ -1237,6 +1291,7 @@ object TextAnalysis {
     "t20_quality_classifier" -> t20QualityClassifier,
     "t21_bpe_merges" -> t21BpeMerges,
     "t22_langid_audit" -> t22LangidAudit,
+    "t23_novelty" -> t23Novelty,
     "t10_tfidf" -> t10Tfidf,
     "t11_packing" -> t11Packing,
     "t12_redact" -> t12Redact,
@@ -1261,6 +1316,7 @@ object TextAnalysis {
     "t20_quality_classifier" -> t20QualityClassifierSql,
     "t21_bpe_merges" -> t21BpeMergesSql,
     "t22_langid_audit" -> t22LangidAuditSql,
+    "t23_novelty" -> t23NoveltySql,
     "t10_tfidf" -> t10TfidfSql,
     "t11_packing" -> t11PackingSql,
     "t12_redact" -> t12RedactSql,

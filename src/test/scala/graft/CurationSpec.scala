@@ -323,4 +323,27 @@ class CurationSpec extends SparkSpec {
     assert(uf(4L) == 1L && uf(7L) == 5L && uf(10L) == 8L)
     assert(uf(11L) == 11L && uf(12L) == 12L)
   }
+
+  test("t23 novelty: first-occurrence shares match a scan reference; earliest doc fully novel") {
+    val base = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val grams = base.map { case (id, tx) =>
+      val t = tx.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      id -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val first = grams.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expect = grams.map { case (id, gs) =>
+      val novel = gs.count(g => first(g) == id).toLong
+      (id, gs.size.toLong, novel,
+        math.floor(novel.toDouble / gs.size * 10000.0 + 0.5) / 10000.0)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.t23Novelty(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == expect)
+    // the lowest doc_id can only ever see itself as first occurrence
+    assert(expect.head._4 == 1.0)
+    // redundancy exists: at least one doc repeats earlier content
+    assert(expect.exists(_._4 < 1.0))
+  }
 }

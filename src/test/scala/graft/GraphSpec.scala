@@ -164,4 +164,41 @@ class GraphSpec extends SparkSpec {
     assert(got == expect,
       "5 bounded peel rounds must equal the data-dependent fixpoint here")
   }
+
+  test("g7 linkpred: RA scores match an in-memory capped reference; candidates are non-edges") {
+    // sf0.001's capped co-occurrence graph has no non-adjacent wedge pair
+    // at all (result legitimately empty), so this spec runs at sf0.01
+    // where the top-100 is full — the reference is still tiny (bounded
+    // wedges over a few hundred edges).
+    val gDir = "/root/testdata/sf0.01"
+    val li = Tables.load(spark, gDir, "lineitem")
+      .filter($"l_quantity" >= 45)
+      .select($"l_orderkey", $"l_suppkey").distinct()
+      .as[(Long, Long)].collect()
+    val e0 = li.groupBy(_._1).values.flatMap { grp =>
+      val ss = grp.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))
+    }.toSet
+    val und = e0.toSeq.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val byZ = und.map { case (u, v) => (v, u) }
+      .filter { case (z, _) => deg(z) <= 64 }
+    val cands = byZ.groupBy(_._1).toSeq.flatMap { case (z, grp) =>
+      val nbs = grp.map(_._2).sorted
+      for (i <- nbs.indices; j <- i + 1 until nbs.length)
+        yield ((nbs(i), nbs(j)), 1.0 / deg(z))
+    }.filter { case (p, _) => !e0.contains(p) }
+    val scored = cands.groupBy(_._1).toSeq.map { case ((u, v), cs) =>
+      // same association order as the engine's sorted fold
+      (u, v, cs.size.toLong, cs.map(_._2).sorted.foldLeft(0.0)(_ + _))
+    }
+    val expect = scored.sortBy { case (u, v, _, raw) => (-raw, u, v) }.take(100)
+      .map { case (u, v, cn, raw) =>
+        (u, v, cn, math.floor(raw * 1e6 + 0.5) / 1e6) }
+    val got = Graph.g7Linkpred(spark, gDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == expect)
+    assert(got.nonEmpty && got.forall { case (u, v, _, _) =>
+      u < v && !e0.contains((u, v)) })
+  }
 }

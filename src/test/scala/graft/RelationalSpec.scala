@@ -678,4 +678,32 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(got == expect)
   }
+
+  test("q66 weighted median: matches a scan reference; pick covers half the weight") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tus"),
+        $"event_id", floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    val segs = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val s0 = rows.sortBy(r => (r._3, r._4))
+      s0.zip(s0.drop(1)).map { case (a, b) =>
+        (a._2, a._5, (b._3 - a._3) / 1000000L) }
+    }.filter(_._3 > 0)
+    val expect = segs.groupBy(_._1).toSeq.map { case (et, ss) =>
+      val hist = ss.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tot = hist.map(_._2).sum
+      var cum = 0L
+      val med = hist.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      // the pick is the LOWER weighted median: weight at or below it
+      // reaches half the total, weight strictly below does not
+      val below = hist.takeWhile(_._1 < med).map(_._2).sum
+      assert(below * 2 < tot && (below + hist.find(_._1 == med).get._2) * 2 >= tot)
+      (et, ss.size.toLong, tot, med.toDouble / 100.0)
+    }.sortBy(_._1)
+    val got = Relational.q66WeightedMedian(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == expect)
+  }
 }

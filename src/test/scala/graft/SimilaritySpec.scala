@@ -345,4 +345,29 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("mm7 resize: stride picks, both checksums and the payload md5 match a scan reference") {
+    val base = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expect = base.flatMap { case (id, tx) =>
+      val b = tx.getBytes("UTF-8")
+      val inH = b.length / 32
+      if (inH < 2) None
+      else {
+        val outH = inH / 2
+        val out = Array.tabulate(outH * 16)(p => b((p / 16) * 64 + (p % 16) * 2))
+        val bsum = out.map(x => (x & 0xFF).toLong).sum
+        val wsum = out.zipWithIndex
+          .map { case (px, i) => (i + 1).toLong * (px & 0xFF) }.sum
+        val md = java.security.MessageDigest.getInstance("MD5").digest(out)
+          .map("%02x".format(_)).mkString
+        Some((id, inH.toLong, outH.toLong, 16L, outH * 16L, bsum, wsum, md))
+      }
+    }.toSeq.sortBy(_._1)
+    val got = Multimodal.mm7Resize(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == expect)
+    // the payload genuinely shrinks 4x: out bytes vs full-row in bytes
+    assert(expect.nonEmpty && expect.forall(r => r._5 * 4 <= r._2 * 32))
+  }
 }
