@@ -75,5 +75,6 @@ object SparkEntry {
     "mm5_shot_boundary", "q59_retention", "t21_bpe_merges", "q60_profile",
     "g5_kcore", "q61_table_diff", "d9_containment", "g6_cooccur", "q62_debounce", "mm6_vad",
     "t22_langid_audit", "q63_transitions", "q64_rank_family", "q65_twap",
-    "q66_weighted_median", "t23_novelty", "g7_linkpred", "mm7_resize")
+    "q66_weighted_median", "t23_novelty", "g7_linkpred", "mm7_resize",
+    "d10_incremental_dedup", "q67_pattern_match")
 }

@@ -124,26 +124,37 @@ object Dedup {
     * PortableHashExpressions), so the DuckDB oracle reproduces the exact
     * signatures and the driver hash-checks the output.
     */
-  val d3MinhashLsh: Q = (s, d) => {
-    // LAYERED projections: tokens bound before n-gramming. Passing the
-    // token EXPRESSION into wordNgrams would inline it into each of the 3
-    // element_at calls inside the lambda → ~264 tokenizations per doc
-    // (measured: 13s of the 25s total). CollapseProject keeps multi-
-    // referenced non-cheap aliases in their own layer.
-    val base = docs(s, d)
+  /** d3/d10 shared shingle build: doc_id → sorted distinct md5-62 word-
+    * trigram hash lanes (+ set size). LAYERED projections: tokens bound
+    * before n-gramming. Passing the token EXPRESSION into wordNgrams
+    * would inline it into each of the 3 element_at calls inside the
+    * lambda → ~264 tokenizations per doc (measured: 13s of the 25s
+    * total). CollapseProject keeps multi-referenced non-cheap aliases in
+    * their own layer.
+    */
+  private def shingleSets(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
       .select(col("doc_id"), wordNgrams(col("toks"), 3).as("ngrams"))
       .select(col("doc_id"), graft.expressions.PortableHashExpressions
         .md5HashArray62(col("ngrams"), distinctSorted = true).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    // Fused signature+banding expression: one evaluation per doc, no
-    // intermediate sig column for CollapseProject to re-inline into 32 band
-    // lambdas (the unfused form re-evaluated the MinHash per band — 20x).
-    // Band index is baked into the key, so a single equality join on bkey
-    // generates candidates; empty docs produce zero keys (no mega-bucket).
-    val bands = base.select(col("doc_id"),
+
+  /** d3/d10 shared banding: fused signature+banding expression — one
+    * evaluation per doc, no intermediate sig column for CollapseProject
+    * to re-inline into 32 band lambdas (the unfused form re-evaluated the
+    * MinHash per band — 20x). Band index is baked into the key, so a
+    * single equality join on bkey generates candidates; empty docs
+    * produce zero keys (no mega-bucket).
+    */
+  private def minhashBands(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
       explode(graft.expressions.PortableHashExpressions.minhashBandKeysMod31(
         col("sh"), minhashPermA31, minhashPermB31, bands = 32, rows = 2)).as("bkey"))
+
+  val d3MinhashLsh: Q = (s, d) => {
+    val base = shingleSets(docs(s, d))
+    val bands = minhashBands(base)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -748,6 +759,130 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // ---------------------------------------------- d10_incremental_dedup
+  /** Incremental snapshot dedup — the production "dedupe the NEW crawl
+    * against the EXISTING corpus" pass (here: sources src10+ are the
+    * incoming snapshot, src0-src9 the standing corpus). Every incoming
+    * doc gets a verdict:
+    *   exact — its d1 canonical fingerprint already exists in the corpus;
+    *   near  — a d3 MinHash band collision with a corpus doc verifies at
+    *           Jaccard ≥ 0.2;
+    *   new   — neither.
+    * plus the smallest matching corpus doc_id as provenance. The point of
+    * the operator is ASYMMETRY: band keys join incoming × existing only —
+    * never incoming × incoming — so daily cost scales with the DELTA
+    * against the corpus index (at scale the existing side's fingerprints
+    * and band keys are a standing table updated per batch, not recomputed;
+    * both sides' builds here stand in for reading that index). Per-doc
+    * match state is min(long) — no set accumulation anywhere.
+    */
+  val d10IncrementalDedup: Q = (s, d) =>
+    incrementalDedup(docs(s, d)
+      .withColumn("incoming", expr("CAST(substring(source, 4) AS INT) >= 10")))
+
+  /** d10 over an arbitrary documents frame carrying a boolean `incoming`
+    * split column — the spec plants cross-split exact duplicates (absent
+    * from the synthetic corpus) to exercise the exact-verdict branch.
+    */
+  def incrementalDedup(all: DataFrame): DataFrame = {
+    val fp = all.select(col("doc_id"), col("incoming"),
+      md5(normText(col("text"))).as("fp"))
+    val inc = fp.where(col("incoming"))
+    val exi = fp.where(!col("incoming"))
+    val exact = inc.join(exi.select(col("fp"), col("doc_id").as("eid")), "fp")
+      .groupBy(col("doc_id")).agg(min(col("eid")).as("exact_match"))
+    val flags = all.select(col("doc_id"), col("incoming"))
+    val base = shingleSets(all).join(flags, "doc_id")
+      .localCheckpoint(true) // feeds both band sides AND the verify join
+    val cand = minhashBands(base.where(col("incoming"))).as("x")
+      .join(minhashBands(base.where(!col("incoming"))).as("y"),
+        col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("eid"))
+      .distinct()
+    val near = cand
+      .join(base.select(col("doc_id"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), "doc_id")
+      .join(base.select(col("doc_id").as("eid"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), "eid")
+      .withColumn("inter", graft.expressions.SetSketchExpressions
+        .sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("jac", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jac") >= 0.2)
+      .groupBy(col("doc_id")).agg(min(col("eid")).as("near_match"))
+    inc.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact"))
+          .when(col("near_match").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: d1's fingerprint + d3's replayed signatures, with the
+    * band join restricted to incoming × existing and the same
+    * exact-over-near verdict precedence.
+    */
+  val d10IncrementalDedupSql: String = {
+    val p = 2147483647L
+    def bandRow(idx: Int): String = {
+      val a = minhashPermA31(idx)
+      val b = minhashPermB31(idx)
+      s"list_min(list_transform(h31, h -> ($a * h + $b) % $p))"
+    }
+    val bandArms = (0 until 32).map { bnd =>
+      s"  SELECT doc_id, $bnd AS band, ${bandRow(2 * bnd)} AS r0, ${bandRow(2 * bnd + 1)} AS r1 FROM g"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH d0 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(substring(source, 4) AS INTEGER) >= 10 AS incoming,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, sh, list_transform(sh, h -> h & 2147483647) AS h31,
+       |    len(sh) AS n_sh
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_sort(list_distinct(list_transform(
+       |        CASE WHEN len(t) >= 3
+       |          THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |          ELSE CAST([] AS VARCHAR[]) END,
+       |        gm -> CAST(md5_number_lower(gm) & 4611686018427387903 AS BIGINT)))) AS sh
+       |    FROM (SELECT doc_id,
+       |            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
+       |          FROM documents))),
+       |bands AS MATERIALIZED (
+       |$bandArms),
+       |exact AS (
+       |  SELECT i.doc_id, min(e.doc_id) AS exact_match
+       |  FROM d0 i JOIN d0 e ON i.fp = e.fp
+       |  WHERE i.incoming AND NOT e.incoming
+       |  GROUP BY i.doc_id),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS eid
+       |  FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1
+       |  JOIN d0 fx ON fx.doc_id = x.doc_id
+       |  JOIN d0 fy ON fy.doc_id = y.doc_id
+       |  WHERE fx.incoming AND NOT fy.incoming),
+       |near AS (
+       |  SELECT doc_id, min(eid) AS near_match FROM (
+       |    SELECT c.doc_id, c.eid, len(list_intersect(a.sh, b.sh)) AS inter,
+       |      a.n_sh AS n_a, b.n_sh AS n_b
+       |    FROM cand c JOIN g a ON a.doc_id = c.doc_id
+       |    JOIN g b ON b.doc_id = c.eid)
+       |  WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.2
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN exact_match IS NOT NULL THEN 'exact'
+       |       WHEN near_match IS NOT NULL THEN 'near'
+       |       ELSE 'new' END AS verdict,
+       |  coalesce(exact_match, near_match) AS match_id
+       |FROM d0 d LEFT JOIN exact USING (doc_id) LEFT JOIN near USING (doc_id)
+       |WHERE d.incoming ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_ngram_jaccard" -> d2NgramJaccard,
@@ -757,7 +892,8 @@ object Dedup {
     "d6_keep_best" -> d6KeepBest,
     "d7_semantic_dedup" -> d7SemanticDedup,
     "d8_span_dedup" -> d8SpanDedup,
-    "d9_containment" -> d9Containment)
+    "d9_containment" -> d9Containment,
+    "d10_incremental_dedup" -> d10IncrementalDedup)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1ExactDedupSql,
@@ -768,5 +904,6 @@ object Dedup {
     "d6_keep_best" -> d6KeepBestSql,
     "d7_semantic_dedup" -> d7SemanticDedupSql,
     "d8_span_dedup" -> d8SpanDedupSql,
-    "d9_containment" -> d9ContainmentSql)
+    "d9_containment" -> d9ContainmentSql,
+    "d10_incremental_dedup" -> d10IncrementalDedupSql)
 }

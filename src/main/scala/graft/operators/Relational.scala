@@ -2659,6 +2659,85 @@ object Relational {
       |FROM ranked WHERE cum * 2 >= tot
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------ q67_pattern_match
+  /** Sequence-pattern matching with an EXCLUSION — the MATCH_RECOGNIZE /
+    * CEP core that plain funnels (q52) cannot express: per user, every
+    * purchase whose most recent preceding click is within one hour AND
+    * has no error event anywhere between them. The per-row state (last
+    * click's timestamp and the error count AS OF that click) is carried
+    * by last(..., ignoreNulls) over the running frame, so "no error
+    * between" is one integer equality — cum_err(purchase) ==
+    * cum_err(last click) — instead of a self-join or an exists probe.
+    * ONE user-keyed exchange + one sorted run serves all four window
+    * columns; everything after is a per-user agg on the same key.
+    */
+  val q67PatternMatch: Q = (s, d) => patternMatches(t(s, d, "events"))
+
+  /** q67 over an arbitrary events frame (user_id, ts, event_id,
+    * event_type) — the spec plants a click→error→purchase sequence (rare
+    * in the synthetic stream) to prove the exclusion rejects it.
+    */
+  def patternMatches(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("event_type"))
+      .withColumn("cum_err",
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).over(w))
+      .withColumn("click_tus",
+        last(when(col("event_type") === "click", col("tus")),
+          ignoreNulls = true).over(w))
+      .withColumn("click_err",
+        last(when(col("event_type") === "click", col("cum_err")),
+          ignoreNulls = true).over(w))
+    ev.where(col("event_type") === "purchase" &&
+        col("click_tus").isNotNull &&
+        col("tus") - col("click_tus") <= 3600000000L &&
+        col("cum_err") === col("click_err"))
+      .withColumn("gap_s", expr("(tus - click_tus) DIV 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("tus")).as("first_match_tus"),
+        min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB twin: the same running error count and ignore-nulls state
+    * carry (two CTE layers — the carried cum_err must exist before the
+    * second window reads it), identical match predicate and rollup.
+    */
+  val q67PatternMatchSql: String =
+    """WITH e0 AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_err
+      |  FROM events),
+      |e1 AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type = 'click' THEN tus END
+      |      IGNORE NULLS) OVER w AS click_tus,
+      |    last_value(CASE WHEN event_type = 'click' THEN cum_err END
+      |      IGNORE NULLS) OVER w AS click_err
+      |  FROM e0
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |m AS (
+      |  SELECT user_id, tus, (tus - click_tus) // 1000000 AS gap_s
+      |  FROM e1
+      |  WHERE event_type = 'purchase' AND click_tus IS NOT NULL
+      |    AND tus - click_tus <= 3600000000 AND cum_err = click_err)
+      |SELECT user_id, count(*) AS n_matches,
+      |  CAST(min(tus) AS BIGINT) AS first_match_tus,
+      |  CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+      |  CAST(max(gap_s) AS BIGINT) AS max_gap_s
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -2725,7 +2804,8 @@ object Relational {
     "q63_transitions" -> q63Transitions,
     "q64_rank_family" -> q64RankFamily,
     "q65_twap" -> q65Twap,
-    "q66_weighted_median" -> q66WeightedMedian)
+    "q66_weighted_median" -> q66WeightedMedian,
+    "q67_pattern_match" -> q67PatternMatch)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2792,5 +2872,6 @@ object Relational {
     "q63_transitions" -> q63TransitionsSql,
     "q64_rank_family" -> q64RankFamilySql,
     "q65_twap" -> q65TwapSql,
-    "q66_weighted_median" -> q66WeightedMedianSql)
+    "q66_weighted_median" -> q66WeightedMedianSql,
+    "q67_pattern_match" -> q67PatternMatchSql)
 }

@@ -324,6 +324,29 @@ class CurationSpec extends SparkSpec {
     assert(uf(11L) == 11L && uf(12L) == 12L)
   }
 
+  test("d10 incremental dedup: planted exact/near/new verdicts, exact wins over near") {
+    val rows = Seq(
+      // standing corpus
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi", false),
+      (2L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen", false),
+      (3L, "totally different standing corpus content lives here for good measure today", false),
+      // incoming: exact dup of 1 (whitespace + case differ only), near-dup
+      // of 2 (one word changed), and fresh content
+      (10L, "Alpha  beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi", true),
+      (11L, "one two three four five six seven eight nine ten eleven twelve thirteen fifteen", true),
+      (12L, "completely novel incoming text with entirely fresh words nothing shared at all", true))
+    val df = rows.toDF("doc_id", "text", "incoming")
+    val out = Dedup.incrementalDedup(df).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out == Map(
+      10L -> ("exact", 1L), // also J=1 near of doc 1 — exact takes priority
+      11L -> ("near", 2L),
+      12L -> ("new", -1L)))
+    // only incoming docs are judged
+    assert(!out.contains(1L) && !out.contains(2L) && !out.contains(3L))
+  }
+
   test("t23 novelty: first-occurrence shares match a scan reference; earliest doc fully novel") {
     val base = Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect()

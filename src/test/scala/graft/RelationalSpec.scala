@@ -706,4 +706,55 @@ class RelationalSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toSeq
     assert(got == expect)
   }
+
+  test("q67 pattern match: per-user scan reference; error exclusion is load-bearing") {
+    import spark.implicits._
+    // sf0.01: sf0.001's event stream has no in-window pair an intervening
+    // error rejects, so the exclusion assertion needs the bigger stream
+    val qDir = "/root/testdata/sf0.01"
+    val ev = Tables.load(spark, qDir, "events")
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    def matches(checkErrs: Boolean): Seq[(Long, Long, Long, Long, Long)] =
+      ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+        val s0 = rows.sortBy(r => (r._2, r._3))
+        var lastClick: Option[(Long, Long)] = None // (click tus, errs at click)
+        var errs = 0L
+        val ms = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        s0.foreach { case (_, tus, _, et) =>
+          if (et == "error") errs += 1
+          if (et == "click") lastClick = Some((tus, errs))
+          if (et == "purchase") lastClick.foreach { case (ct, ce) =>
+            if (tus - ct <= 3600000000L && (!checkErrs || errs == ce))
+              ms += ((tus, (tus - ct) / 1000000L))
+          }
+        }
+        if (ms.isEmpty) None
+        else Some((u, ms.size.toLong, ms.map(_._1).min,
+          ms.map(_._2).min, ms.map(_._2).max))
+      }.sortBy(_._1)
+    val expect = matches(checkErrs = true)
+    val got = Relational.q67PatternMatch(spark, qDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // exclusion semantics on a planted stream (the synthetic corpus has
+    // no in-window pair an intervening error rejects, so plant one):
+    // u1 click→error→purchase rejected, u2 click→purchase matches,
+    // u3 purchase 2h after click rejected, u4 error BEFORE click is fine
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val planted = Seq(
+      (1L, ts(0), 1L, "click"), (1L, ts(10), 2L, "error"),
+      (1L, ts(20), 3L, "purchase"),
+      (2L, ts(0), 4L, "click"), (2L, ts(30), 5L, "purchase"),
+      (3L, ts(0), 6L, "click"), (3L, ts(120), 7L, "purchase"),
+      (4L, ts(0), 8L, "error"), (4L, ts(5), 9L, "click"),
+      (4L, ts(25), 10L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val p = Relational.patternMatches(planted)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(p == Seq(
+      (2L, 1L, 30L * 60000000L, 1800L, 1800L),
+      (4L, 1L, 25L * 60000000L, 1200L, 1200L)))
+  }
 }
