@@ -76,5 +76,6 @@ object SparkEntry {
     "g5_kcore", "q61_table_diff", "d9_containment", "g6_cooccur", "q62_debounce", "mm6_vad",
     "t22_langid_audit", "q63_transitions", "q64_rank_family", "q65_twap",
     "q66_weighted_median", "t23_novelty", "g7_linkpred", "mm7_resize",
-    "d10_incremental_dedup", "q67_pattern_match")
+    "d10_incremental_dedup", "q67_pattern_match",
+    "v9_rerank", "q68_rolling_distinct")
 }

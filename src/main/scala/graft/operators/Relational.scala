@@ -2738,6 +2738,62 @@ object Relational {
       |  CAST(max(gap_s) AS BIGINT) AS max_gap_s
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------- q68_rolling_distinct
+  /** Trailing-window distinct — DAU / WAU / stickiness, the metric
+    * COUNT(DISTINCT) cannot slide because distinct is not subtractable:
+    * a naive trailing-7-day distinct re-scans seven days of raw events
+    * PER OUTPUT DAY. Bitmap algebra makes it one fact scan: per-day user
+    * bitmaps (q56's mergeable aggregate in its WORDS form), then the
+    * trailing week is a bit_or fold over day pairs — days × 7 × words
+    * rows of pure in-plan arithmetic, never the raw events again. DAU
+    * pops out of each day's own bitmap; stickiness = DAU/WAU divides
+    * identically-spelled integers.
+    */
+  val q68RollingDistinct: Q = (s, d) => {
+    import graft.expressions.BitmapDistinct.bitmapWords
+    val db = t(s, d, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(bitmapWords(col("user_id"), 1 << 14).as("bm"),
+        count(lit(1)).as("n_events"))
+      .localCheckpoint(true) // one fact scan; both join sides + DAU reuse it
+    val dau = db.select(col("day"), col("n_events"),
+      expr("aggregate(bm, 0L, (acc, x) -> acc + bit_count(x))").as("dau"))
+    val wau = db.select(col("day"), posexplode(col("bm")).as(Seq("pos", "w")))
+      .as("a")
+      .join(db.select(col("day").as("day2"), posexplode(col("bm"))
+        .as(Seq("pos2", "w2"))).as("b"),
+        col("pos") === col("pos2") &&
+          datediff(col("day"), col("day2")).between(0, 6))
+      .groupBy(col("day"), col("pos"))
+      .agg(expr("bit_or(w2)").as("ow"))
+      .groupBy(col("day"))
+      .agg(sum(expr("bit_count(ow)")).cast("long").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("n_events"), col("dau"), col("wau"),
+        sround(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin states the SEMANTICS — a plain trailing-window
+    * count(DISTINCT) re-join — proving the bitmap algebra computes the
+    * exact rolling distinct, not an estimate.
+    */
+  val q68RollingDistinctSql: String =
+    """WITH days AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM events GROUP BY 1),
+      |wau AS (
+      |  SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+      |  FROM days d JOIN events e
+      |    ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+      |  GROUP BY d.day)
+      |SELECT d.day, d.n_events, d.dau, w.wau,
+      |  floor(CAST(d.dau AS DOUBLE) / w.wau * 10000.0 + 0.5) / 10000.0
+      |    AS stickiness
+      |FROM days d JOIN wau w USING (day) ORDER BY d.day""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -2805,7 +2861,8 @@ object Relational {
     "q64_rank_family" -> q64RankFamily,
     "q65_twap" -> q65Twap,
     "q66_weighted_median" -> q66WeightedMedian,
-    "q67_pattern_match" -> q67PatternMatch)
+    "q67_pattern_match" -> q67PatternMatch,
+    "q68_rolling_distinct" -> q68RollingDistinct)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2873,5 +2930,6 @@ object Relational {
     "q64_rank_family" -> q64RankFamilySql,
     "q65_twap" -> q65TwapSql,
     "q66_weighted_median" -> q66WeightedMedianSql,
-    "q67_pattern_match" -> q67PatternMatchSql)
+    "q67_pattern_match" -> q67PatternMatchSql,
+    "q68_rolling_distinct" -> q68RollingDistinctSql)
 }

@@ -756,6 +756,109 @@ object Similarity {
        |SELECT q_id, rnk, n_id, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
        |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
 
+  // ----------------------------------------------------- v9_rerank
+  /** Two-stage retrieval — the production serving architecture every
+    * vector stack converges on: a CHEAP coarse pass (v5's int8-quantized
+    * cosine) shortlists 4·k candidates per query by ids alone, then the
+    * exact float rerank runs ONLY on the shortlist, with the full-precision
+    * vectors RE-FETCHED BY JOIN (the coarse index stores codes, not
+    * vectors — at 100 TB the float embeddings never ride through the
+    * scoring scan, only |queries|·4k of them are ever materialized).
+    * Output carries both ranks, so the reorder the rerank performs is
+    * visible (coarse_rnk ≠ rnk rows are exactly the quantization errors
+    * the second stage repairs).
+    */
+  val v9Rerank: Q = (s, d) => {
+    val SL = 4 * K
+    val e = emb(s, d)
+    val scaled = e.select(col("vec_id"), col("embedding"),
+      (array_max(transform(col("embedding"), x => abs(x))) / lit(127.0))
+        .as("scale"))
+      .filter(col("scale") > 0)
+    val quant = scaled.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x / col("scale") + lit(0.5)).cast("double")).as("qv"))
+    val withNorm = quant.select(col("vec_id"), col("qv"),
+      dot(col("qv"), col("qv")).as("qn"))
+    val cq = withNorm.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("qn").as("q_qn"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("coarse").desc, col("n_id").asc)
+    val short = withNorm.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+        col("qn").as("n_qn"))
+      .join(broadcast(cq), col("n_id") =!= col("q_id"))
+      .withColumn("coarse",
+        cosineWithNorms(dot(col("q_qv"), col("n_qv")), col("q_qn"), col("n_qn")))
+      .withColumn("coarse_rnk", row_number().over(wc).cast("int"))
+      .filter(col("coarse_rnk") <= SL)
+      .select(col("q_id"), col("n_id"), col("coarse_rnk"))
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    short
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        "n_id")
+      .join(broadcast(e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))),
+        "q_id")
+      .withColumn("sim", cosineWithNorms(dot(col("q_emb"), col("n_emb")),
+        normSq(col("q_emb")), normSq(col("n_emb"))))
+      .withColumn("rnk", row_number().over(wf).cast("int"))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("n_id"),
+        sround(col("sim"), 4).as("sim"), col("coarse_rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB twin: v5's quantized coarse CTEs → 4k shortlist → exact
+    * cosine rerank over vectors re-joined from the embeddings table.
+    */
+  val v9RerankSql: String =
+    s"""WITH scaled AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |  FROM embeddings),
+       |quant AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) / scale + 0.5)) AS qv
+       |  FROM scaled WHERE scale > 0),
+       |normed AS (
+       |  SELECT vec_id, qv,
+       |    list_sum(list_transform(qv, x -> x * x)) AS qn
+       |  FROM quant),
+       |cpairs AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |    list_sum(list_transform(range(1, len(q.qv) + 1),
+       |      i -> q.qv[i] * n.qv[i])) / (sqrt(q.qn) * sqrt(n.qn)) AS coarse
+       |  FROM normed n, normed q
+       |  WHERE q.vec_id < $NQ AND n.vec_id != q.vec_id),
+       |short AS (
+       |  SELECT q_id, n_id, coarse_rnk FROM (
+       |    SELECT q_id, n_id,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY coarse DESC, n_id ASC) AS INTEGER) AS coarse_rnk
+       |    FROM cpairs)
+       |  WHERE coarse_rnk <= ${4 * K}),
+       |ex AS (
+       |  SELECT s.q_id, s.n_id, s.coarse_rnk,
+       |    list_sum(list_transform(range(1, len(ne.embedding) + 1),
+       |      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, len(qe.embedding) + 1),
+       |         i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(range(1, len(ne.embedding) + 1),
+       |         i -> CAST(ne.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)))))
+       |      AS sim
+       |  FROM short s JOIN embeddings ne ON ne.vec_id = s.n_id
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, sim, coarse_rnk,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
+       |  FROM ex)
+       |SELECT q_id, rnk, n_id, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim,
+       |  coarse_rnk
+       |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "v1_knn_brute" -> v1KnnBrute,
@@ -765,7 +868,8 @@ object Similarity {
     "v5_int8_ann" -> v5Int8Ann,
     "v6_pq_ann" -> v6PqAnn,
     "v7_mips" -> v7Mips,
-    "v8_filtered_ann" -> v8FilteredAnn)
+    "v8_filtered_ann" -> v8FilteredAnn,
+    "v9_rerank" -> v9Rerank)
 
   val oracles: Map[String, String] = Map(
     "v1_knn_brute" -> v1KnnBruteSql,
@@ -775,5 +879,6 @@ object Similarity {
     "v5_int8_ann" -> v5Int8AnnSql,
     "v6_pq_ann" -> v6PqAnnSql,
     "v7_mips" -> v7MipsSql,
-    "v8_filtered_ann" -> v8FilteredAnnSql)
+    "v8_filtered_ann" -> v8FilteredAnnSql,
+    "v9_rerank" -> v9RerankSql)
 }

@@ -757,4 +757,28 @@ class RelationalSpec extends SparkSpec {
       (2L, 1L, 30L * 60000000L, 1800L, 1800L),
       (4L, 1L, 25L * 60000000L, 1200L, 1200L)))
   }
+
+  test("q68 rolling distinct: bitmap WAU == brute trailing-window distinct; WAU bounds DAU") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(to_date($"ts").cast("string").as("day"), $"user_id")
+      .as[(String, Long)].collect()
+    val byDay = ev.groupBy(_._1)
+    val expect = byDay.keys.toSeq.sorted.map { d0 =>
+      val ep = java.time.LocalDate.parse(d0).toEpochDay
+      val dau = byDay(d0).map(_._2).distinct.length.toLong
+      val wau = byDay.filter { case (d2, _) =>
+        val k = ep - java.time.LocalDate.parse(d2).toEpochDay
+        k >= 0 && k <= 6
+      }.values.flatten.map(_._2).toSet.size.toLong
+      (d0, byDay(d0).length.toLong, dau, wau,
+        math.floor(dau.toDouble / wau * 10000.0 + 0.5) / 10000.0)
+    }
+    val got = Relational.q68RollingDistinct(spark, sfDir)
+      .select(col("day").cast("string"), col("n_events"), col("dau"),
+        col("wau"), col("stickiness"))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expect)
+    assert(got.forall(r => r._4 >= r._3 && r._5 <= 1.0))
+  }
 }

@@ -346,6 +346,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("v9 rerank: recall >= coarse-only v5; sims agree with v1 on shared pairs; stage 2 reorders") {
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exactDf = Similarity.v1KnnBrute(spark, sfDir)
+    val exact = topSet(exactDf)
+    val coarse = topSet(Similarity.v5Int8Ann(spark, sfDir))
+    val v9df = Similarity.v9Rerank(spark, sfDir)
+    val v9rows = v9df.collect()
+    val v9 = v9rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val r5 = exact.intersect(coarse).size.toDouble / exact.size
+    val r9 = exact.intersect(v9).size.toDouble / exact.size
+    assert(r9 >= r5, s"rerank recall $r9 fell below coarse-only $r5")
+    assert(r9 >= 0.9, s"two-stage recall too low: $r9")
+    // shared (q, n) pairs carry v1's exact sim — the rerank scores with
+    // the identical float spelling, not the quantized approximation
+    val v1Sims = exactDf.collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(v9rows.forall { r =>
+      v1Sims.get((r.getLong(0), r.getLong(2))).forall(_ == r.getDouble(3)) })
+    // the second stage is load-bearing: some kept row moved rank
+    assert(v9rows.exists(r => r.getInt(1) != r.getInt(4)))
+  }
+
   test("mm7 resize: stride picks, both checksums and the payload md5 match a scan reference") {
     val base = Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect()
