@@ -2794,6 +2794,141 @@ object Relational {
       |    AS stickiness
       |FROM days d JOIN wau w USING (day) ORDER BY d.day""".stripMargin
 
+  // ------------------------------------------------------------ q69_ohlc
+  /** OHLC bars (open-high-low-close + volume) per (event_type, day) —
+    * the time-series downsampling primitive behind every financial /
+    * metrics dashboard. Open and close are POSITIONAL (first/last value
+    * by event time), which plain aggregates can't see: two row_number
+    * flags over the same (type, day) key — forward and reverse order —
+    * mark the boundary rows, and the groupBy lifts them out with
+    * max(when(rn=1, ...)). ONE hash Exchange on the bucket key serves
+    * both window sorts AND the aggregation; money is integer cents until
+    * the final /100 spell.
+    */
+  val q69Ohlc: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wf = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("tus"), col("event_id"))
+    val wr = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("tus").desc, col("event_id").desc)
+    t(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("tus"), col("event_id"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(wf))
+      .withColumn("rnd", row_number().over(wr))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(when(col("rn") === 1, col("cents"))).cast("double") / lit(100.0))
+          .as("open"),
+        (max(col("cents")).cast("double") / lit(100.0)).as("high"),
+        (min(col("cents")).cast("double") / lit(100.0)).as("low"),
+        (max(when(col("rnd") === 1, col("cents"))).cast("double") / lit(100.0))
+          .as("close"),
+        (sum(col("cents")).cast("double") / lit(100.0)).as("volume"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q69OhlcSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS tus,
+      |    event_id,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, day
+      |      ORDER BY tus, event_id) AS rn,
+      |    row_number() OVER (PARTITION BY event_type, day
+      |      ORDER BY tus DESC, event_id DESC) AS rnd
+      |  FROM ev)
+      |SELECT event_type, day, count(*) AS n_events,
+      |  CAST(max(CASE WHEN rn = 1 THEN cents END) AS DOUBLE) / 100.0 AS open,
+      |  CAST(max(cents) AS DOUBLE) / 100.0 AS high,
+      |  CAST(min(cents) AS DOUBLE) / 100.0 AS low,
+      |  CAST(max(CASE WHEN rnd = 1 THEN cents END) AS DOUBLE) / 100.0 AS close,
+      |  CAST(sum(cents) AS DOUBLE) / 100.0 AS volume
+      |FROM flagged GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
+  // --------------------------------------------------------- q70_ab_test
+  /** A/B experiment readout with a Welch t-statistic — the decision
+    * primitive experimentation platforms run at fleet scale. Assignment
+    * is deterministic (user parity); per (metric, arm) the ONLY
+    * aggregates are exact integer moments — n, Σcents, Σcents² — so the
+    * partial aggregation re-associates with zero drift and every derived
+    * float (means, Welch variance, the t itself) is ONE identically-
+    * spelled expression over exact integers: bit-stable across engines
+    * with no sorted fold needed. Σcents² stays far inside BIGINT
+    * (≤ 10^8 per row). The arms pivot into one row per metric via
+    * conditional aggregation on the same key — no join.
+    */
+  val q70AbTest: Q = (s, d) => {
+    val m = t(s, d, "events")
+      .select(col("event_type"),
+        (col("user_id") % 2 === 0).as("in_a"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("in_a"), col("cents")).otherwise(0L)).as("s1_a"),
+        sum(when(col("in_a"), col("cents") * col("cents")).otherwise(0L))
+          .as("s2_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("in_a"), col("cents")).otherwise(0L)).as("s1_b"),
+        sum(when(!col("in_a"), col("cents") * col("cents")).otherwise(0L))
+          .as("s2_b"))
+    import org.apache.spark.sql.Column
+    def mean(s1: Column, n: Column) = s1.cast("double") / n / lit(100.0)
+    def varc(s2: Column, s1: Column, n: Column) =
+      (s2.cast("double") - s1.cast("double") * s1 / n) / (n - lit(1))
+    val va = varc(col("s2_a"), col("s1_a"), col("n_a"))
+    val vb = varc(col("s2_b"), col("s1_b"), col("n_b"))
+    m.select(col("event_type"), col("n_a"), col("n_b"),
+        sround(mean(col("s1_a"), col("n_a")), 4).as("mean_a"),
+        sround(mean(col("s1_b"), col("n_b")), 4).as("mean_b"),
+        sround((mean(col("s1_a"), col("n_a")) - mean(col("s1_b"), col("n_b")))
+          / sqrt(va / col("n_a") + vb / col("n_b")) * lit(100.0), 4)
+          .as("t_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin: the identical integer moments and the identical
+    * float spellings (the t's numerator means divide by 100, the
+    * cents-scale variances cancel after the *100 factor).
+    */
+  val q70AbTestSql: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0
+      |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS s1_a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0
+      |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+      |         * CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS s2_a,
+      |    CAST(sum(CASE WHEN user_id % 2 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN user_id % 2 != 0
+      |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS s1_b,
+      |    CAST(sum(CASE WHEN user_id % 2 != 0
+      |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+      |         * CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS s2_b
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n_a, n_b,
+      |  floor(CAST(s1_a AS DOUBLE) / n_a / 100.0 * 10000.0 + 0.5) / 10000.0
+      |    AS mean_a,
+      |  floor(CAST(s1_b AS DOUBLE) / n_b / 100.0 * 10000.0 + 0.5) / 10000.0
+      |    AS mean_b,
+      |  floor((CAST(s1_a AS DOUBLE) / n_a / 100.0
+      |       - CAST(s1_b AS DOUBLE) / n_b / 100.0)
+      |    / sqrt((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a)
+      |        / (n_a - 1) / n_a
+      |      + (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)
+      |        / (n_b - 1) / n_b) * 100.0 * 10000.0 + 0.5) / 10000.0 AS t_stat
+      |FROM m ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -2862,7 +2997,9 @@ object Relational {
     "q65_twap" -> q65Twap,
     "q66_weighted_median" -> q66WeightedMedian,
     "q67_pattern_match" -> q67PatternMatch,
-    "q68_rolling_distinct" -> q68RollingDistinct)
+    "q68_rolling_distinct" -> q68RollingDistinct,
+    "q69_ohlc" -> q69Ohlc,
+    "q70_ab_test" -> q70AbTest)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2931,5 +3068,7 @@ object Relational {
     "q65_twap" -> q65TwapSql,
     "q66_weighted_median" -> q66WeightedMedianSql,
     "q67_pattern_match" -> q67PatternMatchSql,
-    "q68_rolling_distinct" -> q68RollingDistinctSql)
+    "q68_rolling_distinct" -> q68RollingDistinctSql,
+    "q69_ohlc" -> q69OhlcSql,
+    "q70_ab_test" -> q70AbTestSql)
 }

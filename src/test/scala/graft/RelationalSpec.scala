@@ -781,4 +781,51 @@ class RelationalSpec extends SparkSpec {
     assert(got == expect)
     assert(got.forall(r => r._4 >= r._3 && r._5 <= 1.0))
   }
+
+  test("q69 OHLC: positional open/close match a scan reference; bars are well-formed") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"event_type", to_date($"ts").cast("string").as("day"),
+        unix_micros($"ts").as("tus"), $"event_id",
+        floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+      .as[(String, String, Long, Long, Long)].collect()
+    val expect = ev.groupBy(r => (r._1, r._2)).toSeq.map { case ((et, day), rows) =>
+      val s0 = rows.sortBy(r => (r._3, r._4)).map(_._5)
+      (et, day, rows.length.toLong, s0.head / 100.0, s0.max / 100.0,
+        s0.min / 100.0, s0.last / 100.0, s0.sum / 100.0)
+    }.sortBy(r => (r._1, r._2))
+    val got = Relational.q69Ohlc(spark, sfDir)
+      .select(col("event_type"), col("day").cast("string"), col("n_events"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+      .as[(String, String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == expect)
+    assert(got.forall(r => r._6 <= r._4 && r._4 <= r._5 &&
+      r._6 <= r._7 && r._7 <= r._5))
+  }
+
+  test("q70 A/B: Welch t recomputes from exact integer moments; arms partition the stream") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"event_type", ($"user_id" % 2 === 0).as("in_a"),
+        floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+      .as[(String, Boolean, Long)].collect()
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val expect = ev.groupBy(_._1).toSeq.map { case (et, rows) =>
+      val (a, b) = rows.partition(_._2)
+      def moments(xs: Array[(String, Boolean, Long)]) =
+        (xs.length.toLong, xs.map(_._3).sum, xs.map(x => x._3 * x._3).sum)
+      val (na, s1a, s2a) = moments(a)
+      val (nb, s1b, s2b) = moments(b)
+      val (ma, mb) = (s1a.toDouble / na / 100.0, s1b.toDouble / nb / 100.0)
+      val va = (s2a.toDouble - s1a.toDouble * s1a / na) / (na - 1)
+      val vb = (s2b.toDouble - s1b.toDouble * s1b / nb) / (nb - 1)
+      val t0 = (ma - mb) / math.sqrt(va / na + vb / nb) * 100.0
+      (et, na, nb, r4(ma), r4(mb), r4(t0))
+    }.sortBy(_._1)
+    val got = Relational.q70AbTest(spark, sfDir)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == expect)
+    assert(got.forall(r => r._2 + r._3 == ev.count(_._1 == r._1)))
+  }
 }
