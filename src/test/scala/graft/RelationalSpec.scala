@@ -575,6 +575,15 @@ class RelationalSpec extends SparkSpec {
     assert(!pd9.contains("CartesianProduct") &&
       !pd9.contains("BroadcastNestedLoopJoin"),
       "containment candidates must come from the inverted-index equi-join")
+    // q67/q69: the windows AND the rollup share one hash exchange (the
+    // only other Exchange is the final orderBy's range partitioning)
+    for ((n, df) <- Seq(
+        "q67" -> Relational.q67PatternMatch(spark, sfDir),
+        "q69" -> Relational.q69Ohlc(spark, sfDir))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$n must hash-shuffle exactly once (windows + rollup share the key)")
+    }
   }
 
   test("q63 transitions: row-stochastic matrix matching a scan reference") {
