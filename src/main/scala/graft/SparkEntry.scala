@@ -77,5 +77,6 @@ object SparkEntry {
     "t22_langid_audit", "q63_transitions", "q64_rank_family", "q65_twap",
     "q66_weighted_median", "t23_novelty", "g7_linkpred", "mm7_resize",
     "d10_incremental_dedup", "q67_pattern_match",
-    "v9_rerank", "q68_rolling_distinct", "q69_ohlc", "q70_ab_test")
+    "v9_rerank", "q68_rolling_distinct", "q69_ohlc", "q70_ab_test",
+    "t24_code_switch")
 }

@@ -138,22 +138,33 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "y", "es", "una"),
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
-  val t3LangId: Q = (s, d) => {
-    // one fused tokenize-and-count pass (LangScores kernel) — the HOF form
-    // re-tokenized the document once per language (5 interpreted filters)
-    val scoresCol = org.apache.spark.sql.graft.ColumnBridge.column(
+  /** Fused stopword-count kernel (LangScores) over an arbitrary text
+    * expression — the HOF form re-tokenized the document once per
+    * language (5 interpreted filters). Shared by t3 and t24.
+    */
+  private def langScoresCol(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expressions.LangScores(
-        org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(c),
         langMarkers.map(_._2.toArray).toArray))
-    val base = docs(s, d)
-      .select(col("doc_id"), col("lang"), scoresCol.as("sc"))
+
+  /** First-max-wins language pick over a LangScores array — the same
+    * tie order as the oracle's CASE chain.
+    */
+  private def predExprFrom(sc: Column): Column = {
     val scores = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
-      lang -> element_at(col("sc"), i + 1)
+      lang -> element_at(sc, i + 1)
     }
     val best = greatest(scores.map(_._2): _*)
-    val predExpr = scores.reverse.foldLeft(lit(null).cast("string")) {
+    scores.reverse.foldLeft(lit(null).cast("string")) {
       case (elseExpr, (lang, score)) => when(score === best, lang).otherwise(elseExpr)
     }
+  }
+
+  val t3LangId: Q = (s, d) => {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("lang"), langScoresCol(col("text")).as("sc"))
+    val predExpr = predExprFrom(col("sc"))
     base.select(
       col("doc_id"), col("lang"),
       predExpr.as("pred_lang"),
@@ -161,10 +172,13 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  private val langScoreSql: String = langMarkers.map { case (lang, words) =>
-    val list = words.map(w => s"'$w'").mkString(",")
-    s"CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ($list))) AS BIGINT) AS c_$lang"
-  }.mkString(",\n    ")
+  private def langScoreSqlFor(texpr: String): String =
+    langMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(",")
+      s"CAST(len(list_filter(regexp_split_to_array(lower($texpr), '\\s+'), t -> t IN ($list))) AS BIGINT) AS c_$lang"
+    }.mkString(",\n    ")
+
+  private val langScoreSql: String = langScoreSqlFor("text")
 
   val t3LangIdSql: String =
     s"""WITH f AS (
@@ -1271,6 +1285,70 @@ object TextAnalysis {
       |FROM grams gr JOIN first f USING (g)
       |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin
 
+  // ------------------------------------------------ t24_code_switch
+  /** Code-switch / mixed-language detection: language-ID the HEAD and
+    * TAIL halves of each document independently and flag disagreement —
+    * the curation signal that catches concatenation artifacts and
+    * mid-document language flips that a whole-document classifier
+    * averages away (a 50/50 en/de doc scores confidently "en" overall
+    * and then poisons a monolingual training mix). Two fused LangScores
+    * kernel evaluations per row over substring views — narrow, zero
+    * shuffles before the final sort; the split point is the character
+    * midpoint, deterministic in both engines.
+    */
+  val t24CodeSwitch: Q = (s, d) => codeSwitch(docs(s, d))
+
+  /** t24 over an arbitrary documents frame — the spec plants a
+    * half-English half-German document (the synthetic corpus is
+    * monolingual by construction).
+    */
+  def codeSwitch(docsDf: DataFrame): DataFrame = {
+    val h1 = expr("substring(text, 1, length(text) DIV 2)")
+    val h2 = expr("substring(text, length(text) DIV 2 + 1, length(text))")
+    docsDf
+      .select(col("doc_id"), col("lang"),
+        langScoresCol(h1).as("sc1"), langScoresCol(h2).as("sc2"))
+      .select(col("doc_id"), col("lang"),
+        predExprFrom(col("sc1")).as("pred_head"),
+        predExprFrom(col("sc2")).as("pred_tail"))
+      .withColumn("is_switched", col("pred_head") =!= col("pred_tail"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: identical midpoint split, per-half stopword counts,
+    * and first-max-wins pick.
+    */
+  val t24CodeSwitchSql: String = {
+    val pick =
+      """CASE WHEN c_en = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'en'
+        |         WHEN c_de = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'de'
+        |         WHEN c_fr = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'fr'
+        |         WHEN c_es = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'es'
+        |         ELSE 'zh' END""".stripMargin
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    substr(text, 1, length(text) // 2) AS head_text,
+       |    substr(text, length(text) // 2 + 1, length(text)) AS tail_text
+       |  FROM documents),
+       |f1 AS (
+       |  SELECT doc_id, lang,
+       |    ${langScoreSqlFor("head_text")}
+       |  FROM h),
+       |p1 AS (
+       |  SELECT doc_id, lang, $pick AS pred_head
+       |  FROM f1),
+       |f2 AS (
+       |  SELECT doc_id,
+       |    ${langScoreSqlFor("tail_text")}
+       |  FROM h),
+       |p2 AS (
+       |  SELECT doc_id, $pick AS pred_tail
+       |  FROM f2)
+       |SELECT p1.doc_id, p1.lang, pred_head, pred_tail,
+       |  pred_head != pred_tail AS is_switched
+       |FROM p1 JOIN p2 USING (doc_id) ORDER BY p1.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t1_text_stats" -> t1TextStats,
@@ -1292,6 +1370,7 @@ object TextAnalysis {
     "t21_bpe_merges" -> t21BpeMerges,
     "t22_langid_audit" -> t22LangidAudit,
     "t23_novelty" -> t23Novelty,
+    "t24_code_switch" -> t24CodeSwitch,
     "t10_tfidf" -> t10Tfidf,
     "t11_packing" -> t11Packing,
     "t12_redact" -> t12Redact,
@@ -1317,6 +1396,7 @@ object TextAnalysis {
     "t21_bpe_merges" -> t21BpeMergesSql,
     "t22_langid_audit" -> t22LangidAuditSql,
     "t23_novelty" -> t23NoveltySql,
+    "t24_code_switch" -> t24CodeSwitchSql,
     "t10_tfidf" -> t10TfidfSql,
     "t11_packing" -> t11PackingSql,
     "t12_redact" -> t12RedactSql,

@@ -72,7 +72,13 @@ object ScaleProbe {
       "q61_table_diff", "d9_containment",
       // round-6f additions: co-occurrence, debounce, VAD, langid audit
       "g6_cooccur", "q62_debounce", "mm6_vad", "t22_langid_audit",
-      "q63_transitions", "q64_rank_family", "q65_twap")
+      "q63_transitions", "q64_rank_family", "q65_twap",
+      // round-6g additions: weighted median, novelty, link prediction,
+      // resize, incremental dedup, pattern match, rerank, rolling
+      // distinct, OHLC, A/B readout
+      "q66_weighted_median", "t23_novelty", "g7_linkpred", "mm7_resize",
+      "d10_incremental_dedup", "q67_pattern_match", "v9_rerank",
+      "q68_rolling_distinct", "q69_ohlc", "q70_ab_test")
     SparkEntry.queries(names.head)(spark, out)
       .write.format("noop").mode("overwrite").save() // warmup
     names.foreach { n =>

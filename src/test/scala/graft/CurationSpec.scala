@@ -324,6 +324,33 @@ class CurationSpec extends SparkSpec {
     assert(uf(11L) == 11L && uf(12L) == 12L)
   }
 
+  test("t24 code switch: planted mixed doc flags; monolingual docs agree with whole-doc langid") {
+    // a half-English half-German concatenation artifact, one clean
+    // English doc, one clean German doc (markers from t3's stopword sets)
+    val rows = Seq(
+      (1L, "the cat is of a kind and the dog is a friend of the house " +
+        "der hund ist nicht der freund und die katze ist das tier", "en"),
+      (2L, "the story of a house and the road to a garden is the best", "en"),
+      (3L, "der mann und die frau ist nicht das kind und der hund", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.codeSwitch(rows).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(3),
+        r.getBoolean(4))).toMap
+    assert(out(1L) == ("en", "de", true))
+    assert(out(2L) == ("en", "en", false))
+    assert(out(3L) == ("de", "de", false))
+    // corpus run: halves of monolingual synthetic docs rarely disagree —
+    // and where both halves agree, the pick equals t3's whole-doc pick
+    val whole = TextAnalysis.t3LangId(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val halves = TextAnalysis.t24CodeSwitch(spark, sfDir).collect()
+    assert(halves.nonEmpty)
+    halves.filter(r => !r.getBoolean(4)).foreach { r =>
+      assert(whole(r.getLong(0)) == r.getString(2),
+        s"doc ${r.getLong(0)}: agreeing halves must match the whole-doc pick")
+    }
+  }
+
   test("d10 incremental dedup: planted exact/near/new verdicts, exact wins over near") {
     val rows = Seq(
       // standing corpus
