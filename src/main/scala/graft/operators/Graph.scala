@@ -529,6 +529,10 @@ object Graph {
     val byZ = und.select(col("v").as("z"), col("u").as("nb"))
       .join(deg.select(col("node").as("z"), col("deg")), "z")
       .where(col("deg") <= 64)
+    // NOT checkpointed despite the dual wedge-side probe: the subtree is
+    // two cheap joins over the already-checkpointed e0, and measured
+    // (DriftBench n=5, sf0.1 + 10x) the eager materialization costs more
+    // than the recompute it saves (1.71s -> 2.00s min at sf0.1)
     val cands = byZ.as("x").join(byZ.as("y"),
         col("x.z") === col("y.z") && col("x.nb") < col("y.nb"))
       .select(col("x.nb").as("u"), col("y.nb").as("v"),
