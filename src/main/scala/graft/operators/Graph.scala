@@ -572,6 +572,87 @@ object Graph {
       |FROM scored
       |ORDER BY raw DESC, u, v LIMIT 100""".stripMargin
 
+  // --------------------------------------------------- g8_labelprop
+  /** Community detection via LABEL PROPAGATION (3 synchronous rounds)
+    * over the user↔item interaction graph — the community primitive
+    * connected components (d5) cannot give: CC merges everything
+    * reachable; LPA's majority vote finds densely-knit groups inside one
+    * giant component. Fully deterministic: every node starts labeled as
+    * itself, each round adopts the most frequent neighbor label with
+    * ties broken to the lexicographically smallest — the argmax is a
+    * per-node row_number over (count DESC, label ASC), the same
+    * first-max-wins discipline as t3/t24.
+    *
+    * Scale shape: one round = one co-partitioned edges⋈labels join + a
+    * (node, label) count + a per-node window — all keyed on the node,
+    * so a cluster run pre-partitions edges by src once and every round
+    * reuses that partitioning (g1's property). Fixed 3 rounds unroll
+    * into one plan; labels are (node, label) pairs — state linear in
+    * nodes, never in edges.
+    */
+  val g8Labelprop: Q = (s, d) => {
+    val base = bipartiteBase(s, d)
+    val labels = labelPropagate(
+      base.unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true), // probed once per round
+      rounds = 3)
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
+      .orderBy(col("n_members").desc, col("label"))
+      .limit(50)
+  }
+
+  /** The synchronous LPA core over an arbitrary DIRECTED edge frame
+    * (src, dst — pass both directions for an undirected walk): returns
+    * (node, label) after `rounds` majority votes. Factored so the spec
+    * can plant a bridge-linked two-clique graph — the case where LPA
+    * finds 2 communities and connected components can only see 1.
+    */
+  def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val w = Window.partitionBy(col("dst")).orderBy(col("c").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      labels = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(w))
+        .where(col("r") === 1)
+        .select(col("dst").as("node"), col("label"))
+    }
+    labels
+  }
+
+  /** DuckDB twin: the three rounds unrolled as CTEs with the identical
+    * majority-vote argmax (count DESC, label ASC row_number).
+    */
+  val g8LabelpropSql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label, count(*) AS c,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, l.label ASC) AS r
+         |    FROM edges e JOIN $prev l ON e.src = l.node
+         |    GROUP BY e.dst, l.label)
+         |  WHERE r = 1)"""
+    s"""WITH base AS (
+       |  SELECT DISTINCT 'u' || user_id AS src,
+       |    'k' || json_extract_string(props, '$$.k') AS dst
+       |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+       |l0 AS (
+       |  SELECT node, node AS label FROM (
+       |    SELECT DISTINCT src AS node FROM edges)),
+       |${round("l0", "l1").stripMargin},
+       |${round("l1", "l2").stripMargin},
+       |${round("l2", "l3").stripMargin}
+       |SELECT label, count(*) AS n_members, min(node) AS min_node
+       |FROM l3 GROUP BY label
+       |ORDER BY n_members DESC, label LIMIT 50""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1Pagerank,
@@ -580,7 +661,8 @@ object Graph {
     "g4_sssp" -> g4Sssp,
     "g5_kcore" -> g5Kcore,
     "g6_cooccur" -> g6Cooccur,
-    "g7_linkpred" -> g7Linkpred)
+    "g7_linkpred" -> g7Linkpred,
+    "g8_labelprop" -> g8Labelprop)
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank" -> g1PagerankSql,
@@ -589,5 +671,6 @@ object Graph {
     "g4_sssp" -> g4SsspSql,
     "g5_kcore" -> g5KcoreSql,
     "g6_cooccur" -> g6CooccurSql,
-    "g7_linkpred" -> g7LinkpredSql)
+    "g7_linkpred" -> g7LinkpredSql,
+    "g8_labelprop" -> g8LabelpropSql)
 }

@@ -201,4 +201,41 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall { case (u, v, _, _) =>
       u < v && !e0.contains((u, v)) })
   }
+
+  test("g8 labelprop: matches an in-memory sync-LPA reference; splits what CC merges") {
+    // corpus run vs in-memory reference (3 synchronous rounds, majority
+    // vote, lexicographically-smallest tie-break)
+    val base = Tables.load(spark, sfDir, "events")
+      .select(concat(lit("u"), $"user_id").as("src"),
+        concat(lit("k"), get_json_object($"props", "$.k")).as("dst"))
+      .where($"dst".isNotNull).distinct()
+      .as[(String, String)].collect()
+    val edges = base ++ base.map(_.swap)
+    var labels = edges.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = edges.groupBy(_._2).view.mapValues { in =>
+        in.map(e => labels(e._1)).groupBy(identity).toSeq
+          .map { case (l, xs) => (l, xs.size) }
+          .minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val expect = labels.groupBy(_._2).toSeq
+      .map { case (l, m) => (l, m.size.toLong, m.keys.min) }
+      .sortBy { case (l, n, _) => (-n, l) }.take(50)
+    val got = Graph.g8Labelprop(spark, sfDir)
+      .as[(String, Long, String)].collect().toSeq
+    assert(got == expect)
+    // discriminator: two triangles joined by ONE bridge — connected
+    // components see a single blob; LPA's majority vote keeps two
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L))
+    val planted = tri.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val comm = Graph.labelPropagate(planted, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(comm.values.toSet.size == 2,
+      s"bridge-linked cliques must keep two communities, got $comm")
+    assert(comm(1L) == comm(2L) && comm(2L) == comm(3L))
+    assert(comm(4L) == comm(5L) && comm(5L) == comm(6L))
+  }
 }
