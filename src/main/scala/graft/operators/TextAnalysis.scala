@@ -1246,12 +1246,16 @@ object TextAnalysis {
     * millions of docs still carry 8 bytes of aggregate state.
     */
   val t23Novelty: Q = (s, d) => {
+    // md5-62 LONG lanes via the fused array expression (d3's kernel):
+    // per-doc distinct happens INSIDE the expression, so there is no
+    // cross-row distinct() shuffle at all, and the gram exchange carries
+    // 8-byte longs instead of 32-char hex strings.
     val grams = docs(s, d)
       .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordNgrams(col("toks"), 3).as("ngrams"))
       .select(col("doc_id"),
-        explode(wordNgrams(col("toks"), 3)).as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("g"))
-      .distinct()
+        explode(graft.expressions.PortableHashExpressions
+          .md5HashArray62(col("ngrams"), distinctSorted = true)).as("g"))
     val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
     grams.join(first, "g")
       .groupBy(col("doc_id"))
@@ -1272,9 +1276,12 @@ object TextAnalysis {
       |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
       |  FROM documents),
       |grams AS (
-      |  SELECT DISTINCT doc_id,
-      |    md5(unnest(list_transform(range(1, len(t) - 1),
-      |      i -> array_to_string(t[i:i+2], ' ')))) AS g
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      list_transform(range(1, len(t) - 1),
+      |        i -> array_to_string(t[i:i+2], ' ')),
+      |      gm -> CAST(md5_number_lower(gm) & 4611686018427387903 AS BIGINT))))
+      |      AS g
       |  FROM toks WHERE len(t) >= 3),
       |first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
       |SELECT gr.doc_id, count(*) AS n_grams,
