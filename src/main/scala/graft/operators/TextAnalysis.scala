@@ -386,12 +386,16 @@ object TextAnalysis {
     * acceptable.
     */
   val t9Contamination: Q = (s, d) => {
-    val grams = docs(s, d)
+    // md5-62 LONG lanes via the fused array expression (t23/d3's kernel):
+    // the per-doc distinct happens inside the expression — no cross-row
+    // distinct() shuffle — and the gram exchange carries longs, not
+    // 32-char hex strings.
+    val gd = docs(s, d)
       .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordNgrams(col("toks"), 8).as("ngrams"))
       .select(col("doc_id"),
-        explode(wordNgrams(col("toks"), 8)).as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("g"))
-    val gd = grams.distinct()
+        explode(graft.expressions.PortableHashExpressions
+          .md5HashArray62(col("ngrams"), distinctSorted = true)).as("g"))
     val test = gd.filter(col("doc_id") % 20 === 0)
     val trainGrams = gd.filter(col("doc_id") % 20 =!= 0)
       .select(col("g")).distinct()
@@ -412,10 +416,13 @@ object TextAnalysis {
       |  FROM documents),
       |grams AS (
       |  SELECT doc_id,
-      |    md5(unnest(list_transform(range(1, len(t) - 6),
-      |      i -> array_to_string(t[i:i+7], ' ')))) AS g
+      |    unnest(list_distinct(list_transform(
+      |      list_transform(range(1, len(t) - 6),
+      |        i -> array_to_string(t[i:i+7], ' ')),
+      |      gm -> CAST(md5_number_lower(gm) & 4611686018427387903 AS BIGINT))))
+      |      AS g
       |  FROM toks WHERE len(t) >= 8),
-      |test AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 20 = 0),
+      |test AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 = 0),
       |train AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 != 0),
       |hits AS (
       |  SELECT doc_id, count(*) AS n_contaminated
