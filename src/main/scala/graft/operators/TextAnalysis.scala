@@ -450,18 +450,21 @@ object TextAnalysis {
     * approximate operator.
     */
   val t14BloomContamination: Q = (s, d) => {
+    // the fused md5-62 array kernel (t9/t23's rework): per-doc distinct
+    // inside the expression, long lanes — no string gram rows anywhere
     val grams = docs(s, d)
       .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(wordNgrams(col("toks"), 8)).as("gram"))
+      .select(col("doc_id"), wordNgrams(col("toks"), 8).as("ngrams"))
       .select(col("doc_id"),
-        graft.expressions.PortableHashExpressions.md5Hash62(col("gram")).as("h"))
+        explode(graft.expressions.PortableHashExpressions
+          .md5HashArray62(col("ngrams"), distinctSorted = true)).as("h"))
     // the build side needs NO distinct and therefore NO shuffle: bloom
-    // inserts are idempotent, so each partition folds its raw gram stream
+    // inserts are idempotent, so each partition folds its gram stream
     // into a 512 KiB partial map-side and only the partials merge — the
     // train side of the audit costs one narrow pass at any scale
     val bloom = grams.filter(col("doc_id") % 20 =!= 0)
       .agg(graft.expressions.BloomSketch.bloomBuild(col("h")).as("bloom"))
-    grams.filter(col("doc_id") % 20 === 0).distinct()
+    grams.filter(col("doc_id") % 20 === 0) // already per-doc distinct
       .crossJoin(broadcast(bloom)) // one 512 KiB row to every executor
       .select(col("doc_id"),
         graft.expressions.BloomSketch.bloomHit(col("bloom"), col("h")).as("hit"))

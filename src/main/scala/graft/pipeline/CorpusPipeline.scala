@@ -192,10 +192,14 @@ object CorpusPipeline {
     val keepers = front.last._2
 
     val train = keepers.filter(col("doc_id") % 20 =!= 0).localCheckpoint(true)
+    // t9/t23's fused-kernel shape: per-doc-distinct md5-62 long lanes,
+    // no string gram rows, no cross-row distinct shuffle
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(wordNgrams(col("toks"), 8)).as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("g"))
+      .select(col("doc_id"), wordNgrams(col("toks"), 8).as("ngrams"))
+      .select(col("doc_id"),
+        explode(graft.expressions.PortableHashExpressions
+          .md5HashArray62(col("ngrams"), distinctSorted = true)).as("g"))
     val holdoutGrams = grams(raw.filter(col("doc_id") % 20 === 0))
       .select(col("g")).distinct()
     val contaminated = grams(train).join(holdoutGrams, "g")
@@ -254,13 +258,19 @@ object CorpusPipeline {
       |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
       |  FROM documents),
       |hold_g AS (
-      |  SELECT DISTINCT md5(unnest(list_transform(range(1, len(t) - 6),
-      |      i -> array_to_string(t[i:i+7], ' ')))) AS g
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |      list_transform(range(1, len(t) - 6),
+      |        i -> array_to_string(t[i:i+7], ' ')),
+      |      gm -> CAST(md5_number_lower(gm) & 4611686018427387903 AS BIGINT))))
+      |      AS g
       |  FROM toks WHERE len(t) >= 8 AND doc_id % 20 = 0),
       |train_g AS (
       |  SELECT DISTINCT tk.doc_id,
-      |    md5(unnest(list_transform(range(1, len(tk.t) - 6),
-      |      i -> array_to_string(tk.t[i:i+7], ' ')))) AS g
+      |    unnest(list_distinct(list_transform(
+      |      list_transform(range(1, len(tk.t) - 6),
+      |        i -> array_to_string(tk.t[i:i+7], ' ')),
+      |      gm -> CAST(md5_number_lower(gm) & 4611686018427387903 AS BIGINT))))
+      |      AS g
       |  FROM toks tk JOIN train tr USING (doc_id) WHERE len(tk.t) >= 8),
       |dirty AS (SELECT DISTINCT doc_id FROM train_g WHERE g IN (SELECT g FROM hold_g)),
       |decon AS (
