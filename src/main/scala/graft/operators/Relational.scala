@@ -2929,6 +2929,65 @@ object Relational {
       |        / (n_b - 1) / n_b) * 100.0 * 10000.0 + 0.5) / 10000.0 AS t_stat
       |FROM m ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------- q71_pareto
+  /** Contribution / ABC analysis — "which parts make up 80% of revenue"
+    * (the inventory-classification primitive): per-part revenue totals,
+    * ranked, with running cumulative share and an A/B/C class at the
+    * 80% / 95% cut points. The fact scan collapses to ONE hash agg on
+    * the part key before any window runs, so the ranking window's input
+    * is bounded by the CATALOG size, not the fact count (q66's histogram
+    * discipline — at 100 TB the lineitems are billions but the parts are
+    * still a catalog). Money is integer cents throughout; the class
+    * predicates are integer cross-multiplications (cum*100 vs tot*80),
+    * so no float enters any boundary decision, and the shares divide
+    * identically-spelled exact integers.
+    */
+  val q71Pareto: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val totals = t(s, d, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sumCents(col("l_extendedprice")).as("cents"))
+    val wrun = Window.orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals
+      .withColumn("cum", sum(col("cents")).over(wrun))
+      .withColumn("tot", sum(col("cents")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("l_partkey"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        sround(col("cents").cast("double") / col("tot"), 6).as("share"),
+        sround(col("cum").cast("double") / col("tot"), 6).as("cum_share"),
+        when(col("cum") * lit(100L) <= col("tot") * lit(80L), "A")
+          .when(col("cum") * lit(100L) <= col("tot") * lit(95L), "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("cum_share"), col("l_partkey"))
+  }
+
+  val q71ParetoSql: String =
+    """WITH totals AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |ranked AS (
+      |  SELECT l_partkey, cents,
+      |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(sum(cents) OVER () AS BIGINT) AS tot
+      |  FROM totals)
+      |SELECT l_partkey,
+      |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+      |  floor(CAST(cents AS DOUBLE) / tot * 1000000.0 + 0.5) / 1000000.0
+      |    AS share,
+      |  floor(CAST(cum AS DOUBLE) / tot * 1000000.0 + 0.5) / 1000000.0
+      |    AS cum_share,
+      |  CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+      |       WHEN cum * 100 <= tot * 95 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM ranked
+      |ORDER BY cum_share, l_partkey""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -2999,7 +3058,8 @@ object Relational {
     "q67_pattern_match" -> q67PatternMatch,
     "q68_rolling_distinct" -> q68RollingDistinct,
     "q69_ohlc" -> q69Ohlc,
-    "q70_ab_test" -> q70AbTest)
+    "q70_ab_test" -> q70AbTest,
+    "q71_pareto" -> q71Pareto)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -3070,5 +3130,6 @@ object Relational {
     "q67_pattern_match" -> q67PatternMatchSql,
     "q68_rolling_distinct" -> q68RollingDistinctSql,
     "q69_ohlc" -> q69OhlcSql,
-    "q70_ab_test" -> q70AbTestSql)
+    "q70_ab_test" -> q70AbTestSql,
+    "q71_pareto" -> q71ParetoSql)
 }

@@ -837,4 +837,30 @@ class RelationalSpec extends SparkSpec {
     assert(got == expect)
     assert(got.forall(r => r._2 + r._3 == ev.count(_._1 == r._1)))
   }
+
+  test("q71 Pareto: cumulative shares match a scan reference; classes are contiguous") {
+    import spark.implicits._
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_partkey",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("c"))
+      .as[(Long, Long)].collect()
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val totals = li.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (k, c) => (-c, k) }
+    val tot = totals.map(_._2).sum
+    var cum = 0L
+    val expect = totals.map { case (k, c) =>
+      cum += c
+      val cls = if (cum * 100 <= tot * 80) "A"
+        else if (cum * 100 <= tot * 95) "B" else "C"
+      (k, c / 100.0, r6(c.toDouble / tot), r6(cum.toDouble / tot), cls)
+    }.sortBy(r => (r._4, r._1))
+    val got = Relational.q71Pareto(spark, sfDir)
+      .as[(Long, Double, Double, Double, String)].collect().toSeq
+    assert(got == expect)
+    // classes are contiguous prefixes of the ranking: A then B then C
+    val classes = got.map(_._5)
+    assert(classes == classes.sortBy("ABC".indexOf(_)))
+    assert(classes.toSet == Set("A", "B", "C"))
+  }
 }
