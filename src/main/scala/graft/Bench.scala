@@ -32,14 +32,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {
+      // Snapshot the persisted-RDD ids so cleanup below touches only the
+      // blocks THIS query created — a cross-query cached table (none
+      // today, but e.g. a cached Tables.load) must not be silently
+      // evicted mid-suite, and a shared localCheckpoint must stay
+      // recomputable.
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val dt =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
       // Drop this query's localCheckpoint blocks BEFORE the next timing:
       // the iterative queries (graph rounds, dedup components, pipelines)
       // eagerly cache lineage cuts, and 100+ queries of retained blocks
@@ -47,7 +55,9 @@ object Bench {
       // whichever later query the collector fires under (observed: a
       // 0.7s query billed 58s mid-suite). Unpersist is outside the
       // timed window; each query still pays for its OWN checkpoints.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
       dt
     }
 

@@ -46,6 +46,18 @@ object Relational {
     * (cents fit in BIGINT way past 100 TB of rows). SQL twin:
     * CAST(sum(CAST(floor(x * 100.0 + 0.5) AS BIGINT)) AS BIGINT).
     */
+  /** Exact-bitmap id-domain capacity for q59/q68 ([[graft.expressions
+    * .BitmapDistinct]] words). The driver testdata's user_id domain is
+    * dense [0, 15000·SF) (seed-42 spec), so 2^14 covers every shipped SF
+    * with headroom; BitmapDistinct aborts LOUDLY (never silently wrong)
+    * on any id >= capacity, and wider real-world id domains raise
+    * `graft.bitmap.capacity` without a code change. State cost is
+    * capacity/8 bytes per group — size it to the id domain, not the row
+    * count.
+    */
+  private def bitmapCapacity(s: SparkSession): Int =
+    s.conf.getOption("graft.bitmap.capacity").map(_.toInt).getOrElse(1 << 14)
+
   private def sumCents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(floor(c * lit(100.0) + lit(0.5)).cast("long"))
 
@@ -2090,12 +2102,14 @@ object Relational {
     *     PARTITION BY spark_partition_id() plans a pointless full-data
     *     hash Exchange on the pid (verified via explain) — partition-LOCAL
     *     running state is the one shape Window can't express shuffle-free;
-    *  2. global exact pass over the tiny survivor set — two windows: a
-    *     RANGE frame over strictly-higher v (min n → dominated_hi) and a
-    *     per-v partition min (dominated_same). The global window is
-    *     single-partition BY DESIGN: its input is the union of local
-    *     skylines (≤ frontier size per partition), the same bounded merge
-    *     step as q36's shard rollup — never the raw point set.
+    *  2. global exact pass over the tiny survivor set — a strictly-
+    *     higher-v running MIN (dominated_hi) and a per-v partition min
+    *     (dominated_same). The merge input is the union of local
+    *     skylines (≤ frontier size per partition, guarded by
+    *     `graft.skyline.maxMergeRows`), never the raw point set; and the
+    *     running min itself is SHARDED over the v domain with a driver-
+    *     folded exclusive prefix-min (the q36/q71 two-phase prefix
+    *     pattern), so no single-partition WindowExec exists in the plan.
     *
     * Money rides as integer cents so dominance compares are exact; the
     * oracle states the SEMANTICS (NOT EXISTS a dominating point) rather
@@ -2120,11 +2134,47 @@ object Relational {
         }
       }
       .toDF("user_id", "v", "n")
-    val hi = Window.orderBy(col("v").desc)
+      .localCheckpoint(true) // materialized once: the bound check below + stage 2
+    // Stage 2's single-partition window is safe ONLY because its input is
+    // the union of per-partition frontiers; promote that claim to a loud
+    // runtime guard so a pathological (strongly anti-correlated v/n)
+    // distribution fails with a named knob instead of silently funneling
+    // a huge survivor set through one task.
+    val maxMerge = s.conf.getOption("graft.skyline.maxMergeRows")
+      .map(_.toLong).getOrElse(5000000L)
+    val nSurv = survivors.count()
+    require(nSurv <= maxMerge,
+      s"q57 skyline stage-2 merge input ($nSurv rows) exceeds " +
+        s"graft.skyline.maxMergeRows=$maxMerge — the local-frontier union is " +
+        "pathologically large; raise the knob or add a pre-merge round")
+    // Stage 2 distributed exactly like q36/q71's prefix pattern: shard
+    // the v domain (shard asc = v strictly desc, v-ties co-sharded), run
+    // the strictly-higher-v running MIN per shard, and fold in the
+    // exclusive prefix-min of earlier (all strictly-higher-v) shards —
+    // one tiny driver collect of per-shard mins, no single-partition
+    // WindowExec even on a pathological frontier.
+    val Row(loV: Long, hiV: Long) =
+      survivors.agg(min(col("v")), max(col("v"))).head()
+    val nSh = math.max(1, s.sparkContext.defaultParallelism)
+    val shW = math.max(1L, (hiV - loV) / nSh + 1L)
+    val sharded = survivors.withColumn("shard",
+      ((lit(hiV) - col("v")) / lit(shW)).cast("int"))
+    val shardMins = sharded.groupBy(col("shard")).agg(min(col("n")).as("mn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val shardIds = shardMins.keys.toSeq.sorted
+    val prefMin: Map[Int, Long] = shardIds.zip(
+      shardIds.scanLeft(Long.MaxValue)((a, i) => math.min(a, shardMins(i))).init).toMap
+    val prefCol = element_at(
+      map(prefMin.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        Seq(lit(k), lit(v)) }: _*),
+      col("shard"))
+    val hi = Window.partitionBy(col("shard")).orderBy(col("v").desc)
       .rangeBetween(Window.unboundedPreceding, -1)
     val same = Window.partitionBy(col("v"))
-    survivors
-      .withColumn("mn_hi", min(col("n")).over(hi))
+    sharded
+      // least() skips nulls; MaxValue marks "no earlier shard" → null
+      .withColumn("mn_hi", least(min(col("n")).over(hi),
+        when(prefCol === lit(Long.MaxValue), lit(null)).otherwise(prefCol)))
       .withColumn("mn_same", min(col("n")).over(same))
       .where((col("mn_hi").isNull || col("mn_hi") > col("n")) &&
         col("mn_same") >= col("n"))
@@ -2171,6 +2221,13 @@ object Relational {
         datediff(col("mx_day"), to_date(col("ts"))).as("age"))
       // shiftleft's bit count is a COLUMN here (the Scala wrapper only
       // takes a literal), hence the SQL spelling; still codegen'd.
+      // BOUNDED DOMAIN: the oracle sums into HUGEINT while this BIGINT
+      // sum wraps silently with ANSI off, so the domain must be stated:
+      // with cents < 2^17 (value <= ~$1,310) each term is < 2^47, and
+      // the per-user sum stays inside 2^63 for up to 2^16 in-horizon
+      // rows per user — orders of magnitude above any real 30-day
+      // per-user event count. Outside that envelope, respell the decay
+      // as DOUBLE exp2 on BOTH sides instead of the shift.
       .select(col("user_id"),
         expr("CASE WHEN age <= 30 THEN shiftleft(cents, 30 - age) " +
           "ELSE 0L END").as("w"))
@@ -2220,7 +2277,7 @@ object Relational {
     val wb = t(s, d, "events")
       .select(wk.as("week"), col("user_id"))
       .groupBy(col("week"))
-      .agg(bitmapWords(col("user_id"), 1 << 14).as("bm"))
+      .agg(bitmapWords(col("user_id"), bitmapCapacity(s)).as("bm"))
       .localCheckpoint(true) // one fact scan; both join sides reuse it
     val pairs = wb.select(col("week"), col("bm").as("bma"))
       .join(wb.select(col("week").as("wkb"), col("bm").as("bmb")),
@@ -2563,6 +2620,10 @@ object Relational {
           " - tus) DIV 1000000"))
       .where(col("dur_s").isNotNull)
       .groupBy(col("user_id"))
+      // BOUNDED DOMAIN (q58's caveat): the oracle sums HUGEINT while this
+      // BIGINT sum wraps silently with ANSI off. cents < 2^17 and
+      // dur_s < 2^25 (~1 year) bound each term under 2^42, leaving 2^21
+      // segments per user before 2^63 — far beyond any per-user stream.
       .agg(count(lit(1)).as("n_segs"),
         sum(col("cents") * col("dur_s")).as("wsum"),
         sum(col("dur_s")).as("tdur"))
@@ -2754,7 +2815,7 @@ object Relational {
     val db = t(s, d, "events")
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .groupBy(col("day"))
-      .agg(bitmapWords(col("user_id"), 1 << 14).as("bm"),
+      .agg(bitmapWords(col("user_id"), bitmapCapacity(s)).as("bm"),
         count(lit(1)).as("n_events"))
       .localCheckpoint(true) // one fact scan; both join sides + DAU reuse it
     val dau = db.select(col("day"), col("n_events"),
@@ -2883,7 +2944,11 @@ object Relational {
       (s2.cast("double") - s1.cast("double") * s1 / n) / (n - lit(1))
     val va = varc(col("s2_a"), col("s1_a"), col("n_a"))
     val vb = varc(col("s2_b"), col("s1_b"), col("n_b"))
-    m.select(col("event_type"), col("n_a"), col("n_b"),
+    // Welch needs n>1 per arm (the /(n-1) sample variance); a 0/1-sized
+    // arm yields NaN/Inf with engine-dependent spelling, so degenerate
+    // cells are excluded IDENTICALLY here and in the oracle.
+    m.where(col("n_a") > 1 && col("n_b") > 1)
+      .select(col("event_type"), col("n_a"), col("n_b"),
         sround(mean(col("s1_a"), col("n_a")), 4).as("mean_a"),
         sround(mean(col("s1_b"), col("n_b")), 4).as("mean_b"),
         sround((mean(col("s1_a"), col("n_a")) - mean(col("s1_b"), col("n_b")))
@@ -2927,7 +2992,7 @@ object Relational {
       |        / (n_a - 1) / n_a
       |      + (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)
       |        / (n_b - 1) / n_b) * 100.0 * 10000.0 + 0.5) / 10000.0 AS t_stat
-      |FROM m ORDER BY event_type""".stripMargin
+      |FROM m WHERE n_a > 1 AND n_b > 1 ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------- q71_pareto
   /** Contribution / ABC analysis — "which parts make up 80% of revenue"
@@ -2937,22 +3002,46 @@ object Relational {
     * the part key before any window runs, so the ranking window's input
     * is bounded by the CATALOG size, not the fact count (q66's histogram
     * discipline — at 100 TB the lineitems are billions but the parts are
-    * still a catalog). Money is integer cents throughout; the class
-    * predicates are integer cross-multiplications (cum*100 vs tot*80),
-    * so no float enters any boundary decision, and the shares divide
-    * identically-spelled exact integers.
+    * still a catalog). The running cum-sum itself is DISTRIBUTED via the
+    * q36 two-phase prefix sum: the cents domain is cut into equal-width
+    * shards (shard asc = cents strictly desc, ties co-sharded), each
+    * shard running-sums in parallel, and the per-shard totals (one long
+    * each) are exclusive-prefix-summed on the driver and broadcast back
+    * as offsets — so even a 100M-part catalog never funnels through a
+    * single-partition WindowExec. Money is integer cents throughout; the
+    * class predicates are integer cross-multiplications (cum*100 vs
+    * tot*80), so no float enters any boundary decision, and the shares
+    * divide identically-spelled exact integers.
     */
   val q71Pareto: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val totals = t(s, d, "lineitem")
       .groupBy(col("l_partkey"))
       .agg(sumCents(col("l_extendedprice")).as("cents"))
-    val wrun = Window.orderBy(col("cents").desc, col("l_partkey"))
+      .localCheckpoint(true) // read thrice: domain probe, shard totals, ranked pass
+    val Row(loC: Long, hiC: Long) =
+      totals.agg(min(col("cents")), max(col("cents"))).head()
+    val nShards = math.max(1, s.sparkContext.defaultParallelism)
+    val width = math.max(1L, (hiC - loC) / nShards + 1L)
+    // shard 0 holds the HIGHEST cents; monotone float division keeps
+    // shard non-decreasing as cents decreases, equal cents co-sharded
+    val sharded = totals.withColumn("shard",
+      ((lit(hiC) - col("cents")) / lit(width)).cast("int"))
+    val byShard = sharded.groupBy(col("shard")).agg(sum(col("cents")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ids = byShard.keys.toSeq.sorted
+    val offsets = ids.zip(ids.scanLeft(0L)((a, i) => a + byShard(i)).init).toMap
+    val grand = byShard.values.sum
+    val offsetCol = coalesce(element_at(
+      map(offsets.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        Seq(lit(k), lit(v)) }: _*),
+      col("shard")), lit(0L))
+    val wrun = Window.partitionBy(col("shard"))
+      .orderBy(col("cents").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    totals
-      .withColumn("cum", sum(col("cents")).over(wrun))
-      .withColumn("tot", sum(col("cents")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    sharded
+      .withColumn("cum", sum(col("cents")).over(wrun) + offsetCol)
+      .withColumn("tot", lit(grand))
       .select(col("l_partkey"),
         (col("cents").cast("double") / lit(100.0)).as("revenue"),
         sround(col("cents").cast("double") / col("tot"), 6).as("share"),

@@ -109,7 +109,66 @@ object Ingest {
       csvPath: String,
       warehouseDir: String): DataFrame = {
     val schema = Schemas.sources.toMap.apply(name)
-    val enriched = withAirbyteMeta(readCsv(spark, csvPath, schema))
+    writeAndRegister(spark, name,
+      withAirbyteMeta(readCsv(spark, csvPath, schema)), warehouseDir)
+  }
+
+  /** JDBC read aligned to the declared ingest schema — the live-relational
+    * seam. The reference's actual source is a running Postgres consumed
+    * over logical replication (`wal_level = logical`, slot `airbyte_slot`
+    * — reference `Diary of Making.md:101-127`); this is the batch-connector
+    * equivalent: `spark.read.format("jdbc")` against any JDBC database,
+    * cast to the same declared schema the CSV path uses so downstream is
+    * transport-agnostic (drivers report SMALLINT as short and TIMESTAMP as
+    * session-zoned; the cast normalizes both).
+    *
+    * Scale: pass partitionColumn/lowerBound/upperBound/numPartitions in
+    * `options` to split the fact read into Spark's standard parallel JDBC
+    * range queries; dims read single-partition (catalog-sized).
+    */
+  def readJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val reader = options.foldLeft(
+      spark.read.format("jdbc").option("url", url).option("dbtable", table)) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    // as(name, Metadata.empty) drops the driver-stamped field metadata
+    // (jdbcClientType etc.) so the landed schema is byte-identical to the
+    // CSV path's — transport must not leak into the table contract
+    reader.load().select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType)
+        .as(f.name, org.apache.spark.sql.types.Metadata.empty)): _*)
+  }
+
+  /** JDBC twin of [[ingestTable]]: same provenance stamping, same
+    * partitioned layout, same registration — `ingestTableJdbc(url)` and
+    * `ingestTable(csv)` produce identical tables up to the random
+    * provenance values (UberSpec proves it against embedded Derby).
+    */
+  def ingestTableJdbc(
+      spark: SparkSession,
+      name: String,
+      url: String,
+      warehouseDir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val schema = Schemas.sources.toMap.apply(name)
+    writeAndRegister(spark, name,
+      withAirbyteMeta(readJdbc(spark, url, name, schema, options)), warehouseDir)
+  }
+
+  /** Shared landing step for every transport: month-partitioned parquet for
+    * the fact table, plain parquet for dims, temp-view registration through
+    * the source registry.
+    */
+  private def writeAndRegister(
+      spark: SparkSession,
+      name: String,
+      enriched: DataFrame,
+      warehouseDir: String): DataFrame = {
     val path = s"$warehouseDir/$name"
     if (name == "raw_data_janjune_15") {
       enriched

@@ -321,8 +321,18 @@ class StreamingSpec extends SparkSpec {
       .as[Debounce.Ev].collect().sortBy(e => (e.tus, e.event_id))
     val src = Files.createTempDirectory("debounce_stream").toString
     val slice = (evs.length + 2) / 3
+    val t0 = System.currentTimeMillis()
     evs.grouped(slice).zipWithIndex.foreach { case (chunk, i) =>
       chunk.toSeq.toDS().repartition(1).write.parquet(s"$src/slice_$i")
+      // FileStreamSource drains in modification-time order; slices written
+      // within one mtime tick would tie and could be picked up out of
+      // order, flaking the order-sensitive kept-anchor assertion — stamp
+      // strictly increasing mtimes explicitly.
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(s"$src/slice_$i")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L)))
     }
     val stream = spark.readStream
       .schema("user_id LONG, event_type STRING, tus LONG, event_id LONG")
@@ -350,5 +360,45 @@ class StreamingSpec extends SparkSpec {
       k -> batchKept.getOrElse(k, total)
     }
     assert(streamedKept == expect)
+  }
+
+  test("hourly rollup over a RATE source (non-file): closed windows match the twin") {
+    // The reference's Kafka TO-DO (Diary of Making.md:383-386) needs the
+    // transform to be source-agnostic; every other spec here replays files.
+    // Prove the seam on a genuinely unbounded, non-file source: the rate
+    // source with DETERMINISTIC event time derived from the row counter
+    // (one synthetic event per minute of event time), so each closed
+    // hour window has an exactly computable twin — no engine change, the
+    // same EventsStream.hourlyRollup.
+    val base = 472223L * 3600L // hour-aligned epoch seconds
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "2000").load()
+    val evs = rate.select(
+      timestamp_seconds(lit(base) + col("value") * 60).as("ts"),
+      concat(lit("t"), col("value") % 3).as("event_type"),
+      (col("value") % 100).cast("double").as("value"))
+    val q = EventsStream.hourlyRollup(evs)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("rate_out").start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (spark.table("rate_out").isEmpty &&
+          System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.table("rate_out")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+    assert(out.nonEmpty, "rate source produced no closed windows in 120s")
+    // one event per minute, types cycling with period 3, windows hour-
+    // aligned from an hour-aligned epoch → every closed hour holds exactly
+    // 20 events per type
+    out.foreach { case (hs, tpe, cnt, _) =>
+      assert((hs.getTime / 1000 - base) % 3600 == 0,
+        s"window start misaligned: $hs")
+      assert(cnt == 20L, s"closed window ($hs, $tpe) cnt=$cnt != 20")
+    }
+    assert(out.map(_._1).distinct.length * 3 == out.length,
+      "every closed hour must emit all three event types")
   }
 }

@@ -218,4 +218,52 @@ class TextDedupSpec extends SparkSpec {
     assert(firstDoc._3 == firstDistinct,
       s"first doc kept ${firstDoc._3}, expected $firstDistinct")
   }
+
+  test("d7 parity holds when embeddings.vec_id is NOT a subset of documents.doc_id") {
+    // The oracle's `comp JOIN q USING (doc_id)` drops embedding-only ids
+    // AFTER they participate in connected components; the Spark side must
+    // do exactly the same — orphans bridge clusters but never appear in
+    // the output, and cluster_size counts only document-backed members.
+    // (Parity previously leaned on the driver-testdata invariant
+    // vec_id ⊆ doc_id; this fixture breaks that invariant on purpose.)
+    val dir = java.nio.file.Files.createTempDirectory("graft_d7_orphans").toString
+    Seq(
+      (1L, "alpha beta gamma delta", "en", "web", 22L),
+      (2L, "epsilon zeta eta theta", "en", "web", 22L),
+      (3L, "iota kappa lambda mu", "en", "web", 20L),
+      (4L, "nu xi omicron pi rho", "en", "web", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq(
+      // label 0: docs 1 and 2 are NOT a direct pair (cos=0) but orphan 100
+      // is >=0.35-similar to both — it must bridge them into one cluster
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 0),
+      (100L, Array(0.7f, 0.7f, 0f, 0f), 0),
+      // label 1: orphan 101 pairs only with doc 3; orphan 0 pairs only
+      // with doc 4 AND is the cluster minimum (canonical id = orphan id)
+      (3L, Array(0f, 0f, 1f, 0f), 1),
+      (4L, Array(0f, 0f, 0f, 1f), 1),
+      (101L, Array(0f, 0f, 1f, 0.1f), 1),
+      (0L, Array(0f, 0f, 0.1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Dedup.d7SemanticDedup(spark, dir)
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"is_kept")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      s"output must be exactly the document-backed ids, got ${out.map(_._1).toSeq}")
+    // orphan 100 bridged 1 and 2; size counts only document-backed members
+    assert(byId(1L)._2 == 1L && byId(2L)._2 == 1L, "orphan must bridge docs 1,2")
+    assert(byId(1L)._3 == 2L && byId(2L)._3 == 2L,
+      "cluster_size must exclude the orphan bridge")
+    // canonical cluster id may BE an orphan id (min member), like the oracle
+    assert(byId(4L)._2 == 0L, s"doc 4's canonical id must be orphan 0, got ${byId(4L)._2}")
+    assert(byId(3L)._2 == 3L && byId(3L)._3 == 1L)
+    // exactly one keeper per cluster
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._4) == 1, s"cluster $cid keepers != 1")
+    }
+  }
 }

@@ -265,4 +265,73 @@ class UberSpec extends SparkSpec {
     // restore the fixture state for any test ordering after this one
     graft.uber.Ingest.ingestAll(spark, csv, wh)
   }
+
+  test("jdbc ingest == csv ingest: identical tables through the same seam") {
+    // The reference's real source is a live Postgres (logical replication,
+    // slot airbyte_slot — Diary of Making.md:101-127); prove the
+    // transport-agnostic seam by replaying the SAME fixture through an
+    // embedded Derby and asserting table-for-table equality with the CSV
+    // path (modulo the random provenance values).
+    val (csv, wh) = dirs
+    val url = "jdbc:derby:memory:uberjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // reference DDL (Diary of Making.md:64-68), Derby spelling
+      st.executeUpdate("CREATE TABLE taxi_zone_lookup (" +
+        "locationid SMALLINT PRIMARY KEY, borough VARCHAR(32), zone VARCHAR(64))")
+      st.executeUpdate("CREATE TABLE base_num_and_name (" +
+        "base_num VARCHAR(6) PRIMARY KEY, base_name VARCHAR(64))")
+      st.executeUpdate("CREATE TABLE raw_data_janjune_15 (" +
+        "dispatching_base_num VARCHAR(6), pickup_date TIMESTAMP, " +
+        "affiliated_base_num VARCHAR(6), locationid SMALLINT)")
+      import scala.jdk.CollectionConverters._
+      def rows(name: String): Seq[Array[String]] =
+        Files.readAllLines(Paths.get(s"$csv/$name.csv")).asScala.toSeq
+          .drop(1).filter(_.nonEmpty).map(_.split(",", -1))
+      val pz = conn.prepareStatement("INSERT INTO taxi_zone_lookup VALUES (?,?,?)")
+      rows("taxi_zone_lookup").foreach { r =>
+        pz.setInt(1, r(0).toInt); pz.setString(2, r(1)); pz.setString(3, r(2))
+        pz.executeUpdate()
+      }
+      val pb = conn.prepareStatement("INSERT INTO base_num_and_name VALUES (?,?)")
+      rows("base_num_and_name").foreach { r =>
+        pb.setString(1, r(0)); pb.setString(2, r(1)); pb.executeUpdate()
+      }
+      val pf = conn.prepareStatement("INSERT INTO raw_data_janjune_15 VALUES (?,?,?,?)")
+      rows("raw_data_janjune_15").foreach { r =>
+        pf.setString(1, r(0))
+        if (r(1).isEmpty) pf.setNull(2, java.sql.Types.TIMESTAMP)
+        else pf.setTimestamp(2, java.sql.Timestamp.valueOf(r(1)))
+        pf.setString(3, r(2)); pf.setInt(4, r(3).toInt)
+        pf.executeUpdate()
+      }
+    } finally conn.close()
+    val whJ = Files.createTempDirectory("uber_jdbc_wh").toString
+    val base = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    graft.uber.Schemas.sources.foreach { case (name, _) =>
+      val opts =
+        if (name == "raw_data_janjune_15")
+          // exercise the parallel range-scan path the 100 TB read uses
+          base ++ Map("partitionColumn" -> "locationid",
+            "lowerBound" -> "1", "upperBound" -> "7", "numPartitions" -> "3")
+        else base
+      graft.uber.Ingest.ingestTableJdbc(spark, name, url, whJ, opts)
+    }
+    graft.uber.Schemas.sources.foreach { case (name, schema) =>
+      val cols = schema.fieldNames.toSeq ++
+        (if (name == "raw_data_janjune_15") Seq("pickup_month") else Nil)
+      val a = spark.read.parquet(s"$wh/$name").select(cols.map(col): _*)
+      val b = spark.read.parquet(s"$whJ/$name").select(cols.map(col): _*)
+      assert(a.schema == b.schema,
+        s"$name schema drifted across transports: ${a.schema} vs ${b.schema}")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$name rows differ between jdbc and csv ingest")
+    }
+    // the jdbc fact landed month-partitioned like the csv path
+    assert(new java.io.File(s"$whJ/raw_data_janjune_15").listFiles()
+      .exists(_.getName.startsWith("pickup_month=")))
+    // restore the CSV-backed views for any later test
+    graft.uber.Ingest.ingestAll(spark, csv, wh)
+  }
 }
