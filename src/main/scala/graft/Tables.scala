@@ -22,9 +22,15 @@ object Tables {
     // it arrives as epoch-nanos LongType — normalize to a microsecond
     // timestamp (integer div: a double intermediate would lose precision at
     // 1e18 ns). Guarded on the observed type so already-sane inputs pass.
-    df.schema.find(f => f.name == "ts" && f.dataType == types.LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None => df
+    // The engine contract is ts: TIMESTAMP (what timestamp_micros yields);
+    // naive-µs inputs (e.g. ScaleUp-generated data, read as TIMESTAMP_NTZ)
+    // normalize to it — same wall clock under the pinned UTC session.
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(types.LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(types.TimestampNTZType) =>
+        df.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case _ => df
     }
   }
 

@@ -183,13 +183,20 @@ object Dedup {
     */
   val d3MinhashLshSql: String = {
     val p = 2147483647L
-    def bandRow(idx: Int): String = {
+    // Columnar spelling: unnest the shingle hashes ONCE and take the 64
+    // permutation minima as plain vectorized aggregates — semantically
+    // identical to list_min(list_transform(...)) per doc (same (a*h+b)%p
+    // over the same multiset; docs with no shingles vanish from the
+    // unnest exactly as their NULL list_min never equi-joins), but
+    // orders of magnitude faster in DuckDB at large SFs, where the
+    // interpreted per-list lambda walk dominated the oracle runtime.
+    val minCols = (0 until 64).map { idx =>
       val a = minhashPermA31(idx)
       val b = minhashPermB31(idx)
-      s"list_min(list_transform(h31, h -> ($a * h + $b) % $p))"
-    }
+      s"    min(($a * h + $b) % $p) AS m$idx"
+    }.mkString(",\n")
     val bandArms = (0 until 32).map { bnd =>
-      s"  SELECT doc_id, $bnd AS band, ${bandRow(2 * bnd)} AS r0, ${bandRow(2 * bnd + 1)} AS r1 FROM g"
+      s"  SELECT doc_id, $bnd AS band, m${2 * bnd} AS r0, m${2 * bnd + 1} AS r1 FROM mins"
     }.mkString("\n  UNION ALL\n")
     s"""WITH g AS MATERIALIZED (
        |  SELECT doc_id, sh, list_transform(sh, h -> h & 2147483647) AS h31,
@@ -204,6 +211,11 @@ object Dedup {
        |    FROM (SELECT doc_id,
        |            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
        |          FROM documents))),
+       |mins AS MATERIALIZED (
+       |  SELECT doc_id,
+       |$minCols
+       |  FROM (SELECT doc_id, unnest(h31) AS h FROM g)
+       |  GROUP BY doc_id),
        |bands AS MATERIALIZED (
        |$bandArms),
        |cand AS (
@@ -826,13 +838,14 @@ object Dedup {
     */
   val d10IncrementalDedupSql: String = {
     val p = 2147483647L
-    def bandRow(idx: Int): String = {
+    // same columnar min-aggregate spelling as d3 (see comment there)
+    val minCols = (0 until 64).map { idx =>
       val a = minhashPermA31(idx)
       val b = minhashPermB31(idx)
-      s"list_min(list_transform(h31, h -> ($a * h + $b) % $p))"
-    }
+      s"    min(($a * h + $b) % $p) AS m$idx"
+    }.mkString(",\n")
     val bandArms = (0 until 32).map { bnd =>
-      s"  SELECT doc_id, $bnd AS band, ${bandRow(2 * bnd)} AS r0, ${bandRow(2 * bnd + 1)} AS r1 FROM g"
+      s"  SELECT doc_id, $bnd AS band, m${2 * bnd} AS r0, m${2 * bnd + 1} AS r1 FROM mins"
     }.mkString("\n  UNION ALL\n")
     s"""WITH d0 AS MATERIALIZED (
        |  SELECT doc_id,
@@ -852,6 +865,11 @@ object Dedup {
        |    FROM (SELECT doc_id,
        |            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
        |          FROM documents))),
+       |mins AS MATERIALIZED (
+       |  SELECT doc_id,
+       |$minCols
+       |  FROM (SELECT doc_id, unnest(h31) AS h FROM g)
+       |  GROUP BY doc_id),
        |bands AS MATERIALIZED (
        |$bandArms),
        |exact AS (

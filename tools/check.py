@@ -15,7 +15,10 @@ sf, out = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sf, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # driver testdata ships single files; ScaleUp output is a Spark
+    # directory of part files — both are one table
+    pat = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{pat}'")
 
 oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 fails = 0
