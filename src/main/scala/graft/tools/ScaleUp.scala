@@ -13,17 +13,27 @@ import graft.GraftSession
   *    exactly as a K×-bigger generated dataset would;
   *  - region/nation pass through unchanged (catalog dims: a 100 TB fleet
   *    still has 25 nations);
-  *  - replica documents get a deterministic per-copy word scramble
-  *    (sort-by-xxhash64(word, copy)): quality metrics are word-multiset
-  *    invariants so the score distribution is preserved, but word n-grams
-  *    decorrelate — the corpus keeps sf0.1's duplicate RATE instead of
-  *    becoming 90% exact-dup, which would distort every dedup oracle;
+  *  - replica documents get a per-copy Caesar cipher (alphabet rotation
+  *    via `translate`): a character bijection, so every copy is an exact
+  *    isomorphic image of the base corpus — lengths, token counts, digit
+  *    ratios, and the ENTIRE intra-copy duplicate/similarity structure
+  *    (exact dups, char/word n-gram Jaccard, shingle minhash) replicate
+  *    verbatim, while cross-copy vocabularies are disjoint. That keeps
+  *    dedup work LINEAR in K: the synthetic corpus's ~30-word vocabulary
+  *    gives a constant ~3% LSH false-positive rate between any two
+  *    untransformed docs, so without the cipher candidate pairs grow
+  *    quadratically (70M at K=10 — a data artifact no real corpus shows,
+  *    since real random-pair Jaccard is ~1e-6);
   *  - replica embeddings get a norm-preserving circular shift + sign
   *    flip: each copy's intra-copy cosine structure is IDENTICAL to the
   *    original's (the pair graph replicates), cross-copy cosines
   *    decorrelate;
   *  - events replicas keep the time axis (more traffic in the same
-  *    window — how real fleets grow) with fresh user/event ids.
+  *    window — how real fleets grow) with fresh user/event ids, and the
+  *    props.k graph keys stride per copy so the user↔k bipartite graph
+  *    grows as K disjoint replicas (key count scales with the fleet,
+  *    degree distribution preserved) instead of fixed keys becoming
+  *    K×-degree hubs.
   *
   * Everything is a pure function of (source bytes, copy index): both
   * Spark and the DuckDB oracle read the same parquet, so correctness
@@ -95,6 +105,9 @@ object ScaleUp {
         col("l_extendedprice"), col("l_discount"), col("l_tax"),
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
     }
+    val kStride = rd("events")
+      .agg(max(expr("CAST(get_json_object(props, '$.k') AS BIGINT)")))
+      .head().getLong(0) + 1L
     replicate("events") { (df, i) =>
       // the driver's events.ts is parquet TIMESTAMP(NANOS), which arrives
       // as epoch-nanos LONG under nanosAsLong — land it as a plain naive
@@ -104,25 +117,35 @@ object ScaleUp {
         if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           expr("CAST(timestamp_micros(ts div 1000) AS timestamp_ntz)")
         else col("ts")
+      // rebuild props with the copy-strided k, byte-identical format
+      val props =
+        if (i == 0) col("props")
+        else expr(
+          s"""CASE WHEN props IS NULL THEN NULL ELSE concat('{"k": ',
+             |  CAST(get_json_object(props, '$$.k') AS BIGINT) + ${i}L * $kStride,
+             |  '}') END""".stripMargin)
       df.select(off("event_id", evS, i), ts.as("ts"), off("user_id", userS, i),
-        col("event_type"), col("value"), col("props"))
+        col("event_type"), col("value"), props.as("props"))
     }
     replicate("documents") { (df, i) =>
+      // per-copy Caesar cipher: copy i shifts a-z/A-Z by i places. A
+      // character bijection preserves length, whitespace, digits, and
+      // every n-gram RELATION (two copy-i docs share a shingle iff their
+      // copy-0 originals did), while cross-copy token/shingle sets are
+      // disjoint — see the header comment for why this is the realistic
+      // scaling shape.
       val text =
         if (i == 0) col("text")
-        else expr(
-          // deterministic scramble keyed by (word, text-hash, copy):
-          // identical texts scramble identically (true duplicate pairs
-          // survive in every copy), while DIFFERENT texts sharing
-          // vocabulary get uncorrelated orders — sorting everyone by the
-          // same per-copy word hash would align shared words and
-          // manufacture millions of fake near-dup pairs
-          s"""array_join(transform(array_sort(transform(
-             |  filter(split(text, '\\\\s+'), t -> t != ''),
-             |  t -> struct(xxhash64(t, xxhash64(text), ${i}L) AS k, t AS v))), s -> s.v), ' ')""".stripMargin)
+        else {
+          val lo = "abcdefghijklmnopqrstuvwxyz"
+          val s = i % 26
+          val rotLo = lo.drop(s) + lo.take(s)
+          translate(col("text"), lo + lo.toUpperCase,
+            rotLo + rotLo.toUpperCase)
+        }
+      // length is cipher-invariant: n_chars passes through unchanged
       df.select(off("doc_id", docS, i), text.as("text"), col("lang"),
-        col("source"),
-        (if (i == 0) col("n_chars") else length(text).cast("long")).as("n_chars"))
+        col("source"), col("n_chars"))
     }
     replicate("embeddings") { (df, i) =>
       val emb =
