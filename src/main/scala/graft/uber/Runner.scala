@@ -56,6 +56,62 @@ object Runner {
   def runChecks(spark: SparkSession): Seq[Checks.CheckResult] =
     Checks.sourceChecks(spark)
 
+  /** One daily-delta run: land the increment's fact partitions (dynamic
+    * overwrite) and absorb them into every model through the partials
+    * layer — scan(delta) + fold(grain) instead of runAll's full rebuild.
+    * Requires a prior full build of `outDir` (Incremental.fullBuild or a
+    * first runIncrement after it). Returns the restated months.
+    */
+  def runIncrement(
+      spark: SparkSession,
+      incCsvPath: String,
+      warehouseDir: String,
+      outDir: String): Seq[Option[Int]] = {
+    val inc = Ingest.readCsv(spark, incCsvPath, Schemas.rawDataJanjune15)
+    val months = Incremental.affectedMonths(inc)
+    Ingest.ingestFactIncrement(spark, incCsvPath, warehouseDir)
+    Incremental.applyIncrement(spark, outDir, months)
+    months
+  }
+
+  /** Drop-folder increment processing — the scheduler-facing shape of the
+    * Airbyte-sync-then-rebuild loop: each tick, any NEW `*.csv` under
+    * `incDir` (by name, lexicographic = arrival order for timestamped
+    * drops) is applied via [[runIncrement]]; processed names persist in
+    * `stateFile` so restarts do not replay. Returns the files applied
+    * this call.
+    */
+  def processNewIncrements(
+      spark: SparkSession,
+      incDir: String,
+      warehouseDir: String,
+      outDir: String,
+      stateFile: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val statePath = Paths.get(stateFile)
+    val done: Set[String] =
+      if (Files.exists(statePath))
+        Files.readAllLines(statePath).asScala.map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    val dir = Paths.get(incDir)
+    val fresh =
+      if (!Files.isDirectory(dir)) Seq.empty[String]
+      else Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".csv") && !done.contains(n))
+        .toSeq.sorted
+    fresh.foreach { n =>
+      runIncrement(spark, s"$incDir/$n", warehouseDir, outDir)
+      // append AFTER the increment lands: a crash mid-file replays that
+      // file next tick, and both halves are idempotent re-overwrites
+      Files.writeString(statePath, n + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    fresh
+  }
+
   /** CLI: Runner <csvDir> <warehouseDir> <outDir> */
   def main(args: Array[String]): Unit = {
     val Array(csvDir, warehouseDir, outDir) = args

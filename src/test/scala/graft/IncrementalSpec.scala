@@ -95,8 +95,8 @@ class IncrementalSpec extends SparkSpec {
     val months = Incremental.affectedMonths(incDf)
     assert(months.toSet == Set(Some(2), Some(5)))
 
-    Ingest.ingestFactIncrement(spark, incCsv.toString, wh)
-    Incremental.applyIncrement(spark, out, months)
+    val applied = Runner.runIncrement(spark, incCsv.toString, wh, out)
+    assert(applied.toSet == months.toSet)
 
     assertAllModelsMatch(out, "after increment")
 
@@ -114,6 +114,42 @@ class IncrementalSpec extends SparkSpec {
       "January partials were rewritten by a February/May increment")
 
     // restore shared-view state for any test ordering after this one
+    Ingest.ingestAll(spark, csv, wh)
+  }
+
+  test("drop-folder increments apply once, in name order, and survive restarts") {
+    val (csv, wh, out) = dirs
+    Ingest.ingestAll(spark, csv, wh)
+    Incremental.fullBuild(spark, out)
+
+    val incDir = Files.createTempDirectory("inc_drops").toString
+    val state = s"$incDir/_state"
+    // two drops: day1 restates February, day2 restates it AGAIN (later
+    // file must win) and touches May
+    Files.writeString(Paths.get(s"$incDir/2015-02-13_a.csv"),
+      """dispatching_base_num,pickup_date,affiliated_base_num,locationid
+        |B02598,2015-02-10 12:00:00,B02598,3
+        |B02765,2015-02-12 14:00:00,B02617,3
+        |""".stripMargin)
+    Files.writeString(Paths.get(s"$incDir/2015-02-14_b.csv"),
+      """dispatching_base_num,pickup_date,affiliated_base_num,locationid
+        |B02598,2015-02-10 12:00:00,B02598,3
+        |B02598,2015-02-11 13:30:00,B02765,1
+        |B02765,2015-02-12 14:00:00,B02617,3
+        |B02512,2015-05-21 12:00:00,B02512,2
+        |B02765,2015-05-20 11:00:00,B02765,1
+        |""".stripMargin)
+
+    val applied = Runner.processNewIncrements(spark, incDir, wh, out, state)
+    assert(applied == Seq("2015-02-13_a.csv", "2015-02-14_b.csv"))
+    assertAllModelsMatch(out, "after drop-folder increments")
+    // the later drop won: 13:30 Grun-Bronx row present
+    val ug = rows(Incremental.readModel(spark, out, "unter_grun_pickups_in_bronx"))
+    assert(ug.exists(_.contains("2015-02-11T13:30")), s"later drop must win: $ug")
+
+    // restart: a fresh call (state file re-read) applies nothing
+    assert(Runner.processNewIncrements(spark, incDir, wh, out, state).isEmpty)
+
     Ingest.ingestAll(spark, csv, wh)
   }
 }
