@@ -147,6 +147,7 @@ object ScaleUp {
       df.select(off("doc_id", docS, i), text.as("text"), col("lang"),
         col("source"), col("n_chars"))
     }
+    val labelStride = rd("embeddings").agg(max(col("label"))).head().getInt(0) + 1
     replicate("embeddings") { (df, i) =>
       val emb =
         if (i == 0) col("embedding")
@@ -159,7 +160,16 @@ object ScaleUp {
                |  * (CASE WHEN (j + $i) % 3 = 0 THEN -1.0D ELSE 1.0D END)
                |  AS FLOAT))""".stripMargin)
         }
-      df.select(off("vec_id", docS, i), emb.as("embedding"), col("label"))
+      // labels (the coarse-quantizer cells the label-blocked ops join on)
+      // stride per copy: a re-trained quantizer at K× data has ~K× cells,
+      // and the shifted/sign-flipped replica vectors genuinely point in
+      // new directions — keeping the old label would pack mutually
+      // dissimilar vectors into K×-denser cells, growing label-blocked
+      // candidate pairs quadratically in K (engine AND oracle) for a
+      // structure no re-assigned real index would show. Cell count grows,
+      // per-cell density and intra-cell cosine structure replicate.
+      df.select(off("vec_id", docS, i), emb.as("embedding"),
+        (col("label") + lit(i * labelStride)).as("label"))
     }
 
     println(s"[scaleup] wrote ${k}x of $src to $dst")
