@@ -78,5 +78,6 @@ object SparkEntry {
     "q66_weighted_median", "t23_novelty", "g7_linkpred", "mm7_resize",
     "d10_incremental_dedup", "q67_pattern_match",
     "v9_rerank", "q68_rolling_distinct", "q69_ohlc", "q70_ab_test",
-    "t24_code_switch", "g8_labelprop", "q71_pareto")
+    "t24_code_switch", "g8_labelprop", "q71_pareto",
+    "q72_incremental_models")
 }

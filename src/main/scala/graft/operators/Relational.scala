@@ -47,16 +47,22 @@ object Relational {
     * CAST(sum(CAST(floor(x * 100.0 + 0.5) AS BIGINT)) AS BIGINT).
     */
   /** Exact-bitmap id-domain capacity for q59/q68 ([[graft.expressions
-    * .BitmapDistinct]] words). The driver testdata's user_id domain is
-    * dense [0, 15000·SF) (seed-42 spec), so 2^14 covers every shipped SF
-    * with headroom; BitmapDistinct aborts LOUDLY (never silently wrong)
-    * on any id >= capacity, and wider real-world id domains raise
-    * `graft.bitmap.capacity` without a code change. State cost is
-    * capacity/8 bytes per group — size it to the id domain, not the row
+    * .BitmapDistinct]] words). When `graft.bitmap.capacity` is unset the
+    * capacity is DERIVED from the data: one column-pruned max(user_id)
+    * scan (parquet footer min/max makes this metadata-cheap), rounded up
+    * to whole 64-bit words — so any SF, including ScaleUp-replicated
+    * ones whose id domain grows with the copy count, runs without manual
+    * config. A deployment that knows its id domain sets the conf and
+    * skips the scan; either way BitmapDistinct aborts LOUDLY (never
+    * silently wrong) if an id >= capacity shows up mid-query. State cost
+    * is capacity/8 bytes per group — sized to the id domain, not the row
     * count.
     */
-  private def bitmapCapacity(s: SparkSession): Int =
-    s.conf.getOption("graft.bitmap.capacity").map(_.toInt).getOrElse(1 << 14)
+  private def bitmapCapacity(s: SparkSession, ids: DataFrame): Int =
+    s.conf.getOption("graft.bitmap.capacity").map(_.toInt).getOrElse {
+      val mx = ids.agg(max(col("user_id")).cast("long")).head().getLong(0)
+      ((mx / 64).toInt + 1) * 64
+    }
 
   private def sumCents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(floor(c * lit(100.0) + lit(0.5)).cast("long"))
@@ -2221,18 +2227,35 @@ object Relational {
         datediff(col("mx_day"), to_date(col("ts"))).as("age"))
       // shiftleft's bit count is a COLUMN here (the Scala wrapper only
       // takes a literal), hence the SQL spelling; still codegen'd.
-      // BOUNDED DOMAIN: the oracle sums into HUGEINT while this BIGINT
-      // sum wraps silently with ANSI off, so the domain must be stated:
-      // with cents < 2^17 (value <= ~$1,310) each term is < 2^47, and
-      // the per-user sum stays inside 2^63 for up to 2^16 in-horizon
-      // rows per user — orders of magnitude above any real 30-day
-      // per-user event count. Outside that envelope, respell the decay
-      // as DOUBLE exp2 on BOTH sides instead of the shift.
+      // BOUNDED DOMAIN, GUARDED LOUDLY: the oracle sums into HUGEINT
+      // while this BIGINT sum wraps silently with ANSI off, so the
+      // domain is enforced, not just stated: with |cents| < 2^17
+      // (value <= ~$1,310) each term is < 2^47, and the per-user sum
+      // stays inside 2^63 for up to 2^16 in-horizon rows per user —
+      // orders of magnitude above any real 30-day per-user event count.
+      // Both bounds raise_error (BitmapDistinct's discipline: abort,
+      // never silently diverge from the oracle); outside the envelope,
+      // respell the decay as DOUBLE exp2 on BOTH sides of the check.
+      // CaseWhen is lazy, so the in-envelope hot path pays one codegen'd
+      // comparison per row/group.
       .select(col("user_id"),
-        expr("CASE WHEN age <= 30 THEN shiftleft(cents, 30 - age) " +
-          "ELSE 0L END").as("w"))
+        expr("CASE WHEN abs(cents) >= 131072 THEN CAST(raise_error(" +
+          "concat('q58_decay_score: |cents| >= 2^17 breaks the BIGINT " +
+          "shift-decay envelope (cents=', CAST(cents AS STRING), " +
+          "'); respell as DOUBLE exp2')) AS BIGINT) " +
+          "WHEN age <= 30 THEN shiftleft(cents, 30 - age) " +
+          "ELSE 0L END").as("w"),
+        expr("CASE WHEN age <= 30 THEN 1L ELSE 0L END").as("in_horizon"))
       .groupBy(col("user_id"))
-      .agg(sum(col("w")).as("ws"))
+      .agg(sum(col("w")).as("ws0"), sum(col("in_horizon")).as("n_in"))
+      .select(col("user_id"),
+        when(col("n_in") > lit(65536L),
+          raise_error(concat(
+            lit("q58_decay_score: > 2^16 in-horizon rows for user "),
+            col("user_id").cast("string"),
+            lit(" break the BIGINT sum envelope; respell as DOUBLE exp2")))
+            .cast("long"))
+          .otherwise(col("ws0")).as("ws"))
       .where(col("ws") > 0)
       .select(col("user_id"),
         sround(col("ws") / lit(1073741824.0) / lit(100.0), 4)
@@ -2274,10 +2297,11 @@ object Relational {
     import graft.expressions.BitmapDistinct.bitmapWords
     val wk = floor(datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
       / lit(7.0)).cast("long")
-    val wb = t(s, d, "events")
+    val ev = t(s, d, "events")
+    val wb = ev
       .select(wk.as("week"), col("user_id"))
       .groupBy(col("week"))
-      .agg(bitmapWords(col("user_id"), bitmapCapacity(s)).as("bm"))
+      .agg(bitmapWords(col("user_id"), bitmapCapacity(s, ev)).as("bm"))
       .localCheckpoint(true) // one fact scan; both join sides reuse it
     val pairs = wb.select(col("week"), col("bm").as("bma"))
       .join(wb.select(col("week").as("wkb"), col("bm").as("bmb")),
@@ -2619,18 +2643,38 @@ object Relational {
         expr("(lead(tus, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id)" +
           " - tus) DIV 1000000"))
       .where(col("dur_s").isNotNull)
+      // BOUNDED DOMAIN, GUARDED LOUDLY (q58's discipline): the oracle
+      // sums HUGEINT while this BIGINT sum wraps silently with ANSI off.
+      // |cents| < 2^17 and dur_s < 2^25 (~1 year) bound each term under
+      // 2^42, leaving 2^21 segments per user before 2^63 — far beyond
+      // any per-user stream. Each bound raise_errors instead of letting
+      // the sum wrap; lazy CaseWhen keeps the hot path at one codegen'd
+      // comparison per row/group.
+      .withColumn("cents",
+        when(abs(col("cents")) >= lit(131072L) ||
+            col("dur_s") >= lit(33554432L),
+          raise_error(concat(
+            lit("q65_twap: segment outside the BIGINT envelope " +
+              "(|cents| < 2^17, dur_s < 2^25 required; cents="),
+            col("cents").cast("string"), lit(", dur_s="),
+            col("dur_s").cast("string"),
+            lit("); respell the weighted sum as DOUBLE"))).cast("long"))
+          .otherwise(col("cents")))
       .groupBy(col("user_id"))
-      // BOUNDED DOMAIN (q58's caveat): the oracle sums HUGEINT while this
-      // BIGINT sum wraps silently with ANSI off. cents < 2^17 and
-      // dur_s < 2^25 (~1 year) bound each term under 2^42, leaving 2^21
-      // segments per user before 2^63 — far beyond any per-user stream.
       .agg(count(lit(1)).as("n_segs"),
         sum(col("cents") * col("dur_s")).as("wsum"),
         sum(col("dur_s")).as("tdur"))
       .where(col("tdur") > 0)
       .select(col("user_id"), col("n_segs"),
-        sround(col("wsum").cast("double") / col("tdur") / lit(100.0), 4)
-          .as("twap"))
+        sround(
+          when(col("n_segs") >= lit(2097152L),
+            raise_error(concat(
+              lit("q65_twap: > 2^21 segments for user "),
+              col("user_id").cast("string"),
+              lit(" break the BIGINT sum envelope; respell as DOUBLE")))
+              .cast("long"))
+            .otherwise(col("wsum")).cast("double") / col("tdur") / lit(100.0),
+          4).as("twap"))
       .orderBy(col("user_id"))
   }
 
@@ -2812,10 +2856,11 @@ object Relational {
     */
   val q68RollingDistinct: Q = (s, d) => {
     import graft.expressions.BitmapDistinct.bitmapWords
-    val db = t(s, d, "events")
+    val ev = t(s, d, "events")
+    val db = ev
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .groupBy(col("day"))
-      .agg(bitmapWords(col("user_id"), bitmapCapacity(s)).as("bm"),
+      .agg(bitmapWords(col("user_id"), bitmapCapacity(s, ev)).as("bm"),
         count(lit(1)).as("n_events"))
       .localCheckpoint(true) // one fact scan; both join sides + DAU reuse it
     val dau = db.select(col("day"), col("n_events"),
@@ -3077,6 +3122,65 @@ object Relational {
       |FROM ranked
       |ORDER BY cum_share, l_partkey""".stripMargin
 
+  // ------------------------------------------- q72_incremental_models
+  /** Incremental model maintenance, oracle-witnessed — the
+    * [[graft.uber.Incremental]] lifecycle (reference replaces this with a
+    * daily FULL rebuild: `dbt_project.yml:36-37` `+materialized: table`,
+    * `Dagster_Files/definitions.py:18` `@daily`) driven through the
+    * driver gate on the TPC-H-ish fact:
+    *
+    *   1. initial build from a STALE fact (May double-counted, plus
+    *      spurious July rows) → month-partitioned per-(month, priority)
+    *      partials on disk;
+    *   2. one increment restates months {5, 7} from the true Jan–June
+    *      fact via [[graft.uber.Incremental.overwriteMonths]] — month 5
+    *      is replaced, month 7 is restated to EMPTY (the case dynamic
+    *      partition overwrite cannot express);
+    *   3. the returned model is the grain-sized FOLD over the partials.
+    *
+    * The oracle is the full model on the true fact — hash parity holds
+    * ONLY if the restatement actually replaced May and cleared July, so
+    * this row witnesses the partial/overwrite/fold machinery end to end.
+    * Scale: step 2 scans only the restated months' fact partitions and
+    * the fold reads grain-sized partials (months × priorities), never
+    * the fact — the delta-cost shape IncrementalSpec proves for the six
+    * uber models.
+    */
+  val q72IncrementalModels: Q = (s, d) => {
+    import graft.uber.Incremental
+    val dir = java.nio.file.Files.createTempDirectory("graft_q72").toString
+    val pdir = s"$dir/partials"
+    val fact = t(s, d, "orders").filter(month(col("o_orderdate")) <= 6)
+    def partials(f: DataFrame): DataFrame = f
+      .groupBy(month(col("o_orderdate")).as("month_num"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sumCents(col("o_totalprice")).as("cents"))
+    // stale initial state: May counted twice + July rows that the true
+    // Jan–June horizon does not contain
+    val may = t(s, d, "orders").filter(month(col("o_orderdate")) === 5)
+    val july = t(s, d, "orders").filter(month(col("o_orderdate")) === 7)
+    partials(fact.unionAll(may).unionAll(july))
+      .write.mode("overwrite").partitionBy("month_num").parquet(pdir)
+    // increment: months {5, 7} restated from the true fact (pruned scan)
+    val months = Seq(Some(5), Some(7))
+    Incremental.overwriteMonths(
+      partials(fact.filter(month(col("o_orderdate")).isin(5, 7))),
+      pdir, months)
+    // fold: cross-month combine at the model grain
+    s.read.parquet(pdir)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("cnt")).cast("long").as("n_orders"),
+        (sum(col("cents")) / lit(100.0)).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q72IncrementalModelsSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      |    AS BIGINT) / 100.0 AS total_price
+      |FROM orders WHERE month(o_orderdate) <= 6
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -3148,7 +3252,8 @@ object Relational {
     "q68_rolling_distinct" -> q68RollingDistinct,
     "q69_ohlc" -> q69Ohlc,
     "q70_ab_test" -> q70AbTest,
-    "q71_pareto" -> q71Pareto)
+    "q71_pareto" -> q71Pareto,
+    "q72_incremental_models" -> q72IncrementalModels)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -3220,5 +3325,6 @@ object Relational {
     "q68_rolling_distinct" -> q68RollingDistinctSql,
     "q69_ohlc" -> q69OhlcSql,
     "q70_ab_test" -> q70AbTestSql,
-    "q71_pareto" -> q71ParetoSql)
+    "q71_pareto" -> q71ParetoSql,
+    "q72_incremental_models" -> q72IncrementalModelsSql)
 }

@@ -206,9 +206,11 @@ object Incremental {
     * month-partitioned table with `rows` (which must already be filtered
     * to those months). One job per month: handles a month restated to
     * empty (the directory is overwritten with an empty table, where
-    * dynamic overwrite would silently keep the stale state).
+    * dynamic overwrite would silently keep the stale state). Public: the
+    * generic partial-restatement primitive — q72_incremental_models
+    * drives it through the driver oracle gate on the TPC-H-ish fact.
     */
-  private def overwriteMonths(
+  def overwriteMonths(
       rows: DataFrame, path: String, months: Seq[Option[Int]]): Unit =
     months.foreach { m =>
       val slice = m match {

@@ -152,4 +152,22 @@ class IncrementalSpec extends SparkSpec {
 
     Ingest.ingestAll(spark, csv, wh)
   }
+
+  test("q72_incremental_models: restated-partials fold == direct full model") {
+    import org.apache.spark.sql.functions._
+    // the driver-gate query runs the stale-build → restate {May, July} →
+    // fold lifecycle; its output must equal the model computed directly
+    val got = graft.operators.Relational
+      .queries("q72_incremental_models")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val want = Tables.load(spark, sfDir, "orders")
+      .filter(month(col("o_orderdate")) <= 6)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+          / lit(100.0)).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"fold over restated partials diverged:\n$got\n$want")
+  }
 }

@@ -332,4 +332,47 @@ class PropertySpec extends SparkSpec {
       assert(sizes.isEmpty || (sizes.last <= n && sizes.last >= 1))
     }
   }
+
+  test("q58/q65 bounded-domain guards fail loudly outside the envelope (no silent BIGINT wrap)") {
+    import graft.operators.Relational
+    // tiny events-shaped table: the guards must abort like BitmapDistinct
+    // does, never silently diverge from the HUGEINT oracle
+    def mkEvents(rows: Seq[(Long, String, Long, Double)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("guard_events").toString
+      rows.map { case (id, t, uid, v) => (id, t, uid, "t0", v, null: String) }
+        .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+        .select($"event_id", to_timestamp($"tss").as("ts"), $"user_id",
+          $"event_type", $"value", $"props")
+        .write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+    // q58: a $2M event puts cents >= 2^17 — shift-decay envelope broken
+    val badCents = mkEvents(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 3.5),
+      (2L, "2024-01-02 00:00:00", 1L, 2000000.0)))
+    val e1 = intercept[Exception] {
+      Relational.queries("q58_decay_score")(spark, badCents).collect()
+    }
+    assert(chain(e1).contains("envelope"), s"wrong failure: ${chain(e1)}")
+
+    // q65: two events 1.5 years apart — dur_s >= 2^25 envelope broken
+    val badDur = mkEvents(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 3.5),
+      (2L, "2025-07-01 00:00:00", 1L, 4.5)))
+    val e2 = intercept[Exception] {
+      Relational.queries("q65_twap")(spark, badDur).collect()
+    }
+    assert(chain(e2).contains("envelope"), s"wrong failure: ${chain(e2)}")
+
+    // in-domain rows still pass through both queries unharmed
+    val good = mkEvents(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 3.5),
+      (2L, "2024-01-02 00:00:00", 1L, 4.5)))
+    assert(Relational.queries("q58_decay_score")(spark, good).count() == 1L)
+    assert(Relational.queries("q65_twap")(spark, good).count() == 1L)
+  }
 }

@@ -401,4 +401,71 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_._1).distinct.length * 3 == out.length,
       "every closed hour must emit all three event types")
   }
+
+  test("JDBC CDC poll: poll-fed merge == batch state across two increments, a restart, and a crash-replay") {
+    import graft.streaming.{CdcApply, CdcPollSource}
+    import graft.streaming.CdcApply.Change
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // embedded Derby stands in for the reference's live Postgres; the poll
+    // contract (rows keyed by a monotone lsn) is transport-portable
+    val url = "jdbc:derby:memory:cdcpoll;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE changes (base_num VARCHAR(16), base_name VARCHAR(64), " +
+        "lsn BIGINT, deleted_at TIMESTAMP)")
+    def ins(c: Change): Unit = {
+      val ps = conn.prepareStatement("INSERT INTO changes VALUES (?,?,?,?)")
+      ps.setString(1, c.base_num); ps.setString(2, c.base_name)
+      ps.setLong(3, c.lsn)
+      c.deleted_at match {
+        case Some(t) => ps.setTimestamp(4, t)
+        case None => ps.setNull(4, java.sql.Types.TIMESTAMP)
+      }
+      ps.executeUpdate(); ps.close()
+    }
+    val dir = Files.createTempDirectory("cdc_poll").toString
+    val (table, model, wm) = (s"$dir/state", s"$dir/live", s"$dir/watermark")
+    def poll() =
+      CdcPollSource.pollOnce(spark, url, "changes", table, model, wm, opts)
+    def state() = spark.read.parquet(table)
+      .as[(String, String, Long, Boolean)].collect().toSet
+    def expect(cs: Seq[Change]) = CdcApply.currentStateBatch(cs.toDF())
+      .as[(String, String, Long, Boolean)].collect().toSet
+
+    // increment 1: two inserts
+    val inc1 = Seq(Change("B1", "Unter", 10L, None),
+      Change("B2", "Grun", 5L, None))
+    inc1.foreach(ins)
+    assert(poll() == 2L)
+    assert(state() == expect(inc1))
+
+    // increment 2 lands while "down" — every pollOnce call IS a restart
+    // (all continuity lives in the durable watermark + state paths):
+    // rename, tombstone, fresh insert
+    val inc2 = Seq(Change("B1", "Unter GmbH", 30L, None),
+      Change("B2", "Grun", 15L, Some(ts("2015-06-01 00:00:00"))),
+      Change("B3", "Hinter", 17L, None))
+    inc2.foreach(ins)
+    assert(poll() == 3L)
+    val all = inc1 ++ inc2
+    assert(state() == expect(all), "poll-fed merge != batch state")
+    // downstream live model excludes the tombstoned key
+    val live = spark.read.parquet(model)
+      .select($"base_num", $"base_name").as[(String, String)].collect().toSet
+    assert(live == Set("B1" -> "Unter GmbH", "B3" -> "Hinter"))
+
+    // idle poll: nothing new → no rows absorbed, state untouched
+    assert(poll() == 0L)
+    assert(state() == expect(all))
+
+    // crash-replay: reset the watermark to its post-inc1 value, simulating
+    // a crash BETWEEN merge and watermark write — the replayed increment
+    // must be a no-op (latest-LSN-wins applied twice)
+    CdcPollSource.writeWatermark(wm, 10L)
+    assert(poll() == 3L) // inc2 re-fetched (B2's lsn 15 > 10, etc.)
+    assert(state() == expect(all), "crash-replay changed converged state")
+    assert(CdcPollSource.readWatermark(wm) == 30L)
+    conn.close()
+  }
 }
