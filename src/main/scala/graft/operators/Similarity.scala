@@ -859,6 +859,155 @@ object Similarity {
        |  coarse_rnk
        |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
 
+  // ------------------------------------------------------------ v10_kmeans
+  /** Full k-means corpus clustering (multi-iteration Lloyd) + cluster-
+    * balanced sampling — the curation primitive behind SemDeDup-style and
+    * cluster-diversity data selection (partition the embedding space, then
+    * take an equal-sized deterministic sample per cluster so every content
+    * region contributes to the training mix regardless of raw density).
+    *
+    * v4's IVF build stops after ONE Lloyd refinement (enough for a routing
+    * quantizer); this is the real trainer loop: [[KmIters]] rounds of
+    * assign → elementwise-mean, with 4-decimal-rounded centroid means
+    * (engine-portable — the v4 argument) and EMPTY-CELL CARRY: a cell that
+    * loses all members keeps its previous centroid. Both engines decide
+    * emptiness on identical rounded arithmetic, so they agree.
+    *
+    * Scale shape: each iteration is ONE narrow corpus scan (k×dim
+    * centroids broadcast in the projection) + a (cell, pos)-keyed partial
+    * agg whose post-shuffle size is k×dim rows — constant in corpus size;
+    * the per-round centroid collect is a k×dim driver artifact (bounded by
+    * construction, the v4 precedent). The balanced sample dodges the
+    * k-partition window hotspot (k=8 clusters would serialize a naive
+    * global row_number at 100 TB): a salted pre-rank over (cluster,
+    * hash(vec_id) % 32) keeps ≤ quota candidates per salt lane — each
+    * lane's top-quota is a superset of its contribution to the global
+    * top-quota — and the exact rank runs on k×32×quota survivors.
+    */
+  private[graft] val KmCells = 8
+  private[graft] val KmIters = 3
+  private[graft] val KmQuota = 25
+
+  /** The trained centroids after [[KmIters]] Lloyd rounds — exposed for
+    * the in-memory differential test in SimilaritySpec.
+    */
+  private[graft] def kmeansCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
+    val e = emb(s, d)
+    val seeds: Array[Array[Double]] = e.filter(col("vec_id") < KmCells)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => if (n == 0) 0.0 else x / n)
+      }
+    var cents = seeds
+    for (_ <- 1 to KmIters) {
+      // 8×64 rows per round — bounded by construction
+      val means: Map[Int, Array[Double]] = e
+        .select(nearestCell(cents, col("embedding")).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.map(r => (r.getInt(1),
+              math.floor(r.getDouble(2) * 1e4 + 0.5) / 1e4))
+            .sortBy(_._1).map(_._2)
+        }
+      cents = Array.tabulate(KmCells)(c => means.getOrElse(c, cents(c)))
+    }
+    cents
+  }
+
+  private def centroidDots(centroids: Array[Array[Double]], vec: Column): Column =
+    array(centroids.map(c => dot(vec, typedlit(c.toSeq))): _*)
+  private def nearestCell(centroids: Array[Array[Double]], vec: Column): Column = {
+    val scores = centroidDots(centroids, vec)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  val v10Kmeans: Q = (s, d) => {
+    val cents = kmeansCentroids(s, d)
+    val assigned = emb(s, d).select(col("vec_id"),
+      nearestCell(cents, col("embedding")).as("cluster"))
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+    val h = md5(col("vec_id").cast("string"))
+    val pre = Window
+      .partitionBy(col("cluster"), pmod(hash(col("vec_id")), lit(32)))
+      .orderBy(col("h"), col("vec_id"))
+    val fin = Window.partitionBy(col("cluster"))
+      .orderBy(col("h"), col("vec_id"))
+    assigned
+      .withColumn("h", h)
+      .withColumn("pr", row_number().over(pre))
+      .filter(col("pr") <= KmQuota)
+      .withColumn("rnk", row_number().over(fin))
+      .filter(col("rnk") <= KmQuota)
+      .join(broadcast(sizes), Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("rnk"), col("vec_id"))
+      .orderBy("cluster", "rnk")
+  }
+
+  /** DuckDB twin of v10: the ENTIRE training loop — seed normalization,
+    * three unrolled assign/mean rounds with the same 4-decimal rounding
+    * and LEFT-JOIN empty-cell carry — then final assignment, cluster
+    * sizes, and the hash-ordered balanced sample. The oracle's single
+    * per-cluster window and Spark's salted two-phase rank select the same
+    * rows (each salt lane's top-quota is a superset of its part of the
+    * global top-quota).
+    */
+  val v10KmeansSql: String = {
+    def dotList(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+    def assign(n: Int): String =
+      s"""a$n AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, s.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotList("e.embedding", "s.c")} DESC, s.cell ASC) AS rn
+         |    FROM e, c${n - 1} s) WHERE rn = 1)""".stripMargin
+    def refine(n: Int): String =
+      s"""c$n AS MATERIALIZED (
+         |  SELECT p.cell, coalesce(m.c, p.c) AS c
+         |  FROM c${n - 1} p LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY i) AS c FROM (
+         |      SELECT cell, i,
+         |        floor(avg(CAST(embedding[i] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS m
+         |      FROM a$n, (SELECT unnest(range(1, 65)) AS i)
+         |      GROUP BY cell, i)
+         |    GROUP BY cell) m ON p.cell = m.cell)""".stripMargin
+    val rounds = (1 to KmIters).map(n => s"${assign(n)},\n${refine(n)}").mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |    CASE WHEN sqrt(nsq) = 0 THEN list_transform(embedding, x -> 0.0)
+       |         ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(nsq)) END AS c
+       |  FROM (
+       |    SELECT vec_id, embedding,
+       |      list_sum(list_transform(range(1, len(embedding) + 1),
+       |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+       |    FROM embeddings WHERE vec_id < $KmCells)),
+       |$rounds,
+       |af AS MATERIALIZED (
+       |  SELECT vec_id, cell AS cluster FROM (
+       |    SELECT e.vec_id, r.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotList("e.embedding", "r.c")} DESC, r.cell ASC) AS rn
+       |    FROM e, c$KmIters r) WHERE rn = 1),
+       |sized AS (SELECT cluster, count(*) AS n_members FROM af GROUP BY cluster),
+       |ranked AS (
+       |  SELECT cluster, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY cluster
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS rnk
+       |  FROM af)
+       |SELECT r.cluster, s.n_members, r.rnk, r.vec_id
+       |FROM ranked r JOIN sized s USING (cluster)
+       |WHERE r.rnk <= $KmQuota ORDER BY cluster, rnk""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "v1_knn_brute" -> v1KnnBrute,
@@ -869,7 +1018,8 @@ object Similarity {
     "v6_pq_ann" -> v6PqAnn,
     "v7_mips" -> v7Mips,
     "v8_filtered_ann" -> v8FilteredAnn,
-    "v9_rerank" -> v9Rerank)
+    "v9_rerank" -> v9Rerank,
+    "v10_kmeans" -> v10Kmeans)
 
   val oracles: Map[String, String] = Map(
     "v1_knn_brute" -> v1KnnBruteSql,
@@ -880,5 +1030,6 @@ object Similarity {
     "v6_pq_ann" -> v6PqAnnSql,
     "v7_mips" -> v7MipsSql,
     "v8_filtered_ann" -> v8FilteredAnnSql,
-    "v9_rerank" -> v9RerankSql)
+    "v9_rerank" -> v9RerankSql,
+    "v10_kmeans" -> v10KmeansSql)
 }

@@ -393,4 +393,59 @@ class SimilaritySpec extends SparkSpec {
     // the payload genuinely shrinks 4x: out bytes vs full-row in bytes
     assert(expect.nonEmpty && expect.forall(r => r._5 * 4 <= r._2 * 32))
   }
+
+  test("v10 k-means: full Lloyd loop matches an in-memory replay; balanced sample is the hash-order top-quota per cluster") {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def dotd(c: Array[Double], v: Seq[Float]): Double =
+      c.indices.foldLeft(0.0)((acc, i) => acc + v(i).toDouble * c(i))
+    def assign(cents: Array[Array[Double]]): Map[Long, Int] =
+      vecs.map { case (id, v) =>
+        val scores = cents.map(c => dotd(c, v))
+        id -> scores.indexOf(scores.max) // first max = lowest cell, Spark's array_position tie rule
+      }.toMap
+
+    // in-memory replay of the EXACT training recipe: normalized lowest-id
+    // seeds, 3 assign/mean rounds, 4-decimal floor-rounding, empty-cell carry
+    var cents = vecs.filter(_._1 < 8).sortBy(_._1).map { case (_, v) =>
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      v.map(x => if (n == 0) 0.0 else x.toDouble / n).toArray
+    }
+    for (_ <- 1 to 3) {
+      val byCell = vecs.groupBy { case (id, _) => assign(cents)(id) }
+      cents = Array.tabulate(8) { cell =>
+        byCell.get(cell) match {
+          case None => cents(cell)
+          case Some(members) =>
+            Array.tabulate(64) { pos =>
+              val m = members.map(_._2(pos).toDouble).sum / members.length
+              math.floor(m * 1e4 + 0.5) / 1e4
+            }
+        }
+      }
+    }
+    val got = graft.operators.Similarity.kmeansCentroids(spark, sfDir)
+    assert(got.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+
+    // expected output: final assignment -> sizes -> md5-ordered top-25/cluster
+    val fin = assign(cents)
+    val sizes = fin.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = fin.toSeq.groupBy(_._2).toSeq.flatMap { case (cluster, members) =>
+      members.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(25)
+        .zipWithIndex.map { case (id, i) =>
+          (cluster, sizes(cluster), i + 1, id)
+        }
+    }.sortBy(r => (r._1, r._3))
+    val out = graft.operators.Similarity.v10Kmeans(spark, sfDir)
+      .as[(Int, Long, Int, Long)].collect().toSeq
+    assert(out == expect)
+    assert(sizes.values.sum == vecs.length) // clusters partition the corpus
+    // determinism across invocations
+    val again = graft.operators.Similarity.v10Kmeans(spark, sfDir)
+      .as[(Int, Long, Int, Long)].collect().toSeq
+    assert(out == again)
+  }
 }
