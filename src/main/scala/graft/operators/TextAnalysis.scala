@@ -1165,7 +1165,10 @@ object TextAnalysis {
     merges.orderBy(col("rank"))
   }
 
-  val t21BpeMergesSql: String = {
+  /** The t21 trainer as a CTE prefix (words0 → … → m5), shared by the
+    * t21 oracle and the t25 encoder oracle.
+    */
+  private val bpeTrainerCtes: String = {
     def round(prev: String, r: Int): String =
       s"""p$r AS (
          |  SELECT l[i + 1] AS a, l[i + 2] AS b,
@@ -1181,7 +1184,7 @@ object TextAnalysis {
          |  SELECT replace(syms, ' ' || a || ' ' || b || ' ',
          |    ' ' || merged || ' ') AS syms, freq
          |  FROM $prev, m$r)""".stripMargin
-    s"""WITH words0 AS (
+    s"""words0 AS (
        |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS syms, freq
        |  FROM (
        |    SELECT w, count(*) AS freq FROM (
@@ -1196,12 +1199,99 @@ object TextAnalysis {
        |${apply("words2", 3)},
        |${round("words3", 4)},
        |${apply("words3", 4)},
-       |${round("words4", 5)}
+       |${round("words4", 5)}""".stripMargin
+  }
+
+  val t21BpeMergesSql: String =
+    s"""WITH $bpeTrainerCtes
        |SELECT rank, a, b, merged, pf FROM (
        |  SELECT * FROM m1 UNION ALL SELECT * FROM m2
        |  UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4
        |  UNION ALL SELECT * FROM m5)
        |ORDER BY rank""".stripMargin
+
+  // --------------------------------------------------- t25_bpe_encode
+  /** BPE ENCODING (the serving half t21 trains for): apply the learned
+    * merge table, in rank order, to every word of every document, and
+    * report the per-document tokenization account — word count, base
+    * symbol count (characters), and post-merge BPE token count. The
+    * integer triple is what a token-budgeting pipeline (packing, cost
+    * estimation, context-window accounting) consumes, and integer-only
+    * output makes the whole encode hash-checkable.
+    *
+    * Scale shape: the trainer runs on the vocab multiset (t21's
+    * argument); the ENCODE is embarrassingly parallel — the 5 learned
+    * merges are collected driver-side (5 rows, bounded by construction)
+    * and inlined as literal `replace` chains in the projection, so the
+    * corpus pass is narrow string work inside whole-stage codegen with
+    * ONE doc_id-keyed aggregation behind it. No join against the merge
+    * table ever touches the corpus.
+    *
+    * Merge application is sentinel-padded leftmost-non-overlapping
+    * `replace` (" a b " → " ab "), the same scan rule in Spark and
+    * DuckDB that makes t21's rounds hash-match; out-of-vocab words
+    * (length 1 or > 12 — never seen by the trainer) still pass through
+    * the encoder, picking up any merge whose pair happens to occur.
+    */
+  val t25BpeEncode: Q = (s, d) => {
+    // the learned merge table, rank order — 5 rows, bounded by construction
+    val merges = t21BpeMerges(s, d).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val base = docs(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("doc_id"), length(col("w")).cast("long").as("n_base"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("syms"))
+    val encoded = merges.foldLeft(base) { case (df, (a, b, m)) =>
+      // a/b/m are learned lowercase-letter runs — safe as SQL literals
+      df.withColumn("syms", expr(s"replace(syms, ' $a $b ', ' $m ')"))
+    }
+    val perDoc = encoded
+      .select(col("doc_id"), col("n_base"),
+        size(split(trim(col("syms")), " ")).cast("long").as("n_bpe"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_base")).as("n_base"),
+        sum(col("n_bpe")).as("n_bpe"))
+    docs(s, d).select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of t25: the shared trainer CTEs learn m1..m5, then the
+    * encode chain applies them in rank order with the identical
+    * sentinel-padded replace, and the per-doc account left-joins back to
+    * documents so wordless docs keep zero rows.
+    */
+  val t25BpeEncodeSql: String = {
+    val encChain = (1 to 5).map { r =>
+      s"""enc$r AS (
+         |  SELECT doc_id, n_base,
+         |    replace(syms, ' ' || a || ' ' || b || ' ', ' ' || merged || ' ') AS syms
+         |  FROM enc${r - 1}, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainerCtes,
+       |enc0 AS (
+       |  SELECT doc_id, CAST(length(w) AS BIGINT) AS n_base,
+       |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS syms
+       |  FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE w != ''),
+       |$encChain,
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(n_base) AS BIGINT) AS n_base,
+       |    CAST(sum(len(string_split(trim(syms), ' '))) AS BIGINT) AS n_bpe
+       |  FROM enc5 GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(p.n_words, CAST(0 AS BIGINT)) AS n_words,
+       |  coalesce(p.n_base, CAST(0 AS BIGINT)) AS n_base,
+       |  coalesce(p.n_bpe, CAST(0 AS BIGINT)) AS n_bpe
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   // ------------------------------------------------ t22_langid_audit
@@ -1385,6 +1475,7 @@ object TextAnalysis {
     "t19_dsir_importance" -> t19DsirImportance,
     "t20_quality_classifier" -> t20QualityClassifier,
     "t21_bpe_merges" -> t21BpeMerges,
+    "t25_bpe_encode" -> t25BpeEncode,
     "t22_langid_audit" -> t22LangidAudit,
     "t23_novelty" -> t23Novelty,
     "t24_code_switch" -> t24CodeSwitch,
@@ -1411,6 +1502,7 @@ object TextAnalysis {
     "t19_dsir_importance" -> t19DsirImportanceSql,
     "t20_quality_classifier" -> t20QualityClassifierSql,
     "t21_bpe_merges" -> t21BpeMergesSql,
+    "t25_bpe_encode" -> t25BpeEncodeSql,
     "t22_langid_audit" -> t22LangidAuditSql,
     "t23_novelty" -> t23NoveltySql,
     "t24_code_switch" -> t24CodeSwitchSql,

@@ -396,4 +396,27 @@ class CurationSpec extends SparkSpec {
     // redundancy exists: at least one doc repeats earlier content
     assert(expect.exists(_._4 < 1.0))
   }
+
+  test("t25 BPE encode: per-doc accounts match an in-memory encoder using the learned merges") {
+    val merges = graft.operators.TextAnalysis.t21BpeMerges(spark, sfDir)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+      .map { case (_, a, b, m, _) => (a, b, m) }
+    val docsC = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expect = docsC.map { case (id, text) =>
+      val ws = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      val nBase = ws.map(_.length.toLong).sum
+      val nBpe = ws.map { w =>
+        var syms = " " + w.map(_ + " ").mkString
+        merges.foreach { case (a, b, m) => syms = syms.replace(s" $a $b ", s" $m ") }
+        syms.trim.split(' ').length.toLong
+      }.sum
+      (id, ws.length.toLong, nBase, nBpe)
+    }.sortBy(_._1).toSeq
+    val got = graft.operators.TextAnalysis.t25BpeEncode(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // the learned merges genuinely compress at least some documents
+    assert(expect.exists(r => r._4 < r._3))
+  }
 }
