@@ -99,20 +99,34 @@ object Dedup {
 
   val d2NgramJaccard: Q = (s, d) => d2Pairs(s, d).orderBy("doc_a", "doc_b")
 
+  // Columnar oracle spelling (round 8, the d3/d10 precedent): unnest the
+  // distinct grams ONCE and count pair intersections as a gram-equality
+  // join + group-by — semantically identical to the per-pair
+  // list_intersect walk (per-doc grams are distinct, so count(*) per
+  // (doc_a, doc_b) IS the intersection size and |A∪B| = n_a + n_b −
+  // inter; zero-intersection pairs can't pass jac ≥ 0.5 so their absence
+  // from the join changes nothing), but vectorized — the interpreted
+  // per-pair list walk was O(block²·|grams|) and dominated the sf1 gate.
   val d2NgramJaccardSql: String =
-    """WITH g AS (
+    """WITH g AS MATERIALIZED (
       |  SELECT doc_id, source, CAST(floor(n_chars / 100.0) AS INTEGER) AS bucket,
       |    list_distinct(list_transform(range(1, length(text) - 1),
       |      i -> substring(text, CAST(i AS INTEGER), 3))) AS grams
       |  FROM documents),
-      |pairs AS (
+      |gx AS MATERIALIZED (
+      |  SELECT doc_id, source, bucket, len(grams) AS n, unnest(grams) AS gram FROM g),
+      |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    len(list_intersect(a.grams, b.grams))
-      |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jac
-      |  FROM g a JOIN g b
-      |    ON a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b, floor(jac * 10000.0 + 0.5) / 10000.0 AS jaccard
-      |FROM pairs WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+      |    max(a.n) AS n_a, max(b.n) AS n_b, count(*) AS inter
+      |  FROM gx a JOIN gx b
+      |    ON a.source = b.source AND a.bucket = b.bucket AND a.gram = b.gram
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  floor(inter / CAST(n_a + n_b - inter AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS jaccard
+      |FROM inter
+      |WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // ----------------------------------------------------- d3_minhash_lsh
   /** MinHash+LSH near-dup: word-3gram shingles → 64-perm MinHash signature →
@@ -421,12 +435,17 @@ object Dedup {
       |    list_distinct(list_transform(range(1, length(text) - 1),
       |      i -> substring(text, CAST(i AS INTEGER), 3))) AS grams
       |  FROM documents),
+      |gx AS MATERIALIZED (
+      |  SELECT doc_id, source, bucket, len(grams) AS n, unnest(grams) AS gram FROM g),
       |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM g a JOIN g b
-      |    ON a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.grams, b.grams))
-      |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5),
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      max(a.n) AS n_a, max(b.n) AS n_b, count(*) AS inter
+      |    FROM gx a JOIN gx b
+      |      ON a.source = b.source AND a.bucket = b.bucket AND a.gram = b.gram
+      |     AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2)
+      |  WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5),
       |edges AS (
       |  SELECT doc_a AS u, doc_b AS v FROM pairs
       |  UNION SELECT doc_b AS u, doc_a AS v FROM pairs),

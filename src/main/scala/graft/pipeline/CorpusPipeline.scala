@@ -127,12 +127,17 @@ object CorpusPipeline {
       |    list_distinct(list_transform(range(1, length(text) - 1),
       |      i -> substring(text, CAST(i AS INTEGER), 3))) AS grams
       |  FROM ex),
+      |gx AS MATERIALIZED (
+      |  SELECT doc_id, source, bucket, len(grams) AS n, unnest(grams) AS gram FROM g),
       |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM g a JOIN g b
-      |    ON a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.grams, b.grams))
-      |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5),
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      max(a.n) AS n_a, max(b.n) AS n_b, count(*) AS inter
+      |    FROM gx a JOIN gx b
+      |      ON a.source = b.source AND a.bucket = b.bucket AND a.gram = b.gram
+      |     AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2)
+      |  WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5),
       |edges AS (
       |  SELECT doc_a AS u, doc_b AS v FROM pairs
       |  UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
