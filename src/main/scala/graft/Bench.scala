@@ -27,7 +27,7 @@ object Bench {
     val spark = GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", GraftSession.shufflePartitions)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -38,6 +38,17 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 
+  /** Shuffle partition count: defaults to the core count (right for the
+    * driver's sf0.01/sf0.1 scales), overridable via
+    * SPARK_GRAFT_SHUFFLE_PARTITIONS — partitions must scale with DATA,
+    * not cores: at sf10 (100× sf0.1) 32 partitions puts ~2M lineitem
+    * rows in every window sort (spill + GC variance); 256 restores
+    * ~250k-row partitions, which is how a real cluster would size it.
+    */
+  def shufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
   /** Local session sized for this container; cores/shuffle come from env. */
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,7 +56,7 @@ object GraftSession {
       SparkSession.builder()
         .master(s"local[$cpus]")
         .appName(appName)
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
