@@ -653,6 +653,82 @@ object Graph {
        |ORDER BY n_members DESC, label LIMIT 50""".stripMargin
   }
 
+  // ------------------------------------------------------------ g9_walks
+  /** Deterministic random-walk corpus — the DeepWalk/node2vec sampling
+    * step that turns a graph into embedding-training sequences (walks ≈
+    * sentences fed to a skip-gram model). One length-3 walk starts from
+    * every USER node of the bipartite interaction graph; the step taken at
+    * node v on hop i is the neighbor at index md5_62(v || '#' || i) mod
+    * deg(v) in v's dst-sorted adjacency list — a hash replayable by the
+    * oracle, standing in for the RNG draw (same discipline as q29's
+    * hash-stratified sampling).
+    *
+    * Distributed shape: the adjacency build is ONE shuffle on src (the
+    * row_number + count windows share the partition key, so Catalyst
+    * plans a single exchange); each hop PRE-SELECTS its chosen edge by a
+    * narrow filter (rnk = hash mod deg — no join, frontier-independent)
+    * and the walk extension is an equality join per hop, keyed on the
+    * current node. At 100 TB: adjacency partitions by src (skew bounded
+    * by max degree — the g7 cap argument applies), and k hops cost k
+    * co-partitionable joins of walk-count rows — never edge × walk. No
+    * driver state; walk count scales with nodes, not edges².
+    */
+  val g9Walks: Q = (s, d) => {
+    import graft.expressions.PortableHashExpressions.md5Hash62
+    import org.apache.spark.sql.expressions.Window
+    val base = bipartiteBase(s, d)
+    val edges = base.unionAll(
+      base.select(col("dst").as("src"), col("src").as("dst")))
+    val part = Window.partitionBy(col("src"))
+    val ranked = edges
+      .select(col("src"), col("dst"),
+        (row_number().over(part.orderBy(col("dst"))) - 1).cast("long").as("rnk"),
+        count(lit(1)).over(part).as("deg"))
+      .localCheckpoint(true) // the adjacency index — probed once per hop
+    def pick(i: Int): DataFrame = ranked
+      .filter(col("rnk") ===
+        pmod(md5Hash62(concat(col("src"), lit(s"#$i"))), col("deg")))
+      .select(col("src"), col("dst"))
+    val starts = base.select(col("src").as("walk_id")).distinct()
+    starts
+      .join(pick(1), starts("walk_id") === col("src"))
+      .select(col("walk_id"), col("dst").as("n1"))
+      .join(pick(2).withColumnRenamed("dst", "n2"), col("n1") === col("src"))
+      .select(col("walk_id"), col("n1"), col("n2"))
+      .join(pick(3).withColumnRenamed("dst", "n3"), col("n2") === col("src"))
+      .select(col("walk_id"), col("n1"), col("n2"), col("n3"))
+      .orderBy("walk_id")
+  }
+
+  val g9WalksSql: String = {
+    def pick(i: Int): String =
+      s"""p$i AS (
+         |  SELECT src, dst FROM ranked
+         |  WHERE rnk = CAST(md5_number_lower(src || '#$i')
+         |    & 4611686018427387903 AS BIGINT) % deg)"""
+    s"""WITH base AS (
+       |  SELECT DISTINCT 'u' || user_id AS src,
+       |    'k' || json_extract_string(props, '$$.k') AS dst
+       |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |edges AS (
+       |  SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+       |ranked AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+       |  FROM edges),
+       |${pick(1).stripMargin},
+       |${pick(2).stripMargin},
+       |${pick(3).stripMargin},
+       |starts AS (SELECT DISTINCT src AS walk_id FROM base)
+       |SELECT walk_id, p1.dst AS n1, p2.dst AS n2, p3.dst AS n3
+       |FROM starts
+       |JOIN p1 ON p1.src = walk_id
+       |JOIN p2 ON p2.src = p1.dst
+       |JOIN p3 ON p3.src = p2.dst
+       |ORDER BY walk_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1Pagerank,
@@ -662,7 +738,8 @@ object Graph {
     "g5_kcore" -> g5Kcore,
     "g6_cooccur" -> g6Cooccur,
     "g7_linkpred" -> g7Linkpred,
-    "g8_labelprop" -> g8Labelprop)
+    "g8_labelprop" -> g8Labelprop,
+    "g9_walks" -> g9Walks)
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank" -> g1PagerankSql,
@@ -672,5 +749,6 @@ object Graph {
     "g5_kcore" -> g5KcoreSql,
     "g6_cooccur" -> g6CooccurSql,
     "g7_linkpred" -> g7LinkpredSql,
-    "g8_labelprop" -> g8LabelpropSql)
+    "g8_labelprop" -> g8LabelpropSql,
+    "g9_walks" -> g9WalksSql)
 }

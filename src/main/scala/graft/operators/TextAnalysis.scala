@@ -1456,6 +1456,85 @@ object TextAnalysis {
        |FROM p1 JOIN p2 USING (doc_id) ORDER BY p1.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ t26_bm25
+  /** BM25 retrieval — the corpus-search primitive behind contamination
+    * audits and targeted data selection ("pull every document about X").
+    * A fixed 4-term query is scored with Okapi BM25 (k1=1.2, b=0.75,
+    * log2 idf) and the global top-20 returned.
+    *
+    * Distributed shape — the INVERTED-INDEX discipline without building
+    * one: because the query terms are known, per-term tf and doc length
+    * come out of ONE narrow corpus scan (`size(filter(tokens, = q))` per
+    * term — codegen'd, no explode, no postings shuffle). Corpus stats
+    * (N, Σdl, per-term df) are a single 1-row aggregate broadcast back;
+    * scoring is a projection; the only wide stage is TakeOrdered(20).
+    * At 100 TB: scan + 1-row agg + scan + top-k — embarrassingly
+    * parallel, zero joins on corpus-sized keys. (Contrast t10's explode:
+    * fine for *all*-terms analytics, wasteful for a 4-term query.)
+    *
+    * Float discipline: idf uses log2 on an exact rational (t17's proven
+    * libm-parity path); the 4 per-term contributions are summed as a
+    * fixed left-associated chain in alphabetical term order, so the
+    * doubles match the oracle bit for bit. tf=0 contributes an exact
+    * 0.0 (zero numerator) — no CASE needed.
+    */
+  private val bm25Terms = Seq("hash", "merge", "spark", "window")
+
+  val t26Bm25: Q = (s, d) => {
+    val base = docs(s, d)
+      .select(col("doc_id"), lowerTokens(col("text")).as("t"))
+      .select(
+        col("doc_id") +: size(col("t")).cast("long").as("dl") +:
+          bm25Terms.map(q =>
+            size(filter(col("t"), x => x === lit(q))).cast("long").as(s"tf_$q")): _*)
+      .localCheckpoint(true) // feeds the stats agg AND the scoring pass
+    val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      bm25Terms.map(q => sum((col(s"tf_$q") > 0).cast("long")).as(s"df_$q"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    def contrib(q: String): Column = {
+      val idf = log2(lit(1.0) +
+        (col("n_docs") - col(s"df_$q") + lit(0.5)) / (col(s"df_$q") + lit(0.5)))
+      // literals spelled exactly as in the oracle SQL (2.2, 1.2, 0.25,
+      // 0.75) so both engines parse the identical nearest-double
+      idf * ((col(s"tf_$q") * lit(2.2)) /
+        (col(s"tf_$q") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        bm25Terms.map(q => (col(s"tf_$q") > 0).cast("int"))
+          .reduce(_ + _).as("n_hit"),
+        sround(bm25Terms.map(contrib).reduce(_ + _), 4).as("score"))
+      .filter(col("n_hit") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val t26Bm25Sql: String = {
+    val tfs = bm25Terms.map(q =>
+      s"CAST(len(list_filter(t, x -> x = '$q')) AS BIGINT) AS tf_$q").mkString(",\n    ")
+    val dfs = bm25Terms.map(q =>
+      s"sum(CASE WHEN tf_$q > 0 THEN 1 ELSE 0 END) AS df_$q").mkString(", ")
+    def contribSql(q: String): String =
+      s"log2(1.0 + (n_docs - df_$q + 0.5) / (df_$q + 0.5)) * " +
+        s"((tf_$q * 2.2) / (tf_$q + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))"
+    val score = bm25Terms.map(contribSql).mkString(" + ")
+    val hits = bm25Terms.map(q => s"CAST(tf_$q > 0 AS INTEGER)").mkString(" + ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |    $tfs
+       |  FROM (SELECT doc_id,
+       |          list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
+       |        FROM documents)),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfs FROM base)
+       |SELECT doc_id, $hits AS n_hit,
+       |  floor(($score) * 10000.0 + 0.5) / 10000.0 AS score
+       |FROM base CROSS JOIN stats
+       |WHERE $hits > 0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t1_text_stats" -> t1TextStats,
@@ -1476,6 +1555,7 @@ object TextAnalysis {
     "t20_quality_classifier" -> t20QualityClassifier,
     "t21_bpe_merges" -> t21BpeMerges,
     "t25_bpe_encode" -> t25BpeEncode,
+    "t26_bm25" -> t26Bm25,
     "t22_langid_audit" -> t22LangidAudit,
     "t23_novelty" -> t23Novelty,
     "t24_code_switch" -> t24CodeSwitch,
@@ -1503,6 +1583,7 @@ object TextAnalysis {
     "t20_quality_classifier" -> t20QualityClassifierSql,
     "t21_bpe_merges" -> t21BpeMergesSql,
     "t25_bpe_encode" -> t25BpeEncodeSql,
+    "t26_bm25" -> t26Bm25Sql,
     "t22_langid_audit" -> t22LangidAuditSql,
     "t23_novelty" -> t23NoveltySql,
     "t24_code_switch" -> t24CodeSwitchSql,

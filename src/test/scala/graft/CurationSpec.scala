@@ -419,4 +419,37 @@ class CurationSpec extends SparkSpec {
     // the learned merges genuinely compress at least some documents
     assert(expect.exists(r => r._4 < r._3))
   }
+
+  test("t26 BM25: top-20 matches an in-memory Okapi scorer, same rounding and tiebreak") {
+    val terms = Seq("hash", "merge", "spark", "window")
+    val docsC = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docsC.map { case (id, tx) =>
+      id -> tx.toLowerCase.split("\\s+").filter(_.nonEmpty) }
+    val nDocs = toks.length.toLong
+    val sumDl = toks.map(_._2.length.toLong).sum
+    val avgdl = sumDl.toDouble / nDocs
+    val df = terms.map(q => q -> toks.count(_._2.contains(q)).toLong).toMap
+    val scored = toks.map { case (id, t) =>
+      val dl = t.length.toLong
+      // identical association order to the operator: alphabetical terms,
+      // left-fold sum
+      val score = terms.map { q =>
+        val tf = t.count(_ == q).toLong
+        // StrictMath mirrors Spark Log2's codegen exactly
+        val idf = java.lang.StrictMath.log(1.0 + (nDocs - df(q) + 0.5) / (df(q) + 0.5)) /
+          java.lang.StrictMath.log(2.0)
+        idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+      }.reduce(_ + _)
+      val nHit = terms.count(q => t.contains(q))
+      (id, nHit, math.floor(score * 10000.0 + 0.5) / 10000.0)
+    }.filter(_._2 > 0)
+    val expect = scored.sortBy { case (id, _, sc) => (-sc, id) }.take(20).toSeq
+    val got = graft.operators.TextAnalysis.t26Bm25(spark, sfDir)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(got == expect)
+    // discriminative: not all scores equal, and all positive
+    assert(got.map(_._3).distinct.length > 1)
+    got.foreach { case (_, _, sc) => assert(sc > 0.0) }
+  }
 }

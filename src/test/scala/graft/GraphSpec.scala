@@ -238,4 +238,37 @@ class GraphSpec extends SparkSpec {
     assert(comm(1L) == comm(2L) && comm(2L) == comm(3L))
     assert(comm(4L) == comm(5L) && comm(5L) == comm(6L))
   }
+
+  test("g9 walks: every user node walks 3 hops along the hash-chosen adjacency index") {
+    import graft.expressions.PortableHash
+    import org.apache.spark.unsafe.types.UTF8String
+    def h62(s: String): Long =
+      PortableHash.md5Lower62(UTF8String.fromString(s))
+    val base = Tables.load(spark, sfDir, "events")
+      .select(concat(lit("u"), $"user_id").as("src"),
+        concat(lit("k"), get_json_object($"props", "$.k")).as("dst"))
+      .where($"dst".isNotNull).distinct()
+      .as[(String, String)].collect()
+    val adj = (base ++ base.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def step(v: String, i: Int): String = {
+      val nbrs = adj(v)
+      nbrs(((h62(s"$v#$i") % nbrs.length) + nbrs.length).toInt % nbrs.length)
+    }
+    val expect = base.map(_._1).distinct.sorted.map { u =>
+      val n1 = step(u, 1); val n2 = step(n1, 2); val n3 = step(n2, 3)
+      (u, n1, n2, n3)
+    }.toSeq
+    val got = Graph.g9Walks(spark, sfDir)
+      .as[(String, String, String, String)].collect().toSeq
+    assert(got == expect)
+    // walks alternate u-side and k-side on the bipartite graph
+    got.foreach { case (w, n1, n2, n3) =>
+      assert(w.startsWith("u") && n1.startsWith("k") &&
+        n2.startsWith("u") && n3.startsWith("k"), s"$w -> $n1 -> $n2 -> $n3")
+    }
+    // the hash choice genuinely varies: not every walk picks index 0
+    val firstNbr = expect.map { case (u, n1, _, _) => n1 == adj(u).head }
+    assert(firstNbr.contains(false))
+  }
 }
