@@ -468,4 +468,58 @@ class StreamingSpec extends SparkSpec {
     assert(CdcPollSource.readWatermark(wm) == 30L)
     conn.close()
   }
+
+  test("streaming near-dup suppression: store admits only d10-new docs; replay is self-healing") {
+    import graft.streaming.NearDupStream
+    val src = Files.createTempDirectory("neardup_src").toString
+    val store = Files.createTempDirectory("neardup_store").toString + "/docs"
+    val ckpt = Files.createTempDirectory("neardup_ckpt").toString
+
+    def doc(id: Long, text: String) =
+      (id, text, "en", "drop", text.length.toLong)
+    def mkDf(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val baseText = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val otherText = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    val drop1 = Seq(doc(1, baseText), doc(2, otherText),
+      doc(3, baseText)) // 3 is a within-batch exact dup of 1
+    // drop2: exact dup of stored 1, near dup of stored 2 (one word
+    // changed), and a genuinely new doc
+    val drop2 = Seq(doc(10, baseText),
+      doc(11, otherText.replace("eighteen", "nineteen")),
+      doc(12, "red blue green yellow purple orange brown black white grey " +
+        "cyan magenta teal maroon olive navy silver gold bronze pink"))
+
+    def run(): Unit = {
+      val q = NearDupStream.start(spark, src, store, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def stored() = spark.read.parquet(store)
+      .select($"doc_id").as[Long].collect().toSet
+
+    mkDf(drop1).coalesce(1).write.mode("append").parquet(src)
+    run()
+    // within-batch exact dup collapses to the smallest doc_id
+    assert(stored() == Set(1L, 2L))
+
+    mkDf(drop2).coalesce(1).write.mode("append").parquet(src)
+    run() // restart from checkpoint: drop1 must not be reprocessed
+    assert(stored() == Set(1L, 2L, 12L),
+      "exact(10) and near(11) must be suppressed, new(12) admitted")
+
+    // the stream verdicts equal the batch d10 core applied to the same split
+    val v = NearDupStream.verdicts(mkDf(drop1.take(2)), mkDf(drop2))
+      .as[(Long, String, Option[Long])].collect()
+      .map { case (i, ver, m) => i -> ((ver, m)) }.toMap
+    assert(v(10L) == ("exact", Some(1L)) && v(11L) == ("near", Some(2L)) &&
+      v(12L) == ("new", None), s"verdicts: $v")
+
+    // self-healing replay: re-delivering already-stored docs is a no-op
+    // (they exact-match their own fingerprints in the store)
+    mkDf(drop1).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert(stored() == Set(1L, 2L, 12L), "replay must not re-append")
+  }
 }
