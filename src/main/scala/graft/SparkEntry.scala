@@ -79,5 +79,6 @@ object SparkEntry {
     "d10_incremental_dedup", "q67_pattern_match",
     "v9_rerank", "q68_rolling_distinct", "q69_ohlc", "q70_ab_test",
     "t24_code_switch", "g8_labelprop", "q71_pareto",
-    "q72_incremental_models", "v10_kmeans", "t25_bpe_encode")
+    "q72_incremental_models", "v10_kmeans", "t25_bpe_encode",
+    "t26_bm25", "g9_walks")
 }
