@@ -1008,6 +1008,53 @@ object Similarity {
        |WHERE r.rnk <= $KmQuota ORDER BY cluster, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------- v11_recall_eval
+  /** ANN quality evaluation — the harness every index deployment needs
+    * ("measure, don't guess"): recall@K of the sign-LSH index (v2)
+    * against exact brute force (v1), per query. Emits, for each query:
+    * how many neighbors the index returned (n_approx ≤ K), how many of
+    * the true top-K it found (n_overlap), and recall@K — the operator
+    * that tells you whether 4 planes is enough BEFORE you commit the
+    * index shape at scale. (t22_langid_audit is the same pattern for
+    * labeling operators; this closes it for retrieval.)
+    *
+    * Scale shape: composes two already-audited plans; everything after
+    * them is NQ×K rows — constant in corpus size. Recall measurement
+    * inherently pays one exact pass, which is why production evals run
+    * on a SAMPLED query set (NQ here); the corpus-side cost is v1's
+    * audited broadcast-join scan, not a new shape.
+    */
+  val v11RecallEval: Q = (s, d) => {
+    val exact = v1KnnBrute(s, d).select(col("q_id"), col("n_id"))
+    val approx = v2AnnLsh(s, d).select(col("q_id"), col("n_id"))
+    val nApprox = approx.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_approx"))
+    val hit = approx.withColumn("hit", lit(1L))
+    exact.join(hit, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .join(nApprox, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"), col("n_overlap"),
+        sround(col("n_overlap") / lit(K.toDouble), 4).as("recall_at_k"))
+      .orderBy("q_id")
+  }
+
+  val v11RecallEvalSql: String =
+    s"""WITH exact AS (SELECT q_id, n_id FROM ($v1KnnBruteSql)),
+       |approx AS (SELECT q_id, n_id FROM ($v2AnnLshSql)),
+       |na AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_approx
+       |       FROM approx GROUP BY q_id)
+       |SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  coalesce(any_value(na.n_approx), 0) AS n_approx,
+       |  CAST(count(a.n_id) AS BIGINT) AS n_overlap,
+       |  floor(count(a.n_id) / CAST($K AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       |    AS recall_at_k
+       |FROM exact e
+       |LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |LEFT JOIN na ON na.q_id = e.q_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "v1_knn_brute" -> v1KnnBrute,
@@ -1019,7 +1066,8 @@ object Similarity {
     "v7_mips" -> v7Mips,
     "v8_filtered_ann" -> v8FilteredAnn,
     "v9_rerank" -> v9Rerank,
-    "v10_kmeans" -> v10Kmeans)
+    "v10_kmeans" -> v10Kmeans,
+    "v11_recall_eval" -> v11RecallEval)
 
   val oracles: Map[String, String] = Map(
     "v1_knn_brute" -> v1KnnBruteSql,
@@ -1031,5 +1079,6 @@ object Similarity {
     "v7_mips" -> v7MipsSql,
     "v8_filtered_ann" -> v8FilteredAnnSql,
     "v9_rerank" -> v9RerankSql,
-    "v10_kmeans" -> v10KmeansSql)
+    "v10_kmeans" -> v10KmeansSql,
+    "v11_recall_eval" -> v11RecallEvalSql)
 }

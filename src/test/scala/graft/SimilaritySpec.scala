@@ -448,4 +448,26 @@ class SimilaritySpec extends SparkSpec {
       .as[(Int, Long, Int, Long)].collect().toSeq
     assert(out == again)
   }
+
+  test("v11 recall eval: per-query overlap equals the v1/v2 set intersection") {
+    val exact = graft.operators.Similarity.v1KnnBrute(spark, sfDir)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = graft.operators.Similarity.v2AnnLsh(spark, sfDir)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = exact.keys.toSeq.sorted.map { q =>
+      val ov = exact(q).intersect(approx.getOrElse(q, Set.empty)).size.toLong
+      (q, exact(q).size.toLong, approx.getOrElse(q, Set.empty).size.toLong,
+        ov, math.floor(ov / 10.0 * 10000.0 + 0.5) / 10000.0)
+    }
+    val got = graft.operators.Similarity.v11RecallEval(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expect)
+    // the index is useful on this corpus: macro recall meaningfully > 0,
+    // and recall is a genuine measurement (not all 1.0 — approximate)
+    val macroRecall = got.map(_._5).sum / got.length
+    assert(macroRecall > 0.3, s"macro recall $macroRecall")
+    assert(got.exists(_._5 < 1.0) || got.forall(_._3 == 10L))
+  }
 }
