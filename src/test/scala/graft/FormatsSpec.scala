@@ -120,4 +120,53 @@ class FormatsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_items")
   }
+
+  test("snapshots: time travel is exact, appends rewrite nothing, incremental reads are delta-sized") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_table").toString + "/docs"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id").as[Long].collect().toSet
+    val d1 = base.filter($"event_id" < 100)
+    val d2 = base.filter($"event_id" >= 100 && $"event_id" < 150)
+    val d3 = base.filter($"event_id" >= 900)
+
+    assert(Snapshots.currentVersion(spark, table) == 0)
+    val v1 = Snapshots.commitOverwrite(d1, table, "initial load")
+    val v2 = Snapshots.commitAppend(d2, table, "daily delta")
+    val v3 = Snapshots.commitOverwrite(d3, table, "rebuild")
+    assert((v1, v2, v3) == ((1, 2, 3)))
+
+    // time travel: every version readable and exact, latest = v3
+    assert(rows(Snapshots.readVersion(spark, table, Some(1))) == rows(d1))
+    assert(rows(Snapshots.readVersion(spark, table, Some(2))) == rows(d1) ++ rows(d2))
+    assert(rows(Snapshots.readVersion(spark, table, Some(3))) == rows(d3))
+    assert(rows(Snapshots.readVersion(spark, table)) == rows(d3))
+
+    // append reuses the parent's files verbatim — no data rewrite
+    val f1 = Snapshots.files(spark, table, 1)
+    val f2 = Snapshots.files(spark, table, 2)
+    assert(f1.forall(f2.contains), "v2 must reuse every v1 file")
+    assert(f2.size > f1.size)
+
+    // incremental read = only the delta's rows
+    assert(rows(Snapshots.incrementalRead(spark, table, since = 1, until = Some(2)))
+      == rows(d2))
+    assert(Snapshots.incrementalRead(spark, table, since = 2, until = Some(2)).count() == 0)
+
+    // file-level diff: v2→v3 drops all shared files, adds v3's
+    val (added, removed) = Snapshots.diff(spark, table, 2, 3)
+    assert(removed.toSet == f2.toSet && added.nonEmpty)
+    assert(added.forall(_.contains("v00003-")))
+
+    // the commit point is the manifest, claimed with create(overwrite =
+    // false). Pin the FS contract that claim relies on: creating a path
+    // that already exists must throw, so two racing committers of the
+    // same version cannot both "win" — one fails loudly.
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(table, "_versions/claimprobe")
+    fs.create(claim, false).close()
+    intercept[Exception] { fs.create(claim, false).close() }
+    fs.delete(claim, false)
+  }
 }
