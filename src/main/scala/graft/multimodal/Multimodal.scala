@@ -446,7 +446,70 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- mm8_shard_export
+  /** WebDataset-style sample-shard packing — how multimodal training sets
+    * actually ship: samples (opaque payload + caption/meta) are packed in
+    * a stable global order into ~`ShardBytes`-bounded shards, and each
+    * shard carries a manifest row (sample count, byte size, id range,
+    * content signature) a loader or auditor can trust without opening
+    * the shard. Payload here is the document's UTF-8 bytes standing in
+    * for media bytes (the mm1 convention).
+    *
+    * Distributed shape: shard assignment is t15's two-phase distributed
+    * prefix sum over byte lengths (NO single-partition window — the
+    * boundary placement is exactly a sequential packer's); the manifest
+    * is one shard-keyed agg. Signature = sum of per-payload md5-62
+    * hashes masked to 40 bits — order-independent (commutative sum) and
+    * overflow-free in both engines, so the oracle replays it exactly.
+    * `writeShards` is the physical half: one directory per shard, docs
+    * co-located, MultimodalSpec re-derives the manifest from the bytes
+    * actually written.
+    */
+  val ShardBytes = 4096L
+  private val SigMask = 1099511627775L // 2^40 - 1
+
+  def mm8ShardExport(s: SparkSession, d: String): DataFrame = {
+    import graft.expressions.PortableHashExpressions.md5Hash62
+    val docs = Tables.load(s, d, "documents")
+    val counted = docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_tok"))
+    val assign = graft.operators.TextAnalysis
+      .globalPackingDocs(counted, ShardBytes)
+      .select(col("doc_id"), col("n_tok").as("n_bytes"),
+        col("pack_id").as("shard_id"))
+    val sig = docs.select(col("doc_id"),
+      md5Hash62(col("text")).bitwiseAND(lit(SigMask)).as("h"))
+    assign.join(sig, "doc_id")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_id"),
+        max(col("doc_id")).as("last_id"),
+        sum(col("h")).as("signature"))
+      .orderBy("shard_id")
+  }
+
+  /** Physical shard write: payload+caption rows land under
+    * shard_id=N/ directories; returns the manifest frame (same shape as
+    * mm8ShardExport, computed from the assignment actually written).
+    */
+  def writeShards(s: SparkSession, d: String, outDir: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    val counted = docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_tok"))
+    val assign = graft.operators.TextAnalysis
+      .globalPackingDocs(counted, ShardBytes)
+      .select(col("doc_id"), col("pack_id").as("shard_id"))
+    docs.join(assign, "doc_id")
+      .select(col("doc_id"), col("shard_id"),
+        col("text").cast("binary").as("payload"), col("text").as("caption"),
+        col("lang"), col("source"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    mm8ShardExport(s, d)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm8_shard_export" -> (mm8ShardExport _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_audio_energy" -> (mm3AudioEnergy _),
@@ -460,6 +523,26 @@ object Multimodal {
     * histogram width.
     */
   val oracles: Map[String, String] = Map(
+    // the oracle replays the packing as ONE global window (affordable at
+    // oracle scale — exactly why the Spark side must not use it) and the
+    // signature as the same masked md5-62 sum
+    "mm8_shard_export" ->
+      """WITH counted AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST(md5_number_lower(text) & 1099511627775 AS BIGINT) AS h
+        |  FROM documents),
+        |assigned AS (
+        |  SELECT doc_id, n_bytes, h,
+        |    CAST(floor(coalesce(sum(n_bytes) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096)
+        |      AS BIGINT) AS shard_id
+        |  FROM counted)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id,
+        |  CAST(sum(h) AS BIGINT) AS signature
+        |FROM assigned GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "mm1_decode_stub" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -470,4 +470,34 @@ class SimilaritySpec extends SparkSpec {
     assert(macroRecall > 0.3, s"macro recall $macroRecall")
     assert(got.exists(_._5 < 1.0) || got.forall(_._3 == 10L))
   }
+
+  test("mm8 shard export: manifest re-derives exactly from the bytes written to disk") {
+    import graft.multimodal.Multimodal
+    val out = java.nio.file.Files.createTempDirectory("mm8_shards").toString + "/set"
+    val manifest = Multimodal.writeShards(spark, sfDir, out)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // re-derive the manifest from the parquet actually written
+    val rederived = spark.read.parquet(out)
+      .select($"shard_id".cast("long"), $"doc_id", $"payload")
+      .as[(Long, Long, Array[Byte])].collect()
+      .groupBy(_._1).toSeq.map { case (shard, rows) =>
+        val sig = rows.map { case (_, _, p) =>
+          graft.expressions.PortableHash.md5Lower62(
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(p)) & 1099511627775L
+        }.sum
+        (shard, rows.length.toLong, rows.map(_._3.length.toLong).sum,
+          rows.map(_._2).min, rows.map(_._2).max, sig)
+      }.sortBy(_._1)
+    assert(manifest == rederived)
+    // packing invariant (the sequential-packer rule): shard ids are
+    // consecutive from 0, and every non-final shard's cumulative byte
+    // total crosses its boundary — shard k only closes once (k+1)*B is
+    // reached (the straddling sample stays with shard k)
+    assert(manifest.map(_._1) == manifest.indices.map(_.toLong))
+    val cums = manifest.map(_._3).scanLeft(0L)(_ + _).tail
+    cums.init.zipWithIndex.foreach { case (c, k) =>
+      assert(c >= (k + 1) * Multimodal.ShardBytes, s"shard $k closed early at $c")
+    }
+    assert(manifest.map(_._2).sum == spark.read.parquet(out).count())
+  }
 }
