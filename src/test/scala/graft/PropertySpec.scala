@@ -375,4 +375,46 @@ class PropertySpec extends SparkSpec {
     assert(Relational.queries("q58_decay_score")(spark, good).count() == 1L)
     assert(Relational.queries("q65_twap")(spark, good).count() == 1L)
   }
+
+  test("snapshot commits: any append/overwrite sequence time-travels to the modeled state at EVERY version") {
+    import graft.sources.Snapshots
+    // model-based check: a random op sequence against the real table,
+    // an in-memory Vector[Set[Long]] as the model — every historical
+    // version must still read back exactly its modeled contents.
+    val opGen = Gen.listOfN(5,
+      Gen.zip(Gen.oneOf("append", "overwrite"), Gen.choose(1, 20)))
+    var nextId = 0L
+    forAll(opGen, n = 6) { ops =>
+      val table = java.nio.file.Files
+        .createTempDirectory("snap_prop").toString + "/t"
+      var model = Vector.empty[Set[Long]]
+      ops.foreach { case (op, sz) =>
+        val ids = (0 until sz).map(_ => { nextId += 1; nextId }).toSet
+        val df = ids.toSeq.toDF("id")
+        val v = op match {
+          case "append" =>
+            model = model :+ (model.lastOption.getOrElse(Set.empty) ++ ids)
+            Snapshots.commitAppend(df, table, s"append $sz")
+          case _ =>
+            model = model :+ ids
+            Snapshots.commitOverwrite(df, table, s"overwrite $sz")
+        }
+        assert(v == model.length)
+      }
+      // EVERY version (not just the head) matches its model snapshot
+      model.zipWithIndex.foreach { case (want, i) =>
+        val got = Snapshots.readVersion(spark, table, Some(i + 1))
+          .as[Long].collect().toSet
+        assert(got == want, s"version ${i + 1}: got $got want $want")
+        // incremental read from the previous version = exactly the delta
+        // for appends; for overwrites it is the new files' rows
+        if (i > 0) {
+          val inc = Snapshots.incrementalRead(spark, table, i, Some(i + 1))
+            .as[Long].collect().toSet
+          assert(inc == (want -- model(i - 1)) || inc == want,
+            s"incremental ${i} -> ${i + 1}: $inc")
+        }
+      }
+    }
+  }
 }
