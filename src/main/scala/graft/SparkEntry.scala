@@ -80,5 +80,6 @@ object SparkEntry {
     "v9_rerank", "q68_rolling_distinct", "q69_ohlc", "q70_ab_test",
     "t24_code_switch", "g8_labelprop", "q71_pareto",
     "q72_incremental_models", "v10_kmeans", "t25_bpe_encode",
-    "t26_bm25", "g9_walks", "v11_recall_eval", "mm8_shard_export")
+    "t26_bm25", "g9_walks", "v11_recall_eval", "mm8_shard_export",
+    "v12_ivf_append")
 }

@@ -193,19 +193,20 @@ object Similarity {
     * or engines — which is what lets the SQL oracle below replay the
     * whole build and the driver hash-check the output.
     */
-  val v4IvfAnn: Q = (s, d) => {
-    val k = 16
-    val nprobe = 4
-    val e = emb(s, d)
+  private def centroidDots(centroids: Array[Array[Double]], vec: Column): Column =
+    array(centroids.map(c => dot(vec, typedlit(c.toSeq))): _*)
+  private def nearestCell(centroids: Array[Array[Double]], vec: Column): Column = {
+    val scores = centroidDots(centroids, vec)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
 
-    def centroidDots(centroids: Array[Array[Double]], vec: Column): Column =
-      array(centroids.map(c => dot(vec, typedlit(c.toSeq))): _*)
-    def nearestCell(centroids: Array[Array[Double]], vec: Column): Column = {
-      val scores = centroidDots(centroids, vec)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
-    }
-
-    // deterministic seeds: the k lowest vec_ids (normalized)
+  /** The v4 coarse-quantizer build over an arbitrary vector frame:
+    * deterministic seeds (k lowest vec_ids, normalized) + ONE Lloyd
+    * refinement, means rounded to 4 decimals (absorbs cross-engine
+    * float-sum association deltas). k × dim doubles — a bounded driver
+    * artifact at any corpus size.
+    */
+  private def ivfRefined(e: DataFrame, k: Int): Array[Array[Double]] = {
     val seeds: Array[Array[Double]] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
@@ -213,11 +214,9 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         v.map(x => if (n == 0) 0.0 else x / n)
       }
-
-    // one Lloyd step: elementwise mean of members per cell, 4-decimal rounded
     val assigned0 = e.select(col("vec_id"), col("embedding"),
       nearestCell(seeds, col("embedding")).as("cell"))
-    val refined: Array[Array[Double]] = assigned0
+    assigned0
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       .agg(avg(col("v")).as("m"))
@@ -228,6 +227,13 @@ object Similarity {
         val dim = rows.map(r => (r.getInt(1), math.floor(r.getDouble(2) * 1e4 + 0.5) / 1e4))
         dim.sortBy(_._1).map(_._2)
       }
+  }
+
+  val v4IvfAnn: Q = (s, d) => {
+    val k = 16
+    val nprobe = 4
+    val e = emb(s, d)
+    val refined = ivfRefined(e, k)
 
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       normSq(col("embedding")).as("nsq_n"),
@@ -920,13 +926,6 @@ object Similarity {
     cents
   }
 
-  private def centroidDots(centroids: Array[Array[Double]], vec: Column): Column =
-    array(centroids.map(c => dot(vec, typedlit(c.toSeq))): _*)
-  private def nearestCell(centroids: Array[Array[Double]], vec: Column): Column = {
-    val scores = centroidDots(centroids, vec)
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-  }
-
   val v10Kmeans: Q = (s, d) => {
     val cents = kmeansCentroids(s, d)
     val assigned = emb(s, d).select(col("vec_id"),
@@ -1008,6 +1007,112 @@ object Similarity {
        |WHERE r.rnk <= $KmQuota ORDER BY cluster, rnk""".stripMargin
   }
 
+  // ----------------------------------------------------- v12_ivf_append
+  /** Incremental IVF index maintenance — d10's asymmetric discipline for
+    * vectors: the standing index (centroids trained on the EXISTING
+    * corpus only, vec_id < Split) is FROZEN, and the incoming delta is
+    * assigned to it without retraining — the production append path,
+    * since retraining on every delta re-shuffles the whole corpus. Per
+    * cell the operator reports existing membership, incoming membership,
+    * and a DRIFT metric (mean cosine of incoming vectors to their
+    * assigned centroid, sorted-fold summed): when drift sags, the
+    * quantizer no longer fits the data and a retrain (v10's full Lloyd)
+    * is due — the measurement that schedules it.
+    *
+    * Scale shape: the build side is v4's bounded k×dim artifact computed
+    * from existing only; the append is ONE narrow pass over the DELTA
+    * (centroid literals inside the projection — no join, no shuffle on
+    * corpus keys) + one k-row agg. Cost scales with the delta, exactly
+    * like d10/NearDupStream on the text side.
+    */
+  val v12IvfAppend: Q = (s, d) => {
+    val k = 16
+    val split = 400L
+    val e = emb(s, d)
+    val ex = e.filter(col("vec_id") < split)
+    val refined = ivfRefined(ex, k)
+    // per-cell centroid norms as a literal lookup (exact same doubles the
+    // oracle derives from its refined CTE: ascending-dimension sum)
+    val cnorm = refined.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+    val exCells = ex
+      .select(nearestCell(refined, col("embedding")).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_existing"))
+    val incCells = e.filter(col("vec_id") >= split)
+      .select(col("vec_id"), normSq(col("embedding")).as("nsq"),
+        centroidDots(refined, col("embedding")).as("scores"))
+      .select(col("vec_id"), col("nsq"),
+        (array_position(col("scores"), array_max(col("scores"))) - 1)
+          .cast("int").as("cell"),
+        array_max(col("scores")).as("cdot"))
+      .withColumn("csim", col("cdot") /
+        (sqrt(col("nsq")) * element_at(typedlit(cnorm.toSeq), col("cell") + 1)))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_incoming"),
+        (aggregate(array_sort(collect_list(col("csim"))), lit(0.0),
+          (acc, x) => acc + x) / count(lit(1))).as("drift_raw"))
+    exCells.join(incCells, Seq("cell"), "left")
+      .select(col("cell"), col("n_existing"),
+        coalesce(col("n_incoming"), lit(0L)).as("n_incoming"),
+        sround(col("drift_raw"), 4).as("drift_sim"))
+      .orderBy("cell")
+  }
+
+  val v12IvfAppendSql: String = {
+    def dotList(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+       |  FROM embeddings),
+       |ex AS MATERIALIZED (SELECT * FROM e WHERE vec_id < 400),
+       |seeds AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |    CASE WHEN sqrt(nsq) = 0 THEN list_transform(embedding, x -> 0.0)
+       |         ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(nsq)) END AS c
+       |  FROM ex WHERE vec_id < 16),
+       |a0 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cell
+       |  FROM (
+       |    SELECT ex.vec_id, ex.embedding, s.cell,
+       |      row_number() OVER (PARTITION BY ex.vec_id
+       |        ORDER BY ${dotList("ex.embedding", "s.c")} DESC, s.cell ASC) AS rn
+       |    FROM ex, seeds s)
+       |  WHERE rn = 1),
+       |refined AS MATERIALIZED (
+       |  SELECT cell, list(m ORDER BY i) AS c
+       |  FROM (
+       |    SELECT cell, i,
+       |      floor(avg(CAST(embedding[i] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS m
+       |    FROM a0, (SELECT unnest(range(1, 65)) AS i)
+       |    GROUP BY cell, i)
+       |  GROUP BY cell),
+       |exa AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_existing
+       |  FROM (
+       |    SELECT ex.vec_id, r.cell,
+       |      row_number() OVER (PARTITION BY ex.vec_id
+       |        ORDER BY ${dotList("ex.embedding", "r.c")} DESC, r.cell ASC) AS rn
+       |    FROM ex, refined r)
+       |  WHERE rn = 1 GROUP BY cell),
+       |inca AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_incoming,
+       |    list_aggregate(list_sort(list(csim)), 'sum') / count(*) AS drift_raw
+       |  FROM (
+       |    SELECT e.vec_id, r.cell,
+       |      ${dotList("e.embedding", "r.c")}
+       |        / (sqrt(e.nsq) * sqrt(${dotList("r.c", "r.c")})) AS csim,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotList("e.embedding", "r.c")} DESC, r.cell ASC) AS rn
+       |    FROM e, refined r WHERE e.vec_id >= 400)
+       |  WHERE rn = 1 GROUP BY cell)
+       |SELECT exa.cell, exa.n_existing,
+       |  coalesce(inca.n_incoming, 0) AS n_incoming,
+       |  floor(inca.drift_raw * 10000.0 + 0.5) / 10000.0 AS drift_sim
+       |FROM exa LEFT JOIN inca USING (cell)
+       |ORDER BY exa.cell""".stripMargin
+  }
+
   // ---------------------------------------------------- v11_recall_eval
   /** ANN quality evaluation — the harness every index deployment needs
     * ("measure, don't guess"): recall@K of the sign-LSH index (v2)
@@ -1067,7 +1172,8 @@ object Similarity {
     "v8_filtered_ann" -> v8FilteredAnn,
     "v9_rerank" -> v9Rerank,
     "v10_kmeans" -> v10Kmeans,
-    "v11_recall_eval" -> v11RecallEval)
+    "v11_recall_eval" -> v11RecallEval,
+    "v12_ivf_append" -> v12IvfAppend)
 
   val oracles: Map[String, String] = Map(
     "v1_knn_brute" -> v1KnnBruteSql,
@@ -1080,5 +1186,6 @@ object Similarity {
     "v8_filtered_ann" -> v8FilteredAnnSql,
     "v9_rerank" -> v9RerankSql,
     "v10_kmeans" -> v10KmeansSql,
-    "v11_recall_eval" -> v11RecallEvalSql)
+    "v11_recall_eval" -> v11RecallEvalSql,
+    "v12_ivf_append" -> v12IvfAppendSql)
 }

@@ -471,6 +471,50 @@ class SimilaritySpec extends SparkSpec {
     assert(got.exists(_._5 < 1.0) || got.forall(_._3 == 10L))
   }
 
+  test("v12 IVF append: frozen-index assignment and drift match an in-memory replay") {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.sortBy(_._1)
+    val split = 400L
+    val ex = vecs.filter(_._1 < split)
+    val inc = vecs.filter(_._1 >= split)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val seeds = ex.filter(_._1 < 16).map(_._2).map { v =>
+      val n = math.sqrt(dot(v, v))
+      v.map(x => if (n == 0) 0.0 else x / n)
+    }
+    def argmax(scores: Seq[Double]) = scores.indexOf(scores.max)
+    val a0 = ex.map { case (_, v) => (argmax(seeds.map(dot(v, _)).toSeq), v) }
+    val refined = a0.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, m) =>
+      val dims = m.head._2.indices.map { i =>
+        math.floor(m.map(_._2(i)).sum / m.size * 1e4 + 0.5) / 1e4
+      }.toArray
+      dims
+    }.toArray
+    val exCells = ex.map { case (_, v) => argmax(refined.map(dot(v, _)).toSeq) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val incAssign = inc.map { case (_, v) =>
+      val scores = refined.map(dot(v, _)).toSeq
+      val c = argmax(scores)
+      val csim = scores(c) / (math.sqrt(dot(v, v)) * math.sqrt(dot(refined(c), refined(c))))
+      (c, csim)
+    }
+    val expect = exCells.keys.toSeq.sorted.map { c =>
+      val ins = incAssign.filter(_._1 == c).map(_._2)
+      val drift =
+        if (ins.isEmpty) None
+        else Some(math.floor(ins.sorted.sum / ins.size * 1e4 + 0.5) / 1e4)
+      (c, exCells(c), ins.size.toLong, drift)
+    }
+    val got = graft.operators.Similarity.v12IvfAppend(spark, sfDir)
+      .as[(Int, Long, Long, Option[Double])].collect().toSeq
+    assert(got == expect)
+    // the index genuinely partitions both sides and drift is a cosine
+    assert(got.map(_._2).sum == ex.length && got.map(_._3).sum == inc.length)
+    got.flatMap(_._4).foreach(dr => assert(dr >= -1.0 && dr <= 1.0))
+  }
+
   test("mm8 shard export: manifest re-derives exactly from the bytes written to disk") {
     import graft.multimodal.Multimodal
     val out = java.nio.file.Files.createTempDirectory("mm8_shards").toString + "/set"
