@@ -729,6 +729,50 @@ object Graph {
        |ORDER BY walk_id""".stripMargin
   }
 
+  // ------------------------------------------------------- g10_walk_pairs
+  /** Skip-gram training pairs from the g9 walk corpus — the step that
+    * turns walks into a word2vec-style dataset: every (center, context)
+    * pair within window 1 along each walk, symmetrized, counted across
+    * the corpus. Together g9 + g10 are the complete DeepWalk data prep:
+    * graph → walks → co-occurrence pairs ready for a skip-gram trainer
+    * (or for g6-style PMI analytics).
+    *
+    * Distributed shape: walks are nodes-sized rows; pair extraction is a
+    * narrow per-row explode of 3 adjacent hops (constant fan-out 6 —
+    * never edges²) and ONE pair-keyed count agg. At 100 TB of walks this
+    * is scan + one shuffle on pair keys, the same budget as any word
+    * co-occurrence count.
+    */
+  val g10WalkPairs: Q = (s, d) => {
+    val walks = g9Walks(s, d)
+    val arms = Seq(
+      ("walk_id", "n1"), ("n1", "walk_id"), ("n1", "n2"),
+      ("n2", "n1"), ("n2", "n3"), ("n3", "n2"))
+    val pairs = walks.select(
+      explode(array(arms.map { case (a, b) =>
+        struct(col(a).as("center"), col(b).as("context"))
+      }: _*)).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+    pairs.groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("center", "context")
+  }
+
+  val g10WalkPairsSql: String = {
+    val inner = g9WalksSql.replace("ORDER BY walk_id", "")
+    s"""WITH walks AS MATERIALIZED ($inner),
+       |pairs AS (
+       |  SELECT walk_id AS center, n1 AS context FROM walks
+       |  UNION ALL SELECT n1, walk_id FROM walks
+       |  UNION ALL SELECT n1, n2 FROM walks
+       |  UNION ALL SELECT n2, n1 FROM walks
+       |  UNION ALL SELECT n2, n3 FROM walks
+       |  UNION ALL SELECT n3, n2 FROM walks)
+       |SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+       |FROM pairs GROUP BY center, context
+       |ORDER BY center, context""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1Pagerank,
@@ -739,7 +783,8 @@ object Graph {
     "g6_cooccur" -> g6Cooccur,
     "g7_linkpred" -> g7Linkpred,
     "g8_labelprop" -> g8Labelprop,
-    "g9_walks" -> g9Walks)
+    "g9_walks" -> g9Walks,
+    "g10_walk_pairs" -> g10WalkPairs)
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank" -> g1PagerankSql,
@@ -750,5 +795,6 @@ object Graph {
     "g6_cooccur" -> g6CooccurSql,
     "g7_linkpred" -> g7LinkpredSql,
     "g8_labelprop" -> g8LabelpropSql,
-    "g9_walks" -> g9WalksSql)
+    "g9_walks" -> g9WalksSql,
+    "g10_walk_pairs" -> g10WalkPairsSql)
 }

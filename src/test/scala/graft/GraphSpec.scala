@@ -271,4 +271,20 @@ class GraphSpec extends SparkSpec {
     val firstNbr = expect.map { case (u, n1, _, _) => n1 == adj(u).head }
     assert(firstNbr.contains(false))
   }
+
+  test("g10 walk pairs: symmetric window-1 skip-gram counts over the g9 walks") {
+    val walks = Graph.g9Walks(spark, sfDir)
+      .as[(String, String, String, String)].collect()
+    val expect = walks.flatMap { case (w, n1, n2, n3) =>
+      Seq((w, n1), (n1, w), (n1, n2), (n2, n1), (n2, n3), (n3, n2))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((a, b), c) => (a, b, c) }
+      .sortBy { case (a, b, _) => (a, b) }
+    val got = Graph.g10WalkPairs(spark, sfDir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == expect)
+    // symmetry: every (a,b) count equals its (b,a) count
+    val m = got.map { case (a, b, c) => (a, b) -> c }.toMap
+    m.foreach { case ((a, b), c) => assert(m((b, a)) == c) }
+  }
 }
