@@ -246,6 +246,107 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------------------------- d12_lsh_eval
+  /** LSH index-quality evaluation — v11's "measure, don't guess" harness
+    * for the dedup family: d3's band-collision candidate generation is
+    * scored against EXACT ground truth (every pair with word-trigram
+    * Jaccard >= 0.2). Emits one summary row: truth/candidate/verified
+    * pair counts, band RECALL (share of true near-dup pairs the bands
+    * surfaced — missed pairs survive dedup as duplicates) and candidate
+    * PRECISION (share of surfaced candidates that verify — the wasted
+    * exact-verify cost). This is the measurement that says whether
+    * 32 bands x 2 rows fits the corpus before committing the index shape.
+    *
+    * Scale shape: ground truth is NOT all-pairs — it is the exact
+    * inverted-index algorithm (explode shingles once, gram-equality
+    * join, count per pair = intersection size), the d2-oracle columnar
+    * spelling run in the engine; cost scales with actually-shared
+    * shingles. Like v11's brute pass, an eval inherently pays for truth
+    * — production runs it on a sampled corpus slice.
+    */
+  val d12LshEval: Q = (s, d) => {
+    val base = shingleSets(docs(s, d))
+      .localCheckpoint(true) // feeds inverted index, band keys, AND sizes
+    val inv = base.select(col("doc_id"), explode(col("sh")).as("h"))
+    val tp = inv.as("x").join(inv.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = tp
+      .join(base.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.2)
+      .select(col("doc_a"), col("doc_b"))
+    val bands = minhashBands(base)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val verified = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .select(col("n_truth"), col("n_cand"), col("n_verified"),
+        sround(col("n_verified") / col("n_truth").cast("double"), 4).as("band_recall"),
+        sround(col("n_verified") / col("n_cand").cast("double"), 4).as("cand_precision"))
+  }
+
+  val d12LshEvalSql: String = {
+    val p = 2147483647L
+    val minCols = (0 until 64).map { idx =>
+      val a = minhashPermA31(idx)
+      val b = minhashPermB31(idx)
+      s"    min(($a * h + $b) % $p) AS m$idx"
+    }.mkString(",\n")
+    val bandArms = (0 until 32).map { bnd =>
+      s"  SELECT doc_id, $bnd AS band, m${2 * bnd} AS r0, m${2 * bnd + 1} AS r1 FROM mins"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id, sh, list_transform(sh, h -> h & 2147483647) AS h31,
+       |    len(sh) AS n_sh
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_sort(list_distinct(list_transform(
+       |        CASE WHEN len(t) >= 3
+       |          THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |          ELSE CAST([] AS VARCHAR[]) END,
+       |        gm -> CAST(md5_number_lower(gm) & 4611686018427387903 AS BIGINT)))) AS sh
+       |    FROM (SELECT doc_id,
+       |            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
+       |          FROM documents))),
+       |inv AS MATERIALIZED (SELECT doc_id, unnest(sh) AS h FROM g),
+       |tp AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM inv x JOIN inv y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b
+       |  FROM tp JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
+       |  WHERE inter / CAST(ga.n_sh + gb.n_sh - inter AS DOUBLE) >= 0.2),
+       |mins AS MATERIALIZED (
+       |  SELECT doc_id,
+       |$minCols
+       |  FROM (SELECT doc_id, unnest(h31) AS h FROM g)
+       |  GROUP BY doc_id),
+       |bands AS MATERIALIZED (
+       |$bandArms),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1 AND x.doc_id < y.doc_id),
+       |ver AS (
+       |  SELECT t.doc_a, t.doc_b FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM cand c
+       |                WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+       |SELECT CAST(nt AS BIGINT) AS n_truth, CAST(nc AS BIGINT) AS n_cand,
+       |  CAST(nv AS BIGINT) AS n_verified,
+       |  floor(nv / CAST(nt AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS band_recall,
+       |  floor(nv / CAST(nc AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS cand_precision
+       |FROM (SELECT (SELECT count(*) FROM truth) AS nt,
+       |             (SELECT count(*) FROM cand) AS nc,
+       |             (SELECT count(*) FROM ver) AS nv)""".stripMargin
+  }
+
   // --------------------------------------------------------- d4_simhash
   /** SimHash fingerprint per doc + near-dup pairs via 16-bit chunk blocking
     * (pigeonhole: Hamming<=3 pairs must share a chunk) verified at
@@ -930,7 +1031,8 @@ object Dedup {
     "d7_semantic_dedup" -> d7SemanticDedup,
     "d8_span_dedup" -> d8SpanDedup,
     "d9_containment" -> d9Containment,
-    "d10_incremental_dedup" -> d10IncrementalDedup)
+    "d10_incremental_dedup" -> d10IncrementalDedup,
+    "d12_lsh_eval" -> d12LshEval)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1ExactDedupSql,
@@ -942,5 +1044,6 @@ object Dedup {
     "d7_semantic_dedup" -> d7SemanticDedupSql,
     "d8_span_dedup" -> d8SpanDedupSql,
     "d9_containment" -> d9ContainmentSql,
-    "d10_incremental_dedup" -> d10IncrementalDedupSql)
+    "d10_incremental_dedup" -> d10IncrementalDedupSql,
+    "d12_lsh_eval" -> d12LshEvalSql)
 }

@@ -266,4 +266,16 @@ class TextDedupSpec extends SparkSpec {
       assert(members.count(_._4) == 1, s"cluster $cid keepers != 1")
     }
   }
+
+  test("d12 LSH eval: verified count equals d3's verified pairs; metrics recompute") {
+    val Array((nt, nc, nv, recall, prec)) = Dedup.d12LshEval(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val d3Pairs = Dedup.d3MinhashLsh(spark, sfDir).count()
+    // d3's output IS cand ∩ truth at the same 0.2 threshold
+    assert(nv == d3Pairs, s"n_verified $nv != d3 $d3Pairs")
+    assert(nt >= nv && nc >= nv && nt > 0 && nc > 0)
+    assert(recall == math.floor(nv.toDouble / nt * 1e4 + 0.5) / 1e4)
+    assert(prec == math.floor(nv.toDouble / nc * 1e4 + 0.5) / 1e4)
+    assert(recall > 0.0 && recall <= 1.0 && prec > 0.0 && prec <= 1.0)
+  }
 }
