@@ -301,10 +301,105 @@ object CorpusPipeline {
       |  (SELECT count(*) FROM decon), (SELECT n FROM packs)
       |ORDER BY stage""".stripMargin
 
+  // ----------------------------------------------------- p3_dataset_card
+  /** Dataset card — the per-source datasheet every released corpus ships
+    * (composition, volume, duplication, quality): for each source,
+    * document and token volume, exact-duplicate rate (d1's canonical
+    * fingerprint), mean t2 quality, and the language profile (distinct
+    * langs + dominant lang). One grouped pass over per-doc metrics the
+    * engine already defines — the governance report stitched from
+    * audited operators, not new math.
+    *
+    * Scale shape: everything is a narrow per-doc projection followed by
+    * ONE source-keyed agg (sources are few; the collect_list feeding the
+    * sorted quality fold is per-source card state, bounded by docs per
+    * source — at 100 TB swap the exact mean's fold for streaming sum
+    * by pre-rounding, or sample per source; the card is a report, not a
+    * hot path). Dominant lang is a tiny per-source window over
+    * (source × lang) counts.
+    */
+  private def sround(c: Column, digits: Int): Column = {
+    val f = math.pow(10, digits)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+
+  def p3DatasetCard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.load(s, d, "documents")
+    val quality = graft.operators.TextAnalysis.t2Quality(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val base = docs.select(col("doc_id"), col("source"), col("lang"),
+      md5(graft.functions.TextFunctions.normText(col("text"))).as("fp"))
+      .join(quality, "doc_id")
+      .localCheckpoint(true) // feeds the card agg and the lang profile
+    val card = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("fp")).as("n_distinct"),
+        (aggregate(array_sort(collect_list(col("quality_score"))), lit(0.0),
+          (acc, x) => acc + x) / count(lit(1))).as("q_raw"))
+    val langRank = Window.partitionBy(col("source"))
+      .orderBy(col("lang_cnt").desc, col("lang").asc)
+    val langs = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("lang_cnt"))
+      .withColumn("rnk", row_number().over(langRank))
+    val profile = langs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        max(when(col("rnk") === 1, col("lang"))).as("top_lang"))
+    card.join(profile, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        sround(lit(1.0) - col("n_distinct") / col("n_docs").cast("double"), 4)
+          .as("dup_rate"),
+        sround(col("q_raw"), 4).as("mean_quality"),
+        col("n_langs"), col("top_lang"))
+      .orderBy("source")
+  }
+
+  val p3DatasetCardSql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS len_c,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tok,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      t -> t IN ('the','a','of','and','to','is','in','that','it','for'))) AS BIGINT) AS stop
+      |  FROM documents),
+      |per_doc AS (
+      |  SELECT d.doc_id, d.source, d.lang,
+      |    md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) AS fp,
+      |    q.n_tok,
+      |    floor((least(q.n_tok / 100.0, 1.0) * 0.5 + (q.stop / nullif(q.n_tok, 0)) * 0.3
+      |           + (1.0 - q.digit / nullif(q.len_c, 0)) * 0.2) * 10000.0 + 0.5) / 10000.0
+      |      AS quality_score
+      |  FROM documents d JOIN q USING (doc_id)),
+      |card AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |    count(DISTINCT fp) AS n_distinct,
+      |    list_aggregate(list_sort(list(quality_score)), 'sum') / count(*) AS q_raw
+      |  FROM per_doc GROUP BY source),
+      |lc AS (
+      |  SELECT source, lang, count(*) AS lang_cnt,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY count(*) DESC, lang ASC) AS rnk
+      |  FROM per_doc GROUP BY source, lang),
+      |profile AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+      |    max(CASE WHEN rnk = 1 THEN lang END) AS top_lang
+      |  FROM lc GROUP BY source)
+      |SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs, c.total_tokens,
+      |  floor((1.0 - c.n_distinct / CAST(c.n_docs AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS dup_rate,
+      |  floor(c.q_raw * 10000.0 + 0.5) / 10000.0 AS mean_quality,
+      |  p.n_langs, p.top_lang
+      |FROM card c JOIN profile p USING (source)
+      |ORDER BY c.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p1_corpus_pipeline" -> (p1CorpusPipeline _),
-      "p2_training_prep" -> (p2TrainingPrep _))
+      "p2_training_prep" -> (p2TrainingPrep _),
+      "p3_dataset_card" -> (p3DatasetCard _))
   val oracles: Map[String, String] =
     Map("p1_corpus_pipeline" -> p1CorpusPipelineSql,
-      "p2_training_prep" -> p2TrainingPrepSql)
+      "p2_training_prep" -> p2TrainingPrepSql,
+      "p3_dataset_card" -> p3DatasetCardSql)
 }

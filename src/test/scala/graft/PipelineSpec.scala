@@ -83,4 +83,30 @@ class PipelineSpec extends SparkSpec {
     assert(chunked.select($"doc_id").distinct().count() == survivors.count())
     assert(chunked.groupBy($"doc_id").count().filter($"count" < 1).count() == 0)
   }
+
+  test("p3 dataset card: per-source volumes, dup rate, mean quality, and lang profile replay in memory") {
+    import graft.pipeline.CorpusPipeline
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source")
+      .as[(Long, String, String, String)].collect()
+    val quality = graft.operators.TextAnalysis.t2Quality(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"quality_score")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val expect = docs.groupBy(_._4).toSeq.sortBy(_._1).map { case (src, rows) =>
+      val fps = rows.map(r =>
+        r._2.toLowerCase.replaceAll("\\s+", " ").trim).distinct.size
+      val qs = rows.map(r => quality(r._1)._2).sorted
+      val meanQ = math.floor(qs.sum / rows.size * 1e4 + 0.5) / 1e4
+      val dup = math.floor((1.0 - fps.toDouble / rows.size) * 1e4 + 0.5) / 1e4
+      val langCnt = rows.groupBy(_._3).view.mapValues(_.size).toMap
+      val top = langCnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+      (src, rows.size.toLong, rows.map(r => quality(r._1)._1).sum,
+        dup, meanQ, langCnt.size.toLong, top)
+    }
+    val got = CorpusPipeline.p3DatasetCard(spark, sfDir)
+      .as[(String, Long, Long, Double, Double, Long, String)].collect().toSeq
+    assert(got == expect)
+    // the card covers every source exactly once
+    assert(got.map(_._1).distinct.size == got.size && got.nonEmpty)
+  }
 }
