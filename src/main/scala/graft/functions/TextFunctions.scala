@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Engine-portable half-up rounding — THE determinism rounding contract
+    * shared by every oracle-checked operator: floor(x·10^d + 0.5)/10^d,
+    * spelled identically in the DuckDB twins. (Spark's round() is
+    * HALF_UP, DuckDB's HALF_EVEN — this formula sidesteps both.) The
+    * per-operator `sround` helpers forward here so the formula has ONE
+    * definition.
+    */
+  def sround(c: Column, digits: Int): Column = {
+    val f = math.pow(10, digits)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+
   /** Whitespace tokens, empties dropped (split("a  b") yields ""s). */
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= lit(""))

@@ -462,7 +462,7 @@ object Multimodal {
     * hashes masked to 40 bits — order-independent (commutative sum) and
     * overflow-free in both engines, so the oracle replays it exactly.
     * `writeShards` is the physical half: one directory per shard, docs
-    * co-located, MultimodalSpec re-derives the manifest from the bytes
+    * co-located, SimilaritySpec re-derives the manifest from the bytes
     * actually written.
     */
   val ShardBytes = 4096L
@@ -494,18 +494,32 @@ object Multimodal {
     * mm8ShardExport, computed from the assignment actually written).
     */
   def writeShards(s: SparkSession, d: String, outDir: String): DataFrame = {
+    import graft.expressions.PortableHashExpressions.md5Hash62
     val docs = Tables.load(s, d, "documents")
     val counted = docs.select(col("doc_id"),
       octet_length(col("text")).cast("long").as("n_tok"))
     val assign = graft.operators.TextAnalysis
       .globalPackingDocs(counted, ShardBytes)
-      .select(col("doc_id"), col("pack_id").as("shard_id"))
-    docs.join(assign, "doc_id")
+      .select(col("doc_id"), col("n_tok").as("n_bytes"),
+        col("pack_id").as("shard_id"))
+    val joined = docs.join(assign, "doc_id")
+      .localCheckpoint(true) // ONE packing pass feeds the write AND manifest
+    joined
       .select(col("doc_id"), col("shard_id"),
         col("text").cast("binary").as("payload"), col("text").as("caption"),
         col("lang"), col("source"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
-    mm8ShardExport(s, d)
+    // manifest from the SAME assignment the write used — no recompute
+    joined
+      .select(col("doc_id"), col("shard_id"), col("n_bytes"),
+        md5Hash62(col("text")).bitwiseAND(lit(SigMask)).as("h"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_id"),
+        max(col("doc_id")).as("last_id"),
+        sum(col("h")).as("signature"))
+      .orderBy("shard_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

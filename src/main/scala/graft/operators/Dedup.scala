@@ -22,10 +22,8 @@ object Dedup {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
-  private def sround(c: Column, digits: Int): Column = {
-    val f = math.pow(10, digits)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def sround(c: Column, digits: Int): Column =
+    graft.functions.TextFunctions.sround(c, digits)
 
   // ------------------------------------------------------ d1_exact_dedup
   /** Exact dedup: group by canonical-text md5; keep the smallest doc_id.
@@ -277,9 +275,28 @@ object Dedup {
       .join(base.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.2)
       .select(col("doc_a"), col("doc_b"))
-    val bands = minhashBands(base)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+    // Candidates via the EXACT (band, r0, r1) signature join — the
+    // oracle's own columnar algorithm — not d3's fused 64-bit bkey:
+    // d3 surfaces candidates only through a Jaccard verify that absorbs
+    // the ~2^-64 key-mix collision risk, but d12 reports the raw
+    // candidate COUNT, where a single mix collision would flip n_cand
+    // against the oracle. Same two-agg shape, zero collision exposure.
+    val p31 = 2147483647L
+    val hs = base.select(col("doc_id"), explode(col("sh")).as("hr"))
+      .select(col("doc_id"), col("hr").bitwiseAND(lit(p31)).as("h"))
+    val minCols = (0 until 64).map(i =>
+      min((lit(minhashPermA31(i)) * col("h") + lit(minhashPermB31(i))) % lit(p31))
+        .as(s"m$i"))
+    val mins = hs.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandsDf = mins.select(col("doc_id"),
+      explode(array((0 until 32).map(b =>
+        struct(lit(b).as("band"), col(s"m${2 * b}").as("r0"),
+          col(s"m${2 * b + 1}").as("r1"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"),
+        col("bd.r0").as("r0"), col("bd.r1").as("r1"))
+    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.band") === col("y.band") && col("x.r0") === col("y.r0") &&
+          col("x.r1") === col("y.r1") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val verified = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
@@ -917,8 +934,13 @@ object Dedup {
     * from the synthetic corpus) to exercise the exact-verdict branch.
     */
   def incrementalDedup(all: DataFrame): DataFrame = {
-    val fp = all.select(col("doc_id"), col("incoming"),
-      md5(normText(col("text"))).as("fp"))
+    // reuse a caller-provided fp column (NearDupStream computes it for
+    // its within-batch collapse) instead of hashing every doc twice
+    val fp =
+      if (all.columns.contains("fp"))
+        all.select(col("doc_id"), col("incoming"), col("fp"))
+      else all.select(col("doc_id"), col("incoming"),
+        md5(normText(col("text"))).as("fp"))
     val inc = fp.where(col("incoming"))
     val exi = fp.where(!col("incoming"))
     val exact = inc.join(exi.select(col("fp"), col("doc_id").as("eid")), "fp")

@@ -20,10 +20,8 @@ import graft.Tables
 object Graph {
   type Q = (SparkSession, String) => DataFrame
 
-  private def sround(c: Column, digits: Int): Column = {
-    val f = math.pow(10, digits)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def sround(c: Column, digits: Int): Column =
+    graft.functions.TextFunctions.sround(c, digits)
 
   /** Exact-order double summation: fold the values in sorted order so the
     * result is one specific association order both engines reproduce

@@ -34,10 +34,8 @@ object Relational {
     * ONLY rounding used in oracle-checked outputs. The SQL twin is the same
     * formula spelled out (see each oracle).
     */
-  private def sround(c: org.apache.spark.sql.Column, digits: Int): org.apache.spark.sql.Column = {
-    val f = math.pow(10, digits)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def sround(c: org.apache.spark.sql.Column, digits: Int): org.apache.spark.sql.Column =
+    graft.functions.TextFunctions.sround(c, digits)
 
   /** Exact money aggregation: 2-decimal doubles → integer cents → BIGINT sum.
     * A plain double sum is association-order-dependent (Spark's partial aggs

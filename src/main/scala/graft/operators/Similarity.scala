@@ -24,10 +24,8 @@ object Similarity {
 
   private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
-  private def sround(c: Column, digits: Int): Column = {
-    val f = math.pow(10, digits)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def sround(c: Column, digits: Int): Column =
+    graft.functions.TextFunctions.sround(c, digits)
 
   private val K = 10
   private val NQ = 8 // query vectors: vec_id < 8

@@ -23,10 +23,8 @@ object TextAnalysis {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
-  private def sround(c: Column, digits: Int): Column = {
-    val f = math.pow(10, digits)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def sround(c: Column, digits: Int): Column =
+    graft.functions.TextFunctions.sround(c, digits)
 
   // ------------------------------------------------------- t1_text_stats
   /** Token counting: chars, UTF-8 bytes, whitespace tokens, distinct tokens,

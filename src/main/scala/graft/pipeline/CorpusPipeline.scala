@@ -318,10 +318,8 @@ object CorpusPipeline {
     * hot path). Dominant lang is a tiny per-source window over
     * (source × lang) counts.
     */
-  private def sround(c: Column, digits: Int): Column = {
-    val f = math.pow(10, digits)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def sround(c: Column, digits: Int): Column =
+    graft.functions.TextFunctions.sround(c, digits)
 
   def p3DatasetCard(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -74,7 +74,11 @@ object Snapshots {
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val rels = parts.map { p =>
       val rel = f"data/v$v%05d-${p.getName}"
-      f.rename(p, new Path(table, rel))
+      // Hadoop rename reports failure by RETURN VALUE, not exception; an
+      // unchecked false here would commit a manifest entry for a file
+      // that never arrived, breaking the never-a-corrupt-version invariant
+      require(f.rename(p, new Path(table, rel)),
+        s"snapshot stage: rename ${p.getName} -> $rel failed")
       rel
     }
     f.delete(staging, true)
@@ -88,7 +92,10 @@ object Snapshots {
     val f = fs(spark, mp)
     f.mkdirs(vdir(table))
     val out = f.create(mp, false) // fail loudly if the version exists
-    try out.write((note +: rels).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the manifest is line-oriented (note line + one path per line): a
+    // newline inside the note would shift every file path by one line
+    val safeNote = note.replaceAll("[\\r\\n]+", " ")
+    try out.write((safeNote +: rels).mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     v
   }

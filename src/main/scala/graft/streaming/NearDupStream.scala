@@ -49,29 +49,35 @@ object NearDupStream {
     */
   def verdicts(store: DataFrame, incoming: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    // the fp column is KEPT through the collapse so incrementalDedup's
+    // fp-reuse path skips a second normalize+hash pass per batch doc
     val slim = incoming
       .withColumn("fp", md5(TextFunctions.normText(col("text"))))
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1).drop("rn", "fp")
+      .where(col("rn") === 1).drop("rn")
     Dedup.incrementalDedup(
-      store.withColumn("incoming", lit(false))
+      store.withColumn("fp", md5(TextFunctions.normText(col("text"))))
+        .withColumn("incoming", lit(false))
         .unionByName(slim.withColumn("incoming", lit(true))))
   }
 
   /** One micro-batch: verdict against the store at `storePath` (absent =
-    * empty corpus) and append the `new` survivors with their batch id.
+    * empty corpus) and append the `new` survivors.
+    *
+    * Store absence is decided by an EXPLICIT existence probe, never by
+    * classifying read-error messages: a transient read failure of a real
+    * store must fail the batch loudly (streaming retries it) rather than
+    * silently verdict against an empty corpus and re-admit duplicates.
     */
   def processBatch(spark: SparkSession, storePath: String)(
       batch: DataFrame, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val store =
-      try spark.read.schema(CorpusStream.docSchema).parquet(storePath)
-      catch {
-        case e: Exception if e.getMessage != null &&
-            e.getMessage.contains("does not exist") =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL(CorpusStream.docSchema))
-      }
+      if (fs.exists(p)) spark.read.schema(CorpusStream.docSchema).parquet(storePath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(CorpusStream.docSchema))
     val keep = verdicts(store, batch).where(col("verdict") === "new")
     batch.join(keep.select(col("doc_id")), "doc_id")
       .write.mode("append").parquet(storePath)
