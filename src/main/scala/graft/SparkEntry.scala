@@ -81,5 +81,6 @@ object SparkEntry {
     "t24_code_switch", "g8_labelprop", "q71_pareto",
     "q72_incremental_models", "v10_kmeans", "t25_bpe_encode",
     "t26_bm25", "g9_walks", "v11_recall_eval", "mm8_shard_export",
-    "v12_ivf_append", "g10_walk_pairs", "d12_lsh_eval", "p3_dataset_card")
+    "v12_ivf_append", "g10_walk_pairs", "d12_lsh_eval", "p3_dataset_card",
+    "t27_ccnet_buckets")
 }

@@ -789,10 +789,13 @@ object TextAnalysis {
     * via the SORTED fold (t8's trick) so the doubles match the oracle
     * bit for bit.
     */
-  val t17LmScore: Q = (s, d) => {
-    val toks = docs(s, d)
-      .select(col("doc_id"), lowerTokens(col("text")).as("t"))
-      .localCheckpoint(true) // feeds bigrams, contexts, and the vocab count
+  /** t17's core as a reusable frame: per-doc (doc_id, n_bigrams, h) where
+    * `h` is the SORTED-fold sum of the bigram -log2 terms (bitwise-stable
+    * doubles). `toks` must carry (doc_id, t) and be CHEAP TO RE-READ
+    * (already localCheckpointed) — it feeds bigrams, contexts, and the
+    * vocab count. Shared by t17 and t27.
+    */
+  private def lmDocScores(toks: DataFrame): DataFrame = {
     val big = toks
       .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w1")),
         col("t"))
@@ -816,10 +819,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         aggregate(array_sort(collect_list(col("term"))),
           lit(0.0), (acc, x) => acc + x).as("h"))
+  }
+
+  val t17LmScore: Q = (s, d) =>
+    lmDocScores(
+      docs(s, d).select(col("doc_id"), lowerTokens(col("text")).as("t"))
+        .localCheckpoint(true))
       .select(col("doc_id"), col("n_bigrams"),
         sround(col("h") / col("n_bigrams"), 4).as("avg_neg_log2p"))
       .orderBy("doc_id")
-  }
 
   val t17LmScoreSql: String =
     """WITH toks AS MATERIALIZED (
@@ -842,6 +850,116 @@ object TextAnalysis {
       |  floor(list_aggregate(list_sort(list(term)), 'sum') / count(*)
       |    * 10000.0 + 0.5) / 10000.0 AS avg_neg_log2p
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- t27_ccnet_buckets
+  /** CCNet-style perplexity bucketing — the canonical pretraining-corpus
+    * partition: per language, split the corpus into `head` (lowest
+    * perplexity third — keep), `middle` (keep/weight down), `tail`
+    * (highest third — usually drop), and report per-(lang, bucket) doc /
+    * token volumes and score ranges. Composes t17's self-trained bigram
+    * LM verbatim.
+    *
+    * Distributed shape — the part that matters at 100 TB: the bucket
+    * boundary is NOT a corpus-sized global sort. t17's scores are
+    * sround-4 DISCRETE, so the corpus collapses to a per-(lang, score4)
+    * DISTRIBUTION table with one hash agg (the only new corpus-wide
+    * shuffle), and the tercile cut runs on that small table (≤ langs x
+    * distinct-scores rows — thousands, regardless of corpus size) with a
+    * lang-partitioned cumulative window. Assignment is at the SCORE
+    * level — a score lands wholly in one bucket, ties never straddle a
+    * boundary — which is exactly CCNet's published shape (fixed ppl
+    * cutoffs, not exact thirds) and makes the operator deterministic
+    * under any partitioning. Docs with <2 tokens have no bigram score
+    * and are excluded, matching t17's domain.
+    */
+  val t27CcnetBuckets: Q = (s, d) => {
+    val toks = docs(s, d)
+      .select(col("doc_id"), col("lang"), lowerTokens(col("text")).as("t"))
+      .localCheckpoint(true) // feeds the LM pipeline AND the meta join
+    val scored = lmDocScores(toks.select(col("doc_id"), col("t")))
+      .select(col("doc_id"),
+        floor(col("h") / col("n_bigrams") * 10000.0 + lit(0.5))
+          .cast("long").as("score4"))
+    val meta = toks.select(col("doc_id"), col("lang"),
+      size(col("t")).cast("long").as("n_tok"))
+    val dist = scored.join(meta, Seq("doc_id"))
+      .groupBy(col("lang"), col("score4"))
+      .agg(count(lit(1)).as("c"), sum(col("n_tok")).as("tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score4"))
+    val marked = dist
+      .withColumn("cum", coalesce(
+        sum(col("c")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n_lang", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+    val cut1 = floor((col("n_lang") + lit(2)) / lit(3.0)).cast("long")
+    val cut2 = floor((lit(2) * col("n_lang") + lit(2)) / lit(3.0)).cast("long")
+    marked
+      .withColumn("bucket",
+        when(col("cum") < cut1, "head")
+          .when(col("cum") < cut2, "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("c")).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        min(col("score4")).as("min4"), max(col("score4")).as("max4"),
+        sum(col("score4") * col("c")).as("x4"))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("n_tokens"),
+        (col("min4") / 10000.0).as("min_score"),
+        (col("max4") / 10000.0).as("max_score"),
+        (floor(col("x4") / (lit(10000.0) * col("n_docs")) * 10000.0
+          + lit(0.5)) / 10000.0).as("mean_score"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** Oracle: t17's CTEs + the identical score-level tercile cut. */
+  val t27CcnetBucketsSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |big AS MATERIALIZED (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+      |        WHERE len(t) >= 2)),
+      |bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+      |ctx AS (SELECT w1, count(*) AS cc FROM big GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v
+      |      FROM (SELECT unnest(t) AS w FROM toks)),
+      |terms AS (
+      |  SELECT b.doc_id,
+      |    -log2((bc.c + 1) / CAST(ctx.cc + v.v AS DOUBLE)) AS term
+      |  FROM big b JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(floor(list_aggregate(list_sort(list(term)), 'sum') / count(*)
+      |      * 10000.0 + 0.5) AS BIGINT) AS score4
+      |  FROM terms GROUP BY doc_id),
+      |meta AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok FROM toks),
+      |dist AS (
+      |  SELECT lang, score4, count(*) AS c, CAST(sum(n_tok) AS BIGINT) AS tok
+      |  FROM scored JOIN meta USING (doc_id) GROUP BY 1, 2),
+      |marked AS (
+      |  SELECT lang, score4, c, tok,
+      |    coalesce(sum(c) OVER (PARTITION BY lang ORDER BY score4
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+      |    sum(c) OVER (PARTITION BY lang) AS n_lang
+      |  FROM dist),
+      |bucketed AS (
+      |  SELECT lang,
+      |    CASE WHEN cum < CAST(floor((n_lang + 2) / 3.0) AS BIGINT) THEN 'head'
+      |         WHEN cum < CAST(floor((2 * n_lang + 2) / 3.0) AS BIGINT) THEN 'middle'
+      |         ELSE 'tail' END AS bucket,
+      |    score4, c, tok
+      |  FROM marked)
+      |SELECT lang, bucket, CAST(sum(c) AS BIGINT) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+      |  min(score4) / 10000.0 AS min_score,
+      |  max(score4) / 10000.0 AS max_score,
+      |  floor(CAST(sum(score4 * c) AS DOUBLE) / (10000.0 * sum(c)) * 10000.0 + 0.5)
+      |    / 10000.0 AS mean_score
+      |FROM bucketed GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
   // ------------------------------------------------------- t12_redact
   /** PII scrubbing — the redaction pass every published training corpus
@@ -1554,6 +1672,7 @@ object TextAnalysis {
     "t21_bpe_merges" -> t21BpeMerges,
     "t25_bpe_encode" -> t25BpeEncode,
     "t26_bm25" -> t26Bm25,
+    "t27_ccnet_buckets" -> t27CcnetBuckets,
     "t22_langid_audit" -> t22LangidAudit,
     "t23_novelty" -> t23Novelty,
     "t24_code_switch" -> t24CodeSwitch,
@@ -1582,6 +1701,7 @@ object TextAnalysis {
     "t21_bpe_merges" -> t21BpeMergesSql,
     "t25_bpe_encode" -> t25BpeEncodeSql,
     "t26_bm25" -> t26Bm25Sql,
+    "t27_ccnet_buckets" -> t27CcnetBucketsSql,
     "t22_langid_audit" -> t22LangidAuditSql,
     "t23_novelty" -> t23NoveltySql,
     "t24_code_switch" -> t24CodeSwitchSql,

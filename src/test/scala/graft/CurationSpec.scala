@@ -116,6 +116,55 @@ class CurationSpec extends SparkSpec {
     assert(out.count() > 0 && out.filter($"avg_neg_log2p" <= 0).count() == 0)
   }
 
+  test("t27 ccnet buckets: in-memory replay matches; score ranges disjoint") {
+    val got = TextAnalysis.t27CcnetBuckets(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // replay: t17 scores + doc meta, score-level tercile cut in plain Scala
+    val scores = TextAnalysis.t17LmScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        math.floor(r.getDouble(2) * 10000.0 + 0.5).toLong)
+      .toMap
+    val meta = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"lang",
+        size(graft.functions.TextFunctions.lowerTokens($"text"))
+          .cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = meta.filter(m => scores.contains(m._1))
+      .groupBy(_._2).flatMap { case (lang, ds) =>
+        val dist = ds.groupBy(m => scores(m._1)).map { case (s4, grp) =>
+          (s4, grp.size.toLong, grp.map(_._3).sum)
+        }.toSeq.sortBy(_._1)
+        val n = dist.map(_._2).sum
+        val (cut1, cut2) = ((n + 2) / 3, (2 * n + 2) / 3)
+        var cum = 0L
+        dist.map { case (s4, c, tok) =>
+          val b = if (cum < cut1) "head"
+                  else if (cum < cut2) "middle" else "tail"
+          cum += c
+          (lang, b, c, tok)
+        }.groupBy(x => (x._1, x._2)).map { case (k, rows) =>
+          k -> (rows.map(_._3).sum, rows.map(_._4).sum)
+        }
+      }
+    assert(expected.nonEmpty)
+    expected.foreach { case (k, (nd, nt)) =>
+      assert(got.contains(k), s"missing bucket $k")
+      assert(got(k)._1 == nd && got(k)._2 == nt,
+        s"$k: got ${got(k)}, expected ($nd, $nt)")
+    }
+    assert(got.size == expected.size)
+    // score-level assignment ⇒ per-lang bucket score ranges are DISJOINT
+    got.keys.map(_._1).toSeq.distinct.foreach { lang =>
+      for (Seq(lo, hi) <- Seq("head", "middle", "tail")
+             .filter(b => got.contains((lang, b))).sliding(2)
+             if lo != hi)
+        assert(got((lang, lo))._4 < got((lang, hi))._3,
+          s"$lang: $lo max must be < $hi min")
+    }
+  }
+
   test("t20 classifier: dyadic weights make the score partition-order exact") {
     val out = TextAnalysis.t20QualityClassifier(spark, sfDir)
     val rows = out.collect().map(r =>
