@@ -392,12 +392,126 @@ object CorpusPipeline {
       |FROM card c JOIN profile p USING (source)
       |ORDER BY c.source""".stripMargin
 
+  // ------------------------------------------------- p4_mixture_schedule
+  /** Multi-epoch data-mixture schedule — the plan a training run consumes:
+    * per (epoch, source), the sampling weight and token quota, ANNEALED
+    * from the corpus's natural composition (epoch 1) toward a
+    * quality-reweighted target (final epoch) — the standard mid-training
+    * anneal: early epochs match the data, late epochs overweight clean
+    * sources. The target weight is availability x quality:
+    * mass_s = n_tokens_s x mean_quality_s (t2's audited score), so a
+    * source twice as clean is sampled twice as hard per token.
+    *
+    * Per (epoch, source) the schedule reports the interpolated mix share,
+    * the token quota against a budget of half the corpus per epoch, and
+    * the REPEAT factor (quota / available tokens) — the data-constrained-
+    * scaling signal that says when a source starts repeating.
+    *
+    * Scale shape: ONE corpus scan into a source-keyed agg (map-side
+    * partial, sources are few), then pure arithmetic on a sources x
+    * epochs frame — the schedule costs the same at 100 TB as at 1 GB
+    * beyond the scan. Numeric discipline: per-doc quality collapses to
+    * exact 1e-4 integer units (q4), so per-source sums are order-free
+    * longs (no sorted fold needed); mass = n_tokens x mq4 stays a long
+    * (< 2^63 while n_tokens < 9e14 at mq4 <= 1e4 — loud to revisit at
+    * yotta-scale); every double is a single identically-spelled division.
+    */
+  def p4MixtureSchedule(s: SparkSession, d: String): DataFrame = {
+    val nEpochs = 4
+    val quality = graft.operators.TextAnalysis.t2Quality(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val src = graft.Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"))
+    val perSrc = src.join(quality, "doc_id")
+      .select(col("source"), col("n_tokens"),
+        floor(col("quality_score") * 10000.0 + lit(0.5)).cast("long").as("q4"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"), sum(col("q4")).as("qsum4"))
+      .withColumn("mq4",
+        floor(col("qsum4") / col("n_docs").cast("double") + lit(0.5))
+          .cast("long"))
+      .withColumn("mass", col("n_tokens") * col("mq4"))
+    val totals = perSrc.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("mass")).as("tot_mass"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens") / col("tot_tokens").cast("double")).as("nat"),
+        (col("mass") / col("tot_mass").cast("double")).as("tgt"),
+        floor(col("tot_tokens") / lit(2.0)).cast("long").as("budget"))
+      .withColumn("epoch_i", explode(sequence(lit(1), lit(nEpochs))))
+      .withColumn("epoch", col("epoch_i").cast("long"))
+      .withColumn("mix",
+        col("nat") + (col("tgt") - col("nat"))
+          * ((col("epoch") - lit(1)) / lit((nEpochs - 1).toDouble)))
+      .select(col("epoch"), col("source"),
+        sround(col("nat"), 6).as("natural_share"),
+        sround(col("tgt"), 6).as("target_share"),
+        sround(col("mix"), 6).as("mix_share"),
+        floor(col("mix") * col("budget").cast("double")).cast("long")
+          .as("token_quota"),
+        sround(floor(col("mix") * col("budget").cast("double"))
+          / col("n_tokens").cast("double"), 4).as("repeat_factor"))
+      .orderBy("epoch", "source")
+  }
+
+  /** Oracle: t2's quality CTEs + the identical integer-mass schedule. */
+  val p4MixtureScheduleSql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS len_c,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tok,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      t -> t IN ('the','a','of','and','to','is','in','that','it','for'))) AS BIGINT) AS stop
+      |  FROM documents),
+      |per_doc AS (
+      |  SELECT d.source, q.n_tok,
+      |    CAST(floor(
+      |      floor((least(q.n_tok / 100.0, 1.0) * 0.5 + (q.stop / nullif(q.n_tok, 0)) * 0.3
+      |             + (1.0 - q.digit / nullif(q.len_c, 0)) * 0.2) * 10000.0 + 0.5) / 10000.0
+      |      * 10000.0 + 0.5) AS BIGINT) AS q4
+      |  FROM documents d JOIN q USING (doc_id)),
+      |per_src AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(sum(q4) AS BIGINT) AS qsum4
+      |  FROM per_doc GROUP BY source),
+      |massed AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    n_tokens * CAST(floor(qsum4 / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT) AS mass
+      |  FROM per_src),
+      |totals AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+      |    CAST(sum(mass) AS BIGINT) AS tot_mass FROM massed),
+      |sched AS (
+      |  SELECT m.source, m.n_tokens,
+      |    m.n_tokens / CAST(t.tot_tokens AS DOUBLE) AS nat,
+      |    m.mass / CAST(t.tot_mass AS DOUBLE) AS tgt,
+      |    CAST(floor(t.tot_tokens / 2.0) AS BIGINT) AS budget
+      |  FROM massed m CROSS JOIN totals t),
+      |epochs AS (SELECT unnest(range(1, 5)) AS epoch),
+      |mixed AS (
+      |  SELECT e.epoch, s.source, s.n_tokens, s.budget, s.nat, s.tgt,
+      |    s.nat + (s.tgt - s.nat) * ((e.epoch - 1) / 3.0) AS mix
+      |  FROM sched s CROSS JOIN epochs e)
+      |SELECT CAST(epoch AS BIGINT) AS epoch, source,
+      |  floor(nat * 1000000.0 + 0.5) / 1000000.0 AS natural_share,
+      |  floor(tgt * 1000000.0 + 0.5) / 1000000.0 AS target_share,
+      |  floor(mix * 1000000.0 + 0.5) / 1000000.0 AS mix_share,
+      |  CAST(floor(mix * CAST(budget AS DOUBLE)) AS BIGINT) AS token_quota,
+      |  floor(floor(mix * CAST(budget AS DOUBLE)) / CAST(n_tokens AS DOUBLE)
+      |    * 10000.0 + 0.5) / 10000.0 AS repeat_factor
+      |FROM mixed ORDER BY epoch, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p1_corpus_pipeline" -> (p1CorpusPipeline _),
       "p2_training_prep" -> (p2TrainingPrep _),
-      "p3_dataset_card" -> (p3DatasetCard _))
+      "p3_dataset_card" -> (p3DatasetCard _),
+      "p4_mixture_schedule" -> (p4MixtureSchedule _))
   val oracles: Map[String, String] =
     Map("p1_corpus_pipeline" -> p1CorpusPipelineSql,
       "p2_training_prep" -> p2TrainingPrepSql,
-      "p3_dataset_card" -> p3DatasetCardSql)
+      "p3_dataset_card" -> p3DatasetCardSql,
+      "p4_mixture_schedule" -> p4MixtureScheduleSql)
 }

@@ -109,4 +109,46 @@ class PipelineSpec extends SparkSpec {
     // the card covers every source exactly once
     assert(got.map(_._1).distinct.size == got.size && got.nonEmpty)
   }
+
+  test("p4 mixture schedule: anneal endpoints, quota conservation, quality monotonicity") {
+    import graft.pipeline.CorpusPipeline
+    val rows = CorpusPipeline.p4MixtureSchedule(spark, sfDir)
+      .as[(Long, String, Double, Double, Double, Long, Double)].collect()
+    val nSrc = rows.map(_._2).distinct.size
+    assert(rows.length == 4 * nSrc && nSrc > 1)
+    // epoch 1 samples the natural mix; the final epoch samples the target
+    rows.filter(_._1 == 1L).foreach(r => assert(r._5 == r._3, s"e1 $r"))
+    rows.filter(_._1 == 4L).foreach(r => assert(r._5 == r._4, s"e4 $r"))
+    // each epoch's mix shares sum to ~1 and quotas fill the budget
+    // (floor loses < 1 token per source; shares lose < 1e-6 each)
+    val perEpoch = rows.groupBy(_._1)
+    perEpoch.values.foreach { es =>
+      val mixSum = es.map(_._5).sum
+      assert(math.abs(mixSum - 1.0) < 1e-4, s"mix sum $mixSum")
+    }
+    val budgets = perEpoch.view.mapValues(_.map(_._6).sum).toMap
+    // all epochs share one budget: totals are within nSrc floor-losses
+    assert(budgets.values.max - budgets.values.min <= nSrc)
+    // annealing is monotone per source: mix moves from nat toward tgt
+    rows.groupBy(_._2).values.foreach { sr =>
+      val byEpoch = sr.sortBy(_._1).map(_._5)
+      val (nat, tgt) = (sr.head._3, sr.head._4)
+      if (tgt > nat) assert(byEpoch.sameElements(byEpoch.sorted), s"up $sr")
+      else assert(byEpoch.sameElements(byEpoch.sorted.reverse), s"down $sr")
+    }
+    // quality reweighting: the highest-mean-quality source gains share,
+    // relative to natural, by the final epoch (and the lowest loses)
+    val q = graft.operators.TextAnalysis.t2Quality(spark, sfDir)
+      .select($"doc_id", $"quality_score")
+      .as[(Long, Double)].collect().toMap
+    val srcOf = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val meanQ = srcOf.groupBy(_._2).view
+      .mapValues(ds => ds.map(x => q(x._1)).sum / ds.size).toMap
+    val hi = meanQ.maxBy { case (s0, m) => (m, s0) }._1
+    val lo = meanQ.minBy { case (s0, m) => (m, s0) }._1
+    val e4 = rows.filter(_._1 == 4L).map(r => r._2 -> (r._3, r._4)).toMap
+    assert(e4(hi)._2 > e4(hi)._1, s"high-quality source $hi must gain share")
+    assert(e4(lo)._2 < e4(lo)._1, s"low-quality source $lo must lose share")
+  }
 }
