@@ -771,8 +771,77 @@ object Graph {
        |ORDER BY center, context""".stripMargin
   }
 
+  // ---------------------------------------------------------- g11_hits
+  /** HITS hubs & authorities (2 unrolled rounds) over the DIRECTED
+    * user→item interaction graph — the mutually-recursive centrality g1
+    * can't express: a good hub (user) points at good authorities (items),
+    * a good authority is pointed at by good hubs. On the bipartite events
+    * graph this surfaces curator-users vs canonical-items, where PageRank
+    * conflates the two sides.
+    *
+    * Un-normalized Kleinberg iteration with hub0 = 1: every score is then
+    * an EXACT INTEGER (auth1 = indegree, hub1 = Σ auth1, ...), so the
+    * whole query is long arithmetic — no float discipline, no sorted
+    * folds, bit parity for free. Scores are bounded by m·Δ³ (< 2^63 for
+    * any realistic corpus; the relative ORDER is what HITS ships).
+    *
+    * Scale shape: each half-round is one join + one agg, alternately
+    * keyed on src and dst — a cluster run pre-partitions the edge list
+    * both ways once (g1's discipline) and every round reuses the two
+    * co-partitionings. Output is top-20 per role, TakeOrdered on each
+    * side — never a global sort of the node set.
+    */
+  val g11Hits: Q = (s, d) => {
+    val edges = bipartiteBase(s, d).localCheckpoint(true)
+    val auth1 = edges.groupBy(col("dst")).agg(count(lit(1)).as("a1"))
+    val hub1 = edges.join(auth1, "dst")
+      .groupBy(col("src")).agg(sum(col("a1")).as("h1"))
+    val auth2 = edges.join(hub1, "src")
+      .groupBy(col("dst")).agg(sum(col("h1")).as("a2"))
+    val hub2 = edges.join(auth2, "dst")
+      .groupBy(col("src")).agg(sum(col("a2")).as("h2"))
+    val topAuth = auth2
+      .select(lit("auth").as("role"), col("dst").as("node"),
+        col("a2").as("score"))
+      .orderBy(col("score").desc, col("node")).limit(20)
+    val topHub = hub2
+      .select(lit("hub").as("role"), col("src").as("node"),
+        col("h2").as("score"))
+      .orderBy(col("score").desc, col("node")).limit(20)
+    topAuth.unionAll(topHub)
+      .orderBy(col("role"), col("score").desc, col("node"))
+  }
+
+  /** DuckDB twin: the same two integer rounds as chained CTEs. */
+  val g11HitsSql: String =
+    """WITH edges AS MATERIALIZED (
+      |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+      |    'k' || json_extract_string(props, '$.k') AS dst
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |auth1 AS (SELECT dst, count(*) AS a1 FROM edges GROUP BY dst),
+      |hub1 AS (
+      |  SELECT src, CAST(sum(a1) AS BIGINT) AS h1
+      |  FROM edges JOIN auth1 USING (dst) GROUP BY src),
+      |auth2 AS (
+      |  SELECT dst, CAST(sum(h1) AS BIGINT) AS a2
+      |  FROM edges JOIN hub1 USING (src) GROUP BY dst),
+      |hub2 AS (
+      |  SELECT src, CAST(sum(a2) AS BIGINT) AS h2
+      |  FROM edges JOIN auth2 USING (dst) GROUP BY src),
+      |top_auth AS (
+      |  SELECT 'auth' AS role, dst AS node, a2 AS score FROM auth2
+      |  ORDER BY score DESC, node LIMIT 20),
+      |top_hub AS (
+      |  SELECT 'hub' AS role, src AS node, h2 AS score FROM hub2
+      |  ORDER BY score DESC, node LIMIT 20)
+      |SELECT role, node, score FROM (
+      |  SELECT * FROM top_auth UNION ALL SELECT * FROM top_hub)
+      |ORDER BY role, score DESC, node""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "g11_hits" -> g11Hits,
     "g1_pagerank" -> g1Pagerank,
     "g2_triangles" -> g2Triangles,
     "g3_reach" -> g3Reach,
@@ -785,6 +854,7 @@ object Graph {
     "g10_walk_pairs" -> g10WalkPairs)
 
   val oracles: Map[String, String] = Map(
+    "g11_hits" -> g11HitsSql,
     "g1_pagerank" -> g1PagerankSql,
     "g2_triangles" -> g2TrianglesSql,
     "g3_reach" -> g3ReachSql,

@@ -85,6 +85,34 @@ class GraphSpec extends SparkSpec {
     assert(out == expected, s"got $out expected $expected")
   }
 
+  test("g11 hits: top-20 hubs/authorities match an in-memory Kleinberg iteration") {
+    val got = Graph.g11Hits(spark, sfDir)
+      .as[(String, String, Long)].collect().toSeq
+    val base = Tables.load(spark, sfDir, "events")
+      .select(concat(lit("u"), $"user_id").as("src"),
+        concat(lit("k"), get_json_object($"props", "$.k")).as("dst"))
+      .where($"dst".isNotNull).distinct()
+      .as[(String, String)].collect()
+    // un-normalized HITS, hub0 = 1: two full rounds of exact longs
+    var hub = base.map(_._1).distinct.map(_ -> 1L).toMap
+    var auth = Map.empty[String, Long]
+    for (_ <- 1 to 2) {
+      auth = base.groupBy(_._2).view
+        .mapValues(_.map(e => hub(e._1)).sum).toMap
+      hub = base.groupBy(_._1).view
+        .mapValues(_.map(e => auth(e._2)).sum).toMap
+    }
+    def top(m: Map[String, Long], role: String) =
+      m.toSeq.sortBy { case (n, sc) => (-sc, n) }.take(20)
+        .map { case (n, sc) => (role, n, sc) }
+    val expect = (top(auth, "auth") ++ top(hub, "hub"))
+      .sortBy { case (r, n, sc) => (r, -sc, n) }
+    assert(got == expect)
+    // bipartite sanity: authorities are items, hubs are users
+    assert(got.filter(_._1 == "auth").forall(_._2.startsWith("k")))
+    assert(got.filter(_._1 == "hub").forall(_._2.startsWith("u")))
+  }
+
   test("g4 sssp: frontier Bellman-Ford matches an in-memory full relaxation") {
     val got = Graph.g4Sssp(spark, sfDir).as[(String, Long)].collect().toSeq
     // reference: FULL (non-frontier) Bellman-Ford on collected weighted
