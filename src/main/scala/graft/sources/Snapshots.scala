@@ -128,6 +128,60 @@ object Snapshots {
     writeManifest(spark, table, v, note, prior ++ stage(df, table, v))
   }
 
+  /** Marker prefix that tags a version as a REWRITE (same logical rows,
+    * different physical files). Incremental readers must skip these
+    * versions' file additions or every compaction would replay the whole
+    * table as a spurious delta.
+    */
+  val RewriteNotePrefix = "compact:"
+
+  /** The note line a version was committed with. */
+  def noteOf(spark: SparkSession, table: String, version: Int): String = {
+    val mp = manifestPath(table, version)
+    val f = fs(spark, mp)
+    require(f.exists(mp), s"no version $version at $table")
+    val in = f.open(mp)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+    finally in.close()
+  }
+
+  /** Compact the current version's SMALL files into target-sized ones as
+    * a new version with IDENTICAL logical content — the maintenance pass
+    * every append-discipline table needs at 100 TB, where daily deltas
+    * accumulate thousands of KB-sized files and scan cost becomes
+    * file-count-bound. Files >= `smallBytes` are carried over UNTOUCHED
+    * (never rewrite the big ones); the small ones are read once and
+    * rewritten into ceil(bytes / targetBytes) outputs.
+    *
+    * The new manifest's note carries [[RewriteNotePrefix]], so
+    * `incrementalRead` treats the version as row-neutral; prior versions
+    * stay readable (the rewritten files remain on disk for time travel —
+    * reclaiming them is retention's job, not compaction's). Returns the
+    * new version, or the CURRENT one when fewer than two files qualify
+    * (a no-op compaction commits nothing).
+    */
+  def compact(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      smallBytes: Long = 32L * 1024 * 1024): Int = {
+    val parent = currentVersion(spark, table)
+    require(parent > 0, s"nothing to compact at $table")
+    val tp = new Path(table).toString
+    val f = fs(spark, new Path(table))
+    val withLen = files(spark, table, parent)
+      .map(p => p -> f.getFileStatus(new Path(p)).getLen)
+    val (small, big) = withLen.partition(_._2 < smallBytes)
+    if (small.size < 2) return parent
+    val nOut = math.max(1,
+      math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(small.map(_._1): _*).coalesce(nOut)
+    val v = parent + 1
+    val rels = stage(df, table, v)
+    val bigRels = big.map(_._1.stripPrefix(tp).stripPrefix("/"))
+    writeManifest(spark, table, v,
+      s"$RewriteNotePrefix ${small.size} -> ${rels.size} files",
+      bigRels ++ rels)
+  }
+
   /** Read the table AT a version (time travel); latest when omitted. */
   def readVersion(spark: SparkSession, table: String,
       version: Option[Int] = None): DataFrame = {
@@ -136,17 +190,30 @@ object Snapshots {
   }
 
   /** Only the rows ADDED between `since` (exclusive) and `until`
-    * (inclusive; latest when omitted) — the incremental feed. Reads the
-    * file-list difference, so cost scales with the DELTA, not the table.
+    * (inclusive; latest when omitted) — the incremental feed. Walks the
+    * version chain accumulating each version's file additions, SKIPPING
+    * rewrite (compaction) versions — their "new" files hold rows that
+    * already existed, and the originals they replaced stay on disk and
+    * readable (immutability is what makes the walk sound: an appended
+    * file holds exactly its rows forever, live or not). Cost scales with
+    * the DELTA's file count plus one manifest read per version crossed,
+    * never with the table.
     */
   def incrementalRead(spark: SparkSession, table: String, since: Int,
       until: Option[Int] = None): DataFrame = {
     val v = until.getOrElse(currentVersion(spark, table))
-    val base: Set[String] =
+    require(v >= since, s"until=$v before since=$since at $table")
+    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    var prev: Set[String] =
       if (since == 0) Set.empty else files(spark, table, since).toSet
-    val added = files(spark, table, v).filterNot(base)
+    for (step <- since + 1 to v) {
+      val cur = files(spark, table, step)
+      if (!noteOf(spark, table, step).startsWith(RewriteNotePrefix))
+        added ++= cur.filterNot(prev)
+      prev = cur.toSet
+    }
     if (added.isEmpty) spark.read.parquet(files(spark, table, v): _*).limit(0)
-    else spark.read.parquet(added: _*)
+    else spark.read.parquet(added.toSeq: _*)
   }
 
   /** File-level diff between two versions: (added, removed). */

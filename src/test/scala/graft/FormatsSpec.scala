@@ -169,4 +169,55 @@ class FormatsSpec extends SparkSpec {
     intercept[Exception] { fs.create(claim, false).close() }
     fs.delete(claim, false)
   }
+
+  test("snapshot compaction: rows identical, files shrink, time travel intact, incremental reads stay row-neutral") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_compact").toString + "/docs"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id").as[Long].collect().toSet
+    val d1 = base.filter($"event_id" < 200).repartition(16) // fragmented
+    val d2 = base.filter($"event_id" >= 200 && $"event_id" < 260)
+      .repartition(8)
+    val v1 = Snapshots.commitOverwrite(d1, table, "fragmented load")
+    val v2 = Snapshots.commitAppend(d2, table, "daily delta")
+    assert(Snapshots.files(spark, table, v2).size >= 24)
+
+    val v3 = Snapshots.compact(spark, table)
+    assert(v3 == 3)
+    assert(Snapshots.noteOf(spark, table, v3)
+      .startsWith(Snapshots.RewriteNotePrefix))
+    // identical logical content, far fewer files
+    assert(rows(Snapshots.readVersion(spark, table, Some(v3)))
+      == rows(d1) ++ rows(d2))
+    assert(Snapshots.files(spark, table, v3).size
+      < Snapshots.files(spark, table, v2).size / 2)
+    // time travel to PRE-compaction versions still exact (rewritten
+    // files remain on disk; reclaiming them is retention's job)
+    assert(rows(Snapshots.readVersion(spark, table, Some(v1))) == rows(d1))
+    assert(rows(Snapshots.readVersion(spark, table, Some(v2)))
+      == rows(d1) ++ rows(d2))
+
+    // compaction adds NO logical rows to the incremental feed...
+    assert(Snapshots.incrementalRead(spark, table, since = v2,
+      until = Some(v3)).count() == 0)
+    // ...and a delta committed BEFORE it still reads exactly once across
+    // the compaction boundary (via the original immutable files)
+    assert(rows(Snapshots.incrementalRead(spark, table, since = v1,
+      until = Some(v3))) == rows(d2))
+
+    // appends after compaction: delta-sized reads keep working
+    val d4 = base.filter($"event_id" >= 300 && $"event_id" < 330)
+    val v4 = Snapshots.commitAppend(d4, table, "post-compaction delta")
+    assert(rows(Snapshots.incrementalRead(spark, table, since = v2,
+      until = Some(v4))) == rows(d4))
+    assert(rows(Snapshots.incrementalRead(spark, table, since = v1,
+      until = Some(v4))) == rows(d2) ++ rows(d4))
+
+    // a second compaction right after one big rewrite is a no-op commit
+    // (the rewritten outputs aren't "small" in file-count terms)
+    val cur = Snapshots.currentVersion(spark, table)
+    val again = Snapshots.compact(spark, table,
+      smallBytes = 1L) // nothing under 1 byte -> no candidates
+    assert(again == cur, "no-op compaction must not commit a version")
+  }
 }
