@@ -82,5 +82,6 @@ object SparkEntry {
     "q72_incremental_models", "v10_kmeans", "t25_bpe_encode",
     "t26_bm25", "g9_walks", "v11_recall_eval", "mm8_shard_export",
     "v12_ivf_append", "g10_walk_pairs", "d12_lsh_eval", "p3_dataset_card",
-    "t27_ccnet_buckets", "p4_mixture_schedule", "g11_hits")
+    "t27_ccnet_buckets", "p4_mixture_schedule", "g11_hits",
+    "g12_modularity")
 }

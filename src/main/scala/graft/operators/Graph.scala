@@ -839,9 +839,110 @@ object Graph {
       |  SELECT * FROM top_auth UNION ALL SELECT * FROM top_hub)
       |ORDER BY role, score DESC, node""".stripMargin
 
+  // ----------------------------------------------------- g12_modularity
+  /** Modularity audit of the g8 label-propagation partition — the eval
+    * harness for the community family (d12 audits d3's banding, v11
+    * audits v2's index; g12 says whether g8's 3 rounds actually found
+    * structure): per community, Newman's contribution
+    * e_c/m − (d_c/2m)², where e_c is intra-community edge count, d_c
+    * total member degree, m the undirected edge count. Positive = denser
+    * than the degree-preserving random graph — the deploy gate before
+    * committing a partition to downstream grouping. And the gate BITES
+    * on this corpus: synchronous LPA oscillates on a bipartite graph
+    * into the sides-split (users vs items), whose contributions come out
+    * NEGATIVE (every edge crosses) — exactly the partition a consumer
+    * must reject, which a size histogram alone would never reveal
+    * (GraphSpec pins this, and the positive planted-clique contrast).
+    *
+    * Float discipline: everything is exact integer counts until the two
+    * final divisions; the square is spelled as an explicit product (NOT
+    * pow — libm pow parity is not a contract), so both engines do the
+    * same two IEEE ops. Scale shape: labels come from g8's core (state
+    * linear in nodes); intra counting is two co-partitioned label joins
+    * keyed src/dst; degree mass is one join + agg; m is a 1-row
+    * broadcast. Output is top-50 communities by size — g8's own output
+    * discipline — never a global sort of all communities.
+    */
+  val g12Modularity: Q = (s, d) => {
+    val base = bipartiteBase(s, d)
+    val edges = base.unionAll(
+        base.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true) // probed per LPA round + deg + intra
+    val labels = labelPropagate(edges, rounds = 3)
+      .localCheckpoint(true) // probed three times below
+    val m2 = edges.agg(count(lit(1)).as("m2")) // = 2m (both directions)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val dTot = deg.join(labels, deg("src") === labels("node"))
+      .groupBy(col("label"))
+      .agg(sum(col("deg")).as("d_tot"), count(lit(1)).as("n_nodes"))
+    val lu = labels.select(col("node").as("src"), col("label").as("lu"))
+    val lv = labels.select(col("node").as("dst"), col("label").as("lv"))
+    val intra = edges.join(lu, "src").join(lv, "dst")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu"))
+      .agg((count(lit(1)) / lit(2)).cast("long").as("e_intra"))
+      .withColumnRenamed("lu", "label")
+    val ei = coalesce(col("e_intra"), lit(0L))
+    val share = col("d_tot") / col("m2").cast("double")
+    dTot.join(intra, Seq("label"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("label"), col("n_nodes"), ei.as("e_intra"), col("d_tot"),
+        sround(ei / col("m2").cast("double") - share * share, 6)
+          .as("q_contrib"))
+      .orderBy(col("n_nodes").desc, col("label"))
+      .limit(50)
+  }
+
+  /** DuckDB twin: g8's three LPA rounds + the identical integer counting
+    * and explicitly-multiplied square.
+    */
+  val g12ModularitySql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label, count(*) AS c,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, l.label ASC) AS r
+         |    FROM edges e JOIN $prev l ON e.src = l.node
+         |    GROUP BY e.dst, l.label)
+         |  WHERE r = 1)"""
+    s"""WITH base AS (
+       |  SELECT DISTINCT 'u' || user_id AS src,
+       |    'k' || json_extract_string(props, '$$.k') AS dst
+       |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+       |l0 AS (
+       |  SELECT node, node AS label FROM (
+       |    SELECT DISTINCT src AS node FROM edges)),
+       |${round("l0", "l1").stripMargin},
+       |${round("l1", "l2").stripMargin},
+       |${round("l2", "l3").stripMargin},
+       |m2 AS (SELECT count(*) AS m2 FROM edges),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |dtot AS (
+       |  SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d_tot,
+       |    count(*) AS n_nodes
+       |  FROM deg d JOIN l3 l ON d.src = l.node GROUP BY l.label),
+       |intra AS (
+       |  SELECT lu.label, CAST(count(*) / 2 AS BIGINT) AS e_intra
+       |  FROM edges e JOIN l3 lu ON e.src = lu.node
+       |    JOIN l3 lv ON e.dst = lv.node
+       |  WHERE lu.label = lv.label GROUP BY lu.label)
+       |SELECT d.label, CAST(d.n_nodes AS BIGINT) AS n_nodes,
+       |  coalesce(i.e_intra, 0) AS e_intra, d.d_tot,
+       |  floor((coalesce(i.e_intra, 0) / CAST(m2.m2 AS DOUBLE)
+       |    - (d.d_tot / CAST(m2.m2 AS DOUBLE))
+       |      * (d.d_tot / CAST(m2.m2 AS DOUBLE)))
+       |    * 1000000.0 + 0.5) / 1000000.0 AS q_contrib
+       |FROM dtot d LEFT JOIN intra i USING (label) CROSS JOIN m2
+       |ORDER BY n_nodes DESC, d.label LIMIT 50""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g11_hits" -> g11Hits,
+    "g12_modularity" -> g12Modularity,
     "g1_pagerank" -> g1Pagerank,
     "g2_triangles" -> g2Triangles,
     "g3_reach" -> g3Reach,
@@ -855,6 +956,7 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "g11_hits" -> g11HitsSql,
+    "g12_modularity" -> g12ModularitySql,
     "g1_pagerank" -> g1PagerankSql,
     "g2_triangles" -> g2TrianglesSql,
     "g3_reach" -> g3ReachSql,

@@ -267,6 +267,63 @@ class GraphSpec extends SparkSpec {
     assert(comm(4L) == comm(5L) && comm(5L) == comm(6L))
   }
 
+  test("g12 modularity: matches an in-memory Newman computation over the g8 partition") {
+    val got = Graph.g12Modularity(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // in-memory reference: same LPA labels, same integer counting
+    val base = Tables.load(spark, sfDir, "events")
+      .select(concat(lit("u"), $"user_id").as("src"),
+        concat(lit("k"), get_json_object($"props", "$.k")).as("dst"))
+      .where($"dst".isNotNull).distinct()
+      .as[(String, String)].collect()
+    val edges = base ++ base.map(_.swap)
+    var labels = edges.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = edges.groupBy(_._2).view.mapValues { in =>
+        in.map(e => labels(e._1)).groupBy(identity).toSeq
+          .map { case (l, xs) => (l, xs.size) }
+          .minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val m2 = edges.size.toDouble
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expect = labels.groupBy(_._2).toSeq.map { case (l, members) =>
+      val nodes = members.keySet
+      val dTot = nodes.toSeq.map(deg).sum
+      val eIntra = edges.count(e =>
+        nodes.contains(e._1) && labels(e._2) == l) / 2
+      val share = dTot / m2
+      val q = math.floor((eIntra / m2 - share * share) * 1e6 + 0.5) / 1e6
+      (l, nodes.size.toLong, eIntra.toLong, dTot, q)
+    }.sortBy { case (l, n, _, _, _) => (-n, l) }.take(50)
+    assert(got == expect)
+    // THE HARNESS'S REASON TO EXIST: on the bipartite corpus graph,
+    // synchronous LPA oscillates into the sides-split (all users vs all
+    // items) — every edge crosses, and g12 correctly scores that
+    // partition at or below chance (negative contributions). A consumer
+    // gating on modularity rejects it instead of shipping it.
+    assert(got.map(_._5).sum <= 0.0,
+      s"bipartite sides-split must not score above chance: $got")
+    // planted two-clique-bridge graph: both communities denser than chance
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L))
+    val planted = tri.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst").localCheckpoint(true)
+    val plLabels = Graph.labelPropagate(planted, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val plM2 = 14.0
+    val plDeg = tri.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val qs = plLabels.values.toSeq.distinct.map { l =>
+      val nodes = plLabels.filter(_._2 == l).keySet
+      val eIntra = tri.count { case (a, b) =>
+        nodes.contains(a) && nodes.contains(b) } // m = 7 undirected edges
+      val share = nodes.toSeq.map(plDeg).sum / plM2
+      eIntra / 7.0 - share * share
+    }
+    assert(qs.forall(_ > 0.0), s"clique communities must beat chance: $qs")
+  }
+
   test("g9 walks: every user node walks 3 hops along the hash-chosen adjacency index") {
     import graft.expressions.PortableHash
     import org.apache.spark.unsafe.types.UTF8String
