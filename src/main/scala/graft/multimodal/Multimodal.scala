@@ -522,7 +522,85 @@ object Multimodal {
       .orderBy("shard_id")
   }
 
+  // ------------------------------------------------- mm9_pair_audit
+  /** Paired-modality integrity audit — the coverage report a multimodal
+    * training set needs BEFORE pairing text with embeddings (or images,
+    * audio): per source, how many documents actually have a vector, and
+    * from the other side, how many vectors have a document (orphans) or
+    * the wrong dimensionality (undecodable). Training on the inner join
+    * silently drops the difference; this op makes the difference a
+    * number someone must sign off on.
+    *
+    * Output grain: one row per document source + one `~vectors` row for
+    * the embedding side (the `~` sorts it after the sources).
+    * `n_bad_dim` on a source row counts docs PAIRED TO a wrong-dim
+    * vector (they'd fail in the feeding pipeline); on the vector row it
+    * counts wrong-dim vectors outright.
+    *
+    * Scale shape: two doc_id-keyed joins (co-partitioned corpus joins —
+    * at 100 TB both sides pre-partition on the id) + two aggs; no
+    * all-pairs anything. The `dim` column is size(embedding) — computed
+    * in the scan projection, the 64-float array itself never shuffles.
+    */
+  val EmbeddingDim = 64
+
+  def mm9PairAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"))
+    val vecs = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), size(col("embedding")).as("dim"))
+    val docSide = docs
+      .join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        count(col("dim")).as("n_paired"),
+        sum(when(col("dim").isNotNull && col("dim") =!= EmbeddingDim, 1L)
+          .otherwise(0L)).as("n_bad_dim"))
+      .withColumnRenamed("source", "part")
+    val vecSide = vecs
+      .join(docs.select(col("doc_id").as("vec_id"), lit(1L).as("hd")),
+        Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_total"), count(col("hd")).as("n_paired"),
+        sum(when(col("dim") =!= EmbeddingDim, 1L).otherwise(0L))
+          .as("n_bad_dim"))
+      .select(lit("~vectors").as("part"), col("n_total"), col("n_paired"),
+        col("n_bad_dim"))
+    docSide.unionByName(vecSide)
+      .select(col("part"), col("n_total"), col("n_paired"),
+        graft.functions.TextFunctions.sround(
+          col("n_paired") / col("n_total").cast("double"), 4).as("pair_rate"),
+        col("n_bad_dim"))
+      .orderBy("part")
+  }
+
+  val mm9PairAuditSql: String =
+    """WITH vdim AS (
+      |  SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim
+      |  FROM embeddings),
+      |doc_side AS (
+      |  SELECT d.source AS part, count(*) AS n_total,
+      |    count(v.dim) AS n_paired,
+      |    CAST(sum(CASE WHEN v.dim IS NOT NULL AND v.dim != 64
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim
+      |  FROM documents d LEFT JOIN vdim v ON d.doc_id = v.vec_id
+      |  GROUP BY d.source),
+      |vec_side AS (
+      |  SELECT '~vectors' AS part, count(*) AS n_total,
+      |    count(dd.doc_id) AS n_paired,
+      |    CAST(sum(CASE WHEN v.dim != 64 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_bad_dim
+      |  FROM vdim v LEFT JOIN (SELECT doc_id FROM documents) dd
+      |    ON v.vec_id = dd.doc_id)
+      |SELECT part, CAST(n_total AS BIGINT) AS n_total,
+      |  CAST(n_paired AS BIGINT) AS n_paired,
+      |  floor(n_paired / CAST(n_total AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+      |    AS pair_rate,
+      |  n_bad_dim
+      |FROM (SELECT * FROM doc_side UNION ALL SELECT * FROM vec_side)
+      |ORDER BY part""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm9_pair_audit" -> (mm9PairAudit _),
     "mm8_shard_export" -> (mm8ShardExport _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
@@ -537,6 +615,7 @@ object Multimodal {
     * histogram width.
     */
   val oracles: Map[String, String] = Map(
+    "mm9_pair_audit" -> mm9PairAuditSql,
     // the oracle replays the packing as ONE global window (affordable at
     // oracle scale — exactly why the Spark side must not use it) and the
     // signature as the same masked md5-62 sum

@@ -544,4 +544,30 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(manifest.map(_._2).sum == spark.read.parquet(out).count())
   }
+
+  test("mm9 pair audit: planted orphans, unpaired docs, and bad dims are all counted") {
+    // fixture: 2 sources; doc 3 has no vector; vec 99 has no doc; doc 2's
+    // vector has the wrong dimensionality (paired but untrainable)
+    val dir = java.nio.file.Files.createTempDirectory("mm9_fix").toString
+    Seq((1L, "a", "s1", "x", 1L), (2L, "b", "s1", "x", 1L),
+      (3L, "c", "s2", "x", 1L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, Seq.fill(64)(0.5f), 0), (2L, Seq.fill(32)(0.5f), 0),
+      (99L, Seq.fill(64)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Multimodal.mm9PairAudit(spark, dir)
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 2L, 2L, 1.0, 1L),      // both paired, one to a 32-dim vec
+      ("s2", 1L, 0L, 0.0, 0L),      // doc 3 unpaired
+      ("~vectors", 3L, 2L, 0.6667, 1L))) // vec 99 orphaned, vec 2 bad dim
+    // corpus run: the ~vectors row exists and every rate is in [0, 1]
+    val corpus = Multimodal.mm9PairAudit(spark, sfDir)
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(corpus.exists(_._1 == "~vectors"))
+    assert(corpus.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    assert(corpus.forall(r => r._3 <= r._2))
+  }
 }
