@@ -58,7 +58,12 @@ object Dedup {
     * frame (doc_id, text, source, n_chars) — the corpus pipeline runs it
     * on a filtered survivor set.
     */
-  def ngramPairs(docsDf: DataFrame): DataFrame = {
+  def ngramPairs(docsDf: DataFrame): DataFrame = ngramPairs(docsDf, 0.5)
+
+  /** As above with a configurable verify threshold — d13's sweep needs
+    * the candidate pairs down to its lowest probed cut.
+    */
+  def ngramPairs(docsDf: DataFrame, minJac: Double): DataFrame = {
     // Per-doc ONCE: distinct char-3grams → xxhash64 → sorted long array.
     // Per-pair: a zero-allocation merge-walk intersect (custom expression)
     // + the inclusion-exclusion identity for |A∪B| — vs array_intersect +
@@ -91,7 +96,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("inter", inter)
       .withColumn("jac", col("inter") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jac") >= 0.5)
+      .filter(col("jac") >= minJac)
       .select(col("doc_a"), col("doc_b"), sround(col("jac"), 4).as("jaccard"))
   }
 
@@ -1043,6 +1048,93 @@ object Dedup {
        |WHERE d.incoming ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- d13_threshold_sweep
+  /** Dedup-threshold tuning curve — the question every near-dup rollout
+    * asks BEFORE picking a cut: "how much would each Jaccard threshold
+    * remove?" For each threshold 0.3..0.9, the number of qualifying
+    * pairs, the number of documents touched by any qualifying pair, and
+    * the mean Jaccard of the survivors — enough to see the knee of the
+    * curve and cost a d2/d5 run at each setting. The policy being tuned
+    * is d2's own verify cut GIVEN d2's blocking, so the sweep reuses the
+    * audited blocked-pair machinery verbatim with the verify floor
+    * dropped to the lowest probed threshold.
+    *
+    * Scale shape: the expensive part is the pair generation the engine
+    * already bounds (block-sized joins, never corpus²); the sweep itself
+    * is a constant fan-out-7 explode on the PAIR set (pairs << corpus at
+    * any sane floor) and two 7-group aggs. Float discipline: Jaccards
+    * collapse to sround-4 integer units, so per-threshold sums are
+    * order-free longs and threshold comparison is integer-exact (no
+    * boundary ulp games).
+    */
+  private val SweepT4: Seq[Int] = (3 to 9).map(_ * 1000)
+
+  val d13ThresholdSweep: Q = (s, d) => {
+    val pairs = ngramPairs(docs(s, d), minJac = 0.3)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("jaccard") * 10000.0 + lit(0.5)).cast("long").as("j4"))
+      .localCheckpoint(true) // feeds the pair agg AND the doc agg
+    val pairsT = pairs
+      .withColumn("t4", explode(array(SweepT4.map(lit): _*)))
+      .filter(col("j4") >= col("t4"))
+      .localCheckpoint(true)
+    val pairStats = pairsT.groupBy(col("t4"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j4")).as("sj4"))
+    val docStats = pairsT
+      .select(col("t4"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy(col("t4")).agg(countDistinct(col("doc")).as("n_docs"))
+    import s.implicits._
+    SweepT4.toDF("t4")
+      .join(pairStats, Seq("t4"), "left")
+      .join(docStats, Seq("t4"), "left")
+      .select((col("t4") / 10000.0).as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        (floor(col("sj4") / (lit(10000.0) * col("n_pairs")) * 10000.0
+          + lit(0.5)) / 10000.0).as("mean_jaccard"))
+      .orderBy("threshold")
+  }
+
+  /** Oracle: d2's columnar pair replay with the 0.3 floor + the same
+    * integer-unit sweep.
+    */
+  val d13ThresholdSweepSql: String =
+    """WITH g AS MATERIALIZED (
+      |  SELECT doc_id, source, CAST(floor(n_chars / 100.0) AS INTEGER) AS bucket,
+      |    list_distinct(list_transform(range(1, length(text) - 1),
+      |      i -> substring(text, CAST(i AS INTEGER), 3))) AS grams
+      |  FROM documents),
+      |gx AS MATERIALIZED (
+      |  SELECT doc_id, source, bucket, len(grams) AS n, unnest(grams) AS gram FROM g),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    max(a.n) AS n_a, max(b.n) AS n_b, count(*) AS inter
+      |  FROM gx a JOIN gx b
+      |    ON a.source = b.source AND a.bucket = b.bucket AND a.gram = b.gram
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS MATERIALIZED (
+      |  SELECT doc_a, doc_b,
+      |    CAST(floor(inter / CAST(n_a + n_b - inter AS DOUBLE) * 10000.0 + 0.5)
+      |      AS BIGINT) AS j4
+      |  FROM inter
+      |  WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.3),
+      |th AS (SELECT unnest([3000, 4000, 5000, 6000, 7000, 8000, 9000]) AS t4),
+      |pt AS MATERIALIZED (
+      |  SELECT t4, doc_a, doc_b, j4 FROM pairs JOIN th ON j4 >= t4),
+      |ps AS (SELECT t4, count(*) AS n_pairs, CAST(sum(j4) AS BIGINT) AS sj4
+      |       FROM pt GROUP BY t4),
+      |ds AS (SELECT t4, count(DISTINCT doc) AS n_docs FROM (
+      |         SELECT t4, doc_a AS doc FROM pt
+      |         UNION ALL SELECT t4, doc_b FROM pt) GROUP BY t4)
+      |SELECT th.t4 / 10000.0 AS threshold,
+      |  CAST(coalesce(ps.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(ds.n_docs, 0) AS BIGINT) AS n_docs,
+      |  floor(ps.sj4 / (10000.0 * ps.n_pairs) * 10000.0 + 0.5) / 10000.0
+      |    AS mean_jaccard
+      |FROM th LEFT JOIN ps USING (t4) LEFT JOIN ds USING (t4)
+      |ORDER BY threshold""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_ngram_jaccard" -> d2NgramJaccard,
@@ -1054,7 +1146,8 @@ object Dedup {
     "d8_span_dedup" -> d8SpanDedup,
     "d9_containment" -> d9Containment,
     "d10_incremental_dedup" -> d10IncrementalDedup,
-    "d12_lsh_eval" -> d12LshEval)
+    "d12_lsh_eval" -> d12LshEval,
+    "d13_threshold_sweep" -> d13ThresholdSweep)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1ExactDedupSql,
@@ -1067,5 +1160,6 @@ object Dedup {
     "d8_span_dedup" -> d8SpanDedupSql,
     "d9_containment" -> d9ContainmentSql,
     "d10_incremental_dedup" -> d10IncrementalDedupSql,
-    "d12_lsh_eval" -> d12LshEvalSql)
+    "d12_lsh_eval" -> d12LshEvalSql,
+    "d13_threshold_sweep" -> d13ThresholdSweepSql)
 }

@@ -278,4 +278,36 @@ class TextDedupSpec extends SparkSpec {
     assert(prec == math.floor(nv.toDouble / nc * 1e4 + 0.5) / 1e4)
     assert(recall > 0.0 && recall <= 1.0 && prec > 0.0 && prec <= 1.0)
   }
+
+  test("d13 threshold sweep: monotone curve, agrees with d2 at 0.5, replays from the raw pairs") {
+    import spark.implicits._
+    val got = Dedup.d13ThresholdSweep(spark, sfDir)
+      .as[(Double, Long, Long, Option[Double])].collect().toSeq
+    assert(got.map(_._1) == (3 to 9).map(_ / 10.0))
+    // the curve can only fall as the threshold rises
+    got.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3, s"non-monotone: $lo -> $hi")
+    }
+    // the 0.5 row is exactly d2's pair count
+    val d2n = Dedup.d2NgramJaccard(spark, sfDir).count()
+    assert(got.find(_._1 == 0.5).get._2 == d2n)
+    // full replay from the raw 0.3-floor pair set
+    val raw = Dedup.ngramPairs(
+      Tables.load(spark, sfDir, "documents"), minJac = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) =>
+        (a, b, math.floor(j * 1e4 + 0.5).toLong) }
+    got.foreach { case (t, nPairs, nDocs, meanJ) =>
+      val t4 = math.round(t * 1e4)
+      val sel = raw.filter(_._3 >= t4)
+      assert(nPairs == sel.length, s"t=$t pairs")
+      assert(nDocs == sel.flatMap(p => Seq(p._1, p._2)).distinct.length,
+        s"t=$t docs")
+      if (sel.nonEmpty) {
+        val exp = math.floor(
+          sel.map(_._3).sum / (1e4 * sel.length) * 1e4 + 0.5) / 1e4
+        assert(meanJ.contains(exp), s"t=$t mean")
+      } else assert(meanJ.isEmpty)
+    }
+  }
 }
