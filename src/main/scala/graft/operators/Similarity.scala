@@ -1158,8 +1158,90 @@ object Similarity {
        |LEFT JOIN na ON na.q_id = e.q_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  // ----------------------------------------------- v13_truncation_eval
+  /** Dimension-truncation recall eval (the Matryoshka question): how much
+    * of the exact top-K survives when retrieval uses only the FIRST
+    * 8/16/32 of the 64 dims? Truncated prefixes are the cheapest
+    * shortlist there is — a 8-dim scan moves 1/8th the bytes — and this
+    * harness says per query what that costs in recall BEFORE a deploy
+    * commits to a prefix length (v11's discipline, third member of the
+    * eval family after d12/g12).
+    *
+    * Scale shape: three extra brute passes over SLICED vectors (the
+    * slice happens in the scan projection — strictly cheaper per row
+    * than v1's full pass), each v1's audited broadcast-join shape;
+    * everything after is dims × NQ × K rows. Like v11, production runs
+    * this on a sampled query set; the harness's cost IS the exact
+    * baseline it measures against.
+    */
+  private val TruncDims = Seq(8, 16, 32)
+
+  val v13TruncationEval: Q = (s, d) => {
+    val exact = v1KnnBrute(s, d).select(col("q_id"), col("n_id"))
+      .withColumn("hit", lit(1L))
+      .localCheckpoint(true) // joined under each truncated pass
+    val e = emb(s, d)
+    val truncTop = TruncDims.map { dm =>
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"),
+          slice(col("embedding"), 1, dm).as("q_emb"))
+        .withColumn("nsq_q", normSq(col("q_emb")))
+      val c = e.select(col("vec_id").as("n_id"),
+        slice(col("embedding"), 1, dm).as("n_emb"))
+        .withColumn("nsq_n", normSq(col("n_emb")))
+      val sim = cosineWithNorms(dot(col("q_emb"), col("n_emb")),
+        col("nsq_q"), col("nsq_n"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("n_id").asc)
+      c.join(broadcast(q), col("n_id") =!= col("q_id"))
+        .withColumn("sim", sim)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select(lit(dm).cast("long").as("dim"), col("q_id"), col("n_id"))
+    }.reduce(_ unionAll _)
+    truncTop.join(exact, Seq("q_id", "n_id"), "left")
+      .groupBy(col("dim"), col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("dim"), col("q_id"), col("n_overlap"),
+        sround(col("n_overlap") / lit(K.toDouble), 4).as("recall_at_k"))
+      .orderBy("dim", "q_id")
+  }
+
+  /** Oracle: v1's CTE + one truncated brute CTE per prefix length with
+    * the identical index-ordered prefix sums.
+    */
+  val v13TruncationEvalSql: String = {
+    def dotPfx(a: String, b: String, dm: Int) =
+      s"list_sum(list_transform(range(1, ${dm + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def cte(dm: Int) =
+      s"""t$dm AS (
+         |  SELECT CAST($dm AS BIGINT) AS dim, q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        ${dotPfx("q.q_emb", "e.embedding", dm)}
+         |        / (sqrt(${dotPfx("q.q_emb", "q.q_emb", dm)})
+         |         * sqrt(${dotPfx("e.embedding", "e.embedding", dm)})) DESC,
+         |        e.vec_id ASC) AS rnk
+         |    FROM embeddings e, qv q WHERE e.vec_id != q.q_id)
+         |  WHERE rnk <= $K)""".stripMargin
+    s"""WITH exact AS (SELECT q_id, n_id FROM ($v1KnnBruteSql)),
+       |qv AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |       FROM embeddings WHERE vec_id < $NQ),
+       |${cte(8)},
+       |${cte(16)},
+       |${cte(32)}
+       |SELECT t.dim, t.q_id AS q_id, CAST(count(e.n_id) AS BIGINT) AS n_overlap,
+       |  floor(count(e.n_id) / CAST($K AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       |    AS recall_at_k
+       |FROM (SELECT * FROM t8 UNION ALL SELECT * FROM t16
+       |      UNION ALL SELECT * FROM t32) t
+       |LEFT JOIN exact e ON e.q_id = t.q_id AND e.n_id = t.n_id
+       |GROUP BY t.dim, t.q_id ORDER BY t.dim, t.q_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "v13_truncation_eval" -> v13TruncationEval,
     "v1_knn_brute" -> v1KnnBrute,
     "v2_ann_lsh" -> v2AnnLsh,
     "v3_embedding_neardup" -> v3EmbeddingNeardup,
@@ -1174,6 +1256,7 @@ object Similarity {
     "v12_ivf_append" -> v12IvfAppend)
 
   val oracles: Map[String, String] = Map(
+    "v13_truncation_eval" -> v13TruncationEvalSql,
     "v1_knn_brute" -> v1KnnBruteSql,
     "v2_ann_lsh" -> v2AnnLshSql,
     "v3_embedding_neardup" -> v3EmbeddingNeardupSql,

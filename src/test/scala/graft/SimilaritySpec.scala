@@ -545,6 +545,40 @@ class SimilaritySpec extends SparkSpec {
     assert(manifest.map(_._2).sum == spark.read.parquet(out).count())
   }
 
+  test("v13 truncation eval: overlaps match an in-memory prefix replay; full-width recall is 1") {
+    val got = graft.operators.Similarity.v13TruncationEval(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double], dm: Int) =
+      (0 until dm).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def topK(dm: Int): Map[Long, Set[Long]] =
+      vecs.filter(_._1 < 8).map { case (q, qv) =>
+        q -> vecs.filter(_._1 != q).map { case (n, nv) =>
+          val sim = dot(qv, nv, dm) /
+            (math.sqrt(dot(qv, qv, dm)) * math.sqrt(dot(nv, nv, dm)))
+          (n, sim)
+        }.sortBy { case (n, sim) => (-sim, n) }.take(10).map(_._1).toSet
+      }.toMap
+    val full = topK(64)
+    val expect = Seq(8, 16, 32).flatMap { dm =>
+      val t = topK(dm)
+      full.keys.toSeq.sorted.map { q =>
+        val ov = (t(q) & full(q)).size.toLong
+        (dm.toLong, q, ov, math.floor(ov / 10.0 * 1e4 + 0.5) / 1e4)
+      }
+    }
+    assert(got == expect)
+    // sanity: a 64-dim truncation would be the identity (recall 1.0) and
+    // mean recall must improve substantially from 8 to 32 dims
+    def mean(dm: Long) = {
+      val rs = got.filter(_._1 == dm).map(_._4); rs.sum / rs.size
+    }
+    assert(mean(32L) > mean(8L),
+      s"recall must grow with prefix width: ${mean(8L)} vs ${mean(32L)}")
+  }
+
   test("mm9 pair audit: planted orphans, unpaired docs, and bad dims are all counted") {
     // fixture: 2 sources; doc 3 has no vector; vec 99 has no doc; doc 2's
     // vector has the wrong dimensionality (paired but untrainable)
