@@ -1410,6 +1410,88 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ t28_fertility
+  /** Tokenizer FERTILITY audit — the multilingual-equity metric every
+    * shared-tokenizer deployment reports: with ONE merge table trained
+    * on the mixed corpus (t21), how many BPE tokens does each language
+    * pay per word? A language the tokenizer under-serves shows fertility
+    * near its character count (merges never fire), which silently
+    * inflates its context-window and training cost; this op turns that
+    * disparity into a per-language number next to the compression ratio.
+    *
+    * Scale shape: strictly cheaper than t25 — the same inlined-literal
+    * merge chain (5 collected rows, no corpus-side join) but aggregated
+    * straight to the LANG grain (one hash agg, ≤ langs rows out), never
+    * materializing the per-doc account; n_docs is a second tiny agg on
+    * the docs table. Integer counts throughout; the two ratios are
+    * identically-spelled divisions.
+    */
+  val t28Fertility: Q = (s, d) => {
+    // the learned merge table, rank order — 5 rows, bounded by construction
+    val merges = t21BpeMerges(s, d).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val base = docs(s, d)
+      .select(col("lang"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("lang"), length(col("w")).cast("long").as("n_base"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("syms"))
+    val encoded = merges.foldLeft(base) { case (df, (a, b, m)) =>
+      df.withColumn("syms", expr(s"replace(syms, ' $a $b ', ' $m ')"))
+    }
+    val perLang = encoded
+      .select(col("lang"), col("n_base"),
+        size(split(trim(col("syms")), " ")).cast("long").as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_base")).as("n_base"),
+        sum(col("n_bpe")).as("n_bpe"))
+    val nd = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    nd.join(perLang, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe"), lit(0L)).as("n_bpe"),
+        sround(col("n_bpe") / col("n_words").cast("double"), 4)
+          .as("fertility"),
+        sround(col("n_base") / col("n_bpe").cast("double"), 4)
+          .as("compression"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: the shared trainer CTEs + the lang-grain encode account. */
+  val t28FertilitySql: String = {
+    val encChain = (1 to 5).map { r =>
+      s"""enc$r AS (
+         |  SELECT lang, n_base,
+         |    replace(syms, ' ' || a || ' ' || b || ' ', ' ' || merged || ' ') AS syms
+         |  FROM enc${r - 1}, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainerCtes,
+       |enc0 AS (
+       |  SELECT lang, CAST(length(w) AS BIGINT) AS n_base,
+       |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS syms
+       |  FROM (
+       |    SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE w != ''),
+       |$encChain,
+       |perlang AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(n_base) AS BIGINT) AS n_base,
+       |    CAST(sum(len(string_split(trim(syms), ' '))) AS BIGINT) AS n_bpe
+       |  FROM enc5 GROUP BY lang),
+       |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+       |SELECT nd.lang, CAST(nd.n_docs AS BIGINT) AS n_docs,
+       |  coalesce(p.n_words, CAST(0 AS BIGINT)) AS n_words,
+       |  coalesce(p.n_bpe, CAST(0 AS BIGINT)) AS n_bpe,
+       |  floor(p.n_bpe / CAST(p.n_words AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       |    AS fertility,
+       |  floor(p.n_base / CAST(p.n_bpe AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       |    AS compression
+       |FROM nd LEFT JOIN perlang p USING (lang)
+       |ORDER BY nd.lang""".stripMargin
+  }
+
   // ------------------------------------------------ t22_langid_audit
   /** Classifier audit for the language-ID heuristic: the confusion
     * matrix of declared vs predicted language plus per-cell recall and
@@ -1673,6 +1755,7 @@ object TextAnalysis {
     "t25_bpe_encode" -> t25BpeEncode,
     "t26_bm25" -> t26Bm25,
     "t27_ccnet_buckets" -> t27CcnetBuckets,
+    "t28_fertility" -> t28Fertility,
     "t22_langid_audit" -> t22LangidAudit,
     "t23_novelty" -> t23Novelty,
     "t24_code_switch" -> t24CodeSwitch,
@@ -1702,6 +1785,7 @@ object TextAnalysis {
     "t25_bpe_encode" -> t25BpeEncodeSql,
     "t26_bm25" -> t26Bm25Sql,
     "t27_ccnet_buckets" -> t27CcnetBucketsSql,
+    "t28_fertility" -> t28FertilitySql,
     "t22_langid_audit" -> t22LangidAuditSql,
     "t23_novelty" -> t23NoveltySql,
     "t24_code_switch" -> t24CodeSwitchSql,

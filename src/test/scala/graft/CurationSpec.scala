@@ -165,6 +165,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("t28 fertility: per-lang sums equal t25's per-doc accounts; ratios bounded") {
+    val got = TextAnalysis.t28Fertility(spark, sfDir)
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    val langOf = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val perDoc = TextAnalysis.t25BpeEncode(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    val expect = perDoc.groupBy(x => langOf(x._1)).toSeq.sortBy(_._1)
+      .map { case (lang, ds) =>
+        val (nw, nb, bpe) =
+          (ds.map(_._2).sum, ds.map(_._3).sum, ds.map(_._4).sum)
+        val fert =
+          if (nw == 0) None
+          else Some(math.floor(bpe.toDouble / nw * 1e4 + 0.5) / 1e4)
+        val comp =
+          if (bpe == 0) None
+          else Some(math.floor(nb.toDouble / bpe * 1e4 + 0.5) / 1e4)
+        (lang, ds.size.toLong, nw, bpe, fert, comp)
+      }
+    assert(got == expect)
+    // merges only ever shrink a word's symbol run, never below one token
+    got.foreach { case (lang, _, nw, bpe, fert, comp) =>
+      assert(bpe >= nw, s"$lang: tokens can't undercut words")
+      fert.foreach(f => assert(f >= 1.0, s"$lang fertility $f"))
+      comp.foreach(c => assert(c >= 1.0, s"$lang compression $c"))
+    }
+  }
+
   test("t20 classifier: dyadic weights make the score partition-order exact") {
     val out = TextAnalysis.t20QualityClassifier(spark, sfDir)
     val rows = out.collect().map(r =>
