@@ -504,14 +504,125 @@ object CorpusPipeline {
       |    * 10000.0 + 0.5) / 10000.0 AS repeat_factor
       |FROM mixed ORDER BY epoch, source""".stripMargin
 
+  // ----------------------------------------------- p5_epoch_materialize
+  /** Materialize the FINAL epoch of p4's schedule — the step that turns
+    * the mixture plan into an actual selection: per source, take
+    * documents in md5-hash order (q29's deterministic sampling
+    * discipline) until the epoch's token quota fills, and report the
+    * realized fill. Sources whose quality-reweighted quota exceeds their
+    * supply saturate below 1.0 fill — exactly the repeat requirement p4
+    * flags, now measured against real documents.
+    *
+    * The interesting part at 100 TB is the PER-SOURCE token prefix sum:
+    * a naive `Window.partitionBy(source)` funnels each source's slice of
+    * the corpus through ONE task (sources are few and huge). This is
+    * t15's two-phase distributed prefix sum generalized to a KEYED
+    * stream: the hash order is sharded by the hash's top 6 bits (64
+    * contiguous ranges — uniform because md5 is), each (source, shard)
+    * runs a parallel window, and the per-(source, shard) totals (at most
+    * sources x 64 longs, collected driver-side — bounded by construction)
+    * are exclusive-prefix-summed per source and broadcast back as
+    * offsets. Selection is then a narrow filter: prefix-before < quota
+    * (greedy fill, last doc may overshoot — the standard packer rule).
+    */
+  def p5EpochMaterialize(s: SparkSession, d: String): DataFrame = {
+    import graft.expressions.PortableHashExpressions.md5Hash62
+    import org.apache.spark.sql.expressions.Window
+    val quota = p4MixtureSchedule(s, d)
+      .filter(col("epoch") === 4)
+      .select(col("source"), col("token_quota"))
+    val base = graft.Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.lowerTokens(col("text")))
+          .cast("long").as("n_tok"),
+        md5Hash62(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard", shiftright(col("h"), 62 - 6).cast("int"))
+      .localCheckpoint(true) // feeds shard totals + the ranked pass
+    val offMap: Map[String, Long] = {
+      val totals = base.groupBy(col("source"), col("shard"))
+        .agg(sum(col("n_tok")).as("tot")).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      totals.groupBy(_._1._1).flatMap { case (src, entries) =>
+        val sorted = entries.sortBy(_._1._2)
+        sorted.map(_._1._2).zip(
+          sorted.map(_._2).scanLeft(0L)(_ + _).init)
+          .map { case (sh, off) => s"$src#$sh" -> off }
+      }
+    }
+    val offCol = coalesce(
+      element_at(
+        map(offMap.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+          Seq(lit(k), lit(v)) }: _*),
+        concat(col("source"), lit("#"), col("shard"))),
+      lit(0L))
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agged = base
+      .withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)) + offCol)
+      .join(broadcast(quota), "source")
+      .filter(col("before") < col("token_quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_selected"),
+        sum(col("n_tok")).as("tokens_selected"))
+    quota.join(agged, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_docs_selected"), lit(0L)).as("n_docs_selected"),
+        coalesce(col("tokens_selected"), lit(0L)).as("tokens_selected"),
+        col("token_quota"),
+        when(col("token_quota") === 0, lit(null).cast("double"))
+          .otherwise(sround(
+            coalesce(col("tokens_selected"), lit(0L))
+              / col("token_quota").cast("double"), 4)).as("fill_ratio"))
+      .orderBy("source")
+  }
+
+  /** Oracle: p4's CTEs for the quota + ONE per-source window (affordable
+    * at oracle scale — exactly the plan the Spark side must avoid).
+    */
+  val p5EpochMaterializeSql: String =
+    s"""WITH p4 AS ($p4MixtureScheduleSql),
+       |q AS (SELECT source, token_quota FROM p4 WHERE epoch = 4),
+       |b AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> x != '')) AS BIGINT) AS n_tok,
+       |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+       |      & 4611686018427387903 AS BIGINT) AS h
+       |  FROM documents),
+       |pref AS (
+       |  SELECT source, doc_id, n_tok, h,
+       |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+       |  FROM b),
+       |sel AS (
+       |  SELECT p.source, p.n_tok FROM pref p JOIN q USING (source)
+       |  WHERE p.bef < q.token_quota),
+       |agg AS (
+       |  SELECT source, count(*) AS n_docs_selected,
+       |    CAST(sum(n_tok) AS BIGINT) AS tokens_selected
+       |  FROM sel GROUP BY source)
+       |SELECT q.source,
+       |  CAST(coalesce(a.n_docs_selected, 0) AS BIGINT) AS n_docs_selected,
+       |  CAST(coalesce(a.tokens_selected, 0) AS BIGINT) AS tokens_selected,
+       |  q.token_quota,
+       |  CASE WHEN q.token_quota = 0 THEN NULL
+       |       ELSE floor(coalesce(a.tokens_selected, 0)
+       |         / CAST(q.token_quota AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       |  END AS fill_ratio
+       |FROM q LEFT JOIN agg a USING (source)
+       |ORDER BY q.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p1_corpus_pipeline" -> (p1CorpusPipeline _),
       "p2_training_prep" -> (p2TrainingPrep _),
       "p3_dataset_card" -> (p3DatasetCard _),
-      "p4_mixture_schedule" -> (p4MixtureSchedule _))
+      "p4_mixture_schedule" -> (p4MixtureSchedule _),
+      "p5_epoch_materialize" -> (p5EpochMaterialize _))
   val oracles: Map[String, String] =
     Map("p1_corpus_pipeline" -> p1CorpusPipelineSql,
       "p2_training_prep" -> p2TrainingPrepSql,
       "p3_dataset_card" -> p3DatasetCardSql,
-      "p4_mixture_schedule" -> p4MixtureScheduleSql)
+      "p4_mixture_schedule" -> p4MixtureScheduleSql,
+      "p5_epoch_materialize" -> p5EpochMaterializeSql)
 }

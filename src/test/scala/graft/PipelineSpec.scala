@@ -151,4 +151,48 @@ class PipelineSpec extends SparkSpec {
     assert(e4(hi)._2 > e4(hi)._1, s"high-quality source $hi must gain share")
     assert(e4(lo)._2 < e4(lo)._1, s"low-quality source $lo must lose share")
   }
+
+  test("p5 epoch materialize: two-phase keyed prefix equals an in-memory greedy fill") {
+    import graft.pipeline.CorpusPipeline
+    val got = CorpusPipeline.p5EpochMaterialize(spark, sfDir)
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    val quotas = CorpusPipeline.p4MixtureSchedule(spark, sfDir)
+      .filter($"epoch" === 4).select($"source", $"token_quota")
+      .as[(String, Long)].collect().toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"source",
+        size(graft.functions.TextFunctions.lowerTokens($"text"))
+          .cast("long").as("n_tok"),
+        graft.expressions.PortableHashExpressions
+          .md5Hash62($"doc_id".cast("string")).as("h"))
+      .as[(Long, String, Long, Long)].collect()
+    val expect = quotas.keys.toSeq.sorted.map { src =>
+      val ordered = docs.filter(_._2 == src).sortBy(d => (d._4, d._1))
+      var cum = 0L
+      val sel = ordered.takeWhile { d =>
+        val in = cum < quotas(src); cum += d._3; in
+      }
+      // takeWhile stops at the first excluded doc — correct because
+      // prefix-before is monotone along the order
+      val tok = sel.map(_._3).sum
+      val fill =
+        if (quotas(src) == 0) None
+        else Some(math.floor(tok.toDouble / quotas(src) * 1e4 + 0.5) / 1e4)
+      (src, sel.size.toLong, tok, quotas(src), fill)
+    }
+    assert(got == expect)
+    // greedy-fill contract: stop only once the quota is met (last doc may
+    // overshoot), or exhaust the source's supply entirely
+    got.foreach { case (src, n, tok, q, _) =>
+      val supply = docs.filter(_._2 == src)
+      if (n < supply.size) assert(tok >= q, s"$src stopped under quota")
+      else assert(n == supply.size.toLong, s"$src selection overran supply")
+    }
+    // every fill lands at or just past its quota (greedy overshoot is
+    // bounded by one document), since no source undersupplies at this SF
+    got.foreach { case (src, _, tok, q, _) =>
+      val maxDoc = docs.filter(_._2 == src).map(_._3).max
+      assert(tok < q + maxDoc, s"$src overshot by more than one doc")
+    }
+  }
 }
