@@ -84,5 +84,6 @@ object SparkEntry {
     "v12_ivf_append", "g10_walk_pairs", "d12_lsh_eval", "p3_dataset_card",
     "t27_ccnet_buckets", "p4_mixture_schedule", "g11_hits",
     "g12_modularity", "mm9_pair_audit", "d13_threshold_sweep",
-    "v13_truncation_eval", "t28_fertility", "p5_epoch_materialize")
+    "v13_truncation_eval", "t28_fertility", "p5_epoch_materialize",
+    "g13_neighbor_sample")
 }

@@ -939,10 +939,76 @@ object Graph {
        |ORDER BY n_nodes DESC, d.label LIMIT 50""".stripMargin
   }
 
+  // ----------------------------------------------- g13_neighbor_sample
+  /** GraphSAGE-style capped neighbor sampling — the GNN minibatch prep
+    * step (g9 samples one PATH per node; GNN training needs a bounded
+    * NEIGHBORHOOD per seed): for each seed, up to 3 hop-1 neighbors and
+    * up to 2 hop-2 neighbors per hop-1 node, chosen deterministically by
+    * hash order (rank neighbors of v by md5_62(v || '>' || nbr) — the
+    * replayable stand-in for the uniform draw, q29/g9's discipline).
+    * Every (seed, h1, h2) triple is a training subgraph row.
+    *
+    * Scale shape: ONE hash-ranked adjacency index (a single exchange on
+    * src — rank + count windows share the partition key), then each hop
+    * is an equality join against the index with the fan-out CAP applied
+    * by the rank filter BEFORE the join output grows — cost is
+    * seeds × 3 × 2 rows regardless of degree skew (a hub contributes at
+    * most its cap, the g6/g7 argument). No driver state.
+    */
+  val g13NeighborSample: Q = (s, d) => {
+    import graft.expressions.PortableHashExpressions.md5Hash62
+    import org.apache.spark.sql.expressions.Window
+    val base = bipartiteBase(s, d)
+    val edges = base.unionAll(
+      base.select(col("dst").as("src"), col("src").as("dst")))
+    val ranked = edges
+      .select(col("src"), col("dst"),
+        row_number().over(Window.partitionBy(col("src"))
+          .orderBy(md5Hash62(concat(col("src"), lit(">"), col("dst"))),
+            col("dst"))).as("rnk"))
+      .localCheckpoint(true) // the sampling index — probed once per hop
+    val seeds = Tables.load(s, d, "events")
+      .filter(col("event_type") === "signup" && col("user_id") % 199 === 0)
+      .select(concat(lit("u"), col("user_id")).as("seed")).distinct()
+    val hop1 = seeds
+      .join(ranked.filter(col("rnk") <= 3), seeds("seed") === col("src"))
+      .select(col("seed"), col("dst").as("h1"))
+    hop1
+      .join(ranked.filter(col("rnk") <= 2)
+        .select(col("src").as("h1"), col("dst").as("h2")), Seq("h1"))
+      .select(col("seed"), col("h1"), col("h2"))
+      .orderBy("seed", "h1", "h2")
+  }
+
+  /** DuckDB twin: identical hash-ranked index + capped hop joins. */
+  val g13NeighborSampleSql: String =
+    """WITH base AS (
+      |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+      |    'k' || json_extract_string(props, '$.k') AS dst
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |edges AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+      |ranked AS MATERIALIZED (
+      |  SELECT src, dst,
+      |    row_number() OVER (PARTITION BY src ORDER BY
+      |      CAST(md5_number_lower(src || '>' || dst)
+      |        & 4611686018427387903 AS BIGINT), dst) AS rnk
+      |  FROM edges),
+      |seeds AS (
+      |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS seed
+      |  FROM events WHERE event_type = 'signup' AND user_id % 199 = 0),
+      |hop1 AS (
+      |  SELECT s.seed, r.dst AS h1
+      |  FROM seeds s JOIN ranked r ON r.src = s.seed AND r.rnk <= 3)
+      |SELECT h.seed, h.h1, r.dst AS h2
+      |FROM hop1 h JOIN ranked r ON r.src = h.h1 AND r.rnk <= 2
+      |ORDER BY h.seed, h.h1, h2""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "g11_hits" -> g11Hits,
     "g12_modularity" -> g12Modularity,
+    "g13_neighbor_sample" -> g13NeighborSample,
     "g1_pagerank" -> g1Pagerank,
     "g2_triangles" -> g2Triangles,
     "g3_reach" -> g3Reach,
@@ -957,6 +1023,7 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "g11_hits" -> g11HitsSql,
     "g12_modularity" -> g12ModularitySql,
+    "g13_neighbor_sample" -> g13NeighborSampleSql,
     "g1_pagerank" -> g1PagerankSql,
     "g2_triangles" -> g2TrianglesSql,
     "g3_reach" -> g3ReachSql,

@@ -113,6 +113,44 @@ class GraphSpec extends SparkSpec {
     assert(got.filter(_._1 == "hub").forall(_._2.startsWith("u")))
   }
 
+  test("g13 neighbor sample: triples match an in-memory hash-ranked reference; caps hold") {
+    val got = Graph.g13NeighborSample(spark, sfDir)
+      .as[(String, String, String)].collect().toSeq
+    val base = Tables.load(spark, sfDir, "events")
+      .select(concat(lit("u"), $"user_id").as("src"),
+        concat(lit("k"), get_json_object($"props", "$.k")).as("dst"))
+      .where($"dst".isNotNull).distinct()
+      .as[(String, String)].collect()
+    val edges = base ++ base.map(_.swap)
+    // replay the hash ranking through the engine's own portable hash
+    val hashes = edges.toSeq.toDF("src", "dst")
+      .select($"src", $"dst",
+        graft.expressions.PortableHashExpressions
+          .md5Hash62(concat($"src", lit(">"), $"dst")).as("h"))
+      .as[(String, String, Long)].collect()
+    val sample: Map[String, Seq[String]] = hashes.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._3, e._2)).map(_._2).toSeq).toMap
+    val seeds = Tables.load(spark, sfDir, "events")
+      .filter($"event_type" === "signup" && $"user_id" % 199 === 0)
+      .select(concat(lit("u"), $"user_id")).as[String].collect().distinct
+    val expect = (for {
+      s0 <- seeds.toSeq
+      h1 <- sample.getOrElse(s0, Seq.empty).take(3)
+      h2 <- sample.getOrElse(h1, Seq.empty).take(2)
+    } yield (s0, h1, h2)).sorted
+    assert(got == expect && got.nonEmpty)
+    // fan-out caps: <= 3 distinct h1 per seed, <= 2 h2 per (seed, h1)
+    got.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._2).distinct.size <= 3))
+    got.groupBy(t => (t._1, t._2)).values.foreach(g =>
+      assert(g.size <= 2))
+    // sampled neighborhoods are real edges
+    val eset = edges.toSet
+    got.foreach { case (s0, h1, h2) =>
+      assert(eset.contains((s0, h1)) && eset.contains((h1, h2)))
+    }
+  }
+
   test("g4 sssp: frontier Bellman-Ford matches an in-memory full relaxation") {
     val got = Graph.g4Sssp(spark, sfDir).as[(String, Long)].collect().toSeq
     // reference: FULL (non-frontier) Bellman-Ford on collected weighted
