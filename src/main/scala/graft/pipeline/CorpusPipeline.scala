@@ -525,9 +525,49 @@ object CorpusPipeline {
     * offsets. Selection is then a narrow filter: prefix-before < quota
     * (greedy fill, last doc may overshoot — the standard packer rule).
     */
+  /** Exclusive KEYED running sum — t15's two-phase distributed prefix
+    * generalized per key: rows of `df` ordered by (`h`, `tie`) within
+    * each `key` get a `before` column = the sum of `v` over all earlier
+    * rows of the SAME key, without ever routing a key through a single
+    * partition. `h` must be a uniform non-negative 62-bit hash (shards
+    * are its top 6 bits — 64 contiguous ranges); the per-(key, shard)
+    * totals (≤ keys x 64 longs, driver-collected — bounded by
+    * construction) become broadcast offsets. Property-tested against
+    * the naive per-key window in PropertySpec.
+    */
+  def keyedPrefixBefore(df: DataFrame, key: String, h: String,
+      tie: String, v: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("_shard", shiftright(col(h), 62 - 6).cast("int"))
+      .localCheckpoint(true) // feeds shard totals + the ranked pass
+    val offMap: Map[String, Long] = {
+      val totals = base.groupBy(col(key), col("_shard"))
+        .agg(sum(col(v)).as("tot")).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      totals.groupBy(_._1._1).flatMap { case (k, entries) =>
+        val sorted = entries.sortBy(_._1._2)
+        sorted.map(_._1._2).zip(
+          sorted.map(_._2).scanLeft(0L)(_ + _).init)
+          .map { case (sh, off) => s"$k#$sh" -> off }
+      }
+    }
+    val offCol = coalesce(
+      element_at(
+        map(offMap.toSeq.sortBy(_._1).flatMap { case (k0, v0) =>
+          Seq(lit(k0), lit(v0)) }: _*),
+        concat(col(key), lit("#"), col("_shard"))),
+      lit(0L))
+    val w = Window.partitionBy(col(key), col("_shard"))
+      .orderBy(col(h), col(tie))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("before", coalesce(sum(col(v)).over(w), lit(0L)) + offCol)
+      .drop("_shard")
+  }
+
   def p5EpochMaterialize(s: SparkSession, d: String): DataFrame = {
     import graft.expressions.PortableHashExpressions.md5Hash62
-    import org.apache.spark.sql.expressions.Window
     val quota = p4MixtureSchedule(s, d)
       .filter(col("epoch") === 4)
       .select(col("source"), col("token_quota"))
@@ -536,30 +576,7 @@ object CorpusPipeline {
         size(graft.functions.TextFunctions.lowerTokens(col("text")))
           .cast("long").as("n_tok"),
         md5Hash62(col("doc_id").cast("string")).as("h"))
-      .withColumn("shard", shiftright(col("h"), 62 - 6).cast("int"))
-      .localCheckpoint(true) // feeds shard totals + the ranked pass
-    val offMap: Map[String, Long] = {
-      val totals = base.groupBy(col("source"), col("shard"))
-        .agg(sum(col("n_tok")).as("tot")).collect()
-        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
-      totals.groupBy(_._1._1).flatMap { case (src, entries) =>
-        val sorted = entries.sortBy(_._1._2)
-        sorted.map(_._1._2).zip(
-          sorted.map(_._2).scanLeft(0L)(_ + _).init)
-          .map { case (sh, off) => s"$src#$sh" -> off }
-      }
-    }
-    val offCol = coalesce(
-      element_at(
-        map(offMap.toSeq.sortBy(_._1).flatMap { case (k, v) =>
-          Seq(lit(k), lit(v)) }: _*),
-        concat(col("source"), lit("#"), col("shard"))),
-      lit(0L))
-    val w = Window.partitionBy(col("source"), col("shard"))
-      .orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val agged = base
-      .withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)) + offCol)
+    val agged = keyedPrefixBefore(base, "source", "h", "doc_id", "n_tok")
       .join(broadcast(quota), "source")
       .filter(col("before") < col("token_quota"))
       .groupBy(col("source"))

@@ -376,13 +376,39 @@ class PropertySpec extends SparkSpec {
     assert(Relational.queries("q65_twap")(spark, good).count() == 1L)
   }
 
-  test("snapshot commits: any append/overwrite sequence time-travels to the modeled state at EVERY version") {
+  test("keyed two-phase prefix == naive per-key window on random keyed streams") {
+    import graft.pipeline.CorpusPipeline
+    import org.apache.spark.sql.expressions.Window
+    // rows: (key from a small alphabet, hash anywhere in [0, 2^62),
+    // including shard-boundary extremes, tie id, small value)
+    val rowGen = Gen.listOfN(60, Gen.zip(
+      Gen.oneOf("a", "b", "c"),
+      Gen.oneOf(Gen.choose(0L, (1L << 62) - 1), Gen.oneOf(0L, (1L << 56) - 1,
+        1L << 56, (1L << 62) - 1)),
+      Gen.choose(0L, 1000L), Gen.choose(0L, 50L)))
+    forAll(rowGen, n = 8) { rows =>
+      val df = rows.toDF("k", "h", "tie", "v")
+      val got = CorpusPipeline.keyedPrefixBefore(df, "k", "h", "tie", "v")
+        .select($"k", $"h", $"tie", $"v", $"before")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val naive = df.withColumn("before",
+        coalesce(sum($"v").over(Window.partitionBy($"k")
+          .orderBy($"h", $"tie")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(got == naive)
+    }
+  }
+
+  test("snapshot commits: any append/overwrite/compact sequence time-travels to the modeled state at EVERY version") {
     import graft.sources.Snapshots
     // model-based check: a random op sequence against the real table,
     // an in-memory Vector[Set[Long]] as the model — every historical
     // version must still read back exactly its modeled contents.
+    // `compact` preserves content (a rewrite version) and may be a
+    // no-op (<2 candidate files) — then the model must NOT grow.
     val opGen = Gen.listOfN(5,
-      Gen.zip(Gen.oneOf("append", "overwrite"), Gen.choose(1, 20)))
+      Gen.zip(Gen.oneOf("append", "overwrite", "compact"), Gen.choose(1, 20)))
     var nextId = 0L
     forAll(opGen, n = 6) { ops =>
       val table = java.nio.file.Files
@@ -395,9 +421,15 @@ class PropertySpec extends SparkSpec {
           case "append" =>
             model = model :+ (model.lastOption.getOrElse(Set.empty) ++ ids)
             Snapshots.commitAppend(df, table, s"append $sz")
-          case _ =>
+          case "overwrite" =>
             model = model :+ ids
             Snapshots.commitOverwrite(df, table, s"overwrite $sz")
+          case _ if model.isEmpty => // nothing to compact yet — skip
+            model.length
+          case _ =>
+            val got = Snapshots.compact(spark, table)
+            if (got == model.length + 1) model = model :+ model.last
+            got
         }
         assert(v == model.length)
       }
