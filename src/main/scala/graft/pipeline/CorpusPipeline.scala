@@ -630,16 +630,78 @@ object CorpusPipeline {
        |FROM q LEFT JOIN agg a USING (source)
        |ORDER BY q.source""".stripMargin
 
+  // ------------------------------------------------- p6_epoch_shuffle
+  /** Deterministic EPOCH SHUFFLE — the "shuffle then shard" step every
+    * training run performs between epochs: each document's position for
+    * epoch e is its rank in md5_62(e || '#' || doc_id) order (a seeded
+    * permutation both engines replay), and positions map to fixed-size
+    * shards of 256 docs. Output is the shard manifest (count, position
+    * range, order-independent content signature — mm8's discipline), the
+    * artifact a data loader consumes.
+    *
+    * The 100 TB point: the naive formulation is row_number() over ONE
+    * global hash order — a single-partition window (or a full range
+    * exchange + zipWithIndex dance). Here the rank is
+    * [[keyedPrefixBefore]] with a constant key and v = 1: the hash's top
+    * bits shard the permutation into 64 contiguous ranges, each counts
+    * in parallel, and 64 offsets rebuild the exact global position.
+    * Shuffling 100 TB costs one narrow projection + one bounded-window
+    * pass, not a global sort.
+    */
+  val DocsPerShard = 256L
+
+  def p6EpochShuffle(s: SparkSession, d: String): DataFrame = {
+    import graft.expressions.PortableHashExpressions.md5Hash62
+    val epoch = 1
+    val base = graft.Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        md5Hash62(concat(lit(s"$epoch#"), col("doc_id").cast("string")))
+          .as("h"),
+        md5Hash62(col("text")).bitwiseAND(lit(1099511627775L)).as("sig"),
+        lit("_").as("k"), lit(1L).as("one"))
+    keyedPrefixBefore(base, "k", "h", "doc_id", "one")
+      .select(col("doc_id"), col("sig"),
+        col("before").as("pos"),
+        (col("before") / lit(DocsPerShard)).cast("long").as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"),
+        sum(col("sig")).as("signature"))
+      .orderBy("shard_id")
+  }
+
+  /** Oracle: the permutation as ONE global window (oracle-affordable;
+    * the Spark side must not), same masked-md5 signature sum.
+    */
+  val p6EpochShuffleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(md5_number_lower('1#' || CAST(doc_id AS VARCHAR))
+      |      & 4611686018427387903 AS BIGINT) AS h,
+      |    CAST(md5_number_lower(text) & 1099511627775 AS BIGINT) AS sig
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, sig,
+      |    CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+      |  FROM b)
+      |SELECT CAST(floor(pos / 256) AS BIGINT) AS shard_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(pos) AS first_pos, max(pos) AS last_pos,
+      |  CAST(sum(sig) AS BIGINT) AS signature
+      |FROM ranked GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p1_corpus_pipeline" -> (p1CorpusPipeline _),
       "p2_training_prep" -> (p2TrainingPrep _),
       "p3_dataset_card" -> (p3DatasetCard _),
       "p4_mixture_schedule" -> (p4MixtureSchedule _),
-      "p5_epoch_materialize" -> (p5EpochMaterialize _))
+      "p5_epoch_materialize" -> (p5EpochMaterialize _),
+      "p6_epoch_shuffle" -> (p6EpochShuffle _))
   val oracles: Map[String, String] =
     Map("p1_corpus_pipeline" -> p1CorpusPipelineSql,
       "p2_training_prep" -> p2TrainingPrepSql,
       "p3_dataset_card" -> p3DatasetCardSql,
       "p4_mixture_schedule" -> p4MixtureScheduleSql,
-      "p5_epoch_materialize" -> p5EpochMaterializeSql)
+      "p5_epoch_materialize" -> p5EpochMaterializeSql,
+      "p6_epoch_shuffle" -> p6EpochShuffleSql)
 }

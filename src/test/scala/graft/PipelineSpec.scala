@@ -195,4 +195,35 @@ class PipelineSpec extends SparkSpec {
       assert(tok < q + maxDoc, s"$src overshot by more than one doc")
     }
   }
+
+  test("p6 epoch shuffle: manifest replays from an in-memory permutation; shards tile the position space") {
+    import graft.pipeline.CorpusPipeline
+    val got = CorpusPipeline.p6EpochShuffle(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id",
+        graft.expressions.PortableHashExpressions
+          .md5Hash62(concat(lit("1#"), $"doc_id".cast("string"))).as("h"),
+        graft.expressions.PortableHashExpressions.md5Hash62($"text")
+          .bitwiseAND(lit(1099511627775L)).as("sig"))
+      .as[(Long, Long, Long)].collect()
+    val perm = docs.sortBy(d => (d._2, d._1)).zipWithIndex
+    val expect = perm.groupBy(_._2 / 256).toSeq.sortBy(_._1).map {
+      case (sh, rows) =>
+        (sh.toLong, rows.size.toLong, rows.map(_._2).min.toLong,
+          rows.map(_._2).max.toLong, rows.map(_._1._3).sum)
+    }
+    assert(got == expect && got.nonEmpty)
+    // shards tile 0..N-1 contiguously; all but the last are full
+    assert(got.map(_._2).sum == docs.length)
+    got.init.foreach(s => assert(s._2 == 256L, s"non-full shard $s"))
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4 + 1 == b._3, s"gap between $a and $b")
+    }
+    assert(got.head._3 == 0L)
+    // it is a genuine shuffle: hash order differs from id order
+    val idOrder = docs.sortBy(_._1).map(_._1).toSeq
+    val hashOrder = perm.map(_._1._1).toSeq
+    assert(idOrder != hashOrder, "permutation degenerated to id order")
+  }
 }
