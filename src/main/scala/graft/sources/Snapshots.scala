@@ -216,6 +216,24 @@ object Snapshots {
     else spark.read.parquet(added.toSeq: _*)
   }
 
+  /** Table history — the DESCRIBE HISTORY surface: one row per version
+    * with its note, file count, total bytes, and whether it was a
+    * rewrite (compaction). Reads only manifests + file statuses, never
+    * data — audit cost is proportional to version count, not table size.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, new Path(table))
+    val cur = currentVersion(spark, table)
+    (1 to cur).map { v =>
+      val fl = files(spark, table, v)
+      val note = noteOf(spark, table, v)
+      (v, note, fl.size.toLong,
+        fl.map(p => f.getFileStatus(new Path(p)).getLen).sum,
+        note.startsWith(RewriteNotePrefix))
+    }.toDF("version", "note", "n_files", "n_bytes", "is_rewrite")
+  }
+
   /** File-level diff between two versions: (added, removed). */
   def diff(spark: SparkSession, table: String,
       from: Int, to: Int): (Seq[String], Seq[String]) = {

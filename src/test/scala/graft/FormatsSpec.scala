@@ -219,5 +219,17 @@ class FormatsSpec extends SparkSpec {
     val again = Snapshots.compact(spark, table,
       smallBytes = 1L) // nothing under 1 byte -> no candidates
     assert(again == cur, "no-op compaction must not commit a version")
+
+    // DESCRIBE HISTORY surface: one row per version, notes and rewrite
+    // flags faithful, file counts consistent with the manifests
+    val hist = Snapshots.history(spark, table)
+      .as[(Int, String, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(hist.map(_._1) == (1 to cur))
+    assert(hist.find(_._1 == v3).get._5, "compaction row must flag rewrite")
+    assert(hist.filterNot(_._1 == v3).forall(!_._5))
+    assert(hist.head._2 == "fragmented load")
+    hist.foreach { case (v, _, nf, nb, _) =>
+      assert(nf == Snapshots.files(spark, table, v).size.toLong && nb > 0)
+    }
   }
 }
