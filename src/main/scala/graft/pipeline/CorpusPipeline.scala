@@ -545,6 +545,13 @@ object CorpusPipeline {
       val totals = base.groupBy(col(key), col("_shard"))
         .agg(sum(col(v)).as("tot")).collect()
         .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      // offsets are keyed "<key>#<shard>": a '#' inside a key value could
+      // alias another (key, shard) pair ("a#1"+2 vs "a"+12) and silently
+      // merge offsets — refuse loudly instead
+      totals.foreach { case ((k0, _), _) =>
+        require(!k0.contains("#"),
+          s"keyedPrefixBefore: key value '$k0' contains '#' (reserved)")
+      }
       totals.groupBy(_._1._1).flatMap { case (k, entries) =>
         val sorted = entries.sortBy(_._1._2)
         sorted.map(_._1._2).zip(

@@ -218,8 +218,9 @@ object Snapshots {
 
   /** Table history — the DESCRIBE HISTORY surface: one row per version
     * with its note, file count, total bytes, and whether it was a
-    * rewrite (compaction). Reads only manifests + file statuses, never
-    * data — audit cost is proportional to version count, not table size.
+    * rewrite (compaction). Reads only manifests + file STATUSES, never
+    * data bytes — cost is the sum of the per-version file-list lengths
+    * (metadata calls), a small multiple of the live file count.
     */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._

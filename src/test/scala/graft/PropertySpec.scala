@@ -398,6 +398,13 @@ class PropertySpec extends SparkSpec {
         .as[(String, Long, Long, Long, Long)].collect().toSet
       assert(got == naive)
     }
+    // reserved-character guard: a '#' in a key value could alias another
+    // (key, shard) offset — must refuse loudly, never merge silently
+    val bad = Seq(("a#1", 5L, 0L, 1L)).toDF("k", "h", "tie", "v")
+    val ex = intercept[Exception] {
+      CorpusPipeline.keyedPrefixBefore(bad, "k", "h", "tie", "v").collect()
+    }
+    assert(ex.getMessage.contains("reserved"), ex.getMessage)
   }
 
   test("snapshot commits: any append/overwrite/compact sequence time-travels to the modeled state at EVERY version") {
