@@ -1492,6 +1492,64 @@ object TextAnalysis {
        |ORDER BY nd.lang""".stripMargin
   }
 
+  // ------------------------------------------------ t29_code_detect
+  /** Code-vs-prose routing — the curation signal that decides which
+    * pipeline a document enters (code corpora get different dedup,
+    * quality, and tokenization treatment than prose; misrouted code
+    * poisons prose quality stats and vice versa). Heuristic signals per
+    * doc: code-symbol density ({}();=<>[]), indented-line share, and
+    * code-keyword hits per line, blended into a fixed linear score with
+    * a routing flag at 0.08 — the t2/t3 discipline applied to the
+    * code/prose axis.
+    *
+    * All signals are regex COUNTS (portable across Java regex and RE2 —
+    * no multiline flags, no lookaround; indentation is spelled as a
+    * literal newline-then-whitespace match), so the whole operator is
+    * one narrow codegen projection: at 100 TB it scales with input
+    * splits, zero shuffles beyond the oracle ORDER BY.
+    */
+  private val codeSymRe = "[{}()\\[\\];=<>]"
+  private val codeIndentRe = "\\n[ \\t]{2}"
+  private val codeKwRe =
+    "\\b(def|return|import|class|for|while|function|val|var)\\b"
+
+  val t29CodeDetect: Q = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      (regexp_count(col("text"), lit("\\n")) + 1).cast("long").as("n_lines"),
+      regexp_count(col("text"), lit(codeSymRe)).cast("long").as("n_sym"),
+      regexp_count(col("text"), lit(codeIndentRe)).cast("long").as("n_indent"),
+      regexp_count(col("text"), lit(codeKwRe)).cast("long").as("n_kw"),
+      length(col("text")).cast("long").as("len_c"))
+      .select(
+        col("doc_id"), col("n_lines"), col("n_sym"), col("n_kw"),
+        sround((col("n_sym") / nullif(col("len_c"), lit(0L))) * 0.5
+          + (col("n_indent") / col("n_lines")) * 0.3
+          + least(col("n_kw") / col("n_lines"), lit(1.0)) * 0.2, 4)
+          .as("code_score"))
+      .withColumn("is_code", col("code_score") >= 0.08)
+      .orderBy("doc_id")
+
+  val t29CodeDetectSql: String =
+    """SELECT doc_id, n_lines, n_sym, n_kw,
+      |  floor(((n_sym / nullif(len_c, 0)) * 0.5
+      |    + (n_indent / n_lines) * 0.3
+      |    + least(n_kw / n_lines, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0
+      |    AS code_score,
+      |  floor(((n_sym / nullif(len_c, 0)) * 0.5
+      |    + (n_indent / n_lines) * 0.3
+      |    + least(n_kw / n_lines, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0
+      |    >= 0.08 AS is_code
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\n')) + 1 AS BIGINT) AS n_lines,
+      |    CAST(len(regexp_extract_all(text, '[{}()\[\];=<>]')) AS BIGINT) AS n_sym,
+      |    CAST(len(regexp_extract_all(text, '\n[ \t]{2}')) AS BIGINT) AS n_indent,
+      |    CAST(len(regexp_extract_all(text, '\b(def|return|import|class|for|while|function|val|var)\b')) AS BIGINT) AS n_kw,
+      |    CAST(length(text) AS BIGINT) AS len_c
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ t22_langid_audit
   /** Classifier audit for the language-ID heuristic: the confusion
     * matrix of declared vs predicted language plus per-cell recall and
@@ -1756,6 +1814,7 @@ object TextAnalysis {
     "t26_bm25" -> t26Bm25,
     "t27_ccnet_buckets" -> t27CcnetBuckets,
     "t28_fertility" -> t28Fertility,
+    "t29_code_detect" -> t29CodeDetect,
     "t22_langid_audit" -> t22LangidAudit,
     "t23_novelty" -> t23Novelty,
     "t24_code_switch" -> t24CodeSwitch,
@@ -1786,6 +1845,7 @@ object TextAnalysis {
     "t26_bm25" -> t26Bm25Sql,
     "t27_ccnet_buckets" -> t27CcnetBucketsSql,
     "t28_fertility" -> t28FertilitySql,
+    "t29_code_detect" -> t29CodeDetectSql,
     "t22_langid_audit" -> t22LangidAuditSql,
     "t23_novelty" -> t23NoveltySql,
     "t24_code_switch" -> t24CodeSwitchSql,

@@ -194,6 +194,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("t29 code detect: planted code routes as code, prose as prose; corpus mostly prose") {
+    val code =
+      "def main(args):\n  for i in range(10):\n    x = f(i);\n    return {x: [i]}\n" +
+      "class Foo:\n  def bar(self):\n    while True:\n      import os; val y = 1\n"
+    val prose =
+      "The quick brown fox jumps over the lazy dog near the quiet river " +
+      "and watches the morning light settle gently across the wide valley."
+    val docs = Seq((0L, code, "x", "s"), (1L, prose, "x", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("t29").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val byId = TextAnalysis.t29CodeDetect(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(byId(0L)._6, s"code doc must route as code: ${byId(0L)}")
+    assert(!byId(1L)._6, s"prose doc must route as prose: ${byId(1L)}")
+    assert(byId(0L)._5 > byId(1L)._5)
+    // the synthetic corpus is prose: the code route stays the exception
+    val corpus = TextAnalysis.t29CodeDetect(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect()
+    assert(corpus.count(_._6) < corpus.length / 4,
+      s"corpus should be mostly prose, flagged ${corpus.count(_._6)}/${corpus.length}")
+  }
+
   test("t20 classifier: dyadic weights make the score partition-order exact") {
     val out = TextAnalysis.t20QualityClassifier(spark, sfDir)
     val rows = out.collect().map(r =>
