@@ -1550,6 +1550,76 @@ object TextAnalysis {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ t30_corpus_drift
+  /** Corpus DRIFT monitor — the between-crawls check a continuously-fed
+    * training pipeline runs before mixing a new snapshot in: compare the
+    * unigram distributions of two corpus slices (here the deterministic
+    * doc_id-parity split standing in for old/new crawls), report the
+    * top-20 most-drifted grams by absolute probability difference with
+    * their per-gram Jensen-Shannon contribution. A drifted crawl shows
+    * its new boilerplate/topic shift at the top of this table before it
+    * skews t5 vocab or t17 perplexity baselines.
+    *
+    * Scale shape: ONE gram-keyed shuffle serves BOTH slices (side is a
+    * CASE inside the same agg — never two corpus passes), totals and
+    * vocab are a 1-row broadcast, scoring is a narrow projection, and
+    * the output is TakeOrdered(20). Float discipline: probabilities are
+    * add-one-smoothed exact rationals; log2-of-ratio is the t17-proven
+    * libm path; ordering is on the raw double diff with the gram
+    * tie-break.
+    */
+  val t30CorpusDrift: Q = (s, d) => {
+    val toks = docs(s, d)
+      .select((col("doc_id") % 2).as("side"),
+        explode(lowerTokens(col("text"))).as("w"))
+    val counts = toks.groupBy(col("w"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
+      count(lit(1)).as("v"))
+    val p = (col("ca") + 1) / (col("ta") + col("v")).cast("double")
+    val q = (col("cb") + 1) / (col("tb") + col("v")).cast("double")
+    val m = (col("p") + col("q")) / 2.0
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", p).withColumn("q", q)
+      .withColumn("js_raw",
+        lit(0.5) * col("p") * log2(col("p") / m)
+          + lit(0.5) * col("q") * log2(col("q") / m))
+      .orderBy(abs(col("p") - col("q")).desc, col("w"))
+      .limit(20)
+      .select(col("w").as("gram"), col("ca").as("cnt_a"),
+        col("cb").as("cnt_b"),
+        sround(abs(col("p") - col("q")), 9).as("abs_diff"),
+        sround(col("js_raw"), 9).as("js_term"))
+  }
+
+  val t30CorpusDriftSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id % 2 AS side,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '')) AS w
+      |  FROM documents),
+      |counts AS (
+      |  SELECT w,
+      |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM toks GROUP BY w),
+      |tot AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+      |    count(*) AS v
+      |  FROM counts),
+      |scored AS (
+      |  SELECT w, ca, cb,
+      |    (ca + 1) / CAST(ta + v AS DOUBLE) AS p,
+      |    (cb + 1) / CAST(tb + v AS DOUBLE) AS q
+      |  FROM counts CROSS JOIN tot)
+      |SELECT w AS gram, ca AS cnt_a, cb AS cnt_b,
+      |  floor(abs(p - q) * 1000000000.0 + 0.5) / 1000000000.0 AS abs_diff,
+      |  floor((0.5 * p * log2(p / ((p + q) / 2.0))
+      |       + 0.5 * q * log2(q / ((p + q) / 2.0))) * 1000000000.0 + 0.5)
+      |    / 1000000000.0 AS js_term
+      |FROM scored ORDER BY abs(p - q) DESC, w LIMIT 20""".stripMargin
+
   // ------------------------------------------------ t22_langid_audit
   /** Classifier audit for the language-ID heuristic: the confusion
     * matrix of declared vs predicted language plus per-cell recall and
@@ -1815,6 +1885,7 @@ object TextAnalysis {
     "t27_ccnet_buckets" -> t27CcnetBuckets,
     "t28_fertility" -> t28Fertility,
     "t29_code_detect" -> t29CodeDetect,
+    "t30_corpus_drift" -> t30CorpusDrift,
     "t22_langid_audit" -> t22LangidAudit,
     "t23_novelty" -> t23Novelty,
     "t24_code_switch" -> t24CodeSwitch,
@@ -1846,6 +1917,7 @@ object TextAnalysis {
     "t27_ccnet_buckets" -> t27CcnetBucketsSql,
     "t28_fertility" -> t28FertilitySql,
     "t29_code_detect" -> t29CodeDetectSql,
+    "t30_corpus_drift" -> t30CorpusDriftSql,
     "t22_langid_audit" -> t22LangidAuditSql,
     "t23_novelty" -> t23NoveltySql,
     "t24_code_switch" -> t24CodeSwitchSql,

@@ -219,6 +219,32 @@ class CurationSpec extends SparkSpec {
       s"corpus should be mostly prose, flagged ${corpus.count(_._6)}/${corpus.length}")
   }
 
+  test("t30 corpus drift: planted crawl shift surfaces at the top; JS terms non-negative") {
+    // even doc_ids (crawl A) carry 'alpha' boilerplate, odd (crawl B)
+    // 'omega'; shared filler stays undrifted
+    val docs = (0L until 20L).map { i =>
+      val marker = if (i % 2 == 0) "alpha alpha alpha" else "omega omega omega"
+      (i, s"common words here $marker and more common filler", "x", "s")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("t30").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top = TextAnalysis.t30CorpusDrift(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(top.take(2).map(_._1).toSet == Set("alpha", "omega"), s"$top")
+    val byGram = top.map(t => t._1 -> t).toMap
+    assert(byGram("alpha")._2 == 30L && byGram("alpha")._3 == 0L)
+    assert(byGram("omega")._2 == 0L && byGram("omega")._3 == 30L)
+    // shared filler words drift less than the planted markers
+    assert(byGram("common")._4 < byGram("alpha")._4)
+    // corpus run: ordered by drift, JS contributions non-negative
+    val corpus = TextAnalysis.t30CorpusDrift(spark, sfDir)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(corpus.size == 20)
+    assert(corpus.map(_._4) == corpus.map(_._4).sortBy(-_))
+    corpus.foreach(r => assert(r._5 >= 0.0, s"JS term negative: $r"))
+  }
+
   test("t20 classifier: dyadic weights make the score partition-order exact") {
     val out = TextAnalysis.t20QualityClassifier(spark, sfDir)
     val rows = out.collect().map(r =>
