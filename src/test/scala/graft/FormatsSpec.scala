@@ -43,6 +43,29 @@ class FormatsSpec extends SparkSpec {
     assert(out.filter($"event_id".isNotNull).count() == 2)
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations; old rows read null") {
+    // the 100 TB reality: month N's files carry columns month N-12 never
+    // had. Pin the read contract: union of schemas, missing columns null,
+    // and an EXPLICIT schema read stays pruned to what it asks for.
+    val dir = Files.createTempDirectory("fmt_evolve").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v1")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v1", "v2")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "v1", "v2"))
+    val rows = merged.select($"id", $"v2").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty)
+    assert(rows(3L).contains(30L) && rows(4L).contains(40L))
+    // explicit-schema read: old-generation files satisfy the asked-for
+    // subset without mergeSchema, new columns simply not requested
+    val narrow = spark.read
+      .schema(new StructType().add("id", "long").add("v1", StringType))
+      .parquet(dir)
+    assert(narrow.count() == 4 && narrow.columns.toSeq == Seq("id", "v1"))
+  }
+
   test("compaction shrinks a fragmented table without changing its rows") {
     val frag = Files.createTempDirectory("fmt_frag").toString + "/t"
     val compacted = Files.createTempDirectory("fmt_comp").toString + "/t"
