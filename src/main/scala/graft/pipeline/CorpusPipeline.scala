@@ -38,33 +38,61 @@ object CorpusPipeline {
     * p1 (which continues into near-dup components) and p2 (which
     * continues into decontamination + packing).
     */
-  def frontEnd(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
-    val raw = Tables.load(s, d, "documents")
+  /** The raw input frame of the funnel (the immutable pipeline input). */
+  def rawDocs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
 
+  /** Stage function: quality survivors of an arbitrary raw frame. */
+  def qualityStage(raw: DataFrame): DataFrame = {
     val scored = raw.select(col("doc_id"),
         length(col("text")).cast("long").as("len_c"),
         graft.expressions.SetSketchExpressions
           .tokenStats(col("text"), graft.operators.TextAnalysis.stopWords).as("ts"),
         length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("digit"))
       .select(col("doc_id"), qualityScore.as("q"))
-    val quality = raw.join(scored.filter(col("q") >= QualityThreshold)
+    raw.join(scored.filter(col("q") >= QualityThreshold)
       .select(col("doc_id")), "doc_id")
+  }
 
+  /** Stage function: exact-dedup survivors (keep min doc_id per
+    * canonical-md5 fingerprint).
+    */
+  def exactDedupStage(df: DataFrame): DataFrame = df
+    .withColumn("fp", md5(graft.functions.TextFunctions.normText(col("text"))))
+    .withColumn("keep",
+      min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+    .filter(col("doc_id") === col("keep"))
+    .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+
+  def frontEnd(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+    val raw = rawDocs(s, d)
     // each stage is consumed at least twice (its own count + the next
     // stage's input); checkpoint so the funnel computes every stage once
-    val qualityM = quality.localCheckpoint(true)
-
-    val keepers = qualityM
-      .withColumn("fp", md5(graft.functions.TextFunctions.normText(col("text"))))
-      .withColumn("keep",
-        min(col("doc_id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .filter(col("doc_id") === col("keep"))
-      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
-      .localCheckpoint(true)
-
+    val qualityM = qualityStage(raw).localCheckpoint(true)
+    val keepers = exactDedupStage(qualityM).localCheckpoint(true)
     Seq("raw" -> raw, "quality" -> qualityM, "exact_dedup" -> keepers)
+  }
+
+  /** Stage function: drop every training doc sharing a word-8gram with
+    * ANY raw holdout doc (t9's audit applied as a filter; the holdout
+    * grams come from the RAW corpus so filtered/deduped eval docs still
+    * protect).
+    */
+  def deconStage(train: DataFrame, raw: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions._
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordNgrams(col("toks"), 8).as("ngrams"))
+      .select(col("doc_id"),
+        explode(graft.expressions.PortableHashExpressions
+          .md5HashArray62(col("ngrams"), distinctSorted = true)).as("g"))
+    val holdoutGrams = grams(raw.filter(col("doc_id") % 20 === 0))
+      .select(col("g")).distinct()
+    val contaminated = grams(train).join(holdoutGrams, "g")
+      .select(col("doc_id")).distinct()
+    train.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
   /** The survivor frame after each stage, keyed by stage name (insertion
@@ -197,20 +225,9 @@ object CorpusPipeline {
     val keepers = front.last._2
 
     val train = keepers.filter(col("doc_id") % 20 =!= 0).localCheckpoint(true)
-    // t9/t23's fused-kernel shape: per-doc-distinct md5-62 long lanes,
-    // no string gram rows, no cross-row distinct shuffle
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
-      .select(col("doc_id"), wordNgrams(col("toks"), 8).as("ngrams"))
-      .select(col("doc_id"),
-        explode(graft.expressions.PortableHashExpressions
-          .md5HashArray62(col("ngrams"), distinctSorted = true)).as("g"))
-    val holdoutGrams = grams(raw.filter(col("doc_id") % 20 === 0))
-      .select(col("g")).distinct()
-    val contaminated = grams(train).join(holdoutGrams, "g")
-      .select(col("doc_id")).distinct()
-    val decon = train.join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    // t9/t23's fused-kernel shape inside deconStage: per-doc-distinct
+    // md5-62 long lanes, no string gram rows, no cross-row distinct shuffle
+    val decon = deconStage(train, raw).localCheckpoint(true)
 
     val packedDocs = graft.operators.TextAnalysis.globalPackingDocs(
       decon.select(col("doc_id"),

@@ -196,6 +196,57 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("resumable prep: crash after two stages, resume; completed stages untouched, result equals single-shot p2") {
+    import graft.pipeline.{CorpusPipeline, Resumable}
+    import graft.sources.Snapshots
+    val table = java.nio.file.Files
+      .createTempDirectory("resume_prep").toString + "/prep"
+    // crash simulation: only the first two stages run
+    val first = Resumable.run(spark, sfDir, table, stopAfter = 2)
+    assert(first.map(x => (x._1, x._3)) ==
+      Seq(("quality", false), ("exact_dedup", false)))
+    assert(Snapshots.currentVersion(spark, table) == 2)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes(v: Int) = Snapshots.files(spark, table, v)
+      .map(p => p -> fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+        .getModificationTime).toMap
+    val (m1, m2) = (mtimes(1), mtimes(2))
+
+    // resume: stages 1-2 are read back, 3-5 computed and committed
+    val resumed = Resumable.run(spark, sfDir, table)
+    assert(resumed.map(x => (x._1, x._3)) == Seq(
+      ("quality", true), ("exact_dedup", true), ("holdout_split", false),
+      ("decontaminate", false), ("packing", false)))
+    assert(Snapshots.currentVersion(spark, table) == 5)
+    assert(mtimes(1) == m1 && mtimes(2) == m2,
+      "resume must not rewrite completed stages' files")
+
+    // the resumed pipeline's final state equals the single-shot p2 run
+    val (funnel, decon, packedDocs) = CorpusPipeline.p2Frames(spark, sfDir)
+    val deconIds = Snapshots.readVersion(spark, table, Some(4))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(deconIds == decon.select($"doc_id").as[Long].collect().toSet)
+    val packs = Snapshots.readVersion(spark, table, Some(5))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(packs == packedDocs.as[(Long, Long, Long)].collect().toSet)
+    // funnel counts agree stage by stage with what p2 reports
+    val byStage = resumed.map(x => x._1 -> x._2).toMap
+    funnel.foreach { case (stage, _, out) =>
+      if (stage != "packing") // packing row counts docs; p2 counts packs
+        assert(byStage(stage) == out, s"$stage: ${byStage(stage)} vs $out")
+    }
+    // a foreign table refuses to resume (loud, not silent corruption)
+    val foreign = java.nio.file.Files
+      .createTempDirectory("resume_foreign").toString + "/t"
+    Snapshots.commitOverwrite(Seq((1L, "x")).toDF("doc_id", "text"),
+      foreign, "unrelated note")
+    val ex = intercept[IllegalArgumentException] {
+      Resumable.run(spark, sfDir, foreign)
+    }
+    assert(ex.getMessage.contains("foreign"))
+  }
+
   test("p6 epoch shuffle: manifest replays from an in-memory permutation; shards tile the position space") {
     import graft.pipeline.CorpusPipeline
     val got = CorpusPipeline.p6EpochShuffle(spark, sfDir)
