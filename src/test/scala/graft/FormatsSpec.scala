@@ -140,6 +140,22 @@ class FormatsSpec extends SparkSpec {
     val sorts = exec.linesIterator.filter(_.trim.startsWith("+- Sort ")).toSeq
     assert(sorts.forall(_.contains("], false, 0")),
       s"sorts must be in-partition only:\n$exec")
+    // bucket PRUNING: an equality predicate on the bucket key scans ONE
+    // bucket of four — the point-lookup scale win bucketing buys beyond
+    // shuffle-free joins. autoBucketedScan must be off: with no join to
+    // exploit the distribution the planner de-buckets the scan, which
+    // also forfeits pruning — a real deployment tuning note.
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(autoKey)
+    try {
+      spark.conf.set(autoKey, "false")
+      val key = orders.select($"o_orderkey").as[Long].head()
+      val point = spark.table("bkt_orders").filter($"o_orderkey" === key)
+      val scan = point.queryExecution.executedPlan.toString
+      assert(scan.contains("SelectedBucketsCount: 1 out of 4"),
+        s"point predicate must prune to one bucket:\n$scan")
+      assert(point.count() == 1)
+    } finally spark.conf.set(autoKey, prev)
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_items")
   }
