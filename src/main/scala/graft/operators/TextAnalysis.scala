@@ -1568,13 +1568,11 @@ object TextAnalysis {
     * libm path; ordering is on the raw double diff with the gram
     * tie-break.
     */
-  val t30CorpusDrift: Q = (s, d) => {
-    val toks = docs(s, d)
-      .select((col("doc_id") % 2).as("side"),
-        explode(lowerTokens(col("text"))).as("w"))
-    val counts = toks.groupBy(col("w"))
-      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+  /** t30's scoring half over an arbitrary (w, ca, cb) count frame —
+    * shared with the streaming drift monitor, whose counts accumulate
+    * on arrival instead of in one batch pass.
+    */
+  def driftTable(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
       count(lit(1)).as("v"))
     val p = (col("ca") + 1) / (col("ta") + col("v")).cast("double")
@@ -1591,6 +1589,16 @@ object TextAnalysis {
         col("cb").as("cnt_b"),
         sround(abs(col("p") - col("q")), 9).as("abs_diff"),
         sround(col("js_raw"), 9).as("js_term"))
+  }
+
+  val t30CorpusDrift: Q = (s, d) => {
+    val toks = docs(s, d)
+      .select((col("doc_id") % 2).as("side"),
+        explode(lowerTokens(col("text"))).as("w"))
+    val counts = toks.groupBy(col("w"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+    driftTable(counts)
   }
 
   val t30CorpusDriftSql: String =

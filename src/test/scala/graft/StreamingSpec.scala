@@ -223,6 +223,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter($"quality" < 0.5).count() == 0)
   }
 
+  test("streaming drift monitor: accumulated profile reproduces batch t30 exactly; replay is idempotent") {
+    import graft.streaming.DriftStream
+    val feed = Files.createTempDirectory("drift_feed").toString
+    val state = Files.createTempDirectory("drift_state").toString + "/profile"
+    val ckpt = Files.createTempDirectory("drift_ckpt").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    // frozen reference = crawl A (even ids); the stream feeds crawl B
+    val reference = DriftStream.gramCounts(docs.filter($"doc_id" % 2 === 0))
+      .localCheckpoint(true)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    // three ordered drops
+    incoming.filter($"doc_id" < 150).coalesce(1)
+      .write.mode("append").parquet(feed)
+    val q = DriftStream.start(spark, feed, state, ckpt)
+    try {
+      q.processAllAvailable()
+      incoming.filter($"doc_id" >= 150 && $"doc_id" < 350).coalesce(1)
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+      incoming.filter($"doc_id" >= 350).coalesce(1)
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the streamed drift table IS the batch t30 table, bit for bit
+    val streamed = DriftStream.driftAgainst(spark, reference, state)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    val batch = graft.operators.TextAnalysis.t30CorpusDrift(spark, sfDir)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(streamed == batch)
+
+    // crash-replay: re-running the LAST generation's merge from the same
+    // parent with the same batch data must not change the profile
+    val genBefore = DriftStream.latestGen(spark, state)
+    val profBefore = DriftStream.profile(spark, state)
+      .as[(String, Long)].collect().toSet
+    // rebuild the final batch's data (what the sink would replay)
+    val lastBatch = incoming.filter($"doc_id" >= 350)
+    // remove the last generation to simulate the crash-before-commit,
+    // then replay the batch id
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/gen=$genBefore"), true)
+    DriftStream.processBatch(spark, state)(lastBatch, genBefore)
+    val profAfter = DriftStream.profile(spark, state)
+      .as[(String, Long)].collect().toSet
+    assert(profAfter == profBefore, "replayed generation must be identical")
+    assert(DriftStream.latestGen(spark, state) == genBefore)
+  }
+
   test("corpus curation survives a restart: dedup state restores from checkpoint") {
     import graft.streaming.CorpusStream
     import org.apache.spark.sql.streaming.Trigger
