@@ -209,6 +209,45 @@ class FormatsSpec extends SparkSpec {
     fs.delete(claim, false)
   }
 
+  test("snapshot commit race: two concurrent committers of the same version — exactly one wins, loser fails loudly") {
+    import graft.sources.Snapshots
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val table = Files.createTempDirectory("snap_race").toString + "/t"
+    Snapshots.commitOverwrite(Seq(1L).toDF("id"), table, "base")
+    // both committers observe parent=1 and try to claim version 2
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val results = (0 until 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Int]] {
+        def call(): Either[Throwable, Int] = {
+          gate.await()
+          try Right(Snapshots.commitOverwrite(
+            Seq(100L + i).toDF("id"), table, s"racer $i"))
+          catch { case t: Throwable => Left(t) }
+        }
+      })
+    }
+    gate.countDown()
+    val outcomes = results.map(_.get())
+    pool.shutdown()
+    val wins = outcomes.collect { case Right(v) => v }
+    val losses = outcomes.collect { case Left(t) => t }
+    // the manifest create(overwrite = false) is the claim: with both
+    // racing for v2, at most one manifest exists per version and any
+    // loser surfaced an exception instead of silently clobbering
+    assert(wins.nonEmpty, s"no committer succeeded: $losses")
+    assert(wins.distinct.size == wins.size,
+      s"two committers claimed the same version: $wins")
+    val cur = Snapshots.currentVersion(spark, table)
+    assert(cur == 1 + wins.size)
+    // every committed version reads back exactly one racer's content
+    wins.foreach { v =>
+      val got = Snapshots.readVersion(spark, table, Some(v))
+        .as[Long].collect().toSet
+      assert(got == Set(100L) || got == Set(101L), s"v$v read $got")
+    }
+  }
+
   test("snapshot compaction: rows identical, files shrink, time travel intact, incremental reads stay row-neutral") {
     import graft.sources.Snapshots
     val table = Files.createTempDirectory("snap_compact").toString + "/docs"
