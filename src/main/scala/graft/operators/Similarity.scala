@@ -351,11 +351,18 @@ object Similarity {
     * empty a cell, the encoder argmaxes over the present cells with their
     * original ids — the same set the oracle's refined CTE contains.
     */
-  val v6PqAnn: Q = (s, d) => {
+  /** The v6 PQ index build over a vector frame: the coded corpus (n_id +
+    * 8 one-byte codes), the broadcastable query LUT frame, and the
+    * ascending-m ADC fold columns. Shared verbatim by v6 (flat scan over
+    * all codes) and v14 (scan restricted to IVF-probed candidates).
+    */
+  private case class PqIndex(coded: DataFrame, qdf: DataFrame,
+      adot: Column, ansq: Column)
+
+  private def pqBuild(s: SparkSession, e: DataFrame): PqIndex = {
     val M = 8     // subspaces
     val dSub = 8  // dims per subspace
     val Kc = 16   // centroids per codebook
-    val e = emb(s, d)
 
     def seqDot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
@@ -463,9 +470,14 @@ object Similarity {
       element_at(col(s"lut_$m"), col(s"code_$m") + 1)).reduce(_ + _)
     val ansq = (0 until M).map(m =>
       element_at(nsqLut(m), col(s"code_$m") + 1)).reduce(_ + _)
+    PqIndex(coded, qdf, adot, ansq)
+  }
+
+  val v6PqAnn: Q = (s, d) => {
+    val ix = pqBuild(s, emb(s, d))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
-    coded.join(broadcast(qdf), col("n_id") =!= col("q_id"))
-      .withColumn("sim", adot / (sqrt(col("nsq_q")) * sqrt(ansq)))
+    ix.coded.join(broadcast(ix.qdf), col("n_id") =!= col("q_id"))
+      .withColumn("sim", ix.adot / (sqrt(col("nsq_q")) * sqrt(ix.ansq)))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select(col("q_id"), col("rnk"), col("n_id"), sround(col("sim"), 4).as("sim"))
@@ -1158,6 +1170,165 @@ object Similarity {
        |LEFT JOIN na ON na.q_id = e.q_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  // --------------------------------------------------------- v14_ivfpq
+  /** IVF+PQ — the composed two-level index that production vector stores
+    * actually deploy (FAISS's IVFPQ shape, raw-vector variant): v4's
+    * coarse quantizer ROUTES each query to its 4 nearest cells, and
+    * within the probed cells candidates are scored by v6's asymmetric
+    * distance over 8 one-byte codes — no float vector is touched at
+    * search time, and only nprobe/k of the code table is scanned. The
+    * two index builds are independent (coarse on whole vectors, PQ on
+    * raw subvectors) and reused VERBATIM from v4/v6 (shared builders),
+    * so the composition adds exactly one equality join: candidates =
+    * coded ⋈ probes on the cell key.
+    *
+    * Scale shape: everything bounded-or-narrow from the component
+    * audits — two driver-side codebook artifacts, two narrow encode
+    * passes, and a search that streams 1/4 of a 64x-compressed code
+    * table against broadcast LUTs. The oracle replays BOTH builds and
+    * the composed scoring as one CTE chain (iv_ / pq_ prefixes), so even
+    * the two-level approximation hash-checks.
+    */
+  val v14IvfPq: Q = (s, d) => {
+    val e = emb(s, d)
+    // coarse half: v4's refined quantizer, corpus cells, query probes
+    val refinedC = ivfRefined(e, 16)
+    val corpusCells = e.select(col("vec_id").as("n_id"),
+      nearestCell(refinedC, col("embedding")).as("cell"))
+    val probes = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"),
+        centroidDots(refinedC, col("embedding")).as("cscores"))
+      .select(col("q_id"),
+        explode(slice(array_sort(
+          transform(col("cscores"),
+            (sc, i) => struct((-sc).as("neg"), i.cast("int").as("cell")))),
+          1, 4)).as("probe"))
+      .select(col("q_id"), col("probe.cell").as("cell"))
+    val cand = corpusCells.join(broadcast(probes), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"))
+    // fine half: v6's codes + LUTs, scored over the candidates only
+    val ix = pqBuild(s, e)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    ix.coded.join(cand, Seq("n_id"))
+      .join(broadcast(ix.qdf), Seq("q_id"))
+      .withColumn("sim", ix.adot / (sqrt(col("nsq_q")) * sqrt(ix.ansq)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("n_id"), sround(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Oracle: v4's routing CTEs (iv_) + v6's coding CTEs (pq_) + the
+    * candidate join, spellings copied verbatim from the component twins.
+    */
+  val v14IvfPqSql: String = {
+    def dotList(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+    def dotSub(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 9), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def nsqSub(a: String): String = dotSub(a, a)
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+       |  FROM embeddings),
+       |iv_seeds AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |    CASE WHEN sqrt(nsq) = 0 THEN list_transform(embedding, x -> 0.0)
+       |         ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(nsq)) END AS c
+       |  FROM e WHERE vec_id < 16),
+       |iv_a0 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cell
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, s.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotList("e.embedding", "s.c")} DESC, s.cell ASC) AS rn
+       |    FROM e, iv_seeds s)
+       |  WHERE rn = 1),
+       |iv_refined AS MATERIALIZED (
+       |  SELECT cell, list(m ORDER BY i) AS c
+       |  FROM (
+       |    SELECT cell, i,
+       |      floor(avg(CAST(embedding[i] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS m
+       |    FROM iv_a0, (SELECT unnest(range(1, 65)) AS i)
+       |    GROUP BY cell, i)
+       |  GROUP BY cell),
+       |iv_corpus AS MATERIALIZED (
+       |  SELECT vec_id AS n_id, cell
+       |  FROM (
+       |    SELECT e.vec_id, r.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotList("e.embedding", "r.c")} DESC, r.cell ASC) AS rn
+       |    FROM e, iv_refined r)
+       |  WHERE rn = 1),
+       |iv_probes AS (
+       |  SELECT vec_id AS q_id, cell
+       |  FROM (
+       |    SELECT e.vec_id, r.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotList("e.embedding", "r.c")} DESC, r.cell ASC) AS rn
+       |    FROM e, iv_refined r
+       |    WHERE e.vec_id < $NQ)
+       |  WHERE rn <= 4),
+       |cand AS MATERIALIZED (
+       |  SELECT q.q_id, c.n_id
+       |  FROM iv_corpus c JOIN iv_probes q USING (cell)
+       |  WHERE c.n_id != q.q_id),
+       |subs AS MATERIALIZED (
+       |  SELECT vec_id, m, embedding[(m*8+1):(m*8+8)] AS sub
+       |  FROM e, (SELECT unnest(range(8)) AS m)),
+       |pq_seeds AS MATERIALIZED (
+       |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |    sub AS c
+       |  FROM subs WHERE vec_id < 16),
+       |pq_a0 AS MATERIALIZED (
+       |  SELECT vec_id, m, cell, sub FROM (
+       |    SELECT s.vec_id, s.m, sd.cell, s.sub,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${dotSub("s.sub", "sd.c")} - ${nsqSub("sd.c")} / 2 DESC, sd.cell ASC) AS rn
+       |    FROM subs s JOIN pq_seeds sd USING (m))
+       |  WHERE rn = 1),
+       |pq_refined AS MATERIALIZED (
+       |  SELECT m, cell, list(mv ORDER BY pos) AS c
+       |  FROM (
+       |    SELECT m, cell, pos,
+       |      floor(avg(CAST(sub[pos] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mv
+       |    FROM pq_a0, (SELECT unnest(range(1, 9)) AS pos)
+       |    GROUP BY m, cell, pos)
+       |  GROUP BY m, cell),
+       |pq_codes AS MATERIALIZED (
+       |  SELECT vec_id, m, cell FROM (
+       |    SELECT s.vec_id, s.m, r.cell,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${dotSub("s.sub", "r.c")} - ${nsqSub("r.c")} / 2 DESC, r.cell ASC) AS rn
+       |    FROM subs s JOIN pq_refined r USING (m))
+       |  WHERE rn = 1),
+       |qn AS (
+       |  SELECT vec_id AS q_id, nsq AS nsq_q FROM e WHERE vec_id < $NQ),
+       |terms AS (
+       |  SELECT cd.vec_id AS n_id, qs.vec_id AS q_id, cd.m,
+       |    ${dotSub("qs.sub", "r.c")} AS adot_term,
+       |    ${nsqSub("r.c")} AS ansq_term
+       |  FROM pq_codes cd
+       |  JOIN pq_refined r ON r.m = cd.m AND r.cell = cd.cell
+       |  JOIN subs qs ON qs.m = cd.m
+       |  JOIN cand ON cand.n_id = cd.vec_id AND cand.q_id = qs.vec_id),
+       |sims AS (
+       |  SELECT n_id, q_id,
+       |    list_aggregate(list(adot_term ORDER BY m), 'sum') AS adot,
+       |    list_aggregate(list(ansq_term ORDER BY m), 'sum') AS ansq
+       |  FROM terms GROUP BY n_id, q_id),
+       |ranked AS (
+       |  SELECT s.q_id, s.n_id,
+       |    s.adot / (sqrt(qn.nsq_q) * sqrt(s.ansq)) AS sim,
+       |    CAST(row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY s.adot / (sqrt(qn.nsq_q) * sqrt(s.ansq)) DESC, s.n_id ASC) AS INTEGER) AS rnk
+       |  FROM sims s JOIN qn USING (q_id))
+       |SELECT q_id, rnk, n_id, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
+       |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+  }
+
   // ----------------------------------------------- v13_truncation_eval
   /** Dimension-truncation recall eval (the Matryoshka question): how much
     * of the exact top-K survives when retrieval uses only the FIRST
@@ -1242,6 +1413,7 @@ object Similarity {
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "v13_truncation_eval" -> v13TruncationEval,
+    "v14_ivfpq" -> v14IvfPq,
     "v1_knn_brute" -> v1KnnBrute,
     "v2_ann_lsh" -> v2AnnLsh,
     "v3_embedding_neardup" -> v3EmbeddingNeardup,
@@ -1257,6 +1429,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "v13_truncation_eval" -> v13TruncationEvalSql,
+    "v14_ivfpq" -> v14IvfPqSql,
     "v1_knn_brute" -> v1KnnBruteSql,
     "v2_ann_lsh" -> v2AnnLshSql,
     "v3_embedding_neardup" -> v3EmbeddingNeardupSql,

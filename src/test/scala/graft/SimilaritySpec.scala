@@ -545,6 +545,56 @@ class SimilaritySpec extends SparkSpec {
     assert(manifest.map(_._2).sum == spark.read.parquet(out).count())
   }
 
+  test("v14 IVF+PQ: neighbors come only from probed cells; sims agree with v6 on shared pairs; recall reasonable") {
+    val got = graft.operators.Similarity.v14IvfPq(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // in-memory replay of the coarse quantizer (v4's recipe: normalized
+    // seeds, one Lloyd step, 4-decimal rounding) to recover cell routing
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val seeds = vecs.filter(_._1 < 16).map(_._2).map { v =>
+      val n = math.sqrt(dot(v, v))
+      v.map(x => if (n == 0) 0.0 else x / n)
+    }
+    def argmax(scores: Seq[Double]) = scores.indexOf(scores.max)
+    val a0 = vecs.map { case (_, v) => (argmax(seeds.map(dot(v, _)).toSeq), v) }
+    val refined = a0.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, m) =>
+      m.head._2.indices.map { i =>
+        math.floor(m.map(_._2(i)).sum / m.size * 1e4 + 0.5) / 1e4
+      }.toArray
+    }.toArray
+    def cellOf(v: Array[Double]) = argmax(refined.map(dot(v, _)).toSeq)
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }.toMap
+    def probes(v: Array[Double]): Set[Int] =
+      refined.indices.map(c => (-dot(v, refined(c)), c)).sorted.take(4)
+        .map(_._2).toSet
+    val vecOf = vecs.toMap
+    got.foreach { case (q, _, n, _) =>
+      assert(probes(vecOf(q)).contains(cells(n)),
+        s"neighbor $n of query $q not in a probed cell")
+    }
+    // ADC sims are v6's math: shared (q, n) pairs carry identical sims
+    val v6sims = graft.operators.Similarity.v6PqAnn(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    val shared = got.filter(r => v6sims.contains((r._1, r._3)))
+    assert(shared.nonEmpty)
+    shared.foreach(r => assert(r._4 == v6sims((r._1, r._3)), s"sim drift $r"))
+    // the composed index still finds a useful share of the exact top-10
+    val exact = graft.operators.Similarity.v1KnnBrute(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val rec = got.groupBy(_._1).map { case (q, rows) =>
+      rows.map(_._3).toSet.intersect(exact(q)).size / 10.0
+    }
+    assert(rec.sum / rec.size > 0.15,
+      s"mean recall collapsed: ${rec.sum / rec.size}")
+  }
+
   test("v13 truncation eval: overlaps match an in-memory prefix replay; full-width recall is 1") {
     val got = graft.operators.Similarity.v13TruncationEval(spark, sfDir)
       .as[(Long, Long, Long, Double)].collect().toSeq
