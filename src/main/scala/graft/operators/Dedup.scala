@@ -70,9 +70,22 @@ object Dedup {
     // array_union's two per-pair hash-set builds over string arrays
     // (measured ~4x slower). Hash collisions altering a Jaccard value need
     // two colliding 3-grams in one doc pair (~2^-64 each): negligible.
+    //
+    // Block width is a conf knob (`graft.dedup.blockChars`, default 100
+    // = the oracle's constant): the sf10 probe measured block
+    // DENSIFICATION as this family's scale limit (PLANS.md), and the
+    // documented mitigation — narrow the length buckets so dense blocks
+    // split — is a policy change a deployment must be able to make
+    // without patching the operator (BitmapDistinct's capacity-knob
+    // precedent). Narrower buckets only ever REMOVE candidate pairs
+    // (blocking is a filter), traded against pairs straddling a
+    // boundary; near-dups at jac >= 0.5 have near-equal lengths, so the
+    // recall cost stays at the boundaries.
+    val blockChars = docsDf.sparkSession.conf
+      .getOption("graft.dedup.blockChars").map(_.toDouble).getOrElse(100.0)
     val g = docsDf.select(
       col("doc_id"), col("source"),
-      floor(col("n_chars") / lit(100.0)).cast("int").as("bucket"),
+      floor(col("n_chars") / lit(blockChars)).cast("int").as("bucket"),
       graft.expressions.SetSketchExpressions
         .hashedSortedCharNgrams(col("text"), 3).as("grams"))
       .withColumn("n_grams", size(col("grams")))

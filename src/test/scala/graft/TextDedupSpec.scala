@@ -279,6 +279,23 @@ class TextDedupSpec extends SparkSpec {
     assert(recall > 0.0 && recall <= 1.0 && prec > 0.0 && prec <= 1.0)
   }
 
+  test("block-width knob: narrower buckets only remove candidate pairs (blocking is a filter)") {
+    import spark.implicits._
+    val default = Dedup.d2NgramJaccard(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    try {
+      spark.conf.set("graft.dedup.blockChars", "25")
+      val narrow = Dedup.d2NgramJaccard(spark, sfDir)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(narrow.subsetOf(default),
+        s"narrow blocking invented pairs: ${narrow -- default}")
+      // surviving pairs carry the identical verified Jaccard (the knob
+      // changes candidate generation, never the verify arithmetic)
+      val byKey = default.map(p => (p._1, p._2) -> p._3).toMap
+      narrow.foreach { case (a, b, j) => assert(byKey((a, b)) == j) }
+    } finally spark.conf.unset("graft.dedup.blockChars")
+  }
+
   test("d13 threshold sweep: monotone curve, agrees with d2 at 0.5, replays from the raw pairs") {
     import spark.implicits._
     val got = Dedup.d13ThresholdSweep(spark, sfDir)
