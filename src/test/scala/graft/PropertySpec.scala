@@ -376,6 +376,38 @@ class PropertySpec extends SparkSpec {
     assert(Relational.queries("q65_twap")(spark, good).count() == 1L)
   }
 
+  test("drift table laws: side-symmetric, zero on identical profiles, JS terms non-negative") {
+    import graft.operators.TextAnalysis
+    val cntGen = Gen.listOfN(30, Gen.zip(
+      Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString),
+      Gen.choose(0L, 50L), Gen.choose(0L, 50L)))
+    forAll(cntGen, n = 6) { raw =>
+      // distinct grams, at least one occurrence somewhere
+      val rows = raw.groupBy(_._1).map { case (w, xs) =>
+        (w, xs.map(_._2).sum, xs.map(_._3).sum)
+      }.toSeq.filter(r => r._2 + r._3 > 0)
+      whenever(rows.nonEmpty) {
+        val counts = rows.toDF("w", "ca", "cb")
+        val fwd = TextAnalysis.driftTable(counts)
+          .as[(String, Long, Long, Double, Double)].collect().toSeq
+        // Jensen-Shannon is symmetric: swapping the sides preserves every
+        // gram's divergence numbers (counts swap, scores don't)
+        val bwd = TextAnalysis.driftTable(
+          counts.select($"w", $"cb".as("ca"), $"ca".as("cb")))
+          .as[(String, Long, Long, Double, Double)].collect().toSeq
+        assert(fwd.map(r => (r._1, r._4, r._5)) ==
+          bwd.map(r => (r._1, r._4, r._5)))
+        assert(fwd.map(r => (r._2, r._3)) == bwd.map(r => (r._3, r._2)))
+        fwd.foreach(r => assert(r._5 >= 0.0, s"negative JS term: $r"))
+        // identical profiles: every divergence collapses to zero
+        val same = TextAnalysis.driftTable(
+          counts.select($"w", $"ca", $"ca".as("cb")))
+          .as[(String, Long, Long, Double, Double)].collect().toSeq
+        same.foreach(r => assert(r._4 == 0.0 && r._5 == 0.0, s"$r"))
+      }
+    }
+  }
+
   test("keyed two-phase prefix == naive per-key window on random keyed streams") {
     import graft.pipeline.CorpusPipeline
     import org.apache.spark.sql.expressions.Window
