@@ -255,13 +255,36 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Double)].collect().toSeq
     assert(streamed == batch)
 
+    // RESTART: a new query on the same checkpoint + state continues the
+    // batch-id sequence and keeps accumulating (no profile reset, no
+    // double-count of already-processed drops)
+    val profMid = DriftStream.profile(spark, state)
+      .as[(String, Long)].collect().toMap
+    incoming.filter($"doc_id" >= 349 && $"doc_id" < 351).coalesce(1)
+      .write.mode("append").parquet(feed) // one more doc (id 349 is even-side-free: odd only)
+    val q2 = DriftStream.start(spark, feed, state, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val profPost = DriftStream.profile(spark, state)
+      .as[(String, Long)].collect().toMap
+    // every count is >= the pre-restart profile (monotone accumulation)
+    profMid.foreach { case (w, c) =>
+      assert(profPost.getOrElse(w, 0L) >= c, s"count regressed for $w")
+    }
+    // and the drift table still matches batch t30 EXTENDED by the same
+    // extra doc — i.e. recompute the reference comparison directly
+    val allIncoming = DriftStream.gramCounts(
+      incoming.unionByName(incoming.filter($"doc_id" >= 349 && $"doc_id" < 351)))
+      .as[(String, Long)].collect().toMap
+    assert(profPost == allIncoming, "restart accumulation diverged")
+
     // crash-replay: re-running the LAST generation's merge from the same
     // parent with the same batch data must not change the profile
     val genBefore = DriftStream.latestGen(spark, state)
     val profBefore = DriftStream.profile(spark, state)
       .as[(String, Long)].collect().toSet
-    // rebuild the final batch's data (what the sink would replay)
-    val lastBatch = incoming.filter($"doc_id" >= 350)
+    // rebuild the final batch's data (what the sink would replay) — after
+    // the restart, the last generation is the post-restart drop
+    val lastBatch = incoming.filter($"doc_id" >= 349 && $"doc_id" < 351)
     // remove the last generation to simulate the crash-before-commit,
     // then replay the batch id
     val fs = new org.apache.hadoop.fs.Path(state)
