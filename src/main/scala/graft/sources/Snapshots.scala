@@ -62,10 +62,17 @@ object Snapshots {
 
   /** Write `df`'s files under data/ with a version-unique prefix and
     * return their table-relative paths (manifest not yet written).
+    *
+    * The staging directory carries a per-ATTEMPT unique suffix: two
+    * committers racing for the same version must not share a staging
+    * path, or one's overwrite clobbers the other's files mid-rename and
+    * BOTH can fail — the claim point is the manifest create, and staging
+    * must stay private until then (FormatsSpec's race test exposed this).
     */
   private def stage(df: DataFrame, table: String, v: Int): Seq[String] = {
     val spark = df.sparkSession
-    val staging = new Path(table, f"_staging_v$v%05d")
+    val staging = new Path(table,
+      f"_staging_v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}")
     val f = fs(spark, staging)
     df.write.mode("overwrite").parquet(staging.toString)
     val dataDir = new Path(table, "data")
