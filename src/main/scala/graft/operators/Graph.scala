@@ -870,6 +870,22 @@ object Graph {
       .localCheckpoint(true) // probed per LPA round + deg + intra
     val labels = labelPropagate(edges, rounds = 3)
       .localCheckpoint(true) // probed three times below
+    modularityContrib(edges, labels)
+      .orderBy(col("n_nodes").desc, col("label"))
+      .limit(50)
+  }
+
+  /** Newman per-community contribution e_c/m − (d_c/2m)² over a
+    * both-directions edge list and a (node, label) partition. m2 = the
+    * directed edge count = 2m, so the first term is spelled
+    * (2·e_intra)/m2 — integer doubling before the one division keeps
+    * both engines on the same two IEEE ops (the square likewise an
+    * explicit product). Factored out of g12 so the spec can audit the
+    * SAME expression on a planted-clique graph (round 9: the previous
+    * inline form divided e_intra by 2m, halving the first term — dense
+    * communities could score negative and be wrongly rejected).
+    */
+  def modularityContrib(edges: DataFrame, labels: DataFrame): DataFrame = {
     val m2 = edges.agg(count(lit(1)).as("m2")) // = 2m (both directions)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val dTot = deg.join(labels, deg("src") === labels("node"))
@@ -887,10 +903,8 @@ object Graph {
     dTot.join(intra, Seq("label"), "left")
       .crossJoin(broadcast(m2))
       .select(col("label"), col("n_nodes"), ei.as("e_intra"), col("d_tot"),
-        sround(ei / col("m2").cast("double") - share * share, 6)
+        sround((ei * lit(2L)) / col("m2").cast("double") - share * share, 6)
           .as("q_contrib"))
-      .orderBy(col("n_nodes").desc, col("label"))
-      .limit(50)
   }
 
   /** DuckDB twin: g8's three LPA rounds + the identical integer counting
@@ -931,7 +945,7 @@ object Graph {
        |  WHERE lu.label = lv.label GROUP BY lu.label)
        |SELECT d.label, CAST(d.n_nodes AS BIGINT) AS n_nodes,
        |  coalesce(i.e_intra, 0) AS e_intra, d.d_tot,
-       |  floor((coalesce(i.e_intra, 0) / CAST(m2.m2 AS DOUBLE)
+       |  floor(((coalesce(i.e_intra, 0) * 2) / CAST(m2.m2 AS DOUBLE)
        |    - (d.d_tot / CAST(m2.m2 AS DOUBLE))
        |      * (d.d_tot / CAST(m2.m2 AS DOUBLE)))
        |    * 1000000.0 + 0.5) / 1000000.0 AS q_contrib
