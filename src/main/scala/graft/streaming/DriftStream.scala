@@ -18,10 +18,12 @@ import graft.functions.TextFunctions
   * cross-key for executor state stores — so like NearDupStream it lives as
   * a parquet table, maintained by foreachBatch. Each batch writes the
   * merged profile to a NEW versioned subdir (`gen=<batchId>`): the write
-  * is idempotent under crash-replay (a re-run batch recomputes the same
-  * merge from the same parent generation and overwrites its own
-  * generation deterministically), and readers always take the highest
-  * complete generation — the manifest-last idea in directory form.
+  * is idempotent under crash-replay — a replayed batch either finds its
+  * own generation already sealed (crash after seal, before checkpoint
+  * commit) and no-ops, or recomputes the same merge from the max sealed
+  * generation strictly below its id and overwrites its own generation
+  * deterministically. Readers always take the highest complete
+  * generation — the manifest-last idea in directory form.
   * At 100 TB the per-batch cost is delta-gram-sized: one narrow explode
   * of the batch + one vocab-keyed outer merge.
   */
@@ -34,36 +36,55 @@ object DriftStream {
 
   private def genDir(statePath: String, gen: Long) = s"$statePath/gen=$gen"
 
-  /** Highest complete generation id at `statePath`, -1 if none. */
-  def latestGen(spark: SparkSession, statePath: String): Long = {
+  /** All sealed generation ids at `statePath` (a generation counts only
+    * once its `_SUCCESS` marker exists: a crash mid-write must leave the
+    * previous generation authoritative).
+    */
+  def sealedGens(spark: SparkSession, statePath: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
+    if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath.getName)
       .filter(_.startsWith("gen="))
-      // only generations sealed by a _SUCCESS marker count: a crash
-      // mid-write must leave the previous generation authoritative
       .filter(n => fs.exists(new org.apache.hadoop.fs.Path(p, s"$n/_SUCCESS")))
       .map(_.stripPrefix("gen=").toLong)
-      .foldLeft(-1L)(math.max)
+      .toSeq
   }
 
-  /** The accumulated incoming profile (w, c); empty frame if none yet. */
-  def profile(spark: SparkSession, statePath: String): DataFrame = {
-    val gen = latestGen(spark, statePath)
+  /** Highest complete generation id at `statePath`, -1 if none. */
+  def latestGen(spark: SparkSession, statePath: String): Long =
+    sealedGens(spark, statePath).foldLeft(-1L)(math.max)
+
+  private def profileAt(spark: SparkSession, statePath: String,
+      gen: Long): DataFrame =
     if (gen < 0)
       gramCounts(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(CorpusStream.docSchema)))
     else spark.read.parquet(genDir(statePath, gen))
-  }
+
+  /** The accumulated incoming profile (w, c); empty frame if none yet. */
+  def profile(spark: SparkSession, statePath: String): DataFrame =
+    profileAt(spark, statePath, latestGen(spark, statePath))
 
   /** One micro-batch: merge the batch's gram counts into the profile and
     * publish the next generation.
+    *
+    * Crash-replay discipline: the parent is the max sealed generation
+    * STRICTLY BELOW `batchId` — never "the latest". If a sealed
+    * `gen >= batchId` already exists, this batch was fully published
+    * before the checkpoint crash and the replay is a no-op. Reading the
+    * plain latest here would (a) merge a generation that already contains
+    * this batch (double-count) and (b) lazily read the very `gen=batchId`
+    * path the write below overwrites — which Spark's self-overwrite check
+    * aborts, wedging the stream.
     */
   def processBatch(spark: SparkSession, statePath: String)(
       batch: DataFrame, batchId: Long): Unit = {
-    val prev = profile(spark, statePath)
+    val gens = sealedGens(spark, statePath)
+    if (gens.exists(_ >= batchId)) return // sealed before the crash: replay no-op
+    val parent = gens.filter(_ < batchId).foldLeft(-1L)(math.max)
+    val prev = profileAt(spark, statePath, parent)
     val merged = prev.withColumnRenamed("c", "c0")
       .join(gramCounts(batch).withColumnRenamed("c", "c1"), Seq("w"), "full_outer")
       .select(col("w"),

@@ -331,7 +331,12 @@ class GraphSpec extends SparkSpec {
       val eIntra = edges.count(e =>
         nodes.contains(e._1) && labels(e._2) == l) / 2
       val share = dTot / m2
-      val q = math.floor((eIntra / m2 - share * share) * 1e6 + 0.5) / 1e6
+      // Newman first term: e_intra/m = (2*eIntra)/m2 since m2 counts both
+      // directions. (Round 9 fixed production's halved eIntra/m2 form; the
+      // reference here must encode the CORRECTED term or a regression of
+      // that bug would pass — on this corpus e_intra is 0 everywhere, so
+      // the planted-graph audit below is what actually exercises it.)
+      val q = math.floor((2.0 * eIntra / m2 - share * share) * 1e6 + 0.5) / 1e6
       (l, nodes.size.toLong, eIntra.toLong, dTot, q)
     }.sortBy { case (l, n, _, _, _) => (-n, l) }.take(50)
     assert(got == expect)
@@ -347,8 +352,9 @@ class GraphSpec extends SparkSpec {
       (3L, 4L))
     val planted = tri.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .toDF("src", "dst").localCheckpoint(true)
-    val plLabels = Graph.labelPropagate(planted, rounds = 3)
-      .as[(Long, Long)].collect().toMap
+    val plLabelsDf = Graph.labelPropagate(planted, rounds = 3)
+      .localCheckpoint(true)
+    val plLabels = plLabelsDf.as[(Long, Long)].collect().toMap
     val plM2 = 14.0
     val plDeg = tri.flatMap { case (a, b) => Seq(a, b) }
       .groupBy(identity).view.mapValues(_.size).toMap
@@ -357,9 +363,26 @@ class GraphSpec extends SparkSpec {
       val eIntra = tri.count { case (a, b) =>
         nodes.contains(a) && nodes.contains(b) } // m = 7 undirected edges
       val share = nodes.toSeq.map(plDeg).sum / plM2
-      eIntra / 7.0 - share * share
+      l -> (eIntra / 7.0 - share * share)
+    }.toMap
+    assert(qs.values.forall(_ > 0.0),
+      s"clique communities must beat chance: $qs")
+    // audit the PRODUCTION expression on the planted graph: e_intra > 0
+    // here, so this FAILS if the halved first term (e_intra/m2) is ever
+    // reintroduced — each clique community must score exactly the
+    // hand-computed 2*3/14 − (7/14)² = 0.178571 (6-dp half-up round)
+    val contrib = Graph.modularityContrib(planted, plLabelsDf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map { case (l, n, e, d, q) => l -> ((n, e, d, q)) }.toMap
+    assert(contrib.keySet == qs.keySet)
+    qs.foreach { case (l, q) =>
+      val (n, e, d, got) = contrib(l)
+      assert((n, e, d) == ((3L, 3L, 7L)),
+        s"community $l counts off: n=$n e_intra=$e d_tot=$d")
+      assert(got == math.floor(q * 1e6 + 0.5) / 1e6,
+        s"community $l: modularityContrib=$got, hand-computed=$q")
+      assert(got == 0.178571, s"community $l: expected 0.178571, got $got")
     }
-    assert(qs.forall(_ > 0.0), s"clique communities must beat chance: $qs")
   }
 
   test("g9 walks: every user node walks 3 hops along the hash-chosen adjacency index") {

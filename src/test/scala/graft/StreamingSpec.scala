@@ -277,16 +277,27 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(profPost == allIncoming, "restart accumulation diverged")
 
-    // crash-replay: re-running the LAST generation's merge from the same
-    // parent with the same batch data must not change the profile
+    // crash-replay half 1 — crash AFTER the generation sealed but BEFORE
+    // the checkpoint committed: gen=N is left IN PLACE and the batch is
+    // re-delivered. The replay must be a pure no-op (profile bit-equal,
+    // no double-count, and no self-overwrite abort from a plan that reads
+    // the gen=N path it is rewriting).
     val genBefore = DriftStream.latestGen(spark, state)
     val profBefore = DriftStream.profile(spark, state)
       .as[(String, Long)].collect().toSet
     // rebuild the final batch's data (what the sink would replay) — after
     // the restart, the last generation is the post-restart drop
     val lastBatch = incoming.filter($"doc_id" >= 349 && $"doc_id" < 351)
-    // remove the last generation to simulate the crash-before-commit,
-    // then replay the batch id
+    DriftStream.processBatch(spark, state)(lastBatch, genBefore)
+    val profSealedReplay = DriftStream.profile(spark, state)
+      .as[(String, Long)].collect().toSet
+    assert(profSealedReplay == profBefore,
+      "replay over a sealed generation must be a no-op")
+    assert(DriftStream.latestGen(spark, state) == genBefore)
+
+    // crash-replay half 2 — crash BEFORE the generation sealed: gen=N is
+    // gone and the replay must rebuild it from the parent STRICTLY BELOW
+    // the batch id, reproducing the identical profile
     val fs = new org.apache.hadoop.fs.Path(state)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$state/gen=$genBefore"), true)
