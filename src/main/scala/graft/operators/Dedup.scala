@@ -42,11 +42,24 @@ object Dedup {
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
   // --------------------------------------------------- d2_ngram_jaccard
-  /** Blocked n-gram Jaccard near-dup: candidates = same (source,
-    * 100-char-length bucket) block; verify char-3gram Jaccard >= 0.5.
-    * Blocking bounds each join group, so the pair count is
-    * sum(block_size^2), not corpus^2 — block keys would be tuned per
-    * corpus at scale (salt a hot source, widen buckets).
+  /** n-gram Jaccard near-dup: candidates from d3's word-shingle MinHash
+    * band join (content-based blocking); verify = EXACT char-3gram
+    * Jaccard >= 0.5 on every candidate.
+    *
+    * Round 10: candidate generation moved off (source, length-bucket)
+    * blocking. The sf10 ScaleUp probe (PLANS.md) measured that blocking
+    * densifying ~quadratically when corpus growth doesn't widen the
+    * length profile — the realistic 100 TB failure — while the band-key
+    * volume on the same probe stayed LINEAR. It was also semantically
+    * weak: in this corpus ~38% of ALL doc pairs clear char-3gram
+    * jac >= 0.5 (same-language background trigram overlap), so
+    * within-block verified output itself grew quadratically — an
+    * over-merging dedup relation no production pipeline would ship. Band
+    * candidates require WORD-shingle similarity first (near-zero between
+    * unrelated docs), which keeps both the candidate set and the
+    * verified output proportional to the true near-dup population; the
+    * d12 harness measures band recall (1.0 at two SFs) to certify the
+    * 32x2 shape for a corpus before rollout.
     */
   /** The verified near-dup pair set of d2 (no final sort) — shared by the
     * d2 query and the d5 cluster resolution.
@@ -54,59 +67,49 @@ object Dedup {
   def d2Pairs(s: SparkSession, d: String): DataFrame =
     ngramPairs(docs(s, d))
 
-  /** d2's blocked-Jaccard pair generation over an arbitrary documents
-    * frame (doc_id, text, source, n_chars) — the corpus pipeline runs it
-    * on a filtered survivor set.
+  /** d2's band-candidate + exact-verify pair generation over an arbitrary
+    * documents frame (doc_id, text) — the corpus pipeline runs it on a
+    * filtered survivor set.
     */
   def ngramPairs(docsDf: DataFrame): DataFrame = ngramPairs(docsDf, 0.5)
 
   /** As above with a configurable verify threshold — d13's sweep needs
     * the candidate pairs down to its lowest probed cut.
+    *
+    * Verify arithmetic: per-doc ONCE, distinct char-3grams → xxhash64 →
+    * sorted long array; per-pair, a zero-allocation merge-walk intersect
+    * (custom expression) + the inclusion-exclusion identity for |A∪B|.
+    * Hash collisions altering a Jaccard need two colliding 3-grams in one
+    * doc pair (~2^-64 each): negligible. Candidates use d3's fused 64-bit
+    * band keys — the mix-collision residual (~(keys)²/2^64, see
+    * MinHashBandKeysMod31) is accepted as for d3.
+    *
+    * Scale shape: the band self-join is key-equality on sparse band
+    * buckets (never corpus²); the verify joins ship char-gram arrays to
+    * CANDIDATE pairs only, so per-stage cost is linear in corpus +
+    * near-dup volume. Join strategy is deliberately UNHINTED — the
+    * optimizer + AQE pick broadcast below the threshold and a both-sides
+    * shuffle past it (the only shape that survives 100 TB); TextDedupSpec
+    * asserts both plans engage and agree.
     */
   def ngramPairs(docsDf: DataFrame, minJac: Double): DataFrame = {
-    // Per-doc ONCE: distinct char-3grams → xxhash64 → sorted long array.
-    // Per-pair: a zero-allocation merge-walk intersect (custom expression)
-    // + the inclusion-exclusion identity for |A∪B| — vs array_intersect +
-    // array_union's two per-pair hash-set builds over string arrays
-    // (measured ~4x slower). Hash collisions altering a Jaccard value need
-    // two colliding 3-grams in one doc pair (~2^-64 each): negligible.
-    //
-    // Block width is a conf knob (`graft.dedup.blockChars`, default 100
-    // = the oracle's constant): the sf10 probe measured block
-    // DENSIFICATION as this family's scale limit (PLANS.md), and the
-    // documented mitigation — narrow the length buckets so dense blocks
-    // split — is a policy change a deployment must be able to make
-    // without patching the operator (BitmapDistinct's capacity-knob
-    // precedent). Narrower buckets only ever REMOVE candidate pairs
-    // (blocking is a filter), traded against pairs straddling a
-    // boundary; near-dups at jac >= 0.5 have near-equal lengths, so the
-    // recall cost stays at the boundaries.
-    val blockChars = docsDf.sparkSession.conf
-      .getOption("graft.dedup.blockChars").map(_.toDouble).getOrElse(100.0)
-    val g = docsDf.select(
-      col("doc_id"), col("source"),
-      floor(col("n_chars") / lit(blockChars)).cast("int").as("bucket"),
+    val bands = minhashBands(shingleSets(docsDf))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val g = docsDf.select(col("doc_id"),
       graft.expressions.SetSketchExpressions
         .hashedSortedCharNgrams(col("text"), 3).as("grams"))
       .withColumn("n_grams", size(col("grams")))
-    val a = g.select(col("doc_id").as("doc_a"), col("source"), col("bucket"),
-      col("grams").as("grams_a"), col("n_grams").as("n_a"))
-    val b = g.select(col("doc_id").as("doc_b"), col("source"), col("bucket"),
-      col("grams").as("grams_b"), col("n_grams").as("n_b"))
+    val withSets = cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"),
+        col("n_grams").as("n_a")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"),
+        col("n_grams").as("n_b")), "doc_b")
     val inter = graft.expressions.SetSketchExpressions
       .sortedIntersectSize(col("grams_a"), col("grams_b"))
-    // Join strategy is deliberately UNHINTED — the optimizer + AQE pick it
-    // from actual sizes (spark.sql.autoBroadcastJoinThreshold encodes the
-    // policy): at sf0.1 the build side broadcasts (probe streams from the
-    // scan, the codegen'd intersect runs fused in the same stage); past
-    // the threshold the join shuffles BOTH sides on the block key — the
-    // only shape that survives 100 TB, where a corpus-wide broadcast is an
-    // executor OOM — and AQE's skew-join rewrite splits hot
-    // (source, bucket) blocks at runtime. TextDedupSpec asserts both
-    // plans engage and agree. (Round-3 verdict finding #1: the previous
-    // hardcoded broadcast(b) pinned the local plan at every scale.)
-    a.join(b, Seq("source", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    withSets
       .withColumn("inter", inter)
       .withColumn("jac", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jac") >= minJac)
@@ -115,34 +118,73 @@ object Dedup {
 
   val d2NgramJaccard: Q = (s, d) => d2Pairs(s, d).orderBy("doc_a", "doc_b")
 
-  // Columnar oracle spelling (round 8, the d3/d10 precedent): unnest the
-  // distinct grams ONCE and count pair intersections as a gram-equality
-  // join + group-by — semantically identical to the per-pair
-  // list_intersect walk (per-doc grams are distinct, so count(*) per
-  // (doc_a, doc_b) IS the intersection size and |A∪B| = n_a + n_b −
-  // inter; zero-intersection pairs can't pass jac ≥ 0.5 so their absence
-  // from the join changes nothing), but vectorized — the interpreted
-  // per-pair list walk was O(block²·|grams|) and dominated the sf1 gate.
+  /** DuckDB CTE block shared by the d2-family oracles: d3's word-shingle
+    * MinHash band-candidate generation over `rel` (needs doc_id, text),
+    * spelled columnar (unnest once, 64 vectorized min aggregates) with
+    * the band collision as raw (band, r0, r1) equality — the d3-oracle
+    * spelling, same permutation constants. Emits CTEs `bsh`, `bmins`,
+    * `bbands`, `bcand(doc_a, doc_b)`.
+    */
+  private[graft] def bandCandSql(rel: String): String = {
+    val p = 2147483647L
+    val minCols = (0 until 64).map { idx =>
+      s"    min((${minhashPermA31(idx)} * h + ${minhashPermB31(idx)}) % $p) AS m$idx"
+    }.mkString(",\n")
+    val bandArms = (0 until 32).map { bnd =>
+      s"  SELECT doc_id, $bnd AS band, m${2 * bnd} AS r0, m${2 * bnd + 1} AS r1 FROM bmins"
+    }.mkString("\n  UNION ALL\n")
+    s"""bsh AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(sh, h -> h & 2147483647) AS h31
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_distinct(list_transform(
+       |        CASE WHEN len(t) >= 3
+       |          THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |          ELSE CAST([] AS VARCHAR[]) END,
+       |        gm -> CAST(md5_number_lower(gm) & 4611686018427387903 AS BIGINT))) AS sh
+       |    FROM (SELECT doc_id,
+       |            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
+       |          FROM $rel))),
+       |bmins AS MATERIALIZED (
+       |  SELECT doc_id,
+       |$minCols
+       |  FROM (SELECT doc_id, unnest(h31) AS h FROM bsh)
+       |  GROUP BY doc_id),
+       |bbands AS MATERIALIZED (
+       |$bandArms),
+       |bcand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bbands x JOIN bbands y
+       |    ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1
+       |   AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** DuckDB CTE block: exact char-3gram verify arithmetic over `bcand` —
+    * per-doc distinct gram lists from `rel`, per-candidate intersection
+    * via list_intersect (candidates are sparse, so the per-pair walk is
+    * affordable at oracle scale). Emits `cg` and `cj(doc_a, doc_b,
+    * inter, n_a, n_b)`.
+    */
+  private[graft] def charVerifySql(rel: String): String =
+    s"""cg AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
+       |    i -> substring(text, CAST(i AS INTEGER), 3))) AS grams
+       |  FROM $rel),
+       |cj AS MATERIALIZED (
+       |  SELECT c.doc_a, c.doc_b, len(list_intersect(a.grams, b.grams)) AS inter,
+       |    len(a.grams) AS n_a, len(b.grams) AS n_b
+       |  FROM bcand c JOIN cg a ON a.doc_id = c.doc_a
+       |    JOIN cg b ON b.doc_id = c.doc_b)""".stripMargin
+
+  /** DuckDB twin of d2: band candidates + exact char-3gram verify. */
   val d2NgramJaccardSql: String =
-    """WITH g AS MATERIALIZED (
-      |  SELECT doc_id, source, CAST(floor(n_chars / 100.0) AS INTEGER) AS bucket,
-      |    list_distinct(list_transform(range(1, length(text) - 1),
-      |      i -> substring(text, CAST(i AS INTEGER), 3))) AS grams
-      |  FROM documents),
-      |gx AS MATERIALIZED (
-      |  SELECT doc_id, source, bucket, len(grams) AS n, unnest(grams) AS gram FROM g),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    max(a.n) AS n_a, max(b.n) AS n_b, count(*) AS inter
-      |  FROM gx a JOIN gx b
-      |    ON a.source = b.source AND a.bucket = b.bucket AND a.gram = b.gram
-      |   AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |  floor(inter / CAST(n_a + n_b - inter AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS jaccard
-      |FROM inter
-      |WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH ${bandCandSql("documents")},
+       |${charVerifySql("documents")}
+       |SELECT doc_a, doc_b,
+       |  floor(inter / CAST(n_a + n_b - inter AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS jaccard
+       |FROM cj
+       |WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ----------------------------------------------------- d3_minhash_lsh
   /** MinHash+LSH near-dup: word-3gram shingles → 64-perm MinHash signature →
@@ -566,21 +608,10 @@ object Dedup {
     * affordable at oracle scale; the Spark path never materializes it).
     */
   val d5DedupClustersSql: String =
-    """WITH RECURSIVE g AS (
-      |  SELECT doc_id, source, CAST(floor(n_chars / 100.0) AS INTEGER) AS bucket,
-      |    list_distinct(list_transform(range(1, length(text) - 1),
-      |      i -> substring(text, CAST(i AS INTEGER), 3))) AS grams
-      |  FROM documents),
-      |gx AS MATERIALIZED (
-      |  SELECT doc_id, source, bucket, len(grams) AS n, unnest(grams) AS gram FROM g),
+    s"""WITH RECURSIVE ${bandCandSql("documents")},
+      |${charVerifySql("documents")},
       |pairs AS (
-      |  SELECT doc_a, doc_b FROM (
-      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |      max(a.n) AS n_a, max(b.n) AS n_b, count(*) AS inter
-      |    FROM gx a JOIN gx b
-      |      ON a.source = b.source AND a.bucket = b.bucket AND a.gram = b.gram
-      |     AND a.doc_id < b.doc_id
-      |    GROUP BY 1, 2)
+      |  SELECT doc_a, doc_b FROM cj
       |  WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5),
       |edges AS (
       |  SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -1068,12 +1099,12 @@ object Dedup {
     * pairs, the number of documents touched by any qualifying pair, and
     * the mean Jaccard of the survivors — enough to see the knee of the
     * curve and cost a d2/d5 run at each setting. The policy being tuned
-    * is d2's own verify cut GIVEN d2's blocking, so the sweep reuses the
-    * audited blocked-pair machinery verbatim with the verify floor
-    * dropped to the lowest probed threshold.
+    * is d2's own verify cut GIVEN d2's band-candidate generation, so the
+    * sweep reuses the audited pair machinery verbatim with the verify
+    * floor dropped to the lowest probed threshold.
     *
     * Scale shape: the expensive part is the pair generation the engine
-    * already bounds (block-sized joins, never corpus²); the sweep itself
+    * already bounds (sparse band-bucket joins, never corpus²); the sweep itself
     * is a constant fan-out-7 explode on the PAIR set (pairs << corpus at
     * any sane floor) and two 7-group aggs. Float discipline: Jaccards
     * collapse to sround-4 integer units, so per-threshold sums are
@@ -1108,29 +1139,17 @@ object Dedup {
       .orderBy("threshold")
   }
 
-  /** Oracle: d2's columnar pair replay with the 0.3 floor + the same
-    * integer-unit sweep.
+  /** Oracle: d2's band-candidate pair replay with the 0.3 floor + the
+    * same integer-unit sweep.
     */
   val d13ThresholdSweepSql: String =
-    """WITH g AS MATERIALIZED (
-      |  SELECT doc_id, source, CAST(floor(n_chars / 100.0) AS INTEGER) AS bucket,
-      |    list_distinct(list_transform(range(1, length(text) - 1),
-      |      i -> substring(text, CAST(i AS INTEGER), 3))) AS grams
-      |  FROM documents),
-      |gx AS MATERIALIZED (
-      |  SELECT doc_id, source, bucket, len(grams) AS n, unnest(grams) AS gram FROM g),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    max(a.n) AS n_a, max(b.n) AS n_b, count(*) AS inter
-      |  FROM gx a JOIN gx b
-      |    ON a.source = b.source AND a.bucket = b.bucket AND a.gram = b.gram
-      |   AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+    s"""WITH ${bandCandSql("documents")},
+      |${charVerifySql("documents")},
       |pairs AS MATERIALIZED (
       |  SELECT doc_a, doc_b,
       |    CAST(floor(inter / CAST(n_a + n_b - inter AS DOUBLE) * 10000.0 + 0.5)
       |      AS BIGINT) AS j4
-      |  FROM inter
+      |  FROM cj
       |  WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.3),
       |th AS (SELECT unnest([3000, 4000, 5000, 6000, 7000, 8000, 9000]) AS t4),
       |pt AS MATERIALIZED (

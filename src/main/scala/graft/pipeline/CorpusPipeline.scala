@@ -150,21 +150,11 @@ object CorpusPipeline {
       |ex AS (
       |  SELECT doc_id, text, source, n_chars FROM fp
       |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fingerprint)),
-      |g AS (
-      |  SELECT doc_id, source, CAST(floor(n_chars / 100.0) AS INTEGER) AS bucket,
-      |    list_distinct(list_transform(range(1, length(text) - 1),
-      |      i -> substring(text, CAST(i AS INTEGER), 3))) AS grams
-      |  FROM ex),
-      |gx AS MATERIALIZED (
-      |  SELECT doc_id, source, bucket, len(grams) AS n, unnest(grams) AS gram FROM g),
-      |pairs AS (
-      |  SELECT doc_a, doc_b FROM (
-      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |      max(a.n) AS n_a, max(b.n) AS n_b, count(*) AS inter
-      |    FROM gx a JOIN gx b
-      |      ON a.source = b.source AND a.bucket = b.bucket AND a.gram = b.gram
-      |     AND a.doc_id < b.doc_id
-      |    GROUP BY 1, 2)
+      |""".stripMargin +
+    graft.operators.Dedup.bandCandSql("ex") + ",\n" +
+    graft.operators.Dedup.charVerifySql("ex") + ",\n" +
+    """pairs AS (
+      |  SELECT doc_a, doc_b FROM cj
       |  WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5),
       |edges AS (
       |  SELECT doc_a AS u, doc_b AS v FROM pairs

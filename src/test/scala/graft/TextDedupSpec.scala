@@ -279,21 +279,46 @@ class TextDedupSpec extends SparkSpec {
     assert(recall > 0.0 && recall <= 1.0 && prec > 0.0 && prec <= 1.0)
   }
 
-  test("block-width knob: narrower buckets only remove candidate pairs (blocking is a filter)") {
+  test("d2 band candidates: subset of brute-force char-3gram pairs, exact jaccard, full recall on word-similar pairs") {
     import spark.implicits._
-    val default = Dedup.d2NgramJaccard(spark, sfDir)
-      .as[(Long, Long, Double)].collect().toSet
-    try {
-      spark.conf.set("graft.dedup.blockChars", "25")
-      val narrow = Dedup.d2NgramJaccard(spark, sfDir)
-        .as[(Long, Long, Double)].collect().toSet
-      assert(narrow.subsetOf(default),
-        s"narrow blocking invented pairs: ${narrow -- default}")
-      // surviving pairs carry the identical verified Jaccard (the knob
-      // changes candidate generation, never the verify arithmetic)
-      val byKey = default.map(p => (p._1, p._2) -> p._3).toMap
-      narrow.foreach { case (a, b, j) => assert(byKey((a, b)) == j) }
-    } finally spark.conf.unset("graft.dedup.blockChars")
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def charGrams(t: String): Set[String] =
+      (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet
+    def wordGrams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty[String]
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 0.0
+      else a.intersect(b).size.toDouble / a.union(b).size
+    val got = Dedup.d2NgramJaccard(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    // PRECISION + arithmetic: every emitted pair is a true brute-force
+    // char-3gram near-dup with the bit-identical rounded jaccard (band
+    // candidates only ever REMOVE pairs, never invent or rescore them)
+    val byId = texts.toMap
+    got.foreach { case (a, b, j) =>
+      val bj = jac(charGrams(byId(a)), charGrams(byId(b)))
+      assert(bj >= 0.5, s"($a,$b) fails brute verify: $bj")
+      assert(j == math.floor(bj * 1e4 + 0.5) / 1e4, s"($a,$b) jaccard off")
+    }
+    // RECALL: every brute-force pair that clears BOTH the char verify and
+    // a word-shingle similarity solidly inside the 32x2 band s-curve's
+    // ~1.0 zone (P(all 32 bands miss at word-jac 0.5) < 1e-4, and the
+    // perms + data are fixed, so this is deterministic) must be emitted.
+    // Background pairs below word-jac 0.5 are deliberately out of scope:
+    // excluding lexically-unrelated char-gram coincidences is the point
+    // of content-based candidates.
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    val strong = for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      if jac(wordGrams(ta), wordGrams(tb)) >= 0.5
+      if jac(charGrams(ta), charGrams(tb)) >= 0.5
+    } yield (ia, ib)
+    assert(strong.nonEmpty, "corpus must contain planted strong near-dups")
+    strong.foreach(p => assert(gotPairs.contains(p), s"missed strong pair $p"))
   }
 
   test("d13 threshold sweep: monotone curve, agrees with d2 at 0.5, replays from the raw pairs") {
