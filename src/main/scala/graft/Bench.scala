@@ -24,11 +24,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.configure(
-      SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", GraftSession.shufflePartitions)
-    ).getOrCreate()
+    val spark = GraftSession.seedForData(
+      SparkSession.builder().master(s"local[$cpus]"), sfDir).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {

@@ -40,24 +40,76 @@ object GraftSession {
 
   /** Shuffle partition count: defaults to the core count (right for the
     * driver's sf0.01/sf0.1 scales), overridable via
-    * SPARK_GRAFT_SHUFFLE_PARTITIONS — partitions must scale with DATA,
-    * not cores: at sf10 (100× sf0.1) 32 partitions puts ~2M lineitem
-    * rows in every window sort (spill + GC variance); 256 restores
-    * ~250k-row partitions, which is how a real cluster would size it.
+    * SPARK_GRAFT_SHUFFLE_PARTITIONS as a manual escape hatch. The
+    * data-scaled path is `seedForData` below — partitions must scale
+    * with DATA, not cores, and AQE does the per-stage scaling at runtime
+    * once seeded with a data-derived initial count.
     */
   def shufflePartitions: String =
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
-  /** Local session sized for this container; cores/shuffle come from env. */
+  /** Total bytes under a local data directory (0 if unreadable). Local
+    * filesystem walk — at configure time there is no SparkContext yet; a
+    * cluster deployment would read the same number from catalog stats or
+    * the object-store listing.
+    */
+  def dataBytes(dir: String): Long =
+    try {
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    } catch { case _: Throwable => 0L }
+
+  /** AQE-driven shuffle sizing, seeded from the input volume: rather than
+    * a manual partition knob per scale factor, seed
+    * `spark.sql.adaptive.coalescePartitions.initialPartitionNum` with
+    * input_bytes / 32 MB (clamped to [cores, 4096]) and let AQE's runtime
+    * coalescing pick each stage's final count from ACTUAL post-shuffle
+    * sizes. Pre-coalesce bucket count is cheap on the map side (sort-based
+    * shuffle writes one file + index per task regardless), so erring high
+    * costs little, while erring low (the old fixed 32 at sf10) puts
+    * millions of rows in every window sort — spill + GC variance the env
+    * knob previously had to patch by hand. 32 MB (not the 64 MB advisory
+    * size) because compressed shuffle bytes roughly double in memory.
+    * A manual SPARK_GRAFT_SHUFFLE_PARTITIONS override still wins if set.
+    */
+  def initialPartitionsFor(dataDir: String): Int = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val derived = dataBytes(dataDir) / (32L << 20)
+    math.min(4096L, math.max(cores.toLong, derived)).toInt
+  }
+
+  /** `configure` plus data-scaled AQE seeding for sessions that know
+    * their input directory (Verify, Bench, scale probes).
+    */
+  def seedForData(b: SparkSession.Builder, dataDir: String): SparkSession.Builder = {
+    val init = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(initialPartitionsFor(dataDir))
+    configure(b)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        init.toString)
+  }
+
+  /** Local session sized for this container; cores come from env, and
+    * when SPARK_GRAFT_SF_DIR names the data directory (Bench/probe
+    * convention) the AQE seeding scales from its volume.
+    */
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = configure(
-      SparkSession.builder()
-        .master(s"local[$cpus]")
-        .appName(appName)
-        .config("spark.sql.shuffle.partitions", shufflePartitions)
-    ).getOrCreate()
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+    val spark = (sys.env.get("SPARK_GRAFT_SF_DIR") match {
+      case Some(dir) => seedForData(b, dir)
+      case None => configure(b).config("spark.sql.shuffle.partitions", shufflePartitions)
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -9,11 +9,8 @@ object Verify {
     // Dev-only third arg: comma-separated query names to (re)dump.
     val only: Option[Set[String]] = rest.headOption.map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.configure(
-      SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", GraftSession.shufflePartitions)
-    ).getOrCreate()
+    val spark = GraftSession.seedForData(
+      SparkSession.builder().master(s"local[$cpus]"), sfDir).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

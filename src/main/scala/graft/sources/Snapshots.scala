@@ -19,8 +19,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * never a corrupt or partially-visible version (readers only follow
   * manifests). Appends REUSE the parent's file list — no data rewrite, the
   * manifest grows by the delta's file count only. Old versions stay
-  * readable forever (until an explicit retention vacuum, not implemented
-  * here). Single-writer contract: version numbers are claimed by listing,
+  * readable until an explicit retention vacuum ([[expire]]) reclaims
+  * them. Single-writer contract: version numbers are claimed by listing,
   * so concurrent committers need an external lock — same stance as Delta
   * without a lock service.
   *
@@ -233,7 +233,9 @@ object Snapshots {
     import spark.implicits._
     val f = fs(spark, new Path(table))
     val cur = currentVersion(spark, table)
-    (1 to cur).map { v =>
+    (1 to cur)
+      .filter(v => f.exists(manifestPath(table, v))) // expired versions are gone
+      .map { v =>
       val fl = files(spark, table, v)
       val note = noteOf(spark, table, v)
       (v, note, fl.size.toLong,
@@ -248,5 +250,56 @@ object Snapshots {
     val a = files(spark, table, from).toSet
     val b = files(spark, table, to).toSet
     ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)
+  }
+
+  /** Outcome of a retention pass: the versions expired, the data files
+    * physically deleted, and the count of expired-version files KEPT
+    * because a retained manifest still references them (append chains
+    * share files across versions — reference counting is what makes
+    * retention safe, not per-version ownership).
+    */
+  final case class ExpireResult(
+      expired: Seq[Int], deleted: Seq[String], keptShared: Int)
+
+  /** Retention vacuum — the piece `compact` explicitly defers to: keep
+    * the last `keepLast` versions readable and reclaim everything older.
+    * At 100 TB this is what bounds storage: every overwrite/compaction
+    * strands a full table copy that time travel holds readable forever
+    * until someone says how much history is enough.
+    *
+    * Discipline (mirror of commit, in reverse):
+    *  - A data file is deleted ONLY if no RETAINED manifest references it
+    *    — append-chain files shared into the retained window survive, so
+    *    time travel within the window stays exact.
+    *  - Expired MANIFESTS are deleted FIRST, then the unreferenced files:
+    *    the manifest delete is the expire commit point (readers only
+    *    follow manifests, so an expired read fails loudly at manifest
+    *    lookup the moment its manifest is gone, never by scanning a
+    *    half-deleted file list). A crash between the two phases leaves
+    *    orphan data files — the same documented crash-orphan class as a
+    *    mid-commit crash, harmless to every reader and reclaimable by
+    *    any later pass over unreferenced files.
+    *  - `incrementalRead` with `since` below the retention floor fails
+    *    loudly at the base manifest lookup: a delta from an expired base
+    *    is unanswerable, and pretending otherwise would silently replay
+    *    the whole table.
+    */
+  def expire(spark: SparkSession, table: String, keepLast: Int): ExpireResult = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val cur = currentVersion(spark, table)
+    require(cur > 0, s"nothing to expire at $table")
+    val floor = math.max(1, cur - keepLast + 1) // retained: [floor, cur]
+    val f = fs(spark, new Path(table))
+    val expired = (1 until floor).filter(v => f.exists(manifestPath(table, v)))
+    if (expired.isEmpty) return ExpireResult(Nil, Nil, 0)
+    val retained = (floor to cur).flatMap(files(spark, table, _)).toSet
+    val candidates = expired.flatMap(files(spark, table, _)).distinct
+    val (shared, doomed) = candidates.partition(retained)
+    expired.foreach { v =>
+      require(f.delete(manifestPath(table, v), false),
+        s"expire: manifest delete failed for v$v at $table")
+    }
+    doomed.foreach(p => f.delete(new Path(p), false))
+    ExpireResult(expired, doomed, shared.size)
   }
 }

@@ -310,4 +310,56 @@ class FormatsSpec extends SparkSpec {
       assert(nf == Snapshots.files(spark, table, v).size.toLong && nb > 0)
     }
   }
+
+  test("snapshot retention: expire reclaims only unreferenced files, retained time travel exact, expired reads fail loudly") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_exp").toString + "/docs"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id").as[Long].collect().toSet
+    val d1 = base.filter($"event_id" < 100)
+    val d2 = base.filter($"event_id" >= 100 && $"event_id" < 150)
+    val d3 = base.filter($"event_id" >= 150 && $"event_id" < 200)
+    val d4 = base.filter($"event_id" >= 900)
+    val v1 = Snapshots.commitOverwrite(d1, table, "load") // files A
+    val v2 = Snapshots.commitAppend(d2, table, "delta 1") // A + B
+    val v3 = Snapshots.commitAppend(d3, table, "delta 2") // A + B + C
+    val v4 = Snapshots.commitOverwrite(d4, table, "rebuild") // D
+
+    // keepLast=2 retains [v3, v4] and expires v1/v2 — but every one of
+    // their files is shared into v3's append chain, so reference counting
+    // must delete NOTHING
+    val pre3 = Snapshots.files(spark, table, v3)
+    val res = Snapshots.expire(spark, table, keepLast = 2)
+    assert(res.expired == Seq(v1, v2))
+    assert(res.deleted.isEmpty, s"shared files deleted: ${res.deleted}")
+    assert(res.keptShared > 0)
+    // retained time travel is exact, file lists untouched
+    assert(rows(Snapshots.readVersion(spark, table, Some(v3)))
+      == rows(d1) ++ rows(d2) ++ rows(d3))
+    assert(rows(Snapshots.readVersion(spark, table, Some(v4))) == rows(d4))
+    assert(Snapshots.files(spark, table, v3) == pre3)
+    // expired reads fail loudly, at manifest lookup
+    intercept[IllegalArgumentException](
+      Snapshots.readVersion(spark, table, Some(v1)))
+    intercept[IllegalArgumentException](
+      Snapshots.incrementalRead(spark, table, since = v1))
+    // history lists exactly the retained window
+    assert(Snapshots.history(spark, table)
+      .as[(Int, String, Long, Long, Boolean)].collect()
+      .map(_._1).sorted.toSeq == Seq(v3, v4))
+
+    // keepLast=1 retains only the v4 overwrite: v3's whole chain is now
+    // unreferenced and must be physically reclaimed
+    val doomed = Snapshots.files(spark, table, v3)
+    val res2 = Snapshots.expire(spark, table, keepLast = 1)
+    assert(res2.expired == Seq(v3))
+    assert(res2.deleted.toSet == doomed.toSet && res2.keptShared == 0)
+    val f = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach(p => assert(!f.exists(new org.apache.hadoop.fs.Path(p)),
+      s"expired file not reclaimed: $p"))
+    assert(rows(Snapshots.readVersion(spark, table)) == rows(d4))
+    // nothing left to expire: a repeat pass is a no-op
+    assert(Snapshots.expire(spark, table, keepLast = 1).expired.isEmpty)
+  }
 }
