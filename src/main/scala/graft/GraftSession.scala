@@ -69,19 +69,22 @@ object GraftSession {
   /** AQE-driven shuffle sizing, seeded from the input volume: rather than
     * a manual partition knob per scale factor, seed
     * `spark.sql.adaptive.coalescePartitions.initialPartitionNum` with
-    * input_bytes / 32 MB (clamped to [cores, 4096]) and let AQE's runtime
+    * input_bytes / 8 MB (clamped to [cores, 4096]) and let AQE's runtime
     * coalescing pick each stage's final count from ACTUAL post-shuffle
     * sizes. Pre-coalesce bucket count is cheap on the map side (sort-based
     * shuffle writes one file + index per task regardless), so erring high
-    * costs little, while erring low (the old fixed 32 at sf10) puts
-    * millions of rows in every window sort — spill + GC variance the env
-    * knob previously had to patch by hand. 32 MB (not the 64 MB advisory
-    * size) because compressed shuffle bytes roughly double in memory.
+    * costs little — AQE coalesces excess away against its 64 MB advisory
+    * size — while erring low (the old fixed 32 at sf10) puts millions of
+    * rows in every window sort: spill + GC variance the env knob
+    * previously had to patch by hand. 8 MB because the input is
+    * compressed parquet that expands ~4x into in-memory shuffle rows
+    * (sf10's 1.5 GB derives ~190, bracketing the empirically-tuned 256;
+    * sf0.1/sf1 clamp to the core floor, matching their proven configs).
     * A manual SPARK_GRAFT_SHUFFLE_PARTITIONS override still wins if set.
     */
   def initialPartitionsFor(dataDir: String): Int = {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val derived = dataBytes(dataDir) / (32L << 20)
+    val derived = dataBytes(dataDir) / (8L << 20)
     math.min(4096L, math.max(cores.toLong, derived)).toInt
   }
 
