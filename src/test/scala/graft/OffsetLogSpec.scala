@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{EventsStream, LogOffsets, OffsetLog}
+
+/** The offset-log source: Kafka's consumer contract (partitioned
+  * monotone offsets, planned [start, end) ranges, deterministic replay,
+  * batch twin) proven against Structured Streaming's checkpoint
+  * machinery — the source-agnosticism half of the reference's streaming
+  * TO-DO that an embedded broker would have shown (unobtainable here;
+  * PLANS.md round 10).
+  */
+class OffsetLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newLog(parts: Int): String = {
+    val dir = Files.createTempDirectory("offsetlog").toString + "/log"
+    OffsetLog.create(spark, dir, parts)
+    dir
+  }
+
+  test("offsets are per-partition monotone; batch read sees every appended record exactly once") {
+    val dir = newLog(3)
+    assert(OffsetLog.append(spark, dir, 0, 1000L, Seq("a" -> "1", "b" -> "2")) == 2L)
+    assert(OffsetLog.append(spark, dir, 1, 1000L, Seq("c" -> "3")) == 1L)
+    assert(OffsetLog.append(spark, dir, 0, 2000L, Seq("d" -> "4")) == 3L)
+    // partition 2 stays empty — planning must not fabricate work for it
+    val rows = spark.read.format("offsetlog").load(dir)
+      .select($"partition", $"offset", $"key", $"value")
+      .as[(Int, Long, String, String)].collect().toSet
+    assert(rows == Set((0, 0L, "a", "1"), (0, 1L, "b", "2"),
+      (0, 2L, "d", "4"), (1, 0L, "c", "3")))
+    // offset JSON round-trips (the checkpoint representation)
+    val o = LogOffsets(Map(0 -> 3L, 1 -> 1L, 2 -> 0L))
+    assert(LogOffsets.parse(o.json()) == o)
+  }
+
+  test("streaming delivers exactly once across a restart; only the delta replays") {
+    val dir = newLog(2)
+    val ckpt = Files.createTempDirectory("offsetlog_ckpt").toString
+    OffsetLog.append(spark, dir, 0, 1000L, (0 until 5).map(i => s"k$i" -> s"v$i"))
+    OffsetLog.append(spark, dir, 1, 1000L, (5 until 8).map(i => s"k$i" -> s"v$i"))
+
+    // memory sink can't recover from a checkpoint; foreachBatch can —
+    // and it is the production sink shape for this contract anyway
+    def drain(): Seq[String] = {
+      val buf = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val q = spark.readStream.format("offsetlog").load(dir)
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select($"key").as[String].collect().foreach(buf.add)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+    val got1 = drain()
+    assert(got1.sorted == (0 until 8).map(i => s"k$i"),
+      s"first drain must deliver all records exactly once: $got1")
+
+    // restart from the checkpoint with new data appended: ONLY the delta
+    OffsetLog.append(spark, dir, 0, 2000L, Seq("k8" -> "v8"))
+    OffsetLog.append(spark, dir, 1, 2000L, Seq("k9" -> "v9"))
+    val got2 = drain()
+    assert(got2.sorted == Seq("k8", "k9"),
+      s"restart must replay nothing and deliver only the delta: $got2")
+  }
+
+  test("a planned offset range re-reads deterministically (crash-replay contract)") {
+    val dir = newLog(2)
+    OffsetLog.append(spark, dir, 0, 1000L, (0 until 6).map(i => s"a$i" -> s"x$i"))
+    OffsetLog.append(spark, dir, 0, 2000L, (6 until 9).map(i => s"a$i" -> s"x$i"))
+    OffsetLog.append(spark, dir, 1, 1000L, (0 until 4).map(i => s"b$i" -> s"y$i"))
+    val stream = new graft.streaming.OffsetLogMicroBatchStream(dir)
+    val start = LogOffsets(Map(0 -> 2L, 1 -> 1L))
+    val end = LogOffsets(Map(0 -> 8L, 1 -> 3L))
+    def readAll(): Seq[(Int, Long, String)] = {
+      val factory = stream.createReaderFactory()
+      stream.planInputPartitions(start, end).toSeq.flatMap { ip =>
+        val r = factory.createReader(ip)
+        val buf = scala.collection.mutable.Buffer.empty[(Int, Long, String)]
+        while (r.next()) {
+          val row = r.get()
+          buf += ((row.getInt(2), row.getLong(3), row.getUTF8String(0).toString))
+        }
+        r.close(); buf.toSeq
+      }
+    }
+    val first = readAll()
+    assert(first.map(t => (t._1, t._2)).toSet ==
+      ((2L until 8L).map(o => (0, o)) ++ (1L until 3L).map(o => (1, o))).toSet,
+      s"planned range must surface exactly [start, end): $first")
+    assert(readAll() == first, "re-reading the same planned range must be identical")
+  }
+
+  test("EventsStream hourly rollup over the offset log == the same rollup over a batch read") {
+    val dir = newLog(3)
+    // produce the events table into the log: value = event fields, TSV-ish
+    val evs = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .as[(Long, java.sql.Timestamp, String, Double)].collect()
+    evs.groupBy(_._1 % 3).foreach { case (p, rows) =>
+      OffsetLog.append(spark, dir, p.toInt, 1000L,
+        rows.map(r => r._1.toString -> s"${r._2.getTime}|${r._3}|${r._4}").toSeq)
+    }
+    def parse(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(split($"value", "\\|").as("f"))
+        .select(timestamp_millis(element_at($"f", 1).cast("long")).as("ts"),
+          element_at($"f", 2).as("event_type"),
+          element_at($"f", 3).cast("double").as("value"))
+    val q = EventsStream.hourlyRollup(
+        parse(spark.readStream.format("offsetlog").load(dir)))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("olog_hourly").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("olog_hourly")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = parse(spark.read.format("offsetlog").load(dir))
+      .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"value").as("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed.map(t => (t._1, t._2, t._3)) == batch.map(t => (t._1, t._2, t._3)),
+      "stream and batch window counts must agree")
+  }
+}
