@@ -302,4 +302,45 @@ object Snapshots {
     doomed.foreach(p => f.delete(new Path(p), false))
     ExpireResult(expired, doomed, shared.size)
   }
+
+  /** Reclaim the documented crash-orphan class: files under data/ (plus
+    * any stranded `_staging_*` attempt directories) that NO live manifest
+    * references — the residue of commits that crashed before their
+    * manifest write, losers of commit races, and expire passes that
+    * crashed between their two phases. Only entries older than
+    * `olderThanMs` are touched: a commit IN FLIGHT right now has staged
+    * files but no manifest yet, and deleting them would corrupt the
+    * commit it is about to make — the age guard is what makes GC safe to
+    * run concurrently with writers (Delta/Iceberg VACUUM's retention
+    * argument, same reasoning). Returns the deleted paths.
+    */
+  def vacuumOrphans(spark: SparkSession, table: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val root = new Path(table)
+    val f = fs(spark, root)
+    if (!f.exists(root)) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    // compare by FS-qualified path: listStatus returns scheme-qualified
+    // paths (file:/...) while manifests resolve scheme-less — a raw
+    // string compare would miss every live file and vacuum the table
+    // (caught by FormatsSpec before it could ship)
+    def qual(p: Path): String = f.makeQualified(p).toString
+    val live: Set[String] = (1 to currentVersion(spark, table))
+      .filter(v => f.exists(manifestPath(table, v)))
+      .flatMap(v => files(spark, table, v)).map(p => qual(new Path(p))).toSet
+    val dataDir = new Path(table, "data")
+    val orphanFiles =
+      if (!f.exists(dataDir)) Seq.empty
+      else f.listStatus(dataDir).toSeq
+        .filter(st => st.getModificationTime < cutoff &&
+          !live.contains(qual(st.getPath)))
+        .map(_.getPath)
+    val staleStaging = f.listStatus(root).toSeq
+      .filter(st => st.getPath.getName.startsWith("_staging_") &&
+        st.getModificationTime < cutoff)
+      .map(_.getPath)
+    (orphanFiles ++ staleStaging).map { p =>
+      f.delete(p, true); p.toString
+    }
+  }
 }

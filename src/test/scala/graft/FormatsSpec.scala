@@ -362,4 +362,33 @@ class FormatsSpec extends SparkSpec {
     // nothing left to expire: a repeat pass is a no-op
     assert(Snapshots.expire(spark, table, keepLast = 1).expired.isEmpty)
   }
+
+  test("orphan vacuum reclaims unreferenced data files and stale staging dirs, never live files or fresh staging") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_gc").toString + "/docs"
+    val d1 = base.filter($"event_id" < 100)
+    Snapshots.commitOverwrite(d1, table, "load")
+    val f = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant the crash-orphan classes: an unreferenced data file and a
+    // stranded staging attempt
+    val orphan = new org.apache.hadoop.fs.Path(s"$table/data/v99999-orphan.parquet")
+    f.create(orphan, true).close()
+    val staging = new org.apache.hadoop.fs.Path(s"$table/_staging_v00042-deadbeef")
+    f.mkdirs(staging)
+    f.create(new org.apache.hadoop.fs.Path(staging, "part-0.parquet"), true).close()
+    // a FRESH in-flight commit's residue must survive any cutoff guard
+    val deleted0 = Snapshots.vacuumOrphans(spark, table, olderThanMs = 3600 * 1000)
+    assert(deleted0.isEmpty, s"fresh files must be age-protected: $deleted0")
+    // past the age guard, exactly the orphans go; live files stay
+    val live = Snapshots.files(spark, table, 1).toSet
+    val deleted = Snapshots.vacuumOrphans(spark, table, olderThanMs = -1000)
+    assert(deleted.toSet ==
+      Set(f.makeQualified(orphan).toString, f.makeQualified(staging).toString),
+      s"unexpected vacuum set: $deleted")
+    assert(!f.exists(orphan) && !f.exists(staging))
+    live.foreach(p => assert(f.exists(new org.apache.hadoop.fs.Path(p)),
+      s"live file vacuumed: $p"))
+    assert(Snapshots.readVersion(spark, table, Some(1)).count() == d1.count())
+  }
 }
