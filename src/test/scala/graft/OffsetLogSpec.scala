@@ -99,6 +99,54 @@ class OffsetLogSpec extends SparkSpec {
     assert(readAll() == first, "re-reading the same planned range must be identical")
   }
 
+  test("CDC over the offset log: key-partitioned change feed applies exactly-once, == batch latest-per-key") {
+    // the Debezium topology: change events keyed by primary key, key-hash
+    // partitioned (per-key ORDER rides one partition's offsets — Kafka's
+    // ordering guarantee), consumed into latest-LSN-wins state
+    import graft.streaming.CdcApply
+    import graft.streaming.CdcApply.{Change, Current}
+    val dir = newLog(2)
+    def part(k: String): Int = math.abs(k.hashCode) % 2
+    def enc(c: Change): (String, String) = c.base_num ->
+      s"${c.base_name}|${c.lsn}|${c.deleted_at.map(_.getTime).getOrElse("")}"
+    def put(cs: Change*): Unit =
+      cs.groupBy(c => part(c.base_num)).foreach { case (p, rows) =>
+        OffsetLog.append(spark, dir, p, 1000L, rows.map(enc))
+      }
+    def parse(df: org.apache.spark.sql.DataFrame) = df
+      .select($"key".as("base_num"), split($"value", "\\|").as("f"))
+      .select($"base_num", element_at($"f", 1).as("base_name"),
+        element_at($"f", 2).cast("long").as("lsn"),
+        when(element_at($"f", 3) =!= "",
+          timestamp_millis(element_at($"f", 3).cast("long"))).as("deleted_at"))
+      .as[Change]
+    val ts = new java.sql.Timestamp(1735689600000L)
+    val q = CdcApply.applyChanges(
+        parse(spark.readStream.format("offsetlog").load(dir)))
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("olog_cdc").start()
+    try {
+      put(Change("B1", "Unter", 10, None), Change("B2", "Zwei", 11, None),
+        Change("B3", "Drei", 12, None))
+      q.processAllAvailable()
+      put(Change("B1", "Unter GmbH", 30, None),
+        Change("B2", "Zwei", 40, Some(ts))) // tombstone at the top LSN
+      q.processAllAvailable()
+      put(Change("B1", "Unter AG", 20, None)) // stale late arrival
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("olog_cdc").as[Current].collect()
+      .groupBy(_.base_num).map { case (k, rows) => k -> rows.maxBy(_.lsn) }
+    val batch = CdcApply.currentStateBatch(
+        parse(spark.read.format("offsetlog").load(dir)).toDF()).as[Current]
+      .collect().map(c => c.base_num -> c).toMap
+    assert(streamed == batch, "stream state must equal batch latest-per-key")
+    assert(batch("B1").base_name == "Unter GmbH" && batch("B1").lsn == 30L,
+      "stale lsn-20 replay must not displace the lsn-30 winner")
+    assert(batch("B2").deleted, "delete tombstone must win at the top LSN")
+    assert(!batch("B3").deleted)
+  }
+
   test("EventsStream hourly rollup over the offset log == the same rollup over a batch read") {
     val dir = newLog(3)
     // produce the events table into the log: value = event fields, TSV-ish
