@@ -7,10 +7,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -127,6 +129,72 @@ object OffsetLog {
   /** All partitions' high-water marks. */
   def highWaters(conf: Configuration, dir: String): Map[Int, Long] =
     (0 until numPartitions(conf, dir)).map(p => p -> highWater(conf, dir, p)).toMap
+
+  /** Sink partition for a record key: stable key-hash routing, Kafka's
+    * default partitioner shape — all records of one key share a partition,
+    * so per-key order rides that partition's offsets.
+    */
+  def partitionFor(key: String, n: Int): Int =
+    if (key == null) 0 else math.floorMod(key.hashCode, n)
+
+  /** Exactly-once epoch commit for the streaming sink (single committer
+    * per log — the Snapshots stance). Protocol, manifest-first:
+    *
+    *  1. no epoch manifest → stage every partition's records as a hidden
+    *     `.e<epoch>-p<k>.tmp` (overwrite-safe: a crash BEFORE the
+    *     manifest restages from scratch, tmps are invisible to readers);
+    *  2. create the epoch manifest EXCLUSIVELY, listing each staged tmp
+    *     and its final offset-range segment name — the commit point;
+    *  3. rename tmps to their recorded final names.
+    *
+    * A replayed epoch (Spark re-delivers after a crash anywhere past the
+    * manifest create) finds the manifest and only COMPLETES outstanding
+    * renames — it never re-appends, which is what makes the sink
+    * exactly-once: rows land in the log under exactly one offset range
+    * no matter how many times the epoch is retried.
+    */
+  def commitEpoch(conf: Configuration, dir: String, epochId: Long,
+      rows: Seq[(Int, String, String)]): Unit = {
+    val (fs, root) = fsFor(dir, conf)
+    val marker = new Path(root, f"_epochs/e$epochId%020d.manifest")
+    def completeRenames(): Unit = {
+      val in = fs.open(marker)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.filter(_.nonEmpty).foreach { ln =>
+        val Array(p, tmp, fin) = ln.split("\t", 3)
+        val d = pdir(dir, p.toInt)
+        val (tp, fp) = (new Path(d, tmp), new Path(d, fin))
+        if (!fs.exists(fp)) {
+          require(fs.exists(tp), s"epoch $epochId: lost staged segment $tmp")
+          require(fs.rename(tp, fp), s"epoch $epochId: rename $tmp failed")
+        } else if (fs.exists(tp)) fs.delete(tp, false) // rename raced a retry
+      }
+    }
+    if (fs.exists(marker)) { completeRenames(); return }
+    if (rows.isEmpty) { fs.create(marker, false).close(); return }
+    val now = System.currentTimeMillis()
+    val b64 = Base64.getEncoder
+    val entries = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, rs) =>
+      val start = highWater(conf, dir, p)
+      val tmpName = f".e$epochId%020d-p$p.tmp"
+      val finName = f"$start%020d-${rs.size}.log"
+      val out = fs.create(new Path(pdir(dir, p), tmpName), true)
+      try {
+        val body = rs.zipWithIndex.map { case ((_, k, v), i) =>
+          val ko = b64.encodeToString(Option(k).getOrElse("").getBytes("UTF-8"))
+          val vo = b64.encodeToString(Option(v).getOrElse("").getBytes("UTF-8"))
+          s"${start + i}\t$now\t$ko\t$vo"
+        }.mkString("", "\n", "\n")
+        out.write(body.getBytes("UTF-8"))
+      } finally out.close()
+      s"$p\t$tmpName\t$finName"
+    }
+    val out = fs.create(marker, false) // exclusive: the commit point
+    try out.write(entries.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    completeRenames()
+  }
 }
 
 /** Checkpointable stream position: one offset per log partition. */
@@ -157,16 +225,29 @@ class OffsetLogReaderFactory extends PartitionReaderFactory {
       // deployed core-site for cluster filesystems
       private val conf = new Configuration()
       private val b64 = Base64.getDecoder
-      private val lines: Iterator[String] = slice.files.iterator
-        .flatMap { case (path, _) =>
-          val fp = new Path(path)
-          val in = fp.getFileSystem(conf).open(fp)
-          scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        }
+      private val fileIter = slice.files.iterator
+      private var reader: java.io.BufferedReader = _
       private var row: InternalRow = _
+      // stream one segment at a time, closing each before the next — a
+      // flatMapped Source would leak one open handle per segment
+      private def nextLine(): String = {
+        while (true) {
+          if (reader == null) {
+            if (!fileIter.hasNext) return null
+            val fp = new Path(fileIter.next()._1)
+            reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+              fp.getFileSystem(conf).open(fp), "UTF-8"))
+          }
+          val l = reader.readLine()
+          if (l != null) return l
+          reader.close(); reader = null
+        }
+        null // unreachable
+      }
       override def next(): Boolean = {
-        while (lines.hasNext) {
-          val Array(o, ts, k, v) = lines.next().split("\t", 4)
+        var l = nextLine()
+        while (l != null) {
+          val Array(o, ts, k, v) = l.split("\t", 4)
           val off = o.toLong
           if (off >= slice.start && off < slice.end) {
             row = new GenericInternalRow(Array[Any](
@@ -175,11 +256,12 @@ class OffsetLogReaderFactory extends PartitionReaderFactory {
               slice.partition, off, ts.toLong * 1000L))
             return true
           }
+          l = nextLine()
         }
         false
       }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = if (reader != null) { reader.close(); reader = null }
     }
   }
 }
@@ -229,6 +311,62 @@ class OffsetLogBatch(dir: String) extends Batch {
     new OffsetLogReaderFactory
 }
 
+/** A task's routed records: (logPartition, key, value), with the Spark
+  * partition id carried so the driver can merge task messages in a
+  * stable order (offset assignment must not depend on task completion
+  * order).
+  */
+case class LogWriteMessage(sparkPartition: Int,
+    rows: Seq[(Int, String, String)]) extends WriterCommitMessage
+
+class OffsetLogDataWriter(sparkPartition: Int, keyIdx: Int, valueIdx: Int,
+    n: Int) extends DataWriter[InternalRow] {
+  private val buf = scala.collection.mutable.Buffer.empty[(Int, String, String)]
+  override def write(row: InternalRow): Unit = {
+    val k = if (row.isNullAt(keyIdx)) null else row.getUTF8String(keyIdx).toString
+    val v = if (row.isNullAt(valueIdx)) "" else row.getUTF8String(valueIdx).toString
+    buf += ((OffsetLog.partitionFor(k, n), k, v))
+  }
+  override def commit(): WriterCommitMessage = LogWriteMessage(sparkPartition, buf.toSeq)
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
+}
+
+case class OffsetLogWriterFactory(keyIdx: Int, valueIdx: Int, n: Int)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new OffsetLogDataWriter(partitionId, keyIdx, valueIdx, n)
+}
+
+/** Streaming sink: tasks route and buffer records, the driver appends
+  * them through [[OffsetLog.commitEpoch]]'s manifest-first protocol.
+  * Records flow through the committer exactly as they flow through a
+  * Kafka broker's leader — the single sequencer per partition is what
+  * makes offsets dense and totally ordered; a cluster deployment fronts
+  * a real broker and this sink remains the test/dev twin.
+  */
+class OffsetLogStreamingWrite(dir: String, schema: StructType)
+    extends StreamingWrite {
+  private val keyIdx = schema.fieldIndex("key")
+  private val valueIdx = schema.fieldIndex("value")
+  private val conf = SparkSession.active.sessionState.newHadoopConf()
+  private val n = OffsetLog.numPartitions(conf, dir)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    // standalone case class, NOT an inner anonymous class: the factory
+    // ships to executors and must not capture this write's Configuration
+    OffsetLogWriterFactory(keyIdx, valueIdx, n)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.collect { case m: LogWriteMessage => m }
+      .sortBy(_.sparkPartition).flatMap(_.rows).toSeq
+    OffsetLog.commitEpoch(conf, dir, epochId, rows)
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
 class OffsetLogScan(dir: String) extends Scan {
   override def readSchema(): StructType = OffsetLog.Schema
   override def toBatch: Batch = new OffsetLogBatch(dir)
@@ -236,15 +374,23 @@ class OffsetLogScan(dir: String) extends Scan {
     new OffsetLogMicroBatchStream(dir)
 }
 
-class OffsetLogTable(dir: String) extends Table with SupportsRead {
+class OffsetLogTable(dir: String) extends Table with SupportsRead with SupportsWrite {
   require(dir != null && dir.nonEmpty,
     "offsetlog requires .option(\"path\", <log dir>) or .load(<log dir>)")
   override def name(): String = s"offsetlog($dir)"
   override def schema(): StructType = OffsetLog.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder { override def build(): Scan = new OffsetLogScan(dir) }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new OffsetLogStreamingWrite(dir, info.schema())
+      }
+    }
 }
 
 /** `spark.readStream.format("offsetlog").load(dir)` / `spark.read` twin. */

@@ -147,6 +147,78 @@ class OffsetLogSpec extends SparkSpec {
     assert(!batch("B3").deleted)
   }
 
+  test("sink: log -> transform -> log chain delivers exactly once across a restart, key-routed with dense offsets") {
+    val src = newLog(2)
+    val dst = newLog(3)
+    val ckpt = Files.createTempDirectory("olog_sink_ckpt").toString
+    def pump(): Unit = {
+      val q = spark.readStream.format("offsetlog").load(src)
+        .select($"key", upper($"value").as("value"))
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .format("offsetlog").option("path", dst).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    OffsetLog.append(spark, src, 0, 1000L, Seq("a" -> "x1", "b" -> "x2"))
+    OffsetLog.append(spark, src, 1, 1000L, Seq("c" -> "x3"))
+    pump()
+    OffsetLog.append(spark, src, 0, 2000L, Seq("a" -> "x4"))
+    pump() // restart from checkpoint: only the delta flows
+    val out = spark.read.format("offsetlog").load(dst)
+      .select($"key", $"value", $"partition", $"offset")
+      .as[(String, String, Int, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)).sorted ==
+      Seq(("a", "X1"), ("a", "X4"), ("b", "X2"), ("c", "X3")),
+      s"sink must hold each transformed record exactly once: $out")
+    // key routing: every key lives in exactly one partition, and that
+    // partition is the stable hash route
+    out.groupBy(_._1).foreach { case (k, rs) =>
+      assert(rs.map(_._3).distinct.size == 1, s"key $k split across partitions")
+      assert(rs.head._3 == graft.streaming.OffsetLog.partitionFor(k, 3))
+    }
+    // offsets dense per partition
+    out.groupBy(_._3).foreach { case (p, rs) =>
+      assert(rs.map(_._4).sorted == (0L until rs.size), s"holes in p$p: $rs")
+    }
+  }
+
+  test("sink epoch commit: replay is a no-op; a crash between manifest and rename completes idempotently") {
+    val dir = newLog(2)
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = Seq((0, "k1", "v1"), (0, "k2", "v2"), (1, "k3", "v3"))
+    OffsetLog.commitEpoch(conf, dir, epochId = 7L, rows)
+    def snapshot(): Set[(Int, Long, String)] =
+      spark.read.format("offsetlog").load(dir)
+        .select($"partition", $"offset", $"value")
+        .as[(Int, Long, String)].collect().toSet
+    val committed = snapshot()
+    assert(committed.map(_._3) == Set("v1", "v2", "v3"))
+    // full-epoch replay (Spark re-delivers after a post-commit crash):
+    // the manifest short-circuits — no re-append, no new offsets
+    OffsetLog.commitEpoch(conf, dir, epochId = 7L, rows)
+    assert(snapshot() == committed, "replayed epoch must not re-append")
+    // crash BETWEEN manifest create and rename: undo one rename (final
+    // segment back to its recorded tmp name), then replay the epoch —
+    // completeRenames must restore the exact same segment
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      dir, f"_epochs/e${7L}%020d.manifest")
+    val in = fs.open(marker)
+    val entry = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().next() finally in.close()
+    val Array(p, tmp, fin) = entry.split("\t", 3)
+    val pd = new org.apache.hadoop.fs.Path(dir, s"p=$p")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(pd, fin),
+      new org.apache.hadoop.fs.Path(pd, tmp)))
+    OffsetLog.commitEpoch(conf, dir, epochId = 7L, rows)
+    assert(snapshot() == committed, "interrupted rename must complete, not re-append")
+    // a later epoch appends AFTER the committed offsets
+    OffsetLog.commitEpoch(conf, dir, epochId = 8L, Seq((0, "k4", "v4")))
+    val after = snapshot()
+    assert(after.size == 4 && after.contains((0, 2L, "v4")))
+  }
+
   test("EventsStream hourly rollup over the offset log == the same rollup over a batch read") {
     val dir = newLog(3)
     // produce the events table into the log: value = event fields, TSV-ish
