@@ -49,16 +49,41 @@ object Snapshots {
       .foldLeft(0)(math.max)
   }
 
-  /** The data-file list (absolute paths) of a version. */
-  def files(spark: SparkSession, table: String, version: Int): Seq[String] = {
+  /** One manifest file entry: table-relative path, absolute path, and the
+    * optional per-file column statistics carried on its manifest line
+    * (`rel TAB col TAB lo TAB hi`, a long-typed column's min/max).
+    */
+  final case class ManifestFile(rel: String, path: String,
+      stats: Option[(String, Long, Long)])
+
+  /** The raw manifest lines of a version (after the note line). */
+  private def fileLines(spark: SparkSession, table: String,
+      version: Int): Seq[String] = {
     val mp = manifestPath(table, version)
     val f = fs(spark, mp)
     require(f.exists(mp), s"no version $version at $table")
     val in = f.open(mp)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().toList finally in.close()
-    lines.drop(1).map(rel => new Path(table, rel).toString)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList.drop(1)
+    finally in.close()
   }
+
+  /** Parsed manifest entries of a version, stats included when present. */
+  def manifestFiles(spark: SparkSession, table: String,
+      version: Int): Seq[ManifestFile] =
+    fileLines(spark, table, version).map { line =>
+      line.split("\t", -1) match {
+        case Array(rel, c, lo, hi) =>
+          ManifestFile(rel, new Path(table, rel).toString,
+            Some((c, lo.toLong, hi.toLong)))
+        case parts =>
+          ManifestFile(parts(0), new Path(table, parts(0)).toString, None)
+      }
+    }
+
+  /** The data-file list (absolute paths) of a version. */
+  def files(spark: SparkSession, table: String, version: Int): Seq[String] =
+    manifestFiles(spark, table, version).map(_.path)
 
   /** Write `df`'s files under data/ with a version-unique prefix and
     * return their table-relative paths (manifest not yet written).
@@ -107,32 +132,65 @@ object Snapshots {
     v
   }
 
+  /** Decorate staged rels with per-file min/max of a long-typed column —
+    * the manifest-level zone map. ONE job over all staged files (grouped
+    * by input_file_name), not a job per file. Files the stats pass can't
+    * cover (zero rows, all-null column) keep a plain line and are simply
+    * never pruned — absence of stats degrades to reading the file, the
+    * only correct default.
+    */
+  private def relLines(spark: SparkSession, table: String,
+      rels: Seq[String], statsCol: Option[String]): Seq[String] =
+    statsCol match {
+      case None => rels
+      case Some(c) =>
+        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        val paths = rels.map(r => new Path(table, r).toString)
+        val byName = spark.read.parquet(paths: _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c)).cast("long").as("lo"),
+            max(col(c)).cast("long").as("hi"))
+          .collect().flatMap { r =>
+            if (r.isNullAt(1) || r.isNullAt(2)) None
+            else Some(new Path(r.getString(0)).getName -> ((r.getLong(1), r.getLong(2))))
+          }.toMap
+        rels.map { rel =>
+          byName.get(new Path(rel).getName) match {
+            case Some((lo, hi)) => s"$rel\t$c\t$lo\t$hi"
+            case None => rel
+          }
+        }
+    }
+
   /** Commit `df` as a FULL new table state (prior files stay for time
     * travel but leave the live version). Returns the new version number.
+    * With `statsCol`, every staged file's manifest line carries that
+    * column's min/max so [[readVersionWhere]] can prune files from the
+    * LISTING, before any footer is opened — at 100 TB the difference
+    * between a metadata operation and a million footer reads.
     */
   def commitOverwrite(df: DataFrame, table: String,
-      note: String = "overwrite"): Int = {
+      note: String = "overwrite", statsCol: Option[String] = None): Int = {
     val spark = df.sparkSession
     val v = currentVersion(spark, table) + 1
-    writeManifest(spark, table, v, note, stage(df, table, v))
+    writeManifest(spark, table, v, note,
+      relLines(spark, table, stage(df, table, v), statsCol))
   }
 
   /** Commit `df` as an APPEND: the new version = parent's files + the
-    * delta's files; nothing is rewritten. Returns the new version.
+    * delta's files; nothing is rewritten (prior manifest LINES are
+    * carried verbatim, stats included). Returns the new version.
     */
   def commitAppend(df: DataFrame, table: String,
-      note: String = "append"): Int = {
+      note: String = "append", statsCol: Option[String] = None): Int = {
     val spark = df.sparkSession
     val parent = currentVersion(spark, table)
     val prior =
       if (parent == 0) Seq.empty
-      else {
-        val tp = new Path(table).toString
-        files(spark, table, parent)
-          .map(a => a.stripPrefix(tp).stripPrefix("/"))
-      }
+      else fileLines(spark, table, parent)
     val v = parent + 1
-    writeManifest(spark, table, v, note, prior ++ stage(df, table, v))
+    writeManifest(spark, table, v, note,
+      prior ++ relLines(spark, table, stage(df, table, v), statsCol))
   }
 
   /** Marker prefix that tags a version as a REWRITE (same logical rows,
@@ -172,21 +230,24 @@ object Snapshots {
       smallBytes: Long = 32L * 1024 * 1024): Int = {
     val parent = currentVersion(spark, table)
     require(parent > 0, s"nothing to compact at $table")
-    val tp = new Path(table).toString
     val f = fs(spark, new Path(table))
-    val withLen = files(spark, table, parent)
-      .map(p => p -> f.getFileStatus(new Path(p)).getLen)
-    val (small, big) = withLen.partition(_._2 < smallBytes)
+    val withLen = manifestFiles(spark, table, parent)
+      .zip(fileLines(spark, table, parent))
+      .map { case (mf, line) => (mf, line, f.getFileStatus(new Path(mf.path)).getLen) }
+    val (small, big) = withLen.partition(_._3 < smallBytes)
     if (small.size < 2) return parent
     val nOut = math.max(1,
-      math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(small.map(_._1): _*).coalesce(nOut)
+      math.ceil(small.map(_._3).sum.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(small.map(_._1.path): _*).coalesce(nOut)
     val v = parent + 1
+    // rewritten outputs don't carry stats (their inputs' ranges merged);
+    // carried big files keep their manifest lines — and their stats —
+    // verbatim. Statless files are never pruned, so this only costs
+    // pruning opportunity, never correctness.
     val rels = stage(df, table, v)
-    val bigRels = big.map(_._1.stripPrefix(tp).stripPrefix("/"))
     writeManifest(spark, table, v,
       s"$RewriteNotePrefix ${small.size} -> ${rels.size} files",
-      bigRels ++ rels)
+      big.map(_._2) ++ rels)
   }
 
   /** Read the table AT a version (time travel); latest when omitted. */
@@ -194,6 +255,42 @@ object Snapshots {
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, table))
     spark.read.parquet(files(spark, table, v): _*)
+  }
+
+  /** The subset of a version's files whose manifest stats ADMIT rows with
+    * `column` in [lo, hi] — plus every file without stats on that column,
+    * which must be read. Returns (kept paths, total file count); pure
+    * manifest arithmetic, no file opened.
+    */
+  def pruneFiles(spark: SparkSession, table: String, version: Int,
+      column: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    val all = manifestFiles(spark, table, version)
+    val kept = all.filter { mf =>
+      mf.stats match {
+        case Some((c, flo, fhi)) if c == column => fhi >= lo && flo <= hi
+        case _ => true
+      }
+    }.map(_.path)
+    (kept, all.size)
+  }
+
+  /** Range read with manifest-stats file skipping: files whose recorded
+    * [min, max] cannot intersect [lo, hi] are never handed to the scan —
+    * pruning happens at the LISTING, before parquet footers are touched
+    * (the footer/row-group zone maps then prune further inside the kept
+    * files). The residual per-row filter makes the file-granular prune
+    * exact.
+    */
+  def readVersionWhere(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = version.getOrElse(currentVersion(spark, table))
+    val full = files(spark, table, v)
+    require(full.nonEmpty, s"version $v of $table has no files")
+    val (kept, _) = pruneFiles(spark, table, v, column, lo, hi)
+    val base = if (kept.isEmpty) spark.read.parquet(full: _*).limit(0)
+    else spark.read.parquet(kept: _*)
+    base.filter(col(column) >= lo && col(column) <= hi)
   }
 
   /** Only the rows ADDED between `since` (exclusive) and `until`

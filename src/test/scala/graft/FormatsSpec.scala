@@ -363,6 +363,49 @@ class FormatsSpec extends SparkSpec {
     assert(Snapshots.expire(spark, table, keepLast = 1).expired.isEmpty)
   }
 
+  test("manifest stats pruning: range reads skip non-overlapping files from the listing, results stay exact") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_stats").toString + "/docs"
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id").as[Long].collect().toSet
+    // range-partitioned layout: each staged file covers a distinct id band
+    val d1 = base.filter($"event_id" < 800)
+      .repartitionByRange(8, $"event_id")
+    Snapshots.commitOverwrite(d1, table, "ranged load",
+      statsCol = Some("event_id"))
+    val mfs = Snapshots.manifestFiles(spark, table, 1)
+    assert(mfs.size >= 4 && mfs.forall(_.stats.exists(_._1 == "event_id")),
+      s"every staged file must carry event_id stats: $mfs")
+    // a narrow range must keep strictly fewer files than the total...
+    val (kept, total) = Snapshots.pruneFiles(spark, table, 1, "event_id", 100L, 150L)
+    assert(kept.size < total, s"no pruning happened: $kept of $total")
+    // ...without losing a row (residual filter makes file-granularity exact)
+    val expect = ids(base.filter($"event_id" >= 100 && $"event_id" <= 150))
+    assert(ids(Snapshots.readVersionWhere(spark, table, "event_id", 100L, 150L))
+      == expect)
+    // stats on a DIFFERENT column never prune; a stat-less append is
+    // always read — both degrade to correctness, not data loss
+    val (keptOther, totalOther) =
+      Snapshots.pruneFiles(spark, table, 1, "user_id", 0L, 1L)
+    assert(keptOther.size == totalOther)
+    val d2 = base.filter($"event_id" >= 900).coalesce(1)
+    Snapshots.commitAppend(d2, table, "statless delta") // no statsCol
+    val got2 = ids(Snapshots.readVersionWhere(spark, table, "event_id", 100L, 950L))
+    assert(got2 == ids(base.filter($"event_id" >= 100 && $"event_id" <= 950
+      && ($"event_id" < 800 || $"event_id" >= 900))))
+    // an empty admissible set still returns a well-formed empty frame
+    assert(Snapshots.readVersionWhere(spark, table, "event_id",
+      5000L, 6000L).count() == 0)
+    // stats survive a compaction's carried (big) files only as documented:
+    // rewritten outputs are statless and therefore always read
+    val v3 = Snapshots.compact(spark, table, smallBytes = Long.MaxValue)
+    if (v3 > 2) {
+      val got3 = ids(Snapshots.readVersionWhere(spark, table, "event_id",
+        100L, 150L, Some(v3)))
+      assert(got3 == expect)
+    }
+  }
+
   test("orphan vacuum reclaims unreferenced data files and stale staging dirs, never live files or fresh staging") {
     import graft.sources.Snapshots
     val table = Files.createTempDirectory("snap_gc").toString + "/docs"
