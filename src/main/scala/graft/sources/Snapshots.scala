@@ -250,6 +250,23 @@ object Snapshots {
       big.map(_._2) ++ rels)
   }
 
+  /** The version that was CURRENT at `tsMillis` (TIMESTAMP AS OF): the
+    * highest retained version whose manifest — the commit point, so its
+    * file mtime IS the commit time — existed by then. -1 if the table
+    * had no committed version yet. Expired versions are gone from the
+    * listing, so resolution inside the vacuumed range correctly fails
+    * downstream at the manifest lookup.
+    */
+  def versionAt(spark: SparkSession, table: String, tsMillis: Long): Int = {
+    val f = fs(spark, new Path(table))
+    (1 to currentVersion(spark, table))
+      .filter { v =>
+        val mp = manifestPath(table, v)
+        f.exists(mp) && f.getFileStatus(mp).getModificationTime <= tsMillis
+      }
+      .foldLeft(-1)(math.max)
+  }
+
   /** Read the table AT a version (time travel); latest when omitted. */
   def readVersion(spark: SparkSession, table: String,
       version: Option[Int] = None): DataFrame = {

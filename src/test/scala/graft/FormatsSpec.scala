@@ -363,6 +363,28 @@ class FormatsSpec extends SparkSpec {
     assert(Snapshots.expire(spark, table, keepLast = 1).expired.isEmpty)
   }
 
+  test("versionAt resolves TIMESTAMP AS OF against manifest commit times") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_ts").toString + "/docs"
+    val f = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtime(v: Int) = f.getFileStatus(new org.apache.hadoop.fs.Path(
+      table, f"_versions/v$v%05d.manifest")).getModificationTime
+    val v1 = Snapshots.commitOverwrite(base.filter($"event_id" < 50), table, "a")
+    Thread.sleep(1100) // local-fs mtime granularity can be a full second
+    val v2 = Snapshots.commitAppend(base.filter($"event_id" >= 900), table, "b")
+    assert(Snapshots.versionAt(spark, table, mtime(v1) - 1) == -1,
+      "before the first commit there is no version")
+    assert(Snapshots.versionAt(spark, table, mtime(v1)) == v1)
+    assert(Snapshots.versionAt(spark, table, mtime(v2) - 1) == v1,
+      "between commits the earlier version is current")
+    assert(Snapshots.versionAt(spark, table, mtime(v2) + 1000) == v2)
+    // resolution composes with time travel
+    val atV1 = Snapshots.readVersion(spark, table,
+      Some(Snapshots.versionAt(spark, table, mtime(v1))))
+    assert(atV1.count() == base.filter($"event_id" < 50).count())
+  }
+
   test("manifest stats pruning: range reads skip non-overlapping files from the listing, results stay exact") {
     import graft.sources.Snapshots
     val table = Files.createTempDirectory("snap_stats").toString + "/docs"
