@@ -267,11 +267,20 @@ object Snapshots {
       .foldLeft(-1)(math.max)
   }
 
-  /** Read the table AT a version (time travel); latest when omitted. */
+  /** Read the table AT a version (time travel); latest when omitted.
+    * `mergeSchema = true` unions the column sets across the version's
+    * files (schema evolution: an appended delta may carry new columns;
+    * rows from older files read NULL there). Off by default — merging
+    * samples every file's footer, a cost a 100 TB read should opt into,
+    * and a version whose files share one schema needs none of it.
+    */
   def readVersion(spark: SparkSession, table: String,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, table))
-    spark.read.parquet(files(spark, table, v): _*)
+    val r = spark.read
+    (if (mergeSchema) r.option("mergeSchema", "true") else r)
+      .parquet(files(spark, table, v): _*)
   }
 
   /** The subset of a version's files whose manifest stats ADMIT rows with

@@ -363,6 +363,28 @@ class FormatsSpec extends SparkSpec {
     assert(Snapshots.expire(spark, table, keepLast = 1).expired.isEmpty)
   }
 
+  test("snapshot schema evolution: appended columns surface under mergeSchema, old rows read null, time travel sees the old shape") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_evo").toString + "/docs"
+    val v1 = Snapshots.commitOverwrite(
+      base.filter($"event_id" < 50).select($"event_id", $"user_id"),
+      table, "narrow load")
+    val v2 = Snapshots.commitAppend(
+      base.filter($"event_id" >= 900)
+        .select($"event_id", $"user_id", $"event_type"),
+      table, "widened delta")
+    // merged read: every column, appended rows carry it, prior rows null
+    val merged = Snapshots.readVersion(spark, table, Some(v2), mergeSchema = true)
+    assert(merged.columns.sorted.toSeq == Seq("event_id", "event_type", "user_id"))
+    assert(merged.filter($"event_id" < 50 && $"event_type".isNull).count()
+      == base.filter($"event_id" < 50).count())
+    assert(merged.filter($"event_id" >= 900 && $"event_type".isNotNull).count()
+      == base.filter($"event_id" >= 900).count())
+    // time travel to the narrow version shows the narrow schema
+    val old = Snapshots.readVersion(spark, table, Some(v1), mergeSchema = true)
+    assert(old.columns.sorted.toSeq == Seq("event_id", "user_id"))
+  }
+
   test("versionAt resolves TIMESTAMP AS OF against manifest commit times") {
     import graft.sources.Snapshots
     val table = Files.createTempDirectory("snap_ts").toString + "/docs"
