@@ -488,4 +488,47 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("offset log: random append sequences round-trip byte-exactly with dense offsets") {
+    import graft.streaming.OffsetLog
+    // keys/values deliberately include the characters the line format
+    // must survive: tabs, newlines, pipes, empties, non-ASCII
+    val kv: Gen[(String, String)] = for {
+      k <- Gen.oneOf(Gen.const(""), Gen.const("k\t\n|é"),
+        Gen.listOfN(5, Gen.alphaNumChar).map(_.mkString))
+      v <- Gen.oneOf(Gen.const(""), Gen.const("v\tx\ny|☃"),
+        Gen.listOfN(7, Gen.asciiPrintableChar).map(_.mkString))
+    } yield (k, v)
+    val appendSeq: Gen[(Int, List[(Int, List[(String, String)])])] = for {
+      nParts <- Gen.choose(1, 3)
+      nApps <- Gen.choose(1, 5)
+      apps <- Gen.listOfN(nApps, for {
+        p <- Gen.choose(0, nParts - 1)
+        recs <- Gen.nonEmptyListOf(kv).map(_.take(6))
+      } yield (p, recs))
+    } yield (nParts, apps)
+    forAll(appendSeq, n = 8) { case (nParts, apps) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("olog_prop").toString + "/log"
+      OffsetLog.create(spark, dir, nParts)
+      val model = scala.collection.mutable.Map
+        .empty[Int, Vector[(String, String)]].withDefaultValue(Vector.empty)
+      apps.foreach { case (p, recs) =>
+        val hw = OffsetLog.append(spark, dir, p, 1234L, recs)
+        model(p) = model(p) ++ recs
+        assert(hw == model(p).size, "high-water must equal the model length")
+      }
+      val got = spark.read.format("offsetlog").load(dir)
+        .select($"partition", $"offset", $"key", $"value")
+        .as[(Int, Long, String, String)].collect()
+        .groupBy(_._1).view
+        .mapValues { rs =>
+          // offsets dense from 0 within the partition
+          assert(rs.map(_._2).sorted.toSeq == (0L until rs.size))
+          rs.sortBy(_._2).map(r => (r._3, r._4)).toVector
+        }.toMap
+      assert(got == model.filter(_._2.nonEmpty).toMap,
+        "batch read must reproduce every appended record in order")
+    }
+  }
 }
