@@ -1869,8 +1869,75 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // -------------------------------------------------------- t31_sft_mask
+  /** SFT (post-training) data prep: chat-turn structuring + loss-mask
+    * accounting — the packing arithmetic every instruction-tuning
+    * pipeline runs before a token reaches the trainer. Documents become
+    * synthetic dialogues (sentence spans on '. ' alternate user/assistant
+    * starting with user; empty spans dropped on BOTH engines before
+    * positions are assigned); each turn renders under a fixed template
+    * costing 2 framing tokens (role + end markers) plus its whitespace
+    * words, and the LOSS MASK covers only assistant content + its end
+    * marker (the user/template tokens train nothing). Per doc: turn
+    * count, total templated tokens, loss tokens, and the loss share —
+    * the number that says how much of an SFT batch actually teaches.
+    *
+    * Scale shape: one narrow generator (posexplode of the turn spans)
+    * and one doc-keyed agg — no corpus-wide state, no joins; at 100 TB
+    * it scales with input splits like t1. Integer token counts make the
+    * share division bitwise-portable (sround 4).
+    */
+  val t31SftMask: Q = (s, d) => {
+    val turns = docs(s, d).select(col("doc_id"),
+      filter(transform(split(col("text"), "\\. "), t => trim(t)),
+        t => t =!= "").as("turns"))
+    val t = turns.select(col("doc_id"),
+      posexplode(col("turns")).as(Seq("pos", "turn")))
+    val counted = t.select(col("doc_id"), col("pos"),
+      size(filter(split(col("turn"), "\\s+"), x => x =!= ""))
+        .cast("long").as("n_words"))
+    counted.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("n_words") + lit(2L)).as("n_tokens"),
+        sum(when(col("pos") % 2 === 1, col("n_words") + lit(1L))
+          .otherwise(lit(0L))).as("n_loss_tokens"))
+      .select(col("doc_id"), col("n_turns"), col("n_tokens"),
+        col("n_loss_tokens"),
+        sround(col("n_loss_tokens") / col("n_tokens").cast("double"), 4)
+          .as("loss_share"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: zipped unnest(turns)/unnest(range) assigns the same
+    * 0-based positions to the same filtered spans.
+    */
+  val t31SftMaskSql: String =
+    """WITH tt AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(regexp_split_to_array(text, '\. '),
+      |      x -> trim(x)), x -> x != '') AS turns
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, unnest(range(0, len(turns))) AS pos,
+      |    unnest(turns) AS turn
+      |  FROM tt),
+      |c AS (
+      |  SELECT doc_id, pos,
+      |    CAST(len(list_filter(regexp_split_to_array(turn, '\s+'),
+      |      x -> x != '')) AS BIGINT) AS n_words
+      |  FROM t)
+      |SELECT doc_id, count(*) AS n_turns,
+      |  CAST(sum(n_words + 2) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN pos % 2 = 1 THEN n_words + 1 ELSE 0 END)
+      |    AS BIGINT) AS n_loss_tokens,
+      |  floor(sum(CASE WHEN pos % 2 = 1 THEN n_words + 1 ELSE 0 END)
+      |    / CAST(sum(n_words + 2) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+      |    AS loss_share
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "t31_sft_mask" -> t31SftMask,
     "t1_text_stats" -> t1TextStats,
     "t2_quality" -> t2Quality,
     "t3_lang_id" -> t3LangId,
@@ -1903,6 +1970,7 @@ object TextAnalysis {
     "t13_repetition" -> t13Repetition)
 
   val oracles: Map[String, String] = Map(
+    "t31_sft_mask" -> t31SftMaskSql,
     "t1_text_stats" -> t1TextStatsSql,
     "t2_quality" -> t2QualitySql,
     "t3_lang_id" -> t3LangIdSql,

@@ -581,4 +581,26 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length > 1)
     got.foreach { case (_, _, sc) => assert(sc > 0.0) }
   }
+
+  test("t31 SFT mask: hand-computed turn/token/loss accounting; empty spans dropped before roles") {
+    val docs = Seq(
+      // spans: [Hello there | How are you | I am fine | Thanks]
+      // words:  2             3             3           1
+      // tokens: 4+5+5+3=17; loss (assistant pos 1,3): (3+1)+(1+1)=6
+      (0L, "Hello there. How are you. I am fine. Thanks", "x", 43L),
+      // an empty span between separators must vanish BEFORE role
+      // assignment: [One | Two] -> Two is the assistant
+      (1L, "One. . Two", "x", 10L),
+      // single-turn doc: all user, zero loss tokens
+      (2L, "just one user turn", "x", 18L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("t31").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.t31SftMask(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    assert(r(0L) == ((4L, 17L, 6L, math.floor(6.0 / 17 * 1e4 + 0.5) / 1e4)))
+    assert(r(1L) == ((2L, 6L, 2L, 0.3333)))
+    assert(r(2L) == ((1L, 6L, 0L, 0.0)))
+  }
 }
