@@ -704,8 +704,70 @@ object CorpusPipeline {
       |  CAST(sum(sig) AS BIGINT) AS signature
       |FROM ranked GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  // ------------------------------------------------- p7_sft_packing
+  /** SFT batch assembly: t31's templated dialogues packed into
+    * fixed-budget training units (t15's strict global prefix-sum
+    * packing, the same PackBudget as p2), rolled up per pack with LOSS
+    * DENSITY — docs, total tokens, loss tokens, loss share. The per-pack
+    * share is what a trainer needs to weight batches (a pack of
+    * user-heavy dialogues teaches less per step than its token count
+    * suggests); the pretraining path (p2) has no mask, so this is the
+    * post-training twin of its packing stage. Shapes inherited: one
+    * narrow t31 pass + the audited keyed two-phase prefix sum + a
+    * pack-keyed agg.
+    */
+  def p7SftPacking(s: SparkSession, d: String): DataFrame = {
+    val perDoc = graft.operators.TextAnalysis.t31SftMask(s, d)
+      .select(col("doc_id"), col("n_tokens").as("n_tok"),
+        col("n_loss_tokens")).localCheckpoint(true)
+    val packed = graft.operators.TextAnalysis.globalPackingDocs(
+      perDoc.select(col("doc_id"), col("n_tok")), budget = PackBudget)
+    packed.join(perDoc.select(col("doc_id"), col("n_loss_tokens")), "doc_id")
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_loss_tokens")).as("n_loss_tokens"))
+      .select(col("pack_id"), col("n_docs"), col("n_tokens"),
+        col("n_loss_tokens"),
+        sround(col("n_loss_tokens") / col("n_tokens").cast("double"), 4)
+          .as("loss_share"))
+      .orderBy("pack_id")
+  }
+
+  /** Oracle: t31's per-doc arithmetic + p2's prefix-sum pack id. */
+  val p7SftPackingSql: String =
+    """WITH tt AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(regexp_split_to_array(text, '\. '),
+      |      x -> trim(x)), x -> x != '') AS turns
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, unnest(range(0, len(turns))) AS pos,
+      |    unnest(turns) AS turn
+      |  FROM tt),
+      |pd AS (
+      |  SELECT doc_id,
+      |    CAST(sum(len(list_filter(regexp_split_to_array(turn, '\s+'),
+      |      x -> x != '')) + 2) AS BIGINT) AS n_tok,
+      |    CAST(sum(CASE WHEN pos % 2 = 1
+      |      THEN len(list_filter(regexp_split_to_array(turn, '\s+'),
+      |        x -> x != '')) + 1 ELSE 0 END) AS BIGINT) AS n_loss
+      |  FROM t GROUP BY doc_id),
+      |pk AS (
+      |  SELECT doc_id, n_tok, n_loss,
+      |    CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
+      |      AS BIGINT) AS pack_id
+      |  FROM pd)
+      |SELECT pack_id, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_loss) AS BIGINT) AS n_loss_tokens,
+      |  floor(sum(n_loss) / CAST(sum(n_tok) AS DOUBLE) * 10000.0 + 0.5)
+      |    / 10000.0 AS loss_share
+      |FROM pk GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p1_corpus_pipeline" -> (p1CorpusPipeline _),
+      "p7_sft_packing" -> (p7SftPacking _),
       "p2_training_prep" -> (p2TrainingPrep _),
       "p3_dataset_card" -> (p3DatasetCard _),
       "p4_mixture_schedule" -> (p4MixtureSchedule _),
@@ -713,6 +775,7 @@ object CorpusPipeline {
       "p6_epoch_shuffle" -> (p6EpochShuffle _))
   val oracles: Map[String, String] =
     Map("p1_corpus_pipeline" -> p1CorpusPipelineSql,
+      "p7_sft_packing" -> p7SftPackingSql,
       "p2_training_prep" -> p2TrainingPrepSql,
       "p3_dataset_card" -> p3DatasetCardSql,
       "p4_mixture_schedule" -> p4MixtureScheduleSql,

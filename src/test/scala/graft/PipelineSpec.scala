@@ -277,4 +277,28 @@ class PipelineSpec extends SparkSpec {
     val hashOrder = perm.map(_._1._1).toSeq
     assert(idOrder != hashOrder, "permutation degenerated to id order")
   }
+
+  test("p7 SFT packing reconciles with t31 per-doc accounting under an in-memory prefix replay") {
+    val perDoc = graft.operators.TextAnalysis.t31SftMask(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"n_loss_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // in-memory replay of the strict global prefix packing at budget 256
+    var prefix = 0L
+    val model = perDoc.map { case (id, tok, loss) =>
+      val pid = prefix / CorpusPipeline.PackBudget
+      prefix += tok
+      (pid, id, tok, loss)
+    }.groupBy(_._1).map { case (pid, rs) =>
+      val (tok, loss) = (rs.map(_._3).sum, rs.map(_._4).sum)
+      pid -> ((rs.size.toLong, tok, loss,
+        math.floor(loss.toDouble / tok * 1e4 + 0.5) / 1e4))
+    }
+    val got = CorpusPipeline.p7SftPacking(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == model, "pack rollup must equal the prefix replay")
+    // conservation: nothing lost between the per-doc and per-pack views
+    assert(got.values.map(_._2).sum == perDoc.map(_._2).sum)
+    assert(got.values.map(_._3).sum == perDoc.map(_._3).sum)
+  }
 }
