@@ -86,5 +86,5 @@ object SparkEntry {
     "g12_modularity", "mm9_pair_audit", "d13_threshold_sweep",
     "v13_truncation_eval", "t28_fertility", "p5_epoch_materialize",
     "g13_neighbor_sample", "p6_epoch_shuffle", "t29_code_detect",
-    "t30_corpus_drift", "v14_ivfpq")
+    "t30_corpus_drift", "v14_ivfpq", "t31_sft_mask", "p7_sft_packing")
 }
