@@ -50,11 +50,21 @@ object Snapshots {
   }
 
   /** One manifest file entry: table-relative path, absolute path, and the
-    * optional per-file column statistics carried on its manifest line
-    * (`rel TAB col TAB lo TAB hi`, a long-typed column's min/max).
+    * per-file column statistics carried on its manifest line — zero or
+    * more `TAB col TAB lo TAB hi` triples after the path (long-typed
+    * columns' min/max), one per stats column.
     */
   final case class ManifestFile(rel: String, path: String,
-      stats: Option[(String, Long, Long)])
+      stats: Map[String, (Long, Long)]) {
+    /** Can this file contain a row with `column` in [lo, hi]? Files
+      * without stats on the column must be read.
+      */
+    def admits(column: String, lo: Long, hi: Long): Boolean =
+      stats.get(column) match {
+        case Some((flo, fhi)) => fhi >= lo && flo <= hi
+        case None => true
+      }
+  }
 
   /** The raw manifest lines of a version (after the note line). */
   private def fileLines(spark: SparkSession, table: String,
@@ -72,13 +82,13 @@ object Snapshots {
   def manifestFiles(spark: SparkSession, table: String,
       version: Int): Seq[ManifestFile] =
     fileLines(spark, table, version).map { line =>
-      line.split("\t", -1) match {
-        case Array(rel, c, lo, hi) =>
-          ManifestFile(rel, new Path(table, rel).toString,
-            Some((c, lo.toLong, hi.toLong)))
-        case parts =>
-          ManifestFile(parts(0), new Path(table, parts(0)).toString, None)
-      }
+      val parts = line.split("\t", -1)
+      val stats =
+        if (parts.length < 4 || (parts.length - 1) % 3 != 0) Map.empty[String, (Long, Long)]
+        else parts.drop(1).grouped(3)
+          .map { case Array(c, lo, hi) => c -> ((lo.toLong, hi.toLong)) }
+          .toMap
+      ManifestFile(parts(0), new Path(table, parts(0)).toString, stats)
     }
 
   /** The data-file list (absolute paths) of a version. */
@@ -140,41 +150,47 @@ object Snapshots {
     * only correct default.
     */
   private def relLines(spark: SparkSession, table: String,
-      rels: Seq[String], statsCol: Option[String]): Seq[String] =
-    statsCol match {
-      case None => rels
-      case Some(c) =>
-        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-        val paths = rels.map(r => new Path(table, r).toString)
-        val byName = spark.read.parquet(paths: _*)
-          .groupBy(input_file_name().as("f"))
-          .agg(min(col(c)).cast("long").as("lo"),
-            max(col(c)).cast("long").as("hi"))
-          .collect().flatMap { r =>
-            if (r.isNullAt(1) || r.isNullAt(2)) None
-            else Some(new Path(r.getString(0)).getName -> ((r.getLong(1), r.getLong(2))))
-          }.toMap
-        rels.map { rel =>
-          byName.get(new Path(rel).getName) match {
-            case Some((lo, hi)) => s"$rel\t$c\t$lo\t$hi"
-            case None => rel
+      rels: Seq[String], statsCols: Seq[String]): Seq[String] =
+    if (statsCols.isEmpty) rels
+    else {
+      import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+      val paths = rels.map(r => new Path(table, r).toString)
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c)).cast("long").as(s"lo_$c"),
+        max(col(c)).cast("long").as(s"hi_$c")))
+      val byName = spark.read.parquet(paths: _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val triples = statsCols.zipWithIndex.flatMap { case (c, i) =>
+            val (loI, hiI) = (1 + 2 * i, 2 + 2 * i)
+            if (r.isNullAt(loI) || r.isNullAt(hiI)) None
+            else Some(s"$c\t${r.getLong(loI)}\t${r.getLong(hiI)}")
           }
-        }
+          new Path(r.getString(0)).getName -> triples
+        }.toMap
+      rels.map { rel =>
+        (rel +: byName.getOrElse(new Path(rel).getName, Seq.empty))
+          .mkString("\t")
+      }
     }
 
   /** Commit `df` as a FULL new table state (prior files stay for time
     * travel but leave the live version). Returns the new version number.
-    * With `statsCol`, every staged file's manifest line carries that
-    * column's min/max so [[readVersionWhere]] can prune files from the
+    * With `statsCols`, every staged file's manifest line carries those
+    * columns' min/max so [[readVersionWhere]] can prune files from the
     * LISTING, before any footer is opened — at 100 TB the difference
-    * between a metadata operation and a million footer reads.
+    * between a metadata operation and a million footer reads. Multiple
+    * columns cost one extra pair of aggregates each in the SAME stats
+    * job (the production shape: a time column for retention scans plus
+    * an id column for point lookups).
     */
   def commitOverwrite(df: DataFrame, table: String,
-      note: String = "overwrite", statsCol: Option[String] = None): Int = {
+      note: String = "overwrite", statsCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     val v = currentVersion(spark, table) + 1
     writeManifest(spark, table, v, note,
-      relLines(spark, table, stage(df, table, v), statsCol))
+      relLines(spark, table, stage(df, table, v), statsCols))
   }
 
   /** Commit `df` as an APPEND: the new version = parent's files + the
@@ -182,7 +198,7 @@ object Snapshots {
     * carried verbatim, stats included). Returns the new version.
     */
   def commitAppend(df: DataFrame, table: String,
-      note: String = "append", statsCol: Option[String] = None): Int = {
+      note: String = "append", statsCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     val parent = currentVersion(spark, table)
     val prior =
@@ -190,7 +206,7 @@ object Snapshots {
       else fileLines(spark, table, parent)
     val v = parent + 1
     writeManifest(spark, table, v, note,
-      prior ++ relLines(spark, table, stage(df, table, v), statsCol))
+      prior ++ relLines(spark, table, stage(df, table, v), statsCols))
   }
 
   /** Marker prefix that tags a version as a REWRITE (same logical rows,
@@ -291,13 +307,7 @@ object Snapshots {
   def pruneFiles(spark: SparkSession, table: String, version: Int,
       column: String, lo: Long, hi: Long): (Seq[String], Int) = {
     val all = manifestFiles(spark, table, version)
-    val kept = all.filter { mf =>
-      mf.stats match {
-        case Some((c, flo, fhi)) if c == column => fhi >= lo && flo <= hi
-        case _ => true
-      }
-    }.map(_.path)
-    (kept, all.size)
+    (all.filter(_.admits(column, lo, hi)).map(_.path), all.size)
   }
 
   /** Range read with manifest-stats file skipping: files whose recorded

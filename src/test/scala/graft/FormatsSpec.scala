@@ -416,10 +416,11 @@ class FormatsSpec extends SparkSpec {
     val d1 = base.filter($"event_id" < 800)
       .repartitionByRange(8, $"event_id")
     Snapshots.commitOverwrite(d1, table, "ranged load",
-      statsCol = Some("event_id"))
+      statsCols = Seq("event_id", "user_id"))
     val mfs = Snapshots.manifestFiles(spark, table, 1)
-    assert(mfs.size >= 4 && mfs.forall(_.stats.exists(_._1 == "event_id")),
-      s"every staged file must carry event_id stats: $mfs")
+    assert(mfs.size >= 4 && mfs.forall(m =>
+      m.stats.contains("event_id") && m.stats.contains("user_id")),
+      s"every staged file must carry stats for BOTH columns: $mfs")
     // a narrow range must keep strictly fewer files than the total...
     val (kept, total) = Snapshots.pruneFiles(spark, table, 1, "event_id", 100L, 150L)
     assert(kept.size < total, s"no pruning happened: $kept of $total")
@@ -427,10 +428,18 @@ class FormatsSpec extends SparkSpec {
     val expect = ids(base.filter($"event_id" >= 100 && $"event_id" <= 150))
     assert(ids(Snapshots.readVersionWhere(spark, table, "event_id", 100L, 150L))
       == expect)
-    // stats on a DIFFERENT column never prune; a stat-less append is
-    // always read — both degrade to correctness, not data loss
+    // the SECOND stats column prunes independently: event_id ranges tile
+    // the layout but user_id is roughly uniform per file, so a full
+    // user_id range keeps everything while an impossible one drops all
+    val (keptU, totalU) =
+      Snapshots.pruneFiles(spark, table, 1, "user_id", Long.MinValue, Long.MaxValue)
+    assert(keptU.size == totalU)
+    assert(Snapshots.pruneFiles(spark, table, 1, "user_id",
+      Long.MaxValue - 1, Long.MaxValue)._1.isEmpty,
+      "an out-of-range user_id predicate must prune every file")
+    // a column with NO recorded stats never prunes
     val (keptOther, totalOther) =
-      Snapshots.pruneFiles(spark, table, 1, "user_id", 0L, 1L)
+      Snapshots.pruneFiles(spark, table, 1, "event_type_missing", 0L, 1L)
     assert(keptOther.size == totalOther)
     val d2 = base.filter($"event_id" >= 900).coalesce(1)
     Snapshots.commitAppend(d2, table, "statless delta") // no statsCol
