@@ -308,7 +308,9 @@ object Dedup {
   /** LSH index-quality evaluation — v11's "measure, don't guess" harness
     * for the dedup family: d3's band-collision candidate generation is
     * scored against EXACT ground truth (every pair with word-trigram
-    * Jaccard >= 0.2). Emits one summary row: truth/candidate/verified
+    * Jaccard >= 0.2). Since round 10 the SAME band machinery also feeds
+    * d2/d5/d13's candidates, so this one number certifies the whole
+    * family's recall floor for a corpus before rollout. Emits one summary row: truth/candidate/verified
     * pair counts, band RECALL (share of true near-dup pairs the bands
     * surfaced — missed pairs survive dedup as duplicates) and candidate
     * PRECISION (share of surfaced candidates that verify — the wasted

@@ -97,6 +97,13 @@ class OffsetLogSpec extends SparkSpec {
       ((2L until 8L).map(o => (0, o)) ++ (1L until 3L).map(o => (1, o))).toSet,
       s"planned range must surface exactly [start, end): $first")
     assert(readAll() == first, "re-reading the same planned range must be identical")
+    // planning prunes segments by their name-carried ranges: a slice
+    // inside partition 0's FIRST segment must ship exactly one file
+    val narrow = stream.planInputPartitions(
+        LogOffsets(Map(0 -> 1L, 1 -> 4L)), LogOffsets(Map(0 -> 3L, 1 -> 4L)))
+      .map(_.asInstanceOf[graft.streaming.OffsetLogInputPartition])
+    assert(narrow.length == 1 && narrow.head.files.size == 1,
+      s"single-segment slice must plan one file: ${narrow.toSeq}")
   }
 
   test("CDC over the offset log: key-partitioned change feed applies exactly-once, == batch latest-per-key") {
