@@ -299,6 +299,23 @@ object Snapshots {
       .parquet(files(spark, table, v): _*)
   }
 
+  /** Roll the live table BACK to `toVersion` as a NEW version (Delta
+    * RESTORE): the new manifest is a copy of the old version's file
+    * lines (stats included) — a pure metadata operation, no data file
+    * touched or rewritten. History is preserved (the bad versions stay
+    * time-travelable until retention expires them), and delta consumers
+    * correctly see the restored rows as re-additions. Only retained
+    * versions are restorable — an expired target fails loudly at its
+    * manifest lookup.
+    */
+  def restore(spark: SparkSession, table: String, toVersion: Int): Int = {
+    val cur = currentVersion(spark, table)
+    require(toVersion >= 1 && toVersion <= cur,
+      s"restore target v$toVersion outside [1, $cur] at $table")
+    writeManifest(spark, table, cur + 1, s"restore: v$toVersion",
+      fileLines(spark, table, toVersion))
+  }
+
   /** The subset of a version's files whose manifest stats ADMIT rows with
     * `column` in [lo, hi] — plus every file without stats on that column,
     * which must be read. Returns (kept paths, total file count); pure

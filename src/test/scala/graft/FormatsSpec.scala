@@ -385,6 +385,43 @@ class FormatsSpec extends SparkSpec {
     assert(old.columns.sorted.toSeq == Seq("event_id", "user_id"))
   }
 
+  test("restore rolls the live table back metadata-only; history intact; expired targets fail loudly") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_rst").toString + "/docs"
+    def ids(v: Option[Int] = None) = Snapshots.readVersion(spark, table, v)
+      .select($"event_id").as[Long].collect().toSet
+    val good = base.filter($"event_id" < 100)
+    val bad = base.filter($"event_id" >= 990)
+    val v1 = Snapshots.commitOverwrite(good, table, "good load",
+      statsCols = Seq("event_id"))
+    val v2 = Snapshots.commitOverwrite(bad, table, "bad load")
+    val dataBefore = {
+      val f = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(new org.apache.hadoop.fs.Path(s"$table/data"))
+        .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    }
+    val v3 = Snapshots.restore(spark, table, v1)
+    assert(v3 == v2 + 1)
+    // live content is the restored version; file list identical — and
+    // carried stats still prune
+    assert(ids() == ids(Some(v1)))
+    assert(Snapshots.files(spark, table, v3) == Snapshots.files(spark, table, v1))
+    assert(Snapshots.pruneFiles(spark, table, v3, "event_id",
+      5000L, 6000L)._1.isEmpty)
+    // metadata-only: no data file created, touched, or rewritten
+    val f = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataAfter = f.listStatus(new org.apache.hadoop.fs.Path(s"$table/data"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    assert(dataAfter == dataBefore, "restore must not touch data files")
+    // the bad version stays time-travelable
+    assert(ids(Some(v2)) == bad.select($"event_id").as[Long].collect().toSet)
+    // an expired restore target fails loudly
+    Snapshots.expire(spark, table, keepLast = 1)
+    intercept[IllegalArgumentException](Snapshots.restore(spark, table, v2))
+  }
+
   test("versionAt resolves TIMESTAMP AS OF against manifest commit times") {
     import graft.sources.Snapshots
     val table = Files.createTempDirectory("snap_ts").toString + "/docs"
