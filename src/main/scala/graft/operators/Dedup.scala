@@ -93,6 +93,17 @@ object Dedup {
     * asserts both plans engage and agree.
     */
   def ngramPairs(docsDf: DataFrame, minJac: Double): DataFrame = {
+    // Round 11, MEASURED AND REJECTED (CandProbe + sf10 DriftBench, PLANS
+    // round 11): a lossless gram-count-ratio candidate cut (jac <= min/max
+    // for sets, so least(n_a,n_b) >= minJac*greatest(n_a,n_b) never drops
+    // a verifying pair) was prototyped with the count riding the band
+    // rows. It trims only ~10% of candidates on this corpus (the verify
+    // here keeps 52% of candidates at 0.5 — candidates are NOT the
+    // 15/16-waste regime; that number is d12's word-truth operating
+    // point) while the extra distinct-gram counting pass, duplicated
+    // across the band self-join subtrees, DOUBLED d13 at sf10 (17s ->
+    // 36s) and cost d2 +38%. Revisit only for a corpus whose length
+    // profile is wide enough that d12-style probing shows a >2x cut.
     val bands = minhashBands(shingleSets(docsDf))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
@@ -227,10 +238,25 @@ object Dedup {
   val d3MinhashLsh: Q = (s, d) => {
     val base = shingleSets(docs(s, d))
     val bands = minhashBands(base)
+    // Round 11: candidates require >= 2 distinct band collisions. The
+    // fused bkey bakes the band index in, so per (doc_a, doc_b) the
+    // collision COUNT is the number of agreeing bands — the groupBy is
+    // the same shuffle the old .distinct() already paid, the filter is
+    // free. Measured on this corpus (CandProbe, PLANS round 11): every
+    // truth pair (word-jac >= 0.2) collides in >= 2 bands at sf0.01/
+    // sf0.1/sf1/sf10, so the OUTPUT is unchanged while the verify join
+    // ships shingle arrays to 14-15x fewer candidates at sf0.1/sf1
+    // (2.8x at sf10). The cut shifts the LSH s-curve right (a pair at
+    // similarity s now needs 2 of 32 band hits, ~the 2-row -> 3-row
+    // operating point near threshold); d12's band_recall2 column is the
+    // per-corpus certification that the floor still holds — rerun it
+    // before rolling the shape onto a new corpus.
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ncoll"))
+      .filter(col("ncoll") >= 2)
+      .select(col("doc_a"), col("doc_b"))
     val withSets = cand
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("n_sh").as("n_a")), "doc_a")
@@ -291,9 +317,10 @@ object Dedup {
        |bands AS MATERIALIZED (
        |$bandArms),
        |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1 AND x.doc_id < y.doc_id),
+       |    ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1 AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
        |j AS (
        |  SELECT c.doc_a, c.doc_b, len(list_intersect(a.sh, b.sh)) AS inter,
        |    a.n_sh AS n_a, b.n_sh AS n_b
@@ -310,12 +337,16 @@ object Dedup {
     * scored against EXACT ground truth (every pair with word-trigram
     * Jaccard >= 0.2). Since round 10 the SAME band machinery also feeds
     * d2/d5/d13's candidates, so this one number certifies the whole
-    * family's recall floor for a corpus before rollout. Emits one summary row: truth/candidate/verified
-    * pair counts, band RECALL (share of true near-dup pairs the bands
+    * family's recall floor for a corpus before rollout. Emits one summary
+    * row scoring BOTH candidate operating points — >= 1 band collision
+    * (the classic cut, d2/d5/d13's candidates) and >= 2 collisions (d3's
+    * shipped cut since round 11): truth/candidate/verified pair counts,
+    * band RECALL per cut (share of true near-dup pairs the bands
     * surfaced — missed pairs survive dedup as duplicates) and candidate
-    * PRECISION (share of surfaced candidates that verify — the wasted
-    * exact-verify cost). This is the measurement that says whether
-    * 32 bands x 2 rows fits the corpus before committing the index shape.
+    * PRECISION per cut (share of surfaced candidates that verify — the
+    * wasted exact-verify cost). This is the measurement that says whether
+    * 32 bands x 2 rows — and the >= 2-collision tightening — fit the
+    * corpus before committing the index shape.
     *
     * Scale shape: ground truth is NOT all-pairs — it is the exact
     * inverted-index algorithm (explode shingles once, gram-equality
@@ -356,18 +387,32 @@ object Dedup {
           col(s"m${2 * b + 1}").as("r1"))): _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"),
         col("bd.r0").as("r0"), col("bd.r1").as("r1"))
-    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+    // Per-pair band collision COUNTS (same shuffle as the old DISTINCT),
+    // so ONE pass scores both operating points: >= 1 collision (the
+    // classic 32x2 candidate set) and >= 2 collisions (d3's shipped cut
+    // since round 11). recall2 < 1.0 on a corpus means the >= 2 cut is
+    // unsafe THERE and d3 must be run with the classic candidates.
+    val candC = bandsDf.as("x").join(bandsDf.as("y"),
         col("x.band") === col("y.band") && col("x.r0") === col("y.r0") &&
           col("x.r1") === col("y.r1") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val verified = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ncoll"))
+      .localCheckpoint(true) // feeds both operating points + both semis
+    val cand2 = candC.filter(col("ncoll") >= 2).select("doc_a", "doc_b")
+    val verified = truth.join(candC.select("doc_a", "doc_b"),
+      Seq("doc_a", "doc_b"), "left_semi")
+    val verified2 = truth.join(cand2, Seq("doc_a", "doc_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(candC.agg(count(lit(1)).as("n_cand"),
+        count(when(col("ncoll") >= 2, 1)).as("n_cand2")))
       .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
-      .select(col("n_truth"), col("n_cand"), col("n_verified"),
+      .crossJoin(verified2.agg(count(lit(1)).as("n_verified2")))
+      .select(col("n_truth"), col("n_cand"), col("n_cand2"), col("n_verified"),
+        col("n_verified2"),
         sround(col("n_verified") / col("n_truth").cast("double"), 4).as("band_recall"),
-        sround(col("n_verified") / col("n_cand").cast("double"), 4).as("cand_precision"))
+        sround(col("n_verified2") / col("n_truth").cast("double"), 4).as("band_recall2"),
+        sround(col("n_verified") / col("n_cand").cast("double"), 4).as("cand_precision"),
+        sround(col("n_verified2") / col("n_cand2").cast("double"), 4).as("cand_precision2"))
   }
 
   val d12LshEvalSql: String = {
@@ -410,20 +455,31 @@ object Dedup {
        |bands AS MATERIALIZED (
        |$bandArms),
        |cand AS MATERIALIZED (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS ncoll
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1 AND x.doc_id < y.doc_id),
+       |    ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1 AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
        |ver AS (
        |  SELECT t.doc_a, t.doc_b FROM truth t
        |  WHERE EXISTS (SELECT 1 FROM cand c
-       |                WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+       |                WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)),
+       |ver2 AS (
+       |  SELECT t.doc_a, t.doc_b FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM cand c
+       |                WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+       |                  AND c.ncoll >= 2))
        |SELECT CAST(nt AS BIGINT) AS n_truth, CAST(nc AS BIGINT) AS n_cand,
-       |  CAST(nv AS BIGINT) AS n_verified,
+       |  CAST(nc2 AS BIGINT) AS n_cand2,
+       |  CAST(nv AS BIGINT) AS n_verified, CAST(nv2 AS BIGINT) AS n_verified2,
        |  floor(nv / CAST(nt AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS band_recall,
-       |  floor(nv / CAST(nc AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS cand_precision
+       |  floor(nv2 / CAST(nt AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS band_recall2,
+       |  floor(nv / CAST(nc AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS cand_precision,
+       |  floor(nv2 / CAST(nc2 AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS cand_precision2
        |FROM (SELECT (SELECT count(*) FROM truth) AS nt,
        |             (SELECT count(*) FROM cand) AS nc,
-       |             (SELECT count(*) FROM ver) AS nv)""".stripMargin
+       |             (SELECT count(*) FROM cand WHERE ncoll >= 2) AS nc2,
+       |             (SELECT count(*) FROM ver) AS nv,
+       |             (SELECT count(*) FROM ver2) AS nv2)""".stripMargin
   }
 
   // --------------------------------------------------------- d4_simhash

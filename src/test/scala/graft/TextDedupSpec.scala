@@ -268,15 +268,25 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("d12 LSH eval: verified count equals d3's verified pairs; metrics recompute") {
-    val Array((nt, nc, nv, recall, prec)) = Dedup.d12LshEval(spark, sfDir)
-      .as[(Long, Long, Long, Double, Double)].collect()
+    val Array((nt, nc, nc2, nv, nv2, recall, recall2, prec, prec2)) =
+      Dedup.d12LshEval(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long, Double, Double, Double, Double)]
+        .collect()
     val d3Pairs = Dedup.d3MinhashLsh(spark, sfDir).count()
-    // d3's output IS cand ∩ truth at the same 0.2 threshold
-    assert(nv == d3Pairs, s"n_verified $nv != d3 $d3Pairs")
-    assert(nt >= nv && nc >= nv && nt > 0 && nc > 0)
+    // d3 ships the >= 2-collision cut since round 11: its output IS
+    // cand2 ∩ truth at the same 0.2 threshold
+    assert(nv2 == d3Pairs, s"n_verified2 $nv2 != d3 $d3Pairs")
+    // cut monotonicity: tightening collisions only removes candidates
+    assert(nc >= nc2 && nv >= nv2 && nt >= nv && nc2 >= nv2 && nt > 0 && nc2 > 0)
     assert(recall == math.floor(nv.toDouble / nt * 1e4 + 0.5) / 1e4)
+    assert(recall2 == math.floor(nv2.toDouble / nt * 1e4 + 0.5) / 1e4)
     assert(prec == math.floor(nv.toDouble / nc * 1e4 + 0.5) / 1e4)
-    assert(recall > 0.0 && recall <= 1.0 && prec > 0.0 && prec <= 1.0)
+    assert(prec2 == math.floor(nv2.toDouble / nc2 * 1e4 + 0.5) / 1e4)
+    assert(recall2 > 0.0 && recall2 <= recall && recall <= 1.0)
+    assert(prec > 0.0 && prec2 > 0.0 && prec <= 1.0 && prec2 <= 1.0)
+    // on THIS corpus the tightened cut is certified lossless (what lets
+    // d3 ship it): every truth pair collides in >= 2 bands
+    assert(recall2 == recall, s"recall2 $recall2 < recall $recall")
   }
 
   test("d2 band candidates: subset of brute-force char-3gram pairs, exact jaccard, full recall on word-similar pairs") {
