@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.Materialize._
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -237,7 +238,7 @@ object Multimodal {
         """aggregate(sequence(0, 55), 0L, (a, k) ->
            a + IF(element_at(samples, k + 1) > mean, shiftleft(1L, k), 0L))
            AS phash""")
-      .localCheckpoint(true) // consumed by 4 chunk projections + 2 join sides
+      .materialize() // consumed by 4 chunk projections + 2 join sides
     val chunks = hashed.selectExpr("doc_id", "phash",
       "explode(sequence(0, 3)) AS ci")
       .selectExpr("doc_id", "phash", "ci",
@@ -363,7 +364,7 @@ object Multimodal {
       .withColumn("island",
         when(col("is_silent"), sum(col("boundary")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-      .localCheckpoint(true) // feeds the island rollup AND the doc rollup
+      .materialize() // feeds the island rollup AND the doc rollup
     // island lengths, then per-doc — both group on doc_id(+island), so the
     // window's doc-keyed exchange satisfies every downstream clustering
     val runStats = flagged.where(col("is_silent"))
@@ -503,7 +504,7 @@ object Multimodal {
       .select(col("doc_id"), col("n_tok").as("n_bytes"),
         col("pack_id").as("shard_id"))
     val joined = docs.join(assign, "doc_id")
-      .localCheckpoint(true) // ONE packing pass feeds the write AND manifest
+      .materialize() // ONE packing pass feeds the write AND manifest
     joined
       .select(col("doc_id"), col("shard_id"),
         col("text").cast("binary").as("payload"), col("text").as("caption"),

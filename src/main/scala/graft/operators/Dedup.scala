@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.Materialize._
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -357,7 +358,7 @@ object Dedup {
     */
   val d12LshEval: Q = (s, d) => {
     val base = shingleSets(docs(s, d))
-      .localCheckpoint(true) // feeds inverted index, band keys, AND sizes
+      .materialize() // feeds inverted index, band keys, AND sizes
     val inv = base.select(col("doc_id"), explode(col("sh")).as("h"))
     val tp = inv.as("x").join(inv.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -397,7 +398,7 @@ object Dedup {
           col("x.r1") === col("y.r1") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("ncoll"))
-      .localCheckpoint(true) // feeds both operating points + both semis
+      .materialize() // feeds both operating points + both semis
     val cand2 = candC.filter(col("ncoll") >= 2).select("doc_a", "doc_b")
     val verified = truth.join(candC.select("doc_a", "doc_b"),
       Seq("doc_a", "doc_b"), "left_semi")
@@ -552,7 +553,7 @@ object Dedup {
     * O(diameter) rounds, the hop halves the distance each round
     * (O(log diameter); measured 7 rounds on the sf0.1 graph of 120k
     * edges with clusters up to ~10 docs). Each round is two joins + a
-    * hash-agg over the (tiny) label/edge state, localCheckpoint'ed to cut
+    * hash-agg over the (tiny) label/edge state, materialized (Materialize) to cut
     * lineage (see inline note). A deep-graph corpus at 100 TB would swap
     * in the alternating large-star/small-star rewrite — same join shape,
     * same driver-loop structure.
@@ -567,7 +568,7 @@ object Dedup {
     // materialize the pair generation ONCE — the symmetric union below
     // references it twice, and without the cut the (possibly expensive)
     // upstream pipeline would run twice inside the edges job
-    val pairs = pairsIn.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val pairs = pairsIn.select(col("doc_a"), col("doc_b")).materialize()
     // Small-graph finish: once the candidate-pair graph fits comfortably on
     // the driver (edges are a tiny residue of the corpus — near-dup pairs,
     // not documents), a single collect + union-find replaces ~7 iterative
@@ -585,14 +586,14 @@ object Dedup {
     val iterParts = 8
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("u", "v").repartition(iterParts, col("u")).localCheckpoint(true)
+      .toDF("u", "v").repartition(iterParts, col("u")).materialize()
     // each round's plan references the previous round's TWICE — without a
     // lineage cut the logical plan doubles per round and the driver dies
-    // planning round ~20. localCheckpoint(eager) truncates to the
+    // planning round ~20. Materialize (eager) truncates to the
     // materialized result (a cluster deployment would use reliable
     // checkpoints on the same cadence).
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
-      .repartition(iterParts, col("doc_id")).localCheckpoint(true)
+      .repartition(iterParts, col("doc_id")).materialize()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -613,7 +614,7 @@ object Dedup {
           least(
             least(col("label"), coalesce(col("nbr_min"), col("label"))),
             coalesce(col("hop_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .materialize()
       val changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.select(col("doc_id"), col("label"))
       converged = changed == 0
@@ -878,7 +879,7 @@ object Dedup {
       .select(col("doc_id"), lowerTokens(col("text")).as("t"))
       .select(col("doc_id"), spanChunks(col("t"), 3).as(Seq("idx", "span")))
       // feeds the winner agg, the kept join AND the per-doc totals
-      .localCheckpoint(true)
+      .materialize()
     val winners = spans.groupBy(col("span"))
       .agg(min(col("doc_id") * lit(1048576L) + col("idx")).as("wkey"))
     val kept = spans.join(winners, Seq("span"))
@@ -952,7 +953,7 @@ object Dedup {
       .select(col("doc_id"), graft.expressions.PortableHashExpressions
         .md5HashArray62(col("ngrams"), distinctSorted = true).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-      .localCheckpoint(true) // consumed by the gram explode + 2 verify sides
+      .materialize() // consumed by the gram explode + 2 verify sides
     val grams = base.select(col("doc_id"), explode(col("sh")).as("g"))
     val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= 20)
@@ -1054,7 +1055,7 @@ object Dedup {
       .groupBy(col("doc_id")).agg(min(col("eid")).as("exact_match"))
     val flags = all.select(col("doc_id"), col("incoming"))
     val base = shingleSets(all).join(flags, "doc_id")
-      .localCheckpoint(true) // feeds both band sides AND the verify join
+      .materialize() // feeds both band sides AND the verify join
     val cand = minhashBands(base.where(col("incoming"))).as("x")
       .join(minhashBands(base.where(!col("incoming"))).as("y"),
         col("x.bkey") === col("y.bkey"))
@@ -1175,11 +1176,11 @@ object Dedup {
     val pairs = ngramPairs(docs(s, d), minJac = 0.3)
       .select(col("doc_a"), col("doc_b"),
         floor(col("jaccard") * 10000.0 + lit(0.5)).cast("long").as("j4"))
-      .localCheckpoint(true) // feeds the pair agg AND the doc agg
+      .materialize() // feeds the pair agg AND the doc agg
     val pairsT = pairs
       .withColumn("t4", explode(array(SweepT4.map(lit): _*)))
       .filter(col("j4") >= col("t4"))
-      .localCheckpoint(true)
+      .materialize()
     val pairStats = pairsT.groupBy(col("t4"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("j4")).as("sj4"))
     val docStats = pairsT

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.Materialize._
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -8,7 +9,7 @@ import graft.Tables
   * family alongside d5's connected components. The engine's stance: a graph
   * is an edge DataFrame; one iteration is one join + one aggregation. With
   * a FIXED iteration count the whole unrolled DAG plans as one job; a
-  * data-dependent loop would cut lineage per round with localCheckpoint
+  * data-dependent loop would cut lineage per round with Materialize
   * (d5's shape — the round-2 plan-growth lesson).
   *
   * Scale shape: each PageRank round shuffles the edge list once on the
@@ -64,7 +65,7 @@ object Graph {
     val edges = {
       val e = base.unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
       e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-        .localCheckpoint(true)
+        .materialize()
     }
     val nodes = edges.select(col("src").as("node")).distinct()
 
@@ -157,7 +158,7 @@ object Graph {
       when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
       when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
       when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kdst"))
-      .localCheckpoint(true) // three consumers: two wedge sides + the probe
+      .materialize() // three consumers: two wedge sides + the probe
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.src") === col("y.src") && col("x.kdst") < col("y.kdst"))
       .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
@@ -216,7 +217,7 @@ object Graph {
     * O(frontier) per round instead). Integer-only state, so cross-engine
     * parity is exact with no float discipline.
     *
-    * Each frontier is localCheckpoint'd: it feeds BOTH the next round's
+    * Each frontier is materialized: it feeds BOTH the next round's
     * join and the final union, and the checkpoint keeps the per-round
     * plan flat (d5's lesson for data-dependent growth). At cluster scale
     * edges pre-partition on src so every round's probe is co-partitioned.
@@ -225,13 +226,13 @@ object Graph {
     val base = bipartiteBase(s, d)
     val edges = base
       .unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true) // one eager materialization, probed 4x
+      .materialize() // one eager materialization, probed 4x
     // sparse deterministic seed set (~0.5% of users) so the rings spread
     // over the full 4-hop budget instead of saturating at hop 1
     val seeds = Tables.load(s, d, "events")
       .filter(col("event_type") === "signup" && col("user_id") % 199 === 0)
       .select(concat(lit("u"), col("user_id")).as("node")).distinct()
-      .localCheckpoint(true)
+      .materialize()
     var visited = seeds.select(col("node"), lit(0).as("dist"))
     var frontier = seeds
     for (k <- 1 to 4) {
@@ -240,7 +241,7 @@ object Graph {
         .join(visited, Seq("node"), "left_anti")
       // the LAST frontier has a single consumer (the final union) — a
       // checkpoint there would be a pure extra materialization
-      frontier = if (k < 4) next.localCheckpoint(true) else next
+      frontier = if (k < 4) next.materialize() else next
       visited = visited.unionAll(frontier.select(col("node"), lit(k).as("dist")))
     }
     visited.groupBy(col("dist")).agg(count(lit(1)).as("cnt")).orderBy(col("dist"))
@@ -288,7 +289,7 @@ object Graph {
     * SQL, same fixpoint) — parity PROVES the frontier optimization sound.
     *
     * Per-round state: `improved` feeds the next join and the dist update
-    * (localCheckpoint — d5's lesson); `visited` re-checkpoints so the
+    * (Materialize — d5's lesson); `visited` re-checkpoints so the
     * data-dependent loop never stacks lineage. At cluster scale edges
     * pre-partition on src; each round probes O(frontier).
     */
@@ -300,7 +301,7 @@ object Graph {
     val edges = base
       .unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
       .select(col("src"), col("dst"), w.as("w"))
-      .localCheckpoint(true) // one eager materialization, probed 4x
+      .materialize() // one eager materialization, probed 4x
     val seeds = Tables.load(s, d, "events")
       .filter(col("event_type") === "signup" && col("user_id") % 199 === 0)
       .select(concat(lit("u"), col("user_id")).as("node")).distinct()
@@ -311,7 +312,7 @@ object Graph {
     // two joins and two checkpoints — 2x the per-round exchanges).
     var state = seeds
       .select(col("node"), lit(0L).as("dist"), lit(true).as("imp"))
-      .localCheckpoint(true)
+      .materialize()
     for (k <- 1 to 4) {
       val frontier = state.where(col("imp"))
       val cand = edges
@@ -324,7 +325,7 @@ object Graph {
           least(col("v.dist"), col("c.nd")).as("dist"), // least skips nulls
           (col("c.nd").isNotNull &&
             (col("v.dist").isNull || col("c.nd") < col("v.dist"))).as("imp"))
-      state = if (k < 4) state.localCheckpoint(true) else state
+      state = if (k < 4) state.materialize() else state
     }
     state.select(col("node"), col("dist"))
       .orderBy(col("dist"), col("node")).limit(100)
@@ -371,7 +372,7 @@ object Graph {
     * keeping the oracle an exact unrolled replay, the g4 trade).
     *
     * Per round: one degree agg + one semi-join on each endpoint against
-    * the surviving-node set, localCheckpoint'd — at cluster scale edges
+    * the surviving-node set, materialized — at cluster scale edges
     * stay partitioned by src and the node set broadcasts (it only
     * shrinks). Output is the surviving 3-core with final degrees —
     * integer-only state, no float discipline.
@@ -380,7 +381,7 @@ object Graph {
     val base = bipartiteBase(s, d)
     var edges = base
       .unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .materialize()
     for (r <- 1 to 5) {
       val ok = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= 3)
@@ -388,7 +389,7 @@ object Graph {
       edges = edges
         .join(ok.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(ok.select(col("node").as("dst")), Seq("dst"), "left_semi")
-      edges = if (r < 5) edges.localCheckpoint(true) else edges
+      edges = if (r < 5) edges.materialize() else edges
     }
     edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("node")).limit(100)
@@ -450,7 +451,7 @@ object Graph {
         Window.partitionBy(col("u")).orderBy(col("cnt").desc, col("k"))))
       .where(col("rn") <= 20)
       .select(col("u"), col("k"))
-      .localCheckpoint(true) // 2 join sides + item counts + the N scalar
+      .materialize() // 2 join sides + item counts + the N scalar
     val nUsers = capped.select(countDistinct(col("u")).as("n_users"))
     val itemN = capped.groupBy(col("k")).agg(count(lit(1)).as("ni"))
     val pairs = capped.as("x").join(capped.as("y"),
@@ -521,7 +522,7 @@ object Graph {
           col("a.l_suppkey") < col("b.l_suppkey"))
       .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
       .distinct()
-      .localCheckpoint(true) // feeds deg, the wedge join, and the anti-join
+      .materialize() // feeds deg, the wedge join, and the anti-join
     val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
     val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     val byZ = und.select(col("v").as("z"), col("u").as("nb"))
@@ -592,7 +593,7 @@ object Graph {
     val base = bipartiteBase(s, d)
     val labels = labelPropagate(
       base.unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true), // probed once per round
+        .materialize(), // probed once per round
       rounds = 3)
     labels.groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
@@ -682,7 +683,7 @@ object Graph {
       .select(col("src"), col("dst"),
         (row_number().over(part.orderBy(col("dst"))) - 1).cast("long").as("rnk"),
         count(lit(1)).over(part).as("deg"))
-      .localCheckpoint(true) // the adjacency index — probed once per hop
+      .materialize() // the adjacency index — probed once per hop
     def pick(i: Int): DataFrame = ranked
       .filter(col("rnk") ===
         pmod(md5Hash62(concat(col("src"), lit(s"#$i"))), col("deg")))
@@ -792,7 +793,7 @@ object Graph {
     * side — never a global sort of the node set.
     */
   val g11Hits: Q = (s, d) => {
-    val edges = bipartiteBase(s, d).localCheckpoint(true)
+    val edges = bipartiteBase(s, d).materialize()
     val auth1 = edges.groupBy(col("dst")).agg(count(lit(1)).as("a1"))
     val hub1 = edges.join(auth1, "dst")
       .groupBy(col("src")).agg(sum(col("a1")).as("h1"))
@@ -867,9 +868,9 @@ object Graph {
     val base = bipartiteBase(s, d)
     val edges = base.unionAll(
         base.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true) // probed per LPA round + deg + intra
+      .materialize() // probed per LPA round + deg + intra
     val labels = labelPropagate(edges, rounds = 3)
-      .localCheckpoint(true) // probed three times below
+      .materialize() // probed three times below
     modularityContrib(edges, labels)
       .orderBy(col("n_nodes").desc, col("label"))
       .limit(50)
@@ -980,7 +981,7 @@ object Graph {
         row_number().over(Window.partitionBy(col("src"))
           .orderBy(md5Hash62(concat(col("src"), lit(">"), col("dst"))),
             col("dst"))).as("rnk"))
-      .localCheckpoint(true) // the sampling index — probed once per hop
+      .materialize() // the sampling index — probed once per hop
     val seeds = Tables.load(s, d, "events")
       .filter(col("event_type") === "signup" && col("user_id") % 199 === 0)
       .select(concat(lit("u"), col("user_id")).as("seed")).distinct()

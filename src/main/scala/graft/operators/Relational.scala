@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.Materialize._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -1124,7 +1125,7 @@ object Relational {
     val points = sessions
       .select(unix_micros(col("st")).as("pt_us"), lit(1).as("delta"))
       .unionAll(sessions.select(col("end_us").as("pt_us"), lit(-1).as("delta")))
-      .localCheckpoint(true) // sweep reads it twice (totals + ranked pass)
+      .materialize() // sweep reads it twice (totals + ranked pass)
     // Distributed prefix sum: shard the timeline into equal-width buckets,
     // running-sum within each shard (parallel windows), then add each
     // shard's exclusive-prefix offset (per-shard totals are one tiny row
@@ -2138,7 +2139,7 @@ object Relational {
         }
       }
       .toDF("user_id", "v", "n")
-      .localCheckpoint(true) // materialized once: the bound check below + stage 2
+      .materialize() // materialized once: the bound check below + stage 2
     // Stage 2's single-partition window is safe ONLY because its input is
     // the union of per-partition frontiers; promote that claim to a loud
     // runtime guard so a pathological (strongly anti-correlated v/n)
@@ -2300,7 +2301,7 @@ object Relational {
       .select(wk.as("week"), col("user_id"))
       .groupBy(col("week"))
       .agg(bitmapWords(col("user_id"), bitmapCapacity(s, ev)).as("bm"))
-      .localCheckpoint(true) // one fact scan; both join sides reuse it
+      .materialize() // one fact scan; both join sides reuse it
     val pairs = wb.select(col("week"), col("bm").as("bma"))
       .join(wb.select(col("week").as("wkb"), col("bm").as("bmb")),
         col("wkb") - col("week") >= 1 && col("wkb") - col("week") <= 4)
@@ -2860,7 +2861,7 @@ object Relational {
       .groupBy(col("day"))
       .agg(bitmapWords(col("user_id"), bitmapCapacity(s, ev)).as("bm"),
         count(lit(1)).as("n_events"))
-      .localCheckpoint(true) // one fact scan; both join sides + DAU reuse it
+      .materialize() // one fact scan; both join sides + DAU reuse it
     val dau = db.select(col("day"), col("n_events"),
       expr("aggregate(bm, 0L, (acc, x) -> acc + bit_count(x))").as("dau"))
     val wau = db.select(col("day"), posexplode(col("bm")).as(Seq("pos", "w")))
@@ -3061,7 +3062,7 @@ object Relational {
     val totals = t(s, d, "lineitem")
       .groupBy(col("l_partkey"))
       .agg(sumCents(col("l_extendedprice")).as("cents"))
-      .localCheckpoint(true) // read thrice: domain probe, shard totals, ranked pass
+      .materialize() // read thrice: domain probe, shard totals, ranked pass
     val Row(loC: Long, hiC: Long) =
       totals.agg(min(col("cents")), max(col("cents"))).head()
     val nShards = math.max(1, s.sparkContext.defaultParallelism)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.Materialize._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -1350,7 +1351,7 @@ object Similarity {
   val v13TruncationEval: Q = (s, d) => {
     val exact = v1KnnBrute(s, d).select(col("q_id"), col("n_id"))
       .withColumn("hit", lit(1L))
-      .localCheckpoint(true) // joined under each truncated pass
+      .materialize() // joined under each truncated pass
     val e = emb(s, d)
     val truncTop = TruncDims.map { dm =>
       val q = e.filter(col("vec_id") < NQ)

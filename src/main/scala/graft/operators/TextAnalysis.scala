@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.Materialize._
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -637,7 +638,7 @@ object TextAnalysis {
   def globalPackingDocs(countedIn: DataFrame, budget: Long): DataFrame = {
     val s = countedIn.sparkSession
     val counted = countedIn
-      .localCheckpoint(true) // read twice: shard totals + the ranked pass
+      .materialize() // read twice: shard totals + the ranked pass
     val row = counted.agg(min(col("doc_id")), max(col("doc_id"))).head()
     if (row.isNullAt(0)) { // empty corpus → empty assignment
       return counted.select(col("doc_id"), lit(0L).as("n_tok"),
@@ -792,7 +793,7 @@ object TextAnalysis {
   /** t17's core as a reusable frame: per-doc (doc_id, n_bigrams, h) where
     * `h` is the SORTED-fold sum of the bigram -log2 terms (bitwise-stable
     * doubles). `toks` must carry (doc_id, t) and be CHEAP TO RE-READ
-    * (already localCheckpointed) — it feeds bigrams, contexts, and the
+    * (already materialized) — it feeds bigrams, contexts, and the
     * vocab count. Shared by t17 and t27.
     */
   private def lmDocScores(toks: DataFrame): DataFrame = {
@@ -804,7 +805,7 @@ object TextAnalysis {
         element_at(col("t"), col("i") + 2).as("w2"))
       // the widest frame in the query feeds THREE consumers (bigram
       // counts, context counts, the scoring join) — materialize once
-      .localCheckpoint(true)
+      .materialize()
     val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
     val ctx = big.groupBy(col("w1")).agg(count(lit(1)).as("cc"))
     val vocab = toks.select(explode(col("t")).as("w"))
@@ -824,7 +825,7 @@ object TextAnalysis {
   val t17LmScore: Q = (s, d) =>
     lmDocScores(
       docs(s, d).select(col("doc_id"), lowerTokens(col("text")).as("t"))
-        .localCheckpoint(true))
+        .materialize())
       .select(col("doc_id"), col("n_bigrams"),
         sround(col("h") / col("n_bigrams"), 4).as("avg_neg_log2p"))
       .orderBy("doc_id")
@@ -875,7 +876,7 @@ object TextAnalysis {
   val t27CcnetBuckets: Q = (s, d) => {
     val toks = docs(s, d)
       .select(col("doc_id"), col("lang"), lowerTokens(col("text")).as("t"))
-      .localCheckpoint(true) // feeds the LM pipeline AND the meta join
+      .materialize() // feeds the LM pipeline AND the meta join
     val scored = lmDocScores(toks.select(col("doc_id"), col("t")))
       .select(col("doc_id"),
         floor(col("h") / col("n_bigrams") * 10000.0 + lit(0.5))
@@ -1054,7 +1055,7 @@ object TextAnalysis {
       .select(explode(lowerTokens(col("text"))).as("token"))
       .select(col("token"),
         graft.expressions.PortableHashExpressions.md5Hash62(col("token")).as("h"))
-      .localCheckpoint(true)
+      .materialize()
     val cms = toks.agg(CmsSketch.cmsBuild(col("h")).as("cms"))
     toks.groupBy(col("token"), col("h")).agg(count(lit(1)).as("exact_cnt"))
       .crossJoin(broadcast(cms)) // one 256 KiB row to every executor
@@ -1177,7 +1178,7 @@ object TextAnalysis {
         (graft.expressions.PortableHashExpressions.md5Hash62(
           concat_ws(" ", col("w1"), element_at(col("t"), col("i") + 2))) % B).as("b"))
       // feeds the model agg, the totals agg, and the scoring join
-      .localCheckpoint(true)
+      .materialize()
     val isTgt = when(col("lang") === "en", 1L).otherwise(0L)
     val model = big.groupBy(col("b"))
       .agg(count(lit(1)).as("rc"), sum(isTgt).as("tc"))
@@ -1234,7 +1235,7 @@ object TextAnalysis {
     * on the WORD-FREQUENCY table, not the corpus: one corpus scan builds
     * (word, freq) — vocab-sized, ~10k rows at any corpus size — and each
     * round is {explode pairs → hash agg → 1-row top pair broadcast →
-    * columnar replace}, localCheckpoint'd so the loop's plan stays flat.
+    * columnar replace}, materialized so the loop's plan stays flat.
     * This mirrors how production BPE trainers work (merge on the vocab
     * multiset, never re-scan the corpus).
     *
@@ -1251,7 +1252,7 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
         .as("syms"), col("freq"))
-      .localCheckpoint(true) // corpus scanned ONCE; rounds run on vocab
+      .materialize() // corpus scanned ONCE; rounds run on vocab
     var words = words0
     var merges: DataFrame = null
     for (r <- 1 to 5) {
@@ -1267,7 +1268,7 @@ object TextAnalysis {
         .limit(1)
         .select(lit(r).as("rank"), col("a"), col("b"),
           concat(col("a"), col("b")).as("merged"), col("pf"))
-        .localCheckpoint(true) // consumed by the output union AND the apply
+        .materialize() // consumed by the output union AND the apply
       merges = if (merges == null) top else merges.unionAll(top)
       if (r < 5) {
         words = words.crossJoin(broadcast(top.select(
@@ -1275,7 +1276,7 @@ object TextAnalysis {
           .select(expr(
             "replace(syms, ' ' || ma || ' ' || mb || ' ', ' ' || mm || ' ')")
             .as("syms"), col("freq"))
-          .localCheckpoint(true) // keep the per-round plan flat
+          .materialize() // keep the per-round plan flat
       }
     }
     merges.orderBy(col("rank"))
@@ -1821,7 +1822,7 @@ object TextAnalysis {
         col("doc_id") +: size(col("t")).cast("long").as("dl") +:
           bm25Terms.map(q =>
             size(filter(col("t"), x => x === lit(q))).cast("long").as(s"tf_$q")): _*)
-      .localCheckpoint(true) // feeds the stats agg AND the scoring pass
+      .materialize() // feeds the stats agg AND the scoring pass
     val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
       bm25Terms.map(q => sum((col(s"tf_$q") > 0).cast("long")).as(s"df_$q"))
     val stats = base.agg(statCols.head, statCols.tail: _*)

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.Materialize._
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Dedup
@@ -70,8 +71,8 @@ object CorpusPipeline {
     val raw = rawDocs(s, d)
     // each stage is consumed at least twice (its own count + the next
     // stage's input); checkpoint so the funnel computes every stage once
-    val qualityM = qualityStage(raw).localCheckpoint(true)
-    val keepers = exactDedupStage(qualityM).localCheckpoint(true)
+    val qualityM = qualityStage(raw).materialize()
+    val keepers = exactDedupStage(qualityM).materialize()
     Seq("raw" -> raw, "quality" -> qualityM, "exact_dedup" -> keepers)
   }
 
@@ -106,7 +107,7 @@ object CorpusPipeline {
       keepers.select(col("doc_id")), Dedup.ngramPairs(keepers))
     val canon = keepers.join(
       comps.filter(col("doc_id") === col("cluster_id")).select(col("doc_id")),
-      "doc_id").localCheckpoint(true)
+      "doc_id").materialize()
     front :+ ("neardup_dedup" -> canon)
   }
 
@@ -214,15 +215,15 @@ object CorpusPipeline {
     val raw = front.head._2
     val keepers = front.last._2
 
-    val train = keepers.filter(col("doc_id") % 20 =!= 0).localCheckpoint(true)
+    val train = keepers.filter(col("doc_id") % 20 =!= 0).materialize()
     // t9/t23's fused-kernel shape inside deconStage: per-doc-distinct
     // md5-62 long lanes, no string gram rows, no cross-row distinct shuffle
-    val decon = deconStage(train, raw).localCheckpoint(true)
+    val decon = deconStage(train, raw).materialize()
 
     val packedDocs = graft.operators.TextAnalysis.globalPackingDocs(
       decon.select(col("doc_id"),
         size(lowerTokens(col("text"))).cast("long").as("n_tok")),
-      budget = PackBudget).localCheckpoint(true)
+      budget = PackBudget).materialize()
 
     val counts = front.map { case (name, df) => name -> df.count() } ++
       Seq("holdout_split" -> train.count(), "decontaminate" -> decon.count())
@@ -336,7 +337,7 @@ object CorpusPipeline {
     val base = docs.select(col("doc_id"), col("source"), col("lang"),
       md5(graft.functions.TextFunctions.normText(col("text"))).as("fp"))
       .join(quality, "doc_id")
-      .localCheckpoint(true) // feeds the card agg and the lang profile
+      .materialize() // feeds the card agg and the lang profile
     val card = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -547,7 +548,7 @@ object CorpusPipeline {
     import org.apache.spark.sql.expressions.Window
     val base = df
       .withColumn("_shard", shiftright(col(h), 62 - 6).cast("int"))
-      .localCheckpoint(true) // feeds shard totals + the ranked pass
+      .materialize() // feeds shard totals + the ranked pass
     val offMap: Map[String, Long] = {
       val totals = base.groupBy(col(key), col("_shard"))
         .agg(sum(col(v)).as("tot")).collect()
@@ -719,7 +720,7 @@ object CorpusPipeline {
   def p7SftPacking(s: SparkSession, d: String): DataFrame = {
     val perDoc = graft.operators.TextAnalysis.t31SftMask(s, d)
       .select(col("doc_id"), col("n_tokens").as("n_tok"),
-        col("n_loss_tokens")).localCheckpoint(true)
+        col("n_loss_tokens")).materialize()
     val packed = graft.operators.TextAnalysis.globalPackingDocs(
       perDoc.select(col("doc_id"), col("n_tok")), budget = PackBudget)
     packed.join(perDoc.select(col("doc_id"), col("n_loss_tokens")), "doc_id")

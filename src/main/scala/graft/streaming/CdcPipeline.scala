@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.Materialize._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
@@ -64,8 +65,8 @@ object CdcPipeline {
       .filter(col("rn") === 1).drop("rn")
       // eager materialization BEFORE the overwrite: the plan reads the
       // same files the write truncates, and lazy evaluation would read
-      // after truncation (localCheckpoint pins the rows in block storage)
-      .localCheckpoint(true)
+      // after truncation (Materialize pins the rows — localCheckpoint locally, reliable checkpoint on a cluster)
+      .materialize()
     merged.write.mode("overwrite").parquet(tablePath)
     // downstream model: the live (tombstone-free) view every consumer
     // joins against — refreshed transactionally with the state

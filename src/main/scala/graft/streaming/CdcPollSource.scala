@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.Materialize._
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -99,10 +100,10 @@ object CdcPollSource {
       options: Map[String, String] = Map.empty): Long = {
     import spark.implicits._
     val after = readWatermark(watermarkPath)
-    // eager localCheckpoint: the delta is read from the DB exactly once
+    // eager Materialize: the delta is read from the DB exactly once
     // and reused by the max-lsn probe, the merge, and the count
     val changes = pollChanges(spark, url, table, after, options)
-      .localCheckpoint(true)
+      .materialize()
     val mx = changes.toDF().agg(max(col("lsn"))).head()
     if (mx.isNullAt(0)) 0L
     else {
