@@ -248,7 +248,7 @@ object CorpusPipeline {
     * t9, the global-window packing from t15).
     */
   val p2TrainingPrepSql: String =
-    """WITH f AS (
+    raw"""WITH f AS (
       |  SELECT doc_id,
       |    CAST(length(text) AS BIGINT) AS len_c,
       |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tok,
@@ -294,7 +294,7 @@ object CorpusPipeline {
       |packs AS (
       |  SELECT count(DISTINCT pid) AS n FROM (
       |    SELECT CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS pid
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / ${PackBudget}) AS BIGINT) AS pid
       |    FROM decon))
       |SELECT 'quality' AS stage,
       |  (SELECT count(*) FROM documents) AS docs_in,
@@ -689,7 +689,7 @@ object CorpusPipeline {
     * the Spark side must not), same masked-md5 signature sum.
     */
   val p6EpochShuffleSql: String =
-    """WITH b AS (
+    raw"""WITH b AS (
       |  SELECT doc_id,
       |    CAST(md5_number_lower('1#' || CAST(doc_id AS VARCHAR))
       |      & 4611686018427387903 AS BIGINT) AS h,
@@ -699,7 +699,7 @@ object CorpusPipeline {
       |  SELECT doc_id, sig,
       |    CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
       |  FROM b)
-      |SELECT CAST(floor(pos / 256) AS BIGINT) AS shard_id,
+      |SELECT CAST(floor(pos / ${DocsPerShard}) AS BIGINT) AS shard_id,
       |  CAST(count(*) AS BIGINT) AS n_docs,
       |  min(pos) AS first_pos, max(pos) AS last_pos,
       |  CAST(sum(sig) AS BIGINT) AS signature
@@ -736,7 +736,7 @@ object CorpusPipeline {
 
   /** Oracle: t31's per-doc arithmetic + p2's prefix-sum pack id. */
   val p7SftPackingSql: String =
-    """WITH tt AS (
+    raw"""WITH tt AS (
       |  SELECT doc_id,
       |    list_filter(list_transform(regexp_split_to_array(text, '\. '),
       |      x -> trim(x)), x -> x != '') AS turns
@@ -756,7 +756,7 @@ object CorpusPipeline {
       |pk AS (
       |  SELECT doc_id, n_tok, n_loss,
       |    CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / ${PackBudget})
       |      AS BIGINT) AS pack_id
       |  FROM pd)
       |SELECT pack_id, count(*) AS n_docs,

@@ -82,6 +82,15 @@ object DriftStream {
   def processBatch(spark: SparkSession, statePath: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val gens = sealedGens(spark, statePath)
+    // Generation ids are COUPLED to one checkpoint lineage (gen ==
+    // batchId). A fresh checkpoint (ids restarting at 0) pointed at an
+    // existing statePath would silently no-op on every batch until its
+    // ids passed the old max gen — fail loudly instead (ADVICE round 10).
+    require(batchId > 0 || gens.isEmpty,
+      s"DriftStream state at $statePath has sealed generations " +
+        s"(max ${gens.max}) but this checkpoint is starting at batch 0 — " +
+        "state and checkpoint belong to different lineages; point the fresh " +
+        "checkpoint at a fresh statePath (or restore the old checkpoint)")
     if (gens.exists(_ >= batchId)) return // sealed before the crash: replay no-op
     val parent = gens.filter(_ < batchId).foldLeft(-1L)(math.max)
     val prev = profileAt(spark, statePath, parent)

@@ -35,6 +35,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   _meta                 one line: the partition count
   *   p=<k>/<start20>-<count>.log   records [start, start+count), one per
   *                         line: `offset \t tsMillis \t b64(key) \t b64(value)`
+  *   p=<k>/_start          retention watermark (log-start offset); absent = 0
+  *   _epochs/e<epoch>.manifest     sink epoch commit points (see commitEpoch)
+  *   _epochs/_watermark    highest expired epoch (see expireEpochs); absent = -1
   *
   * Segment files are immutable once visible and named by their offset
   * range, so the high-water mark and batch planning are pure LISTING
@@ -130,6 +133,147 @@ object OffsetLog {
   def highWaters(conf: Configuration, dir: String): Map[Int, Long] =
     (0 until numPartitions(conf, dir)).map(p => p -> highWater(conf, dir, p)).toMap
 
+  // ------------------------------------------------------------ retention
+  // Kafka's retention contract (round-11 verdict item 3): segments below a
+  // per-partition watermark are deleted WHOLE, the log-start offset
+  // advances durably, and any read planned below it fails loudly instead
+  // of silently replaying a hole. The active (last) segment is never
+  // deleted, so the high-water mark stays a pure listing like before.
+
+  /** Durable log-start offset of a partition (0 until first expire).
+    * Stored as one line in `p=<k>/_start`, published by rename like
+    * segments — a crashed expire leaves the old value, never a torn one.
+    */
+  def logStart(conf: Configuration, dir: String, p: Int): Long = {
+    val (fs, _) = fsFor(dir, conf)
+    val f = new Path(pdir(dir, p), "_start")
+    if (!fs.exists(f)) 0L
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next().trim.toLong
+      finally in.close()
+    }
+  }
+
+  def logStarts(conf: Configuration, dir: String): Map[Int, Long] =
+    (0 until numPartitions(conf, dir)).map(p => p -> logStart(conf, dir, p)).toMap
+
+  private def writeLogStart(fs: FileSystem, dir: String, p: Int, v: Long): Unit = {
+    val d = pdir(dir, p)
+    val tmp = new Path(d, "._start.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    fs.delete(new Path(d, "_start"), false)
+    require(fs.rename(tmp, new Path(d, "_start")),
+      s"offsetlog expire: publish rename failed for p=$p _start")
+  }
+
+  /** Advance a partition's retention watermark to `upTo` (exclusive: all
+    * offsets below it are declared expired) and delete every whole
+    * segment at or below it. The LAST segment survives even when fully
+    * expired — the Kafka active-segment rule — so `highWater` remains
+    * listing-derived; its expired rows are fenced by the watermark, not
+    * by deletion. Monotone and clamped: the recorded start never goes
+    * backward and never passes the high-water mark. Returns the new
+    * log-start offset.
+    */
+  def expire(conf: Configuration, dir: String, p: Int, upTo: Long): Long = {
+    val (fs, _) = fsFor(dir, conf)
+    val segs = segments(conf, dir, p)
+    val hw = segs.foldLeft(0L) { case (m, (_, s, c)) => math.max(m, s + c) }
+    val newStart = math.max(logStart(conf, dir, p), math.min(upTo, hw))
+    writeLogStart(fs, dir, p, newStart) // fence FIRST: a crash between the
+    // two steps leaves expired-but-present segments (harmless), never
+    // deleted-but-readable offsets
+    segs.dropRight(1).foreach { case (path, s, c) =>
+      if (s + c <= newStart) fs.delete(new Path(path), false)
+    }
+    newStart
+  }
+
+  /** Expire all partitions to one watermark; returns the new starts. */
+  def expireAll(conf: Configuration, dir: String, upTo: Long): Map[Int, Long] =
+    (0 until numPartitions(conf, dir)).map(p => p -> expire(conf, dir, p, upTo)).toMap
+
+  /** Fail-loud guard shared by batch + stream planning. */
+  private[streaming] def checkNotExpired(conf: Configuration, dir: String,
+      p: Int, from: Long): Long = {
+    val ls = logStart(conf, dir, p)
+    require(from >= ls,
+      s"offsetlog $dir p=$p: planned read from offset $from but offsets below " +
+        s"$ls are expired (retention). Restart the query from a fresh " +
+        "checkpoint or raise the retention watermark.")
+    from
+  }
+
+  // -------------------------------------------------- epoch-manifest GC
+  /** Expire epoch manifests at or below `upToEpoch` and reclaim crashed
+    * `.e<epoch>-p<k>.tmp` stagings of those epochs (the two unbounded-
+    * growth classes — ADVICE round 10). Durable watermark first
+    * (`_epochs/_watermark`, rename-published): [[commitEpoch]] refuses an
+    * epoch at or below it whose manifest is gone, because completing such
+    * a replay without its manifest would re-append rows and break
+    * exactly-once. Only manifests whose renames have COMPLETED (no
+    * pending final segment missing) are deleted; an incomplete one at or
+    * below the watermark fails loudly rather than vanishing.
+    */
+  def expireEpochs(conf: Configuration, dir: String, upToEpoch: Long): Unit = {
+    val (fs, root) = fsFor(dir, conf)
+    val edir = new Path(root, "_epochs")
+    if (!fs.exists(edir)) fs.mkdirs(edir)
+    val wmFile = new Path(edir, "_watermark")
+    val cur = epochWatermark(conf, dir)
+    val wm = math.max(cur, upToEpoch)
+    val tmp = new Path(edir, "._watermark.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$wm\n".getBytes("UTF-8")) finally out.close()
+    fs.delete(wmFile, false)
+    require(fs.rename(tmp, wmFile), "offsetlog expireEpochs: watermark rename failed")
+    val ManifestRe = """e(\d{20})\.manifest""".r
+    fs.listStatus(edir).foreach { st =>
+      st.getPath.getName match {
+        case ManifestRe(e) if e.toLong <= wm =>
+          // safe to drop only once every recorded rename completed
+          val in = fs.open(st.getPath)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList finally in.close()
+          val pending = lines.filter(_.nonEmpty).exists { ln =>
+            val Array(p, _, fin) = ln.split("\t", 3)
+            !fs.exists(new Path(pdir(dir, p.toInt), fin))
+          }
+          require(!pending,
+            s"offsetlog expireEpochs: epoch ${e.toLong} at/below watermark $wm has " +
+              "incomplete renames — complete it (re-run commitEpoch) before expiring")
+          fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+    // crashed stagings of expired epochs can never legitimately complete
+    // (their replay is refused below), so they are garbage by definition
+    val TmpRe = """\.e(\d{20})-p\d+\.tmp""".r
+    (0 until numPartitions(conf, dir)).foreach { p =>
+      val d = pdir(dir, p)
+      if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+        st.getPath.getName match {
+          case TmpRe(e) if e.toLong <= wm => fs.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  /** Highest expired epoch (-1 until first [[expireEpochs]]). */
+  def epochWatermark(conf: Configuration, dir: String): Long = {
+    val (fs, root) = fsFor(dir, conf)
+    val f = new Path(root, "_epochs/_watermark")
+    if (!fs.exists(f)) -1L
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next().trim.toLong
+      finally in.close()
+    }
+  }
+
   /** Sink partition for a record key: stable key-hash routing, Kafka's
     * default partitioner shape — all records of one key share a partition,
     * so per-key order rides that partition's offsets.
@@ -172,6 +316,10 @@ object OffsetLog {
       }
     }
     if (fs.exists(marker)) { completeRenames(); return }
+    require(epochId > epochWatermark(conf, dir),
+      s"offsetlog $dir: replay of epoch $epochId at/below the expired-epoch " +
+        s"watermark ${epochWatermark(conf, dir)} with its manifest gone — " +
+        "appending would duplicate rows; restart from a fresh checkpoint")
     if (rows.isEmpty) { fs.create(marker, false).close(); return }
     val now = System.currentTimeMillis()
     val b64 = Base64.getEncoder
@@ -217,13 +365,30 @@ case class OffsetLogInputPartition(
     files: Seq[(String, Long)], partition: Int,
     start: Long, end: Long) extends InputPartition
 
-class OffsetLogReaderFactory extends PartitionReaderFactory {
+/** Java-serialization wrapper for a Hadoop Configuration (the standard
+  * Spark pattern): the DRIVER's resolved conf — spark.hadoop.* overrides,
+  * object-store credentials — ships to executors instead of each reader
+  * rebuilding a default Configuration that silently lacks them (ADVICE
+  * round 10: both halves of the source must resolve filesystems alike).
+  */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+class OffsetLogReaderFactory(confSer: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val slice = p.asInstanceOf[OffsetLogInputPartition]
     new PartitionReader[InternalRow] {
-      // fresh conf on the executor: resolves file:// directly and any
-      // deployed core-site for cluster filesystems
-      private val conf = new Configuration()
+      private val conf = confSer.value
       private val b64 = Base64.getDecoder
       private val fileIter = slice.files.iterator
       private var reader: java.io.BufferedReader = _
@@ -271,7 +436,10 @@ class OffsetLogMicroBatchStream(dir: String) extends MicroBatchStream {
   private val n = OffsetLog.numPartitions(conf, dir)
 
   override def initialOffset(): Offset =
-    LogOffsets((0 until n).map(_ -> 0L).toMap)
+    // a fresh checkpoint starts at each partition's retention watermark,
+    // not 0 — reading an already-expired prefix must be impossible, not
+    // merely an error
+    LogOffsets(OffsetLog.logStarts(conf, dir))
   override def latestOffset(): Offset = LogOffsets(OffsetLog.highWaters(conf, dir))
   override def deserializeOffset(json: String): Offset = LogOffsets.parse(json)
 
@@ -282,6 +450,7 @@ class OffsetLogMicroBatchStream(dir: String) extends MicroBatchStream {
       val (ps, pe) = (s.getOrElse(p, 0L), e.getOrElse(p, 0L))
       if (pe <= ps) None
       else {
+        OffsetLog.checkNotExpired(conf, dir, p, ps)
         val files = OffsetLog.segments(conf, dir, p)
           .filter { case (_, fStart, cnt) => fStart < pe && fStart + cnt > ps }
           .map { case (path, fStart, _) => (path, fStart) }
@@ -290,7 +459,7 @@ class OffsetLogMicroBatchStream(dir: String) extends MicroBatchStream {
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new OffsetLogReaderFactory
+    new OffsetLogReaderFactory(new SerializableHadoopConf(conf))
   override def commit(end: Offset): Unit = () // retention is the caller's policy
   override def stop(): Unit = ()
 }
@@ -301,14 +470,15 @@ class OffsetLogBatch(dir: String) extends Batch {
     val n = OffsetLog.numPartitions(conf, dir)
     (0 until n).flatMap { p =>
       val hw = OffsetLog.highWater(conf, dir, p)
-      if (hw == 0L) None
+      val ls = OffsetLog.logStart(conf, dir, p)
+      if (hw <= ls) None
       else Some(OffsetLogInputPartition(
         OffsetLog.segments(conf, dir, p).map { case (path, s, _) => (path, s) },
-        p, 0L, hw))
+        p, ls, hw))
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new OffsetLogReaderFactory
+    new OffsetLogReaderFactory(new SerializableHadoopConf(conf))
 }
 
 /** A task's routed records: (logPartition, key, value), with the Spark

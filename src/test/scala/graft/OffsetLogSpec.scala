@@ -256,4 +256,145 @@ class OffsetLogSpec extends SparkSpec {
     assert(streamed.map(t => (t._1, t._2, t._3)) == batch.map(t => (t._1, t._2, t._3)),
       "stream and batch window counts must agree")
   }
+
+  test("retention: expire trims whole segments, fences reads, and the retained delta replays bit-identically") {
+    val dir = newLog(2)
+    val ckpt = Files.createTempDirectory("offsetlog_ret_ckpt").toString
+    OffsetLog.append(spark, dir, 0, 1000L, (0 until 4).map(i => s"a$i" -> s"$i"))
+    OffsetLog.append(spark, dir, 0, 2000L, (4 until 8).map(i => s"a$i" -> s"$i"))
+    OffsetLog.append(spark, dir, 0, 3000L, (8 until 10).map(i => s"a$i" -> s"$i"))
+    OffsetLog.append(spark, dir, 1, 1000L, (0 until 3).map(i => s"b$i" -> s"$i"))
+    val conf = spark.sessionState.newHadoopConf()
+
+    // a stream consumes everything, checkpointing its position
+    def drain(): Seq[String] = {
+      val buf = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val q = spark.readStream.format("offsetlog").load(dir)
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select($"key").as[String].collect().foreach(buf.add)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+    assert(drain().size == 13)
+
+    // expire below offset 5 on p0: first segment [0,4) deleted whole, the
+    // straddling second one retained but fenced; p1 all expired — last
+    // segment survives (active-segment rule), fenced to hw
+    assert(OffsetLog.expire(conf, dir, 0, 5L) == 5L)
+    assert(OffsetLog.expire(conf, dir, 1, 99L) == 3L) // clamped to hw
+    assert(OffsetLog.segments(conf, dir, 0).map(_._2) == Seq(4L, 8L))
+    assert(OffsetLog.segments(conf, dir, 1).size == 1)
+    assert(OffsetLog.highWater(conf, dir, 0) == 10L) // hw unaffected
+    assert(OffsetLog.highWater(conf, dir, 1) == 3L)
+    // monotone: re-expiring lower never regresses
+    assert(OffsetLog.expire(conf, dir, 0, 2L) == 5L)
+
+    // batch read serves exactly the retained suffix
+    val rows = spark.read.format("offsetlog").load(dir)
+      .select($"partition", $"offset", $"key")
+      .as[(Int, Long, String)].collect().toSet
+    assert(rows == (5 until 10).map(i => (0, i.toLong, s"a$i")).toSet)
+
+    // the checkpointed stream sits ABOVE the watermark: new appends
+    // replay as a pure delta, bit-identical
+    OffsetLog.append(spark, dir, 0, 4000L, Seq("a10" -> "10"))
+    OffsetLog.append(spark, dir, 1, 4000L, Seq("b3" -> "3"))
+    assert(drain().sorted == Seq("a10", "b3"))
+
+    // a FRESH checkpoint starts at the watermark, not 0 — no dead range
+    val ckpt2 = Files.createTempDirectory("offsetlog_ret_ckpt2").toString
+    val buf2 = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val q2 = spark.readStream.format("offsetlog").load(dir)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt2)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select($"key").as[String].collect().foreach(buf2.add)
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(buf2.asScala.toSet == Set("a5", "a6", "a7", "a8", "a9", "a10", "b3"))
+
+    // planning a range below the watermark fails LOUDLY
+    val stream = new graft.streaming.OffsetLogMicroBatchStream(dir)
+    val err = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(
+        LogOffsets(Map(0 -> 0L, 1 -> 3L)), LogOffsets(Map(0 -> 10L, 1 -> 3L)))
+    }
+    assert(err.getMessage.contains("expired"))
+  }
+
+  test("retention: hourly rollup over the retained suffix == batch over the same suffix") {
+    val dir = newLog(2)
+    val evs = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .as[(Long, java.sql.Timestamp, String, Double)].collect()
+    evs.groupBy(_._1 % 2).foreach { case (p, rows) =>
+      rows.grouped(200).foreach { chunk => // several segments per partition
+        OffsetLog.append(spark, dir, p.toInt, 1000L,
+          chunk.map(r => r._1.toString -> s"${r._2.getTime}|${r._3}|${r._4}").toSeq)
+      }
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    OffsetLog.expireAll(conf, dir, 250L)
+    def parse(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(split($"value", "\\|").as("f"))
+        .select(timestamp_millis(element_at($"f", 1).cast("long")).as("ts"),
+          element_at($"f", 2).as("event_type"),
+          element_at($"f", 3).cast("double").as("value"))
+    val q = EventsStream.hourlyRollup(
+        parse(spark.readStream.format("offsetlog").load(dir)))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("olog_ret_hourly").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("olog_ret_hourly")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = parse(spark.read.format("offsetlog").load(dir))
+      .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"value").as("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed.map(t => (t._1, t._2, t._3)) == batch.map(t => (t._1, t._2, t._3)),
+      "retained-suffix stream and batch must agree")
+  }
+
+  test("epoch GC: manifests/tmps at or below the watermark are reclaimed; an expired replay refuses to double-append") {
+    val dir = newLog(2)
+    val conf = spark.sessionState.newHadoopConf()
+    OffsetLog.commitEpoch(conf, dir, 0L, Seq((0, "k0", "v0")))
+    OffsetLog.commitEpoch(conf, dir, 1L, Seq((1, "k1", "v1")))
+    OffsetLog.commitEpoch(conf, dir, 2L, Seq((0, "k2", "v2")))
+    // a crashed staging of an old epoch that never reached its manifest
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf)
+    val orphan = new org.apache.hadoop.fs.Path(
+      dir, f"p=1/.e${1L}%020d-p1.tmp")
+    fs.create(orphan, true).close()
+
+    OffsetLog.expireEpochs(conf, dir, 1L)
+    assert(OffsetLog.epochWatermark(conf, dir) == 1L)
+    val edir = new org.apache.hadoop.fs.Path(dir, "_epochs")
+    val left = fs.listStatus(edir).map(_.getPath.getName).toSet
+    assert(left == Set("_watermark", f"e${2L}%020d.manifest"),
+      s"only the watermark and epoch 2 should remain: $left")
+    assert(!fs.exists(orphan), "expired-epoch staging tmp must be reclaimed")
+
+    // replaying an expired epoch (manifest gone) must fail loudly, not
+    // silently re-append
+    val err = intercept[IllegalArgumentException] {
+      OffsetLog.commitEpoch(conf, dir, 1L, Seq((1, "k1", "v1")))
+    }
+    assert(err.getMessage.contains("watermark"))
+    // epoch 2 (above watermark, manifest present) still replays as no-op
+    OffsetLog.commitEpoch(conf, dir, 2L, Seq((0, "k2", "v2")))
+    assert(OffsetLog.highWater(conf, dir, 0) == 2L)
+    // watermark is monotone
+    OffsetLog.expireEpochs(conf, dir, 0L)
+    assert(OffsetLog.epochWatermark(conf, dir) == 1L)
+  }
 }
