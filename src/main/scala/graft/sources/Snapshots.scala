@@ -20,9 +20,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * manifests). Appends REUSE the parent's file list — no data rewrite, the
   * manifest grows by the delta's file count only. Old versions stay
   * readable until an explicit retention vacuum ([[expire]]) reclaims
-  * them. Single-writer contract: version numbers are claimed by listing,
-  * so concurrent committers need an external lock — same stance as Delta
-  * without a lock service.
+  * them. Concurrency: version numbers are claimed by listing + a
+  * create-EXCLUSIVE manifest write; a committer that loses the claim race
+  * either rebases and retries (appends — optimistic concurrency, the
+  * Iceberg/Delta shape: staged files are version-independent, only the
+  * manifest is recomputed against the new parent) or fails loudly
+  * (overwrites — replacing a table state that changed underneath is a
+  * decision for the caller, not the engine).
   *
   * `incrementalRead` is the consumer half: "give me only what v added
   * since w" — the delta feed that drives uber/Incremental-style
@@ -193,20 +197,56 @@ object Snapshots {
       relLines(spark, table, stage(df, table, v), statsCols))
   }
 
+  /** Attempt the create-exclusive manifest claim; false = LOST the race
+    * (the version now exists), any other IO failure propagates. The
+    * existence re-check distinguishes "beaten to the claim" from a real
+    * filesystem error — object stores surface both as IOException.
+    */
+  private def tryClaim(spark: SparkSession, table: String, v: Int,
+      note: String, lines: Seq[String]): Boolean =
+    try { writeManifest(spark, table, v, note, lines); true }
+    catch {
+      case e: java.io.IOException =>
+        val mp = manifestPath(table, v)
+        if (fs(spark, mp).exists(mp)) false else throw e
+    }
+
   /** Commit `df` as an APPEND: the new version = parent's files + the
     * delta's files; nothing is rewritten (prior manifest LINES are
     * carried verbatim, stats included). Returns the new version.
+    *
+    * Optimistic concurrency (round-11 verdict item 4): the delta's files
+    * are staged ONCE — they are version-independent immutable data, their
+    * `vNNNNN-` name prefix merely records the attempt that wrote them
+    * (Spark part-file UUIDs keep racing stagings collision-free). If the
+    * create-exclusive manifest claim is lost, the committer re-lists the
+    * table, REBASES its file list onto the new parent (append-on-anything
+    * is well-defined: the delta's rows join whatever state won), and
+    * re-claims the next version. Bounded retries; exhaustion fails loudly
+    * with nothing published — staged files without a manifest are exactly
+    * the orphan class [[vacuumOrphans]] reclaims.
     */
   def commitAppend(df: DataFrame, table: String,
       note: String = "append", statsCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
-    val parent = currentVersion(spark, table)
-    val prior =
-      if (parent == 0) Seq.empty
-      else fileLines(spark, table, parent)
-    val v = parent + 1
-    writeManifest(spark, table, v, note,
-      prior ++ relLines(spark, table, stage(df, table, v), statsCols))
+    val lines = relLines(spark, table,
+      stage(df, table, currentVersion(spark, table) + 1), statsCols)
+    val MaxRetries = 10
+    var attempt = 0
+    while (true) {
+      val parent = currentVersion(spark, table)
+      val prior =
+        if (parent == 0) Seq.empty
+        else fileLines(spark, table, parent)
+      val v = parent + 1
+      if (tryClaim(spark, table, v, note, prior ++ lines)) return v
+      attempt += 1
+      require(attempt < MaxRetries,
+        s"snapshot append on $table: lost the version claim $MaxRetries times " +
+          "in a row — giving up with nothing published (staged files are " +
+          "orphans; vacuumOrphans reclaims them)")
+    }
+    -1 // unreachable
   }
 
   /** Marker prefix that tags a version as a REWRITE (same logical rows,

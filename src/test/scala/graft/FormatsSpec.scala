@@ -248,6 +248,47 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("snapshot append race: racing appenders BOTH succeed — rebase onto the new parent, serialized versions, union rows") {
+    import graft.sources.Snapshots
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val table = Files.createTempDirectory("snap_apprace").toString + "/t"
+    Snapshots.commitOverwrite(Seq(1L).toDF("id"), table, "base")
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(4)
+    val results = (0 until 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          gate.await()
+          // optimistic retry: a lost claim rebases and re-claims, so no
+          // appender may throw
+          Snapshots.commitAppend(
+            Seq(100L + i).toDF("id"), table, s"appender $i")
+        }
+      })
+    }
+    gate.countDown()
+    val versions = results.map(_.get()).sorted
+    pool.shutdown()
+    // all four landed, on distinct serialized versions 2..5
+    assert(versions == Seq(2, 3, 4, 5), s"versions $versions")
+    assert(Snapshots.currentVersion(spark, table) == 5)
+    // the final version carries base + EVERY delta exactly once
+    val finalRows = Snapshots.readVersion(spark, table)
+      .as[Long].collect().sorted.toSeq
+    assert(finalRows == Seq(1L, 100L, 101L, 102L, 103L), s"rows $finalRows")
+    // intermediate versions are consistent prefixes: v(k) = base + k deltas
+    versions.foreach { v =>
+      val rows = Snapshots.readVersion(spark, table, Some(v))
+        .as[Long].collect().toSet
+      assert(rows.size == v, s"v$v has ${rows.size} rows: $rows")
+      assert(rows.contains(1L) && rows.forall(r => r == 1L || r >= 100L))
+    }
+    // incremental reads still see each delta exactly once across the race
+    val delta = Snapshots.incrementalRead(spark, table, since = 1)
+      .as[Long].collect().sorted.toSeq
+    assert(delta == Seq(100L, 101L, 102L, 103L), s"delta $delta")
+  }
+
   test("snapshot compaction: rows identical, files shrink, time travel intact, incremental reads stay row-neutral") {
     import graft.sources.Snapshots
     val table = Files.createTempDirectory("snap_compact").toString + "/docs"
