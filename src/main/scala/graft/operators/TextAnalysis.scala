@@ -1936,9 +1936,134 @@ object TextAnalysis {
       |    AS loss_share
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------- t32_preference_pairs
+  /** Preference-pair (RLHF/DPO) data assembly — the post-training step
+    * after t31's SFT accounting: build (prompt, chosen, rejected)
+    * records and audit them BEFORE a gradient sees them. Deterministic
+    * synthetic assembly over train-split docs (doc_id % 20 != 0, t9's
+    * convention): a doc's first 8 words are the PROMPT, the remainder its
+    * CHOSEN response (docs under 9 words can't form a pair and drop);
+    * the REJECTED response is the NEXT doc's response within the same
+    * (source, 4096-id block) — a standard hard-negative pairing. Per
+    * pair, the audits every preference pipeline runs:
+    *   degenerate   — chosen and rejected responses are EXACT dups under
+    *                  d1's canonical fingerprint (md5 of normalized
+    *                  text): a pair that teaches nothing and destabilizes
+    *                  a DPO margin;
+    *   contaminated — either side shares a word-8gram with the EVAL split
+    *                  (t9's semi-join kernel): a pair that leaks eval;
+    * plus token/loss accounting through t31's template (each turn costs
+    * its words + 2 framing tokens; loss covers assistant words + the end
+    * marker) for both branches — what a trainer weighs batches by.
+    *
+    * Scale shape: pairing is a lead() window over (source, id-block)
+    * with block size 4096, so no window partition exceeds 4096 rows no
+    * matter how big the corpus — the last doc of each block goes unpaired
+    * by design (1/4096 loss) instead of serializing a whole source
+    * through one reducer. Contamination is the t9 shape: distinct
+    * eval-gram semi-join, O(1) state per key.
+    */
+  def preferencePairs(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spanned = docsDf
+      .filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("source"), lowerTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 9)
+      .select(col("doc_id"), col("source"),
+        lit(8L).as("p_words"),
+        (size(col("toks")) - 8).cast("long").as("r_words"),
+        md5(concat_ws(" ", slice(col("toks"), lit(9), size(col("toks")) - 8)))
+          .as("fp"))
+    val w = Window
+      .partitionBy(col("source"), floor(col("doc_id") / 4096L))
+      .orderBy(col("doc_id"))
+    val paired = spanned.select(col("doc_id").as("pair_id"), col("p_words"),
+        col("r_words"), col("fp"),
+        lead(col("doc_id"), 1).over(w).as("rejected_id"),
+        lead(col("r_words"), 1).over(w).as("rej_words"),
+        lead(col("fp"), 1).over(w).as("rej_fp"))
+      .filter(col("rejected_id").isNotNull)
+    // t9's contamination kernel: docs carrying any eval-split 8-gram
+    val gd = docsDf
+      .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordNgrams(col("toks"), 8).as("ngrams"))
+      .select(col("doc_id"),
+        explode(graft.expressions.PortableHashExpressions
+          .md5HashArray62(col("ngrams"), distinctSorted = true)).as("g"))
+    val evalGrams = gd.filter(col("doc_id") % 20 === 0).select(col("g")).distinct()
+    val contaminated = gd.filter(col("doc_id") % 20 =!= 0)
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("dirty", lit(true))
+    paired
+      .join(contaminated.select(col("doc_id").as("pair_id"),
+        col("dirty").as("c_dirty")), Seq("pair_id"), "left")
+      .join(contaminated.select(col("doc_id").as("rejected_id"),
+        col("dirty").as("r_dirty")), Seq("rejected_id"), "left")
+      .select(col("pair_id"), col("rejected_id"),
+        (col("p_words") + col("r_words") + lit(4L)).as("n_tokens_chosen"),
+        (col("p_words") + col("rej_words") + lit(4L)).as("n_tokens_rejected"),
+        (col("r_words") + lit(1L)).as("n_loss_chosen"),
+        (col("rej_words") + lit(1L)).as("n_loss_rejected"),
+        (col("fp") === col("rej_fp")).as("degenerate"),
+        (coalesce(col("c_dirty"), lit(false)) ||
+          coalesce(col("r_dirty"), lit(false))).as("contaminated"))
+      .orderBy("pair_id")
+  }
+
+  val t32PreferencePairs: Q = (s, d) => preferencePairs(docs(s, d))
+
+  /** DuckDB twin: identical spans/lead pairing (1-based list slicing),
+    * d1's fingerprint spelling, t9's gram kernel.
+    */
+  val t32PreferencePairsSql: String =
+    """WITH tt AS (
+      |  SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '') AS t
+      |  FROM documents WHERE doc_id % 20 != 0),
+      |rw AS (
+      |  SELECT doc_id, source, CAST(8 AS BIGINT) AS p_words,
+      |    CAST(len(t) - 8 AS BIGINT) AS r_words,
+      |    md5(array_to_string(t[9:], ' ')) AS fp
+      |  FROM tt WHERE len(t) >= 9),
+      |pr AS (
+      |  SELECT doc_id AS pair_id, p_words, r_words, fp,
+      |    lead(doc_id) OVER w AS rejected_id,
+      |    lead(r_words) OVER w AS rej_words,
+      |    lead(fp) OVER w AS rej_fp
+      |  FROM rw
+      |  WINDOW w AS (PARTITION BY source, floor(doc_id / 4096) ORDER BY doc_id)),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      list_transform(range(1, len(t) - 6),
+      |        i -> array_to_string(t[i:i+7], ' ')),
+      |      gm -> CAST(md5_number_lower(gm) & 4611686018427387903 AS BIGINT))))
+      |      AS g
+      |  FROM toks WHERE len(t) >= 8),
+      |eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+      |cont AS (
+      |  SELECT DISTINCT doc_id FROM grams
+      |  WHERE doc_id % 20 != 0 AND g IN (SELECT g FROM eval_g))
+      |SELECT pair_id, rejected_id,
+      |  p_words + r_words + 4 AS n_tokens_chosen,
+      |  p_words + rej_words + 4 AS n_tokens_rejected,
+      |  r_words + 1 AS n_loss_chosen,
+      |  rej_words + 1 AS n_loss_rejected,
+      |  (fp = rej_fp) AS degenerate,
+      |  (pair_id IN (SELECT doc_id FROM cont)
+      |    OR rejected_id IN (SELECT doc_id FROM cont)) AS contaminated
+      |FROM pr WHERE rejected_id IS NOT NULL ORDER BY pair_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t31_sft_mask" -> t31SftMask,
+    "t32_preference_pairs" -> t32PreferencePairs,
     "t1_text_stats" -> t1TextStats,
     "t2_quality" -> t2Quality,
     "t3_lang_id" -> t3LangId,
@@ -1972,6 +2097,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t31_sft_mask" -> t31SftMaskSql,
+    "t32_preference_pairs" -> t32PreferencePairsSql,
     "t1_text_stats" -> t1TextStatsSql,
     "t2_quality" -> t2QualitySql,
     "t3_lang_id" -> t3LangIdSql,

@@ -603,4 +603,45 @@ class CurationSpec extends SparkSpec {
     assert(r(1L) == ((2L, 6L, 2L, 0.3333)))
     assert(r(2L) == ((1L, 6L, 0L, 0.0)))
   }
+
+  test("t32 preference pairs: planted degenerate + contamination flags, hand-computed token/loss, block fence") {
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val evalGram = words("e", 8) // the 8-gram shared with the eval split
+    val docs = Seq(
+      // eval doc (id % 20 == 0): carries the planted 8-gram
+      (20L, s"$evalGram ${words("w", 8)}", "s"),
+      // train pair (1,2): IDENTICAL responses "r1 r2 r3" -> degenerate
+      (1L, s"${words("p", 8)} r1 r2 r3", "s"),
+      (2L, s"${words("q", 8)} r1 r2 r3", "s"),
+      // doc 3's response IS the eval 8-gram -> pairs touching it are
+      // contaminated
+      (3L, s"${words("a", 8)} $evalGram", "s"),
+      (4L, s"${words("b", 8)} c1 c2", "s"),
+      // under 9 words: cannot form a prompt+response, must drop
+      (5L, "too short for a pair", "s"),
+      // same source, adjacent ids across the 4096 block fence: each is
+      // alone in its block, so NO pair crosses it
+      (4095L, s"${words("x", 8)} x9", "s"),
+      (4096L, s"${words("y", 8)} y9", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.preferencePairs(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().map(x => (x._1, x._2) -> ((x._3, x._4, x._5, x._6, x._7, x._8)))
+      .toMap
+    // exactly the in-block consecutive pairs — 5 dropped (short), so 4
+    // pairs with the NEXT survivor 4095 (still block 0); 4096 opens
+    // block 1 and no pair crosses the fence; the eval doc never pairs
+    assert(r.keySet == Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 4095L)),
+      s"pairs ${r.keySet}")
+    // (4,4095): responses "c1 c2" (2w) and "x9" (1w), both clean
+    assert(r((4L, 4095L)) == ((14L, 13L, 3L, 2L, false, false)))
+    // (1,2): both responses 3 words -> tokens 8+3+4=15 each, loss 4 each;
+    // identical responses -> degenerate, both docs clean -> uncontaminated
+    assert(r((1L, 2L)) == ((15L, 15L, 4L, 4L, true, false)))
+    // (2,3): rejected doc 3 carries the eval gram -> contaminated
+    assert(r((2L, 3L)) == ((15L, 20L, 4L, 9L, false, true)))
+    // (3,4): chosen doc 3 dirty -> contaminated; rejected 2-word response
+    assert(r((3L, 4L)) == ((20L, 14L, 9L, 3L, false, true)))
+  }
 }
