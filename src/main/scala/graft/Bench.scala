@@ -16,9 +16,10 @@ import org.apache.spark.sql.SparkSession
   * and parses the JSON out of that window. At 90 queries even
   * integer-millisecond entries overflow it (round 3 lost its bench line to
   * exactly this), so the line now carries `value` = the total over ALL
-  * `nq` queries plus the SLOWEST 40 per-query seconds — the informative
-  * tail — while the complete per-query map (3-decimal seconds, every
-  * query) is written to BENCH_FULL.json alongside the repo for the judge.
+  * `nq` queries plus as many of the SLOWEST per-query seconds as fit a
+  * byte budget sized to the window (~85 of 159) — while the complete
+  * per-query map (3-decimal seconds, every query) is written to
+  * BENCH_FULL.json and appended to BENCH_HISTORY.jsonl for the judge.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -77,27 +78,51 @@ object Bench {
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
 
-    // complete per-query map — best-effort side file (cwd is the repo when
-    // the driver runs this; failures must not cost the bench line)
+    // complete per-query map — best-effort side files (cwd is the repo when
+    // the driver runs this; failures must not cost the bench line).
+    // BENCH_FULL.json holds the latest run; BENCH_HISTORY.jsonl appends one
+    // line per run so round-over-round per-query comparison never depends on
+    // the truncated stdout map (round-10 verdict: diffing BENCH_rN.parsed
+    // alone silently missed the 118 fastest queries).
+    val total = results.map(_._2).filter(_ >= 0).sum
     try {
       val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
         .mkString("{", ",", "}")
+      val line = s"""{"sf":"$sfDir","unit":"sec","nq":${results.size},"total":${fmt(total, 1)},"queries":$full}""" + "\n"
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")),
-        s"""{"sf":"$sfDir","unit":"sec","queries":$full}""" + "\n")
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")), line)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")),
+        line, java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] full-map side file write failed: ${e.getMessage}")
     }
 
-    val slowest = results.sortBy(-_._2).take(40)
-    val qs = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // stdout map: the driver keeps only the FINAL ~2000 chars of output and
+    // parses the JSON line out of that window; sbt's trailing "[success]"
+    // line eats ~90 of them. A full 159-query map is ~3.4 KB — emitting it
+    // would truncate the line's HEAD and lose the round's bench entirely
+    // (round 3 did exactly this). So: pack the SLOWEST entries greedily into
+    // a byte budget sized to the window instead of a fixed top-40 — in
+    // practice ~85 queries land in parsed.queries, and the full map is in
+    // BENCH_FULL.json / BENCH_HISTORY.jsonl.
     val sfName = new java.io.File(sfDir).getName
+    val prefix = s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","nq":${results.size},"queries":{"""
+    val suffix = s"""},"sf":"$sfName"}"""
+    val budget = 1900 - prefix.length - suffix.length
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+    val packed = entries
+      .scanLeft(0)((used, e) => used + e.length + 1) // +1 for the comma
+      .zip(entries)
+      .takeWhile { case (usedBefore, e) => usedBefore + e.length <= budget }
+      .map(_._2)
     spark.sparkContext.setLogLevel("OFF") // keep shutdown chatter out of the tail
     spark.stop()
     // every byte of this line competes with the driver's capture window
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfName"}""")
+    println(prefix + packed.mkString(",") + suffix)
   }
 }

@@ -224,7 +224,10 @@ object Multimodal {
     * is O(candidates). 56 bits (not 64) keeps every engine's BIGINT
     * arithmetic signed-overflow-free.
     */
-  def mm4Phash(s: SparkSession, d: String): DataFrame = {
+  /** mm4's hash + chunk-blocked near-dup pair kernel, shared with mm10's
+    * cross-modal audit (same hash, same blocking, one spelling).
+    */
+  private[graft] def phashPairs(s: SparkSession, d: String): DataFrame = {
     val hashed = Tables.load(s, d, "documents")
       .selectExpr("doc_id", "text", "octet_length(text) AS blen")
       .selectExpr("doc_id",
@@ -253,6 +256,44 @@ object Multimodal {
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= 3)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  def mm4Phash(s: SparkSession, d: String): DataFrame =
+    phashPairs(s, d).orderBy("id_a", "id_b")
+
+  // ------------------------------------------- mm10_crossmodal_audit
+  /** Cross-modal consistency audit over image near-dup pairs — the
+    * LAION-style label-noise detector: when two IMAGES are perceptual
+    * near-duplicates (mm4's chunk-blocked aHash pairs), their CAPTIONS
+    * should agree; a near-identical image carrying a very different
+    * caption is a mislabeled (or re-captioned) training pair that
+    * poisons contrastive/caption models. Captions here are the
+    * deterministic caption stand-in for the synthetic corpus: the first
+    * 12 words, lowercased, as a distinct token SET; agreement is set
+    * Jaccard. `mismatch` flags strong image dups (hamming <= 1) whose
+    * captions share under half their vocabulary — the rows a curator
+    * reviews.
+    *
+    * Scale shape: pairs come from mm4's bounded chunk-equality blocking
+    * (never all-pairs); the caption join is two hash joins on doc_id;
+    * the Jaccard is computed on <= 12-element arrays per pair. The flag
+    * compares integers (2*inter < union), not rounded doubles, so the
+    * cut is engine-exact.
+    */
+  def mm10CrossmodalAudit(s: SparkSession, d: String): DataFrame = {
+    val caps = Tables.load(s, d, "documents").select(col("doc_id"),
+      array_sort(array_distinct(slice(
+        graft.functions.TextFunctions.tokens(lower(col("text"))), 1, 12)))
+        .as("cap"))
+    phashPairs(s, d)
+      .join(caps.select(col("doc_id").as("id_a"), col("cap").as("cap_a")), "id_a")
+      .join(caps.select(col("doc_id").as("id_b"), col("cap").as("cap_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("cap_a"), col("cap_b"))))
+      .withColumn("un", size(array_union(col("cap_a"), col("cap_b"))))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        graft.functions.TextFunctions.sround(
+          col("inter") / nullif(col("un"), lit(0)), 4).as("cap_jaccard"),
+        (col("hamming") <= 1 && col("inter") * 2 < col("un")).as("mismatch"))
       .orderBy("id_a", "id_b")
   }
 
@@ -607,15 +648,67 @@ object Multimodal {
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_audio_energy" -> (mm3AudioEnergy _),
     "mm4_phash" -> (mm4Phash _),
+    "mm10_crossmodal_audit" -> (mm10CrossmodalAudit _),
     "mm5_shot_boundary" -> (mm5ShotBoundary _),
     "mm6_vad" -> (mm6Vad _),
     "mm7_resize" -> (mm7Resize _))
+
+  /** mm4's hash/blocking/verify as a reusable CTE chain ending in `dup`
+    * (id_a, id_b, hamming) — shared by mm4's and mm10's oracles, the SQL
+    * twin of [[phashPairs]].
+    */
+  private val phashPairsCtes: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 56), k -> ord(substr(text,
+      |      CAST(least(k * greatest(octet_length(encode(text)) // 56, 1),
+      |                 octet_length(encode(text)) - 1) AS INT) + 1, 1)))
+      |      AS samples
+      |  FROM documents),
+      |m AS (SELECT doc_id, samples,
+      |    CAST(list_aggregate(samples, 'sum') AS BIGINT) // 56 AS mean
+      |  FROM h),
+      |ph AS (SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 56),
+      |      k -> CASE WHEN samples[CAST(k AS INT) + 1] > mean
+      |           THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END))
+      |      AS BIGINT) AS phash
+      |  FROM m),
+      |chunks AS (
+      |  SELECT doc_id, phash, ci, (phash >> CAST(ci * 14 AS INT)) & 16383
+      |      AS chunk
+      |  FROM (SELECT doc_id, phash, unnest(range(0, 4)) AS ci FROM ph)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.phash AS ha, b.phash AS hb
+      |  FROM chunks a JOIN chunks b
+      |    ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      |dup AS (
+      |  SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+      |  FROM pairs WHERE bit_count(xor(ha, hb)) <= 3)""".stripMargin
 
   /** DuckDB twin of the metadata decode: byte_len is the UTF-8 byte count
     * of `text`, pseudo-dims derive from it, feature_dim is the fixed
     * histogram width.
     */
   val oracles: Map[String, String] = Map(
+    "mm10_crossmodal_audit" ->
+      s"""WITH $phashPairsCtes,
+        |caps AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(regexp_split_to_array(lower(text),
+        |      '\\s+'), x -> x != '')[1:12]) AS cap
+        |  FROM documents)
+        |SELECT d.id_a, d.id_b, d.hamming,
+        |  floor(len(list_intersect(a.cap, b.cap))
+        |    / CAST(nullif(len(list_distinct(list_concat(a.cap, b.cap))), 0)
+        |      AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS cap_jaccard,
+        |  (d.hamming <= 1 AND len(list_intersect(a.cap, b.cap)) * 2
+        |    < len(list_distinct(list_concat(a.cap, b.cap)))) AS mismatch
+        |FROM dup d
+        |JOIN caps a ON d.id_a = a.doc_id
+        |JOIN caps b ON d.id_b = b.doc_id
+        |ORDER BY d.id_a, d.id_b""".stripMargin,
     "mm9_pair_audit" -> mm9PairAuditSql,
     // the oracle replays the packing as ONE global window (affordable at
     // oracle scale — exactly why the Spark side must not use it) and the
@@ -680,33 +773,8 @@ object Multimodal {
     // identical 56-point downsample, mean threshold, bit fold, chunk-block
     // join, and bit_count verification (ASCII corpus: ord == byte)
     "mm4_phash" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    list_transform(range(0, 56), k -> ord(substr(text,
-        |      CAST(least(k * greatest(octet_length(encode(text)) // 56, 1),
-        |                 octet_length(encode(text)) - 1) AS INT) + 1, 1)))
-        |      AS samples
-        |  FROM documents),
-        |m AS (SELECT doc_id, samples,
-        |    CAST(list_aggregate(samples, 'sum') AS BIGINT) // 56 AS mean
-        |  FROM h),
-        |ph AS (SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(0, 56),
-        |      k -> CASE WHEN samples[CAST(k AS INT) + 1] > mean
-        |           THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END))
-        |      AS BIGINT) AS phash
-        |  FROM m),
-        |chunks AS (
-        |  SELECT doc_id, phash, ci, (phash >> CAST(ci * 14 AS INT)) & 16383
-        |      AS chunk
-        |  FROM (SELECT doc_id, phash, unnest(range(0, 4)) AS ci FROM ph)),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    a.phash AS ha, b.phash AS hb
-        |  FROM chunks a JOIN chunks b
-        |    ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
-        |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+      s"""WITH $phashPairsCtes
+        |SELECT id_a, id_b, hamming FROM dup
         |ORDER BY id_a, id_b""".stripMargin,
     // same ord()-sum energy replay as mm3, non-overlapping 128-byte frames,
     // then the identical per-doc lag window and cut rollup

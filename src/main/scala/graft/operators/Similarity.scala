@@ -267,10 +267,15 @@ object Similarity {
     * the Spark side run-to-run deterministic also absorbs the cross-engine
     * summation-order delta (flip risk ~1e-6 per coordinate — accepted).
     */
-  val v4IvfAnnSql: String = {
+  /** The v4 IVF build + corpus assignment as a reusable CTE chain
+    * (`e`/`seeds`/`a0`/`refined`/`corpus`) — shared by v4's oracle and
+    * v15's (diversified retrieval reuses the same coarse quantizer, so
+    * one spelling keeps the builds from drifting apart).
+    */
+  private val ivfCorpusCtes: String = {
     def dotList(a: String, b: String): String =
       s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    list_sum(list_transform(range(1, len(embedding) + 1),
        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
@@ -303,7 +308,13 @@ object Similarity {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${dotList("e.embedding", "r.c")} DESC, r.cell ASC) AS rn
        |    FROM e, refined r)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  val v4IvfAnnSql: String = {
+    def dotList(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+    s"""WITH $ivfCorpusCtes,
        |probes AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, nsq AS nsq_q, cell
        |  FROM (
@@ -323,6 +334,76 @@ object Similarity {
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
        |  FROM pairs)
        |SELECT q_id, rnk, n_id, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
+       |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+  }
+
+  // ----------------------------------------------------- v15_diverse_ann
+  /** Diversified retrieval — cluster-capped top-k: exact cosine scores
+    * (v1's brute pass over the bounded query set), but at most `DivCap`
+    * results per (query, IVF cell) before the global top-K is taken.
+    * This is the standard result-diversification gate for RAG / training
+    * retrieval: without it a near-duplicate cluster floods the whole
+    * result list (the failure mode d7/v3 measure); capping per coarse
+    * cell guarantees the k results span >= k/cap distinct regions of the
+    * embedding space. Reuses v4's computed coarse quantizer VERBATIM
+    * (same seeds, one Lloyd step, 4-decimal rounding), so the cell
+    * structure is consistent across v4/v14/v15.
+    *
+    * Scale shape: centroids are a k x dim driver artifact; the corpus
+    * pass computes (cell, sim) in one projection against broadcast
+    * queries; both windows partition on (q_id[, cell]) — cardinality
+    * bounded by NQ x k — and the heavy input to them is pre-pruned by
+    * the per-cell rank filter before the global rank runs.
+    */
+  val DivCap = 2
+  val v15DiverseAnn: Q = (s, d) => {
+    val e = emb(s, d)
+    val refined = ivfRefined(e, 16)
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      normSq(col("embedding")).as("nsq_n"),
+      nearestCell(refined, col("embedding")).as("cell"))
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normSq(col("embedding")).as("nsq_q"))
+    val wCell = Window.partitionBy(col("q_id"), col("cell"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    val wGlob = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    corpus.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("sim",
+        cosineWithNorms(dot(col("q_emb"), col("n_emb")), col("nsq_q"), col("nsq_n")))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= DivCap)
+      .withColumn("rnk", row_number().over(wGlob))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("cell"),
+        sround(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB twin: v4's shared build chain + the two-stage rank. */
+  val v15DiverseAnnSql: String = {
+    def dotList(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+    s"""WITH $ivfCorpusCtes,
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nsq AS nsq_q
+       |      FROM e WHERE vec_id < $NQ),
+       |pairs AS (
+       |  SELECT q.q_id, c.n_id, c.cell,
+       |    ${dotList("q.q_emb", "c.n_emb")} / (sqrt(q.nsq_q) * sqrt(c.nsq_n)) AS sim
+       |  FROM corpus c, q WHERE c.n_id != q.q_id),
+       |capped AS (
+       |  SELECT q_id, n_id, cell, sim
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id, cell
+       |        ORDER BY sim DESC, n_id ASC) AS crk
+       |    FROM pairs)
+       |  WHERE crk <= $DivCap),
+       |ranked AS (
+       |  SELECT q_id, n_id, cell, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
+       |  FROM capped)
+       |SELECT q_id, rnk, n_id, cell, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
        |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
   }
 
@@ -1415,6 +1496,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "v13_truncation_eval" -> v13TruncationEval,
     "v14_ivfpq" -> v14IvfPq,
+    "v15_diverse_ann" -> v15DiverseAnn,
     "v1_knn_brute" -> v1KnnBrute,
     "v2_ann_lsh" -> v2AnnLsh,
     "v3_embedding_neardup" -> v3EmbeddingNeardup,
@@ -1431,6 +1513,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "v13_truncation_eval" -> v13TruncationEvalSql,
     "v14_ivfpq" -> v14IvfPqSql,
+    "v15_diverse_ann" -> v15DiverseAnnSql,
     "v1_knn_brute" -> v1KnnBruteSql,
     "v2_ann_lsh" -> v2AnnLshSql,
     "v3_embedding_neardup" -> v3EmbeddingNeardupSql,

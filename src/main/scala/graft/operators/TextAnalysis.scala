@@ -2014,10 +2014,13 @@ object TextAnalysis {
   val t32PreferencePairs: Q = (s, d) => preferencePairs(docs(s, d))
 
   /** DuckDB twin: identical spans/lead pairing (1-based list slicing),
-    * d1's fingerprint spelling, t9's gram kernel.
+    * d1's fingerprint spelling, t9's gram kernel. The CTE chain is shared
+    * with p8's oracle (CorpusPipeline), which packs the same audited pair
+    * relation into DPO batches — one spelling, two consumers, so the pair
+    * semantics can't drift between engine twin and pipeline twin.
     */
-  val t32PreferencePairsSql: String =
-    """WITH tt AS (
+  private[graft] val t32PairsCtes: String =
+    """tt AS (
       |  SELECT doc_id, source,
       |    list_filter(regexp_split_to_array(lower(text), '\s+'),
       |      x -> x != '') AS t
@@ -2049,21 +2052,111 @@ object TextAnalysis {
       |eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
       |cont AS (
       |  SELECT DISTINCT doc_id FROM grams
-      |  WHERE doc_id % 20 != 0 AND g IN (SELECT g FROM eval_g))
-      |SELECT pair_id, rejected_id,
-      |  p_words + r_words + 4 AS n_tokens_chosen,
-      |  p_words + rej_words + 4 AS n_tokens_rejected,
-      |  r_words + 1 AS n_loss_chosen,
-      |  rej_words + 1 AS n_loss_rejected,
-      |  (fp = rej_fp) AS degenerate,
-      |  (pair_id IN (SELECT doc_id FROM cont)
-      |    OR rejected_id IN (SELECT doc_id FROM cont)) AS contaminated
-      |FROM pr WHERE rejected_id IS NOT NULL ORDER BY pair_id""".stripMargin
+      |  WHERE doc_id % 20 != 0 AND g IN (SELECT g FROM eval_g)),
+      |pairs AS (
+      |  SELECT pair_id, rejected_id,
+      |    p_words + r_words + 4 AS n_tokens_chosen,
+      |    p_words + rej_words + 4 AS n_tokens_rejected,
+      |    r_words + 1 AS n_loss_chosen,
+      |    rej_words + 1 AS n_loss_rejected,
+      |    (fp = rej_fp) AS degenerate,
+      |    (pair_id IN (SELECT doc_id FROM cont)
+      |      OR rejected_id IN (SELECT doc_id FROM cont)) AS contaminated
+      |  FROM pr WHERE rejected_id IS NOT NULL)""".stripMargin
+
+  val t32PreferencePairsSql: String =
+    s"WITH $t32PairsCtes\nSELECT * FROM pairs ORDER BY pair_id"
+
+  // ---------------------------------------------- t33_rejection_sampling
+  /** Best-of-N rejection sampling audit — the third post-training prep
+    * step (t31 SFT accounting, t32 preference pairs): given N candidate
+    * generations per prompt, keep the highest-reward eligible candidate
+    * and log what a sampling run must log — how many candidates survived
+    * the reward gate, which one won, and by what MARGIN (best − second
+    * reward; a near-zero margin means the reward model couldn't separate
+    * the pool, the signal BoN pipelines alarm on).
+    *
+    * Deterministic synthetic pool: doc_id blocks of 8 are a prompt's
+    * candidate set; the reward is t2's quality blend (the engine's
+    * canonical cheap scorer — reusing it keeps one reward definition
+    * across t2/d6/t33). Eligibility = n_tok >= 5 AND reward >= 0.5
+    * (the corpus median). Ties break on doc_id, so the winner is
+    * deterministic on both engines.
+    *
+    * Scale shape: the rank window partitions on prompt_id — N rows per
+    * partition regardless of corpus size — and both aggregations are
+    * hash-partitioned on prompt_id; nothing serializes. At 100 TB this
+    * is one shuffle of (prompt_id, score) pairs wide.
+    */
+  val BonThreshold = 0.5
+  val BonMinTokens = 5L
+  def rejectionSampling(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = counts.select(
+      floor(col("doc_id") / 8).as("prompt_id"), col("doc_id"), col("n_tok"),
+      sround(qualityBlend, 6).as("score"))
+    val w = Window.partitionBy(col("prompt_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val elig = scored
+      .filter(col("n_tok") >= BonMinTokens && col("score") >= BonThreshold)
+      .withColumn("rk", row_number().over(w))
+    val perPrompt = elig.groupBy("prompt_id").agg(
+      count(lit(1)).as("n_eligible"),
+      max(when(col("rk") === 1, col("doc_id"))).as("kept_doc_id"),
+      max(when(col("rk") === 1, col("n_tok"))).as("kept_tokens"),
+      max(when(col("rk") === 1, col("score"))).as("best_score"),
+      max(when(col("rk") === 2, col("score"))).as("second_score"))
+    scored.groupBy("prompt_id").agg(count(lit(1)).as("n_cand"))
+      .join(perPrompt, Seq("prompt_id"), "left")
+      .select(col("prompt_id"), col("n_cand"),
+        coalesce(col("n_eligible"), lit(0L)).as("n_eligible"),
+        col("kept_doc_id"), col("kept_tokens"), col("best_score"),
+        sround(col("best_score") - col("second_score"), 6).as("margin"))
+      .orderBy("prompt_id")
+  }
+
+  val t33RejectionSampling: Q = (s, d) => rejectionSampling(qualityCounts(s, d))
+
+  /** DuckDB twin: t2's blend spelling, identical rank/agg shape. */
+  val t33RejectionSamplingSql: String =
+    s"""WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS len_c,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')) AS BIGINT) AS n_tok,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |      t -> t IN ('the','a','of','and','to','is','in','that','it','for'))) AS BIGINT) AS stop
+      |  FROM documents),
+      |scored AS (
+      |  SELECT CAST(floor(doc_id / 8) AS BIGINT) AS prompt_id, doc_id, n_tok,
+      |    floor((least(n_tok / 100.0, 1.0) * 0.5 + (stop / nullif(n_tok, 0)) * 0.3
+      |           + (1.0 - digit / nullif(len_c, 0)) * 0.2) * 1000000.0 + 0.5) / 1000000.0 AS score
+      |  FROM f),
+      |elig AS (
+      |  SELECT *, row_number() OVER (PARTITION BY prompt_id
+      |      ORDER BY score DESC, doc_id) AS rk
+      |  FROM scored WHERE n_tok >= ${BonMinTokens} AND score >= ${BonThreshold}),
+      |pp AS (
+      |  SELECT prompt_id, count(*) AS n_eligible,
+      |    max(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+      |    max(CASE WHEN rk = 1 THEN n_tok END) AS kept_tokens,
+      |    max(CASE WHEN rk = 1 THEN score END) AS best_score,
+      |    max(CASE WHEN rk = 2 THEN score END) AS second_score
+      |  FROM elig GROUP BY prompt_id)
+      |SELECT s.prompt_id, count(*) AS n_cand,
+      |  coalesce(any_value(pp.n_eligible), 0) AS n_eligible,
+      |  any_value(pp.kept_doc_id) AS kept_doc_id,
+      |  any_value(pp.kept_tokens) AS kept_tokens,
+      |  any_value(pp.best_score) AS best_score,
+      |  floor((any_value(pp.best_score) - any_value(pp.second_score)) * 1000000.0 + 0.5) / 1000000.0 AS margin
+      |FROM scored s LEFT JOIN pp ON s.prompt_id = pp.prompt_id
+      |GROUP BY s.prompt_id ORDER BY s.prompt_id""".stripMargin
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t31_sft_mask" -> t31SftMask,
     "t32_preference_pairs" -> t32PreferencePairs,
+    "t33_rejection_sampling" -> t33RejectionSampling,
     "t1_text_stats" -> t1TextStats,
     "t2_quality" -> t2Quality,
     "t3_lang_id" -> t3LangId,
@@ -2098,6 +2191,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t31_sft_mask" -> t31SftMaskSql,
     "t32_preference_pairs" -> t32PreferencePairsSql,
+    "t33_rejection_sampling" -> t33RejectionSamplingSql,
     "t1_text_stats" -> t1TextStatsSql,
     "t2_quality" -> t2QualitySql,
     "t3_lang_id" -> t3LangIdSql,

@@ -766,9 +766,70 @@ object CorpusPipeline {
       |    / 10000.0 AS loss_share
       |FROM pk GROUP BY pack_id ORDER BY pack_id""".stripMargin
 
+  // ------------------------------------------------- p8_dpo_batches
+  /** DPO training-batch assembly — the preference twin of p7: t32's
+    * audited (chosen, rejected) pairs, CLEANED (degenerate and
+    * eval-contaminated pairs dropped — the curation gate t32 exists to
+    * inform), then packed into fixed-budget batches. A pair costs BOTH
+    * branches (chosen + rejected token counts — DPO forward-passes both
+    * sequences), so the batch budget is 2× p2/p7's PackBudget; the
+    * per-batch rollup carries pair count, token totals, and loss share,
+    * the numbers a DPO trainer weights its batch loss by.
+    *
+    * Scale shape: one t32 pass (bounded 4096-row windows), the audited
+    * keyed two-phase prefix-sum pack (no single-partition window), one
+    * batch-keyed agg. The pair relation is materialized once and read
+    * twice (pack assignment + rollup join).
+    */
+  val DpoBudget: Long = 2 * PackBudget
+  def p8DpoBatches(s: SparkSession, d: String): DataFrame = {
+    val clean = graft.operators.TextAnalysis.t32PreferencePairs(s, d)
+      .filter(!col("degenerate") && !col("contaminated"))
+      .select(col("pair_id").as("doc_id"),
+        (col("n_tokens_chosen") + col("n_tokens_rejected")).as("n_tok"),
+        (col("n_loss_chosen") + col("n_loss_rejected")).as("n_loss"))
+      .materialize()
+    val packed = graft.operators.TextAnalysis.globalPackingDocs(
+      clean.select(col("doc_id"), col("n_tok")), budget = DpoBudget)
+    packed.join(clean.select(col("doc_id"), col("n_loss")), "doc_id")
+      .groupBy(col("pack_id").as("batch_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_loss")).as("n_loss_tokens"))
+      .select(col("batch_id"), col("n_pairs"), col("n_tokens"),
+        col("n_loss_tokens"),
+        sround(col("n_loss_tokens") / col("n_tokens").cast("double"), 4)
+          .as("loss_share"))
+      .orderBy("batch_id")
+  }
+
+  /** Oracle: t32's shared pair CTEs + p2's prefix-sum pack id at 2×
+    * budget. The budget is interpolated from the same val the Spark path
+    * uses (round-10 ADVICE: constants must not fork).
+    */
+  val p8DpoBatchesSql: String =
+    raw"""WITH ${graft.operators.TextAnalysis.t32PairsCtes},
+      |cl AS (
+      |  SELECT pair_id AS doc_id,
+      |    n_tokens_chosen + n_tokens_rejected AS n_tok,
+      |    n_loss_chosen + n_loss_rejected AS n_loss
+      |  FROM pairs WHERE NOT degenerate AND NOT contaminated),
+      |pk AS (
+      |  SELECT doc_id, n_tok, n_loss,
+      |    CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / ${DpoBudget})
+      |      AS BIGINT) AS batch_id
+      |  FROM cl)
+      |SELECT batch_id, count(*) AS n_pairs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_loss) AS BIGINT) AS n_loss_tokens,
+      |  floor(sum(n_loss) / CAST(sum(n_tok) AS DOUBLE) * 10000.0 + 0.5)
+      |    / 10000.0 AS loss_share
+      |FROM pk GROUP BY batch_id ORDER BY batch_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p1_corpus_pipeline" -> (p1CorpusPipeline _),
       "p7_sft_packing" -> (p7SftPacking _),
+      "p8_dpo_batches" -> (p8DpoBatches _),
       "p2_training_prep" -> (p2TrainingPrep _),
       "p3_dataset_card" -> (p3DatasetCard _),
       "p4_mixture_schedule" -> (p4MixtureSchedule _),
@@ -777,6 +838,7 @@ object CorpusPipeline {
   val oracles: Map[String, String] =
     Map("p1_corpus_pipeline" -> p1CorpusPipelineSql,
       "p7_sft_packing" -> p7SftPackingSql,
+      "p8_dpo_batches" -> p8DpoBatchesSql,
       "p2_training_prep" -> p2TrainingPrepSql,
       "p3_dataset_card" -> p3DatasetCardSql,
       "p4_mixture_schedule" -> p4MixtureScheduleSql,

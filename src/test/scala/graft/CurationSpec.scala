@@ -644,4 +644,48 @@ class CurationSpec extends SparkSpec {
     // (3,4): chosen doc 3 dirty -> contaminated; rejected 2-word response
     assert(r((3L, 4L)) == ((20L, 14L, 9L, 3L, false, true)))
   }
+
+  test("t33 rejection sampling: planted scores — winner, margin, gates, deterministic tie-break") {
+    // counts frame carries the raw t2 signals; scores are hand-computable:
+    // score = least(n_tok/100,1)*0.5 + stop/n_tok*0.3 + (1-digit/len_c)*0.2
+    val counts = Seq(
+      // prompt 0 (ids 0..7): two eligible, two gated out
+      (0L, 10L, 100L, 100L, 0L), // score 1.0  -> winner
+      (1L, 10L, 100L, 50L, 0L),  // score 0.85 -> runner-up (margin 0.15)
+      (2L, 10L, 3L, 3L, 0L),     // score 0.515 but n_tok < 5 -> ineligible
+      (3L, 10L, 10L, 0L, 10L),   // score 0.05 (below threshold) -> ineligible
+      // prompt 1 (ids 8..15): single candidate, fails the gate
+      (8L, 10L, 10L, 0L, 10L),
+      // prompt 2 (ids 16..23): exact tie -> lower doc_id wins, margin 0
+      (16L, 10L, 100L, 100L, 0L),
+      (17L, 10L, 100L, 100L, 0L))
+      .toDF("doc_id", "len_c", "n_tok", "stop", "digit")
+    val r = TextAnalysis.rejectionSampling(counts).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(0L, 1L, 2L))
+    val p0 = r(0L)
+    assert((p0.getLong(1), p0.getLong(2), p0.getLong(3), p0.getLong(4)) ==
+      ((4L, 2L, 0L, 100L)))
+    assert(p0.getDouble(5) == 1.0 && p0.getDouble(6) == 0.15)
+    val p1 = r(1L)
+    assert((p1.getLong(1), p1.getLong(2)) == ((1L, 0L)))
+    assert(p1.isNullAt(3) && p1.isNullAt(4) && p1.isNullAt(5) && p1.isNullAt(6))
+    val p2 = r(2L)
+    assert(p2.getLong(3) == 16L && p2.getDouble(6) == 0.0)
+  }
+
+  test("t33 rejection sampling at sf: margins non-negative, kept is always eligible, counts bounded") {
+    val rows = TextAnalysis.t33RejectionSampling(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      val (nCand, nElig) = (x.getLong(1), x.getLong(2))
+      assert(nCand >= 1 && nCand <= 8 && nElig <= nCand)
+      if (nElig == 0) assert(x.isNullAt(3), "no winner when nothing eligible")
+      else {
+        assert(x.getLong(4) >= TextAnalysis.BonMinTokens)
+        assert(x.getDouble(5) >= TextAnalysis.BonThreshold)
+        if (nElig >= 2) assert(x.getDouble(6) >= 0.0)
+      }
+    }
+  }
 }

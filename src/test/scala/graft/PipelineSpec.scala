@@ -301,4 +301,30 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == perDoc.map(_._2).sum)
     assert(got.values.map(_._3).sum == perDoc.map(_._3).sum)
   }
+
+  test("p8 DPO batches reconcile with t32 clean pairs under an in-memory prefix replay") {
+    val pairs = graft.operators.TextAnalysis.t32PreferencePairs(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean, Boolean)].collect()
+    val clean = pairs.filter(p => !p._7 && !p._8)
+      .map(p => (p._1, p._3 + p._4, p._5 + p._6)).sortBy(_._1)
+    assert(clean.length < pairs.length,
+      "fixture must contain at least one dirty pair for the gate to matter")
+    // in-memory replay of the prefix packing at the 2x DPO budget
+    var prefix = 0L
+    val model = clean.map { case (id, tok, loss) =>
+      val bid = prefix / CorpusPipeline.DpoBudget
+      prefix += tok
+      (bid, id, tok, loss)
+    }.groupBy(_._1).map { case (bid, rs) =>
+      bid -> ((rs.size.toLong, rs.map(_._3).sum, rs.map(_._4).sum,
+        math.floor(rs.map(_._4).sum.toDouble / rs.map(_._3).sum * 1e4 + 0.5) / 1e4))
+    }
+    val got = CorpusPipeline.p8DpoBatches(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == model, "batch rollup must equal the prefix replay")
+    // conservation over the CLEAN subset only — dirty pairs must be gone
+    assert(got.values.map(_._1).sum == clean.length.toLong)
+    assert(got.values.map(_._2).sum == clean.map(_._2).sum)
+  }
 }

@@ -27,6 +27,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("v15 diversified retrieval: per-cell cap holds, rank-1 matches v1, scores never beat v1") {
+    val v15 = Similarity.v15DiverseAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    val v1 = Similarity.v1KnnBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ15 = v15.groupBy(_._1)
+    val byQ1 = v1.groupBy(_._1)
+    assert(byQ15.keySet == byQ1.keySet)
+    byQ15.foreach { case (q, rows) =>
+      // the diversity contract: never more than DivCap results per cell
+      rows.groupBy(_._4).foreach { case (_, cellRows) =>
+        assert(cellRows.length <= Similarity.DivCap,
+          s"q=$q cell over cap: $cellRows")
+      }
+      // rank 1 is the global best — it is also the best of its own cell,
+      // so capping can never evict it: must equal v1's rank 1
+      val best15 = rows.minBy(_._2)
+      val best1 = byQ1(q).minBy(_._2)
+      assert(best15._3 == best1._3 && best15._5 == best1._4)
+      // capping only removes candidates: at every rank the diversified
+      // score is <= the unconstrained score
+      val s15 = rows.sortBy(_._2).map(_._5)
+      val s1 = byQ1(q).sortBy(_._2).map(_._4)
+      s15.zip(s1).foreach { case (a, b) => assert(a <= b + 1e-9) }
+    }
+  }
+
   test("v7 MIPS: augmented-LSH recall vs exact inner-product top-10") {
     // exact MIPS reference from collected vectors (sf0.001 corpus is small)
     val vecs = Tables.load(spark, sfDir, "embeddings")
@@ -167,6 +194,39 @@ class SimilaritySpec extends SparkSpec {
       .map { case (a, b, s) => (a, b) -> s }.toMap
     assert(sims((1L, 2L)) == 1.0)      // identical images
     assert(sims((1L, 3L)) == 0.0)      // orthogonal histograms
+  }
+
+  test("mm10 cross-modal audit: identical images with divergent captions flag, true duplicates don't") {
+    import graft.multimodal.Multimodal
+    // Three 2240-char payloads with IDENTICAL bytes at every sampled
+    // position (stride 2240/56 = 40; caption samples are offsets 0 and 40,
+    // pinned to the shared words w01/w11), so all three pair up at
+    // hamming 0. Captions (first 12 words, 3 chars each + space = 48
+    // chars): doc 1 == doc 3 verbatim; doc 2 shares only w01 and w11.
+    val capA = (1 to 12).map(i => f"a$i%02d").updated(0, "w01").updated(10, "w11")
+      .mkString("", " ", " ")
+    val capB = (1 to 12).map(i => f"b$i%02d").updated(0, "w01").updated(10, "w11")
+      .mkString("", " ", " ")
+    assert(capA.length == 48 && capB.length == 48)
+    assert(capA(40) == capB(40) && capA(0) == capB(0))
+    val tail = "z" * (2240 - 48)
+    val docs = Seq(
+      (1L, capA + tail, "s", "en", 2240L),
+      (2L, capB + tail, "s", "en", 2240L),
+      (3L, capA + tail, "s", "en", 2240L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("mm10").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Multimodal.mm10CrossmodalAudit(spark, dir)
+      .as[(Long, Long, Int, Double, Boolean)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    assert(r.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // true duplicate: same image, same caption — clean
+    assert(r((1L, 3L)) == ((0, 1.0, false)))
+    // same image, captions share 2 of 22 distinct words — label noise
+    val j = math.floor(2.0 / 22 * 1e4 + 0.5) / 1e4
+    assert(r((1L, 2L)) == ((0, j, true)))
+    assert(r((2L, 3L)) == ((0, j, true)))
   }
 
   test("mm4 perceptual hash: chunk blocking finds every close pair; real-image aHash ranks perturbation under replacement") {
