@@ -1226,7 +1226,115 @@ object Dedup {
       |FROM th LEFT JOIN ps USING (t4) LEFT JOIN ds USING (t4)
       |ORDER BY threshold""".stripMargin
 
+  // ------------------------------------------- d15_boilerplate_lines
+  /** CCNet-style boilerplate detection by per-source DOCUMENT FREQUENCY
+    * (Wenzek et al. 2020, arXiv:1911.00359 §3.1 — their first
+    * preprocessing step): content repeated across many documents of the
+    * SAME source (nav menus, cookie banners, footers) is boilerplate,
+    * not signal, and should not count toward a doc's training tokens.
+    * CCNet hashes paragraphs; this corpus has no repeated full
+    * sentences (verified at every SF), so the unit here is d8's
+    * non-overlapping 3-token span — the granularity at which the corpus
+    * genuinely repeats. A span is boilerplate in a source when it
+    * occurs in >= [[BoilerMinDocs]] documents AND more than 1% of the
+    * source's documents. Per doc: span/boilerplate counts, total vs
+    * CLEAN token counts (what the doc contributes to training after the
+    * strip), and the boilerplate ratio — CCNet's page-quality signal.
+    *
+    * Where d8 drops spans by GLOBAL first-occurrence (every later copy
+    * goes), d15 classifies by per-source frequency THRESHOLD (all copies
+    * of a chrome span go, including the first; rare cross-doc spans
+    * stay) — the two shapes real pipelines run together.
+    *
+    * Scale shape: one generate (narrow) → distinct on (source, span,
+    * doc) → doc-frequency agg on (source, span) — sparse keys, never
+    * corpus² — → hash join back on (source, span) (AQE broadcasts the
+    * flagged side when small) → doc-keyed rollup. The 1% threshold is an
+    * integer cross-multiply (100*df > src_docs), engine-exact at any
+    * scale.
+    */
+  val BoilerMinDocs = 2L
+  val d15BoilerplateLines: Q = (s, d) => {
+    import graft.expressions.SpanChunks.spanChunks
+    val spans = docs(s, d)
+      .select(col("doc_id"), col("source"), lowerTokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"),
+        spanChunks(col("t"), 3).as(Seq("idx", "span")))
+      .select(col("doc_id"), col("source"), col("span"),
+        size(split(col("span"), " ")).cast("long").as("n_tok"))
+      .materialize() // feeds the doc-freq agg AND the per-doc rollup
+    val srcDocs = docs(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("src_docs"))
+    val flagged = spans.select(col("source"), col("span"), col("doc_id"))
+      .distinct()
+      .groupBy(col("source"), col("span")).agg(count(lit(1)).as("df"))
+      .join(srcDocs, "source")
+      .select(col("source"), col("span"),
+        (col("df") >= BoilerMinDocs &&
+          col("df") * 100 > col("src_docs")).as("boiler"))
+    val perDoc = spans.join(flagged, Seq("source", "span"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(!col("boiler"), col("n_tok")).otherwise(0L))
+          .as("n_tokens_clean"))
+    docs(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_tokens_clean"), lit(0L)).as("n_tokens_clean"),
+        coalesce(
+          sround(col("n_boiler") / col("n_spans").cast("double"), 4),
+          lit(0.0)).as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of d15: d8's span spelling + source, the same
+    * distinct→doc-frequency→integer-threshold chain.
+    */
+  val d15BoilerplateLinesSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |li AS MATERIALIZED (
+      |  SELECT doc_id, source, span,
+      |    CAST(len(string_split(span, ' ')) AS BIGINT) AS n_tok
+      |  FROM (
+      |    SELECT doc_id, source, array_to_string(t[(i*3)+1:(i*3)+3], ' ') AS span
+      |    FROM toks, unnest(range(CAST(ceil(len(t) / 3.0) AS BIGINT))) AS u(i))),
+      |sd AS (SELECT source, count(*) AS src_docs FROM documents GROUP BY source),
+      |df AS (
+      |  SELECT source, span, count(*) AS df
+      |  FROM (SELECT DISTINCT source, span, doc_id FROM li)
+      |  GROUP BY source, span),
+      |fl AS (
+      |  SELECT df.source, df.span,
+      |    (df.df >= ${BoilerMinDocs} AND df.df * 100 > sd.src_docs) AS boiler
+      |  FROM df JOIN sd USING (source)),
+      |pd AS (
+      |  SELECT li.doc_id, count(*) AS n_spans,
+      |    CAST(sum(CASE WHEN fl.boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |    CAST(sum(li.n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN NOT fl.boiler THEN li.n_tok ELSE 0 END) AS BIGINT)
+      |      AS n_tokens_clean
+      |  FROM li JOIN fl ON li.source = fl.source AND li.span = fl.span
+      |  GROUP BY li.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(pd.n_spans, 0) AS n_spans,
+      |  coalesce(pd.n_boiler, 0) AS n_boiler,
+      |  coalesce(pd.n_tokens, 0) AS n_tokens,
+      |  coalesce(pd.n_tokens_clean, 0) AS n_tokens_clean,
+      |  coalesce(floor(pd.n_boiler / CAST(pd.n_spans AS DOUBLE) * 10000.0 + 0.5)
+      |    / 10000.0, 0.0) AS boiler_ratio
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d15_boilerplate_lines" -> d15BoilerplateLines,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d3_minhash_lsh" -> d3MinhashLsh,
@@ -1241,6 +1349,7 @@ object Dedup {
     "d13_threshold_sweep" -> d13ThresholdSweep)
 
   val oracles: Map[String, String] = Map(
+    "d15_boilerplate_lines" -> d15BoilerplateLinesSql,
     "d1_exact_dedup" -> d1ExactDedupSql,
     "d2_ngram_jaccard" -> d2NgramJaccardSql,
     "d3_minhash_lsh" -> d3MinhashLshSql,

@@ -362,4 +362,43 @@ class TextDedupSpec extends SparkSpec {
       } else assert(meanJ.isEmpty)
     }
   }
+
+  test("d15 boilerplate spans: per-source doc frequency flags shared spans, unique and cross-source spans stay") {
+    import spark.implicits._
+    // source s: span "common span x" occurs in 2 of 3 docs -> boilerplate
+    // (df=2 >= 2 and 100*2 > 3); every other span is unique in its source.
+    // source t: the SAME span occurs once -> NOT boilerplate there (the
+    // frequency is per source, a span legit in one domain can be chrome
+    // in another).
+    val docs = Seq(
+      (1L, "common span x unique one a", "en", "s", 26L),
+      (2L, "common span x unique two b b", "en", "s", 28L),
+      (3L, "solo three", "en", "s", 10L),
+      (4L, "common span x", "en", "t", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_d15").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Dedup.d15BoilerplateLines(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6))).toMap
+    // doc 1: spans ("common span x", "unique one a") — 1 of 2 flagged
+    assert(r(1L) == ((2L, 1L, 6L, 3L, 0.5)))
+    // doc 2: spans ("common span x", "unique two b", "b") — 1 of 3 flagged
+    assert(r(2L) == ((3L, 1L, 7L, 4L, 0.3333)))
+    assert(r(3L) == ((1L, 0L, 2L, 2L, 0.0)))
+    assert(r(4L) == ((1L, 0L, 3L, 3L, 0.0)))
+  }
+
+  test("d15 boilerplate lines at sf: token conservation and bounded ratios") {
+    val rows = Dedup.d15BoilerplateLines(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getLong(2) > 0), "planted dups must yield boilerplate")
+    rows.foreach { x =>
+      val (nl, nb, nt, ntc, ratio) = (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5))
+      assert(nb <= nl && ntc <= nt)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      if (nb == 0) assert(ntc == nt, "no boilerplate -> nothing removed")
+    }
+  }
 }
