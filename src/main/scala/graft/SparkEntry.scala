@@ -88,5 +88,6 @@ object SparkEntry {
     "g13_neighbor_sample", "p6_epoch_shuffle", "t29_code_detect",
     "t30_corpus_drift", "v14_ivfpq", "t31_sft_mask", "p7_sft_packing",
     "t32_preference_pairs", "t33_rejection_sampling", "p8_dpo_batches",
-    "v15_diverse_ann", "mm10_crossmodal_audit", "d15_boilerplate_lines")
+    "v15_diverse_ann", "mm10_crossmodal_audit", "d15_boilerplate_lines",
+    "p9_leak_safe_split")
 }

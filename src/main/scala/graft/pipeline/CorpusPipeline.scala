@@ -826,8 +826,110 @@ object CorpusPipeline {
       |    / 10000.0 AS loss_share
       |FROM pk GROUP BY batch_id ORDER BY batch_id""".stripMargin
 
+  // ---------------------------------------------- p9_leak_safe_split
+  /** Leak-safe train/eval holdout — split by DEDUP CLUSTER, not by doc:
+    * a naive per-doc hash split puts near-duplicates on both sides, so
+    * the eval set silently contains paraphrases of training data and
+    * overstates the model (the leakage t9/t32 audit for, created at
+    * split time). Here the unit of assignment is d5's connected
+    * component (d2's verified near-dup pairs, min-label components):
+    * every doc in a cluster goes where its cluster's hash goes (~10%
+    * eval), so NO near-dup pair can straddle the split by construction.
+    *
+    * Output: one row per split (doc/cluster/char counts, leak_pairs = 0)
+    * plus a `~audit` totals row whose leak_pairs is the COUNTERFACTUAL —
+    * how many verified near-dup pairs would straddle a naive per-doc
+    * hash split of the same rate. That number is the op's reason to
+    * exist; the spec asserts the cluster split's own straddle count is
+    * zero.
+    *
+    * Scale shape: d5's component machinery (band candidates + pointer
+    * jumping, never corpus²), one hash per cluster id, split-keyed aggs;
+    * the audit join is the pair set against two scalar hash columns.
+    * The 1-row counterfactual frame joins by literal crossJoin —
+    * broadcast of one row.
+    */
+  def p9LeakSafeSplit(s: SparkSession, d: String): DataFrame = {
+    import graft.expressions.PortableHashExpressions.md5Hash62
+    import graft.operators.Dedup
+    def evalSide(c: Column): Column =
+      md5Hash62(concat(lit("split#"), c.cast("string"))) % 10 === 0
+    val docsDf = graft.Tables.load(s, d, "documents")
+    val pairs = Dedup.d2Pairs(s, d).select(col("doc_a"), col("doc_b"))
+      .materialize() // component edges AND the counterfactual audit
+    val comps = Dedup.minLabelComponents(
+      docsDf.select(col("doc_id")), pairs)
+    val assigned = comps
+      .join(docsDf.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("split",
+        when(evalSide(col("cluster_id")), lit("eval")).otherwise(lit("train")))
+      .materialize() // per-split rollup + the totals row
+    val per = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("leak_pairs", lit(0L))
+    val naiveLeak = pairs
+      .filter(evalSide(col("doc_a")) =!= evalSide(col("doc_b")))
+      .agg(count(lit(1)).as("leak_pairs"))
+    val audit = assigned
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("n_chars")).as("n_chars"))
+      .crossJoin(naiveLeak) // 1 row x 1 row
+      .select(lit("~audit").as("split"), col("n_docs"), col("n_clusters"),
+        col("n_chars"), col("leak_pairs"))
+    per.select(col("split"), col("n_docs"), col("n_clusters"),
+        col("n_chars"), col("leak_pairs"))
+      .union(audit)
+      .orderBy("split")
+  }
+
+  /** Oracle: d5's recursive-component chain + the same masked-md5 split
+    * hash; the counterfactual leak count reads the shared pair CTE.
+    */
+  val p9LeakSafeSplitSql: String = {
+    val h = (x: String) =>
+      s"(CAST(md5_number_lower('split#' || CAST($x AS VARCHAR)) " +
+        "& 4611686018427387903 AS BIGINT) % 10 = 0)"
+    raw"""WITH RECURSIVE ${graft.operators.Dedup.bandCandSql("documents")},
+      |${graft.operators.Dedup.charVerifySql("documents")},
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM cj
+      |  WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |comp AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+      |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      |  GROUP BY d.doc_id),
+      |asg AS (
+      |  SELECT c.doc_id, c.cluster_id, d.n_chars,
+      |    CASE WHEN ${h("c.cluster_id")} THEN 'eval' ELSE 'train' END AS split
+      |  FROM comp c JOIN documents d USING (doc_id)),
+      |nl AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS leak_pairs FROM pairs
+      |  WHERE ${h("doc_a")} != ${h("doc_b")})
+      |SELECT split, count(*) AS n_docs,
+      |  count(DISTINCT cluster_id) AS n_clusters,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(0 AS BIGINT) AS leak_pairs
+      |FROM asg GROUP BY split
+      |UNION ALL
+      |SELECT '~audit', count(*), count(DISTINCT cluster_id),
+      |  CAST(sum(n_chars) AS BIGINT), (SELECT leak_pairs FROM nl)
+      |FROM asg
+      |ORDER BY split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p1_corpus_pipeline" -> (p1CorpusPipeline _),
+      "p9_leak_safe_split" -> (p9LeakSafeSplit _),
       "p7_sft_packing" -> (p7SftPacking _),
       "p8_dpo_batches" -> (p8DpoBatches _),
       "p2_training_prep" -> (p2TrainingPrep _),
@@ -839,6 +941,7 @@ object CorpusPipeline {
     Map("p1_corpus_pipeline" -> p1CorpusPipelineSql,
       "p7_sft_packing" -> p7SftPackingSql,
       "p8_dpo_batches" -> p8DpoBatchesSql,
+      "p9_leak_safe_split" -> p9LeakSafeSplitSql,
       "p2_training_prep" -> p2TrainingPrepSql,
       "p3_dataset_card" -> p3DatasetCardSql,
       "p4_mixture_schedule" -> p4MixtureScheduleSql,

@@ -327,4 +327,31 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == clean.length.toLong)
     assert(got.values.map(_._2).sum == clean.map(_._2).sum)
   }
+
+  test("p9 leak-safe split: sides partition the corpus, counterfactual leak matches a hash replay") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def evalSide(id: Long): Boolean =
+      graft.expressions.PortableHash
+        .md5Lower62(UTF8String.fromString(s"split#$id")) % 10 == 0
+    val rows = CorpusPipeline.p9LeakSafeSplit(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val audit = rows("~audit")
+    val sides = rows - "~audit"
+    assert(sides.keySet.subsetOf(Set("train", "eval")) && sides.contains("train"))
+    // the sides partition the corpus exactly (docs, clusters, chars)
+    assert(sides.values.map(_._1).sum == audit._1)
+    assert(sides.values.map(_._2).sum == audit._2)
+    assert(sides.values.map(_._3).sum == audit._3)
+    assert(audit._1 == Tables.load(spark, sfDir, "documents").count())
+    // per-side rows report zero leakage (structural: assignment is
+    // cluster-keyed, a near-dup pair can't straddle)
+    assert(sides.values.forall(_._4 == 0L))
+    // the counterfactual: naive per-doc hashing of the SAME pairs
+    val pairs = graft.operators.Dedup.d2Pairs(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val naive = pairs.count { case (a, b) => evalSide(a) != evalSide(b) }
+    assert(audit._4 == naive.toLong, s"audit=${audit._4} replay=$naive")
+    assert(naive > 0, "fixture must demonstrate the leak the op prevents")
+  }
 }
