@@ -2152,11 +2152,114 @@ object TextAnalysis {
       |FROM scored s LEFT JOIN pp ON s.prompt_id = pp.prompt_id
       |GROUP BY s.prompt_id ORDER BY s.prompt_id""".stripMargin
 
+  // ------------------------------------------------- t34_span_decontam
+  /** Span-level decontamination — t9 says WHICH train docs share an eval
+    * 8-gram; at web scale dropping every such doc forfeits good text over
+    * one quoted sentence. The surgical standard excises only the
+    * contaminated WINDOWS: every token covered by a word-8gram that also
+    * occurs anywhere in the eval split (doc_id % 20 == 0, t9's split) is
+    * removed, overlapping windows merge into maximal spans, the doc keeps
+    * the rest. Output per train doc: token count, contaminated-span
+    * count, tokens removed, keep ratio — the account a curation run logs
+    * before rewriting text.
+    *
+    * Scale shape: positional grams are t9's narrow per-doc projection
+    * (posexplode instead of explode — order matters here, so no in-kernel
+    * distinct), the eval-gram build side is a distinct semi-join input
+    * exactly like t9's train side, and span merging (lag + running-sum
+    * run ids, then a two-level agg) runs on the HIT set only — the
+    * contaminated starts, a tiny fraction of corpus positions. The
+    * per-doc window carries one row of lag state; nothing holds a
+    * document's positions in memory at once.
+    */
+  val t34SpanDecontam: Q = (s, d) => {
+    import graft.expressions.PortableHashExpressions.md5HashArray62
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs(s, d)
+      .select(col("doc_id"), lowerTokens(col("text")).as("t"))
+    val train = toks.filter(col("doc_id") % 20 =!= 0)
+    val posGrams = train
+      .select(col("doc_id"),
+        posexplode(md5HashArray62(wordNgrams(col("t"), 8),
+          distinctSorted = false)))
+      .toDF("doc_id", "pos", "g")
+    val evalGrams = toks.filter(col("doc_id") % 20 === 0)
+      .select(explode(md5HashArray62(wordNgrams(col("t"), 8),
+        distinctSorted = true)).as("g"))
+      .distinct()
+    val hits = posGrams.join(evalGrams, Seq("g"), "left_semi")
+    val runs = hits
+      .withColumn("new_run",
+        when(lag(col("pos"), 1).over(w).isNull
+          .or(col("pos") > lag(col("pos"), 1).over(w) + 7), 1).otherwise(0))
+      .withColumn("run_id", sum(col("new_run")).over(w))
+    val runAgg = runs.groupBy(col("doc_id"), col("run_id"))
+      .agg((max(col("pos")) + 8 - min(col("pos"))).as("rm"))
+    val docAgg = runAgg.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bad_spans"),
+        sum(col("rm")).cast("long").as("n_toks_removed"))
+    train.select(col("doc_id"), size(col("t")).cast("long").as("n_toks"))
+      .join(docAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_bad_spans"), lit(0L)).as("n_bad_spans"),
+        coalesce(col("n_toks_removed"), lit(0L)).as("n_toks_removed"),
+        when(col("n_toks") === 0, lit(1.0)).otherwise(
+          sround((col("n_toks") - coalesce(col("n_toks_removed"), lit(0L)))
+            / col("n_toks"), 4)).as("keep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: t9's tokenization and md5-62 gram hashes with 0-based
+    * positions kept, the same lag/running-sum interval merge.
+    */
+  val t34SpanDecontamSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |pg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+      |    i -> {'p': i - 1,
+      |          'g': CAST(md5_number_lower(array_to_string(t[i:i+7], ' '))
+      |               & 4611686018427387903 AS BIGINT)})) AS u
+      |  FROM toks WHERE doc_id % 20 != 0 AND len(t) >= 8),
+      |ev AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(t) - 6),
+      |    i -> CAST(md5_number_lower(array_to_string(t[i:i+7], ' '))
+      |         & 4611686018427387903 AS BIGINT))) AS g
+      |  FROM toks WHERE doc_id % 20 = 0 AND len(t) >= 8),
+      |hits AS (
+      |  SELECT doc_id, u.p AS pos FROM pg WHERE u.g IN (SELECT g FROM ev)),
+      |marks AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 7
+      |      THEN 1 ELSE 0 END AS new_run
+      |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |runs AS (
+      |  SELECT doc_id, pos, sum(new_run)
+      |    OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      |  FROM marks),
+      |ra AS (SELECT doc_id, run_id, max(pos) + 8 - min(pos) AS rm
+      |  FROM runs GROUP BY doc_id, run_id),
+      |da AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bad_spans,
+      |    CAST(sum(rm) AS BIGINT) AS n_toks_removed
+      |  FROM ra GROUP BY doc_id)
+      |SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_toks,
+      |  coalesce(da.n_bad_spans, 0) AS n_bad_spans,
+      |  coalesce(da.n_toks_removed, 0) AS n_toks_removed,
+      |  CASE WHEN len(k.t) = 0 THEN 1.0 ELSE
+      |    floor((len(k.t) - coalesce(da.n_toks_removed, 0)) / len(k.t)
+      |          * 10000.0 + 0.5) / 10000.0 END AS keep_ratio
+      |FROM toks k LEFT JOIN da ON k.doc_id = da.doc_id
+      |WHERE k.doc_id % 20 != 0 ORDER BY k.doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t31_sft_mask" -> t31SftMask,
     "t32_preference_pairs" -> t32PreferencePairs,
     "t33_rejection_sampling" -> t33RejectionSampling,
+    "t34_span_decontam" -> t34SpanDecontam,
     "t1_text_stats" -> t1TextStats,
     "t2_quality" -> t2Quality,
     "t3_lang_id" -> t3LangId,
@@ -2192,6 +2295,7 @@ object TextAnalysis {
     "t31_sft_mask" -> t31SftMaskSql,
     "t32_preference_pairs" -> t32PreferencePairsSql,
     "t33_rejection_sampling" -> t33RejectionSamplingSql,
+    "t34_span_decontam" -> t34SpanDecontamSql,
     "t1_text_stats" -> t1TextStatsSql,
     "t2_quality" -> t2QualitySql,
     "t3_lang_id" -> t3LangIdSql,

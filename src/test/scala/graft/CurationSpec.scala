@@ -688,4 +688,49 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("t34 span decontam: planted spans merge, clean docs keep 1.0") {
+    // doc 0 (eval) plants two 8-gram sources; train docs embed them.
+    val evalText = "e1 e2 e3 e4 e5 e6 e7 e8 pad1 pad2 f1 f2 f3 f4 f5 f6 f7 f8"
+    val docs = Seq(
+      (0L, evalText, "x", 1L),
+      // one isolated 8-token hit mid-doc: exactly one span of 8 tokens
+      (1L, "a b c e1 e2 e3 e4 e5 e6 e7 e8 y z w", "x", 1L),
+      // a 9-token shared run -> two overlapping window starts MERGE to
+      // one span of 9 removed tokens, not 16
+      (2L, "q e1 e2 e3 e4 e5 e6 e7 e8 pad1 r s t u v", "x", 1L),
+      // two DISJOINT planted runs -> two spans
+      (3L, "e1 e2 e3 e4 e5 e6 e7 e8 gap1 gap2 gap3 f1 f2 f3 f4 f5 f6 f7 f8", "x", 1L),
+      // clean doc, long enough to have grams
+      (4L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10", "x", 1L),
+      // too short for any 8-gram
+      (5L, "short doc", "x", 1L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("t34").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.t34SpanDecontam(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L)) // eval doc 0 excluded
+    assert(r(1L) == ((14L, 1L, 8L, math.floor((14 - 8) / 14.0 * 1e4 + .5) / 1e4)))
+    assert(r(2L) == ((15L, 1L, 9L, math.floor((15 - 9) / 15.0 * 1e4 + .5) / 1e4)))
+    assert(r(3L) == ((19L, 2L, 16L, math.floor((19 - 16) / 19.0 * 1e4 + .5) / 1e4)))
+    assert(r(4L) == ((10L, 0L, 0L, 1.0)))
+    assert(r(5L) == ((2L, 0L, 0L, 1.0)))
+  }
+
+  test("t34 span decontam at sf: removal bounded by tokens, spans consistent") {
+    val rows = TextAnalysis.t34SpanDecontam(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      val (id, n, spans, rm, keep) =
+        (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))
+      assert(id % 20 != 0)
+      assert(rm <= n, s"doc $id removes more than it has")
+      // every span covers >= 8 tokens and spans are disjoint
+      assert(spans * 8 <= rm || spans == 0)
+      assert(keep >= 0.0 && keep <= 1.0)
+      if (spans == 0) assert(rm == 0 && keep == 1.0)
+    }
+  }
 }
