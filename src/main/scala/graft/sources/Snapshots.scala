@@ -149,26 +149,34 @@ object Snapshots {
   /** Decorate staged rels with per-file min/max of a long-typed column —
     * the manifest-level zone map. ONE job over all staged files (grouped
     * by input_file_name), not a job per file. Files the stats pass can't
-    * cover (zero rows, all-null column) keep a plain line and are simply
-    * never pruned — absence of stats degrades to reading the file, the
-    * only correct default.
+    * cover (zero rows, all-null column, ANY null in the column) keep a
+    * plain line and are simply never pruned — absence of stats degrades
+    * to reading the file, the only correct default.
+    *
+    * Recorded stats additionally assert the column is NULL-FREE in that
+    * file: a range predicate never selects null rows, so range pruning
+    * was always null-safe, but [[deleteWhere]]'s whole-file metadata drop
+    * needs "min/max inside the range" to mean EVERY row matches — a null
+    * row would be deleted without matching. Files with nulls in a stats
+    * column degrade to plain lines (always read, rewritten on delete).
     */
   private def relLines(spark: SparkSession, table: String,
       rels: Seq[String], statsCols: Seq[String]): Seq[String] =
     if (statsCols.isEmpty) rels
     else {
-      import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+      import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
       val paths = rels.map(r => new Path(table, r).toString)
       val aggs = statsCols.flatMap(c => Seq(
         min(col(c)).cast("long").as(s"lo_$c"),
-        max(col(c)).cast("long").as(s"hi_$c")))
+        max(col(c)).cast("long").as(s"hi_$c"),
+        (count(lit(1)) - count(col(c))).as(s"nulls_$c")))
       val byName = spark.read.parquet(paths: _*)
         .groupBy(input_file_name().as("f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().map { r =>
           val triples = statsCols.zipWithIndex.flatMap { case (c, i) =>
-            val (loI, hiI) = (1 + 2 * i, 2 + 2 * i)
-            if (r.isNullAt(loI) || r.isNullAt(hiI)) None
+            val (loI, hiI, nullI) = (1 + 3 * i, 2 + 3 * i, 3 + 3 * i)
+            if (r.isNullAt(loI) || r.isNullAt(hiI) || r.getLong(nullI) > 0) None
             else Some(s"$c\t${r.getLong(loI)}\t${r.getLong(hiI)}")
           }
           new Path(r.getString(0)).getName -> triples
@@ -306,6 +314,65 @@ object Snapshots {
       big.map(_._2) ++ rels)
   }
 
+  /** Marker prefix tagging a version as a row-level DELETE (copy-on-write
+    * rewrite of the touched files; surviving rows re-appear in new files).
+    * Incremental readers must skip these versions' file additions — a
+    * delete adds no rows.
+    */
+  val DeleteNotePrefix = "delete:"
+
+  /** Row-level DELETE of `column` in [lo, hi] — the takedown/expiry verb
+    * a training-data store cannot ship without (a removal request against
+    * 100 TB must not rewrite 100 TB). Copy-on-write at file granularity,
+    * scoped by the manifest zone maps:
+    *
+    *   - files whose stats CANNOT admit the range are carried verbatim —
+    *     manifest line, stats and physical file untouched;
+    *   - files whose stats lie entirely INSIDE [lo, hi] are dropped from
+    *     the manifest without being read (stats imply the column is
+    *     null-free in the file — see [[relLines]] — so every row matches);
+    *   - only the remaining files (range-straddling or stat-less) are
+    *     read and rewritten with the surviving rows; null values never
+    *     match a range predicate, so null rows are KEPT (SQL DELETE
+    *     semantics). Rewritten files get fresh stats on every column the
+    *     inputs carried stats for, so later range reads and deletes keep
+    *     their pruning.
+    *
+    * Returns the new version, or the current one when no file admits the
+    * range (metadata-only no-op, nothing committed). Prior versions stay
+    * time-travelable; reclaiming the replaced files is retention's job.
+    * Like overwrites, a lost version-claim race fails loudly — deleting
+    * from a table state that changed underneath is the caller's call.
+    */
+  def deleteWhere(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): Int = {
+    import org.apache.spark.sql.functions.col
+    val parent = currentVersion(spark, table)
+    require(parent > 0, s"nothing to delete from at $table")
+    val entries = manifestFiles(spark, table, parent)
+      .zip(fileLines(spark, table, parent))
+    val (touched, untouched) =
+      entries.partition(_._1.admits(column, lo, hi))
+    if (touched.isEmpty) return parent
+    val (dropped, rewrite) = touched.partition { case (mf, _) =>
+      mf.stats.get(column).exists { case (flo, fhi) => flo >= lo && fhi <= hi }
+    }
+    val v = parent + 1
+    val rels =
+      if (rewrite.isEmpty) Seq.empty
+      else {
+        val keep = spark.read.parquet(rewrite.map(_._1.path): _*)
+          .filter(col(column) < lo || col(column) > hi || col(column).isNull)
+        // preserve every zone-map column the rewritten inputs carried
+        val statsCols = rewrite.flatMap(_._1.stats.keys).distinct
+        relLines(spark, table, stage(keep, table, v), statsCols)
+      }
+    writeManifest(spark, table, v,
+      s"$DeleteNotePrefix $column in [$lo, $hi]: ${dropped.size} files " +
+        s"dropped, ${rewrite.size} rewritten, ${untouched.size} carried",
+      untouched.map(_._2) ++ rels)
+  }
+
   /** The version that was CURRENT at `tsMillis` (TIMESTAMP AS OF): the
     * highest retained version whose manifest — the commit point, so its
     * file mtime IS the commit time — existed by then. -1 if the table
@@ -395,6 +462,12 @@ object Snapshots {
     * file holds exactly its rows forever, live or not). Cost scales with
     * the DELTA's file count plus one manifest read per version crossed,
     * never with the table.
+    *
+    * Versions tagged [[DeleteNotePrefix]] are skipped like rewrites:
+    * their "new" files are copy-on-write survivors of rows that already
+    * existed — a delete ADDS nothing. Deletions do not flow through this
+    * feed at all (standard append-feed semantics); a consumer that must
+    * observe removals diffs versions with [[diff]].
     */
   def incrementalRead(spark: SparkSession, table: String, since: Int,
       until: Option[Int] = None): DataFrame = {
@@ -405,7 +478,9 @@ object Snapshots {
       if (since == 0) Set.empty else files(spark, table, since).toSet
     for (step <- since + 1 to v) {
       val cur = files(spark, table, step)
-      if (!noteOf(spark, table, step).startsWith(RewriteNotePrefix))
+      val note = noteOf(spark, table, step)
+      if (!note.startsWith(RewriteNotePrefix) &&
+          !note.startsWith(DeleteNotePrefix))
         added ++= cur.filterNot(prev)
       prev = cur.toSet
     }

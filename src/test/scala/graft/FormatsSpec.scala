@@ -565,4 +565,81 @@ class FormatsSpec extends SparkSpec {
       s"live file vacuumed: $p"))
     assert(Snapshots.readVersion(spark, table, Some(1)).count() == d1.count())
   }
+
+  test("deleteWhere: zone-scoped copy-on-write — carried files untouched, contained files dropped unread, straddlers rewritten") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_del").toString + "/docs"
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id").as[Long].collect().toSet
+    // range-partitioned layout: each file covers a distinct event_id band
+    val d1 = base.filter($"event_id" < 800).repartitionByRange(8, $"event_id")
+    Snapshots.commitOverwrite(d1, table, "ranged load",
+      statsCols = Seq("event_id"))
+    val mfs1 = Snapshots.manifestFiles(spark, table, 1)
+    val all = ids(Snapshots.readVersion(spark, table, Some(1)))
+    // pick [lo, hi] spanning one whole file plus part of its neighbor
+    val bands = mfs1.map(_.stats("event_id")).sortBy(_._1)
+    val (lo, hi) = (bands(2)._1, (bands(3)._1 + bands(3)._2) / 2)
+    val f = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtimes = mfs1.map(m =>
+      m.path -> f.getFileStatus(new org.apache.hadoop.fs.Path(m.path))
+        .getModificationTime).toMap
+    val v2 = Snapshots.deleteWhere(spark, table, "event_id", lo, hi)
+    assert(v2 == 2)
+    // survivors exactly match the complement
+    assert(ids(Snapshots.readVersion(spark, table, Some(v2)))
+      == all.filterNot(id => id >= lo && id <= hi))
+    val mfs2 = Snapshots.manifestFiles(spark, table, v2)
+    val (lines2, paths2) = (mfs2.map(_.rel).toSet, mfs2.map(_.path).toSet)
+    // untouched files: carried verbatim with stats, physically untouched
+    val untouched = mfs1.filter(m =>
+      !m.admits("event_id", lo, hi))
+    assert(untouched.nonEmpty)
+    untouched.foreach { m =>
+      assert(lines2.contains(m.rel), s"untouched ${m.rel} not carried")
+      assert(f.getFileStatus(new org.apache.hadoop.fs.Path(m.path))
+        .getModificationTime == mtimes(m.path), "carried file was rewritten")
+    }
+    // the contained file: gone from the manifest, still on disk (time travel)
+    val contained = mfs1.filter(m => m.stats("event_id")._1 >= lo
+      && m.stats("event_id")._2 <= hi)
+    assert(contained.nonEmpty, s"delete range [$lo,$hi] contains no file: $bands")
+    contained.foreach { m =>
+      assert(!paths2.contains(m.path), "contained file still referenced")
+      assert(f.exists(new org.apache.hadoop.fs.Path(m.path)),
+        "contained file physically deleted — breaks time travel")
+    }
+    // rewritten output carries fresh event_id stats, so v2 still prunes
+    val rewritten = mfs2.filterNot(m => mfs1.map(_.rel).contains(m.rel))
+    assert(rewritten.nonEmpty && rewritten.forall(_.stats.contains("event_id")),
+      s"rewritten files lost their zone map: $rewritten")
+    // the note tags the version; a delete adds nothing to the delta feed
+    assert(Snapshots.noteOf(spark, table, v2)
+      .startsWith(Snapshots.DeleteNotePrefix))
+    assert(Snapshots.incrementalRead(spark, table, since = 1).count() == 0)
+    // pre-delete time travel is bit-exact
+    assert(ids(Snapshots.readVersion(spark, table, Some(1))) == all)
+    // a range no file admits is a metadata no-op: nothing committed
+    assert(Snapshots.deleteWhere(spark, table, "event_id",
+      1000000L, 2000000L) == v2)
+  }
+
+  test("deleteWhere keeps null rows and never metadata-drops a file with nulls in the column") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_delnull").toString + "/t"
+    val df = Seq[(Option[Long], String)](
+      (Some(1L), "a"), (Some(2L), "b"), (Some(3L), "c"),
+      (None, "n1"), (None, "n2"))
+      .toDF("k", "v").coalesce(1)
+    Snapshots.commitOverwrite(df, table, "load", statsCols = Seq("k"))
+    // nulls present -> the file gets NO stats on k (relLines null guard)
+    assert(Snapshots.manifestFiles(spark, table, 1).forall(_.stats.isEmpty))
+    // delete covering every non-null k: file must be REWRITTEN, not
+    // dropped, and the null rows must survive (SQL DELETE semantics)
+    val v2 = Snapshots.deleteWhere(spark, table, "k", 1L, 3L)
+    val rows = Snapshots.readVersion(spark, table, Some(v2))
+      .select($"v").as[String].collect().toSet
+    assert(rows == Set("n1", "n2"), s"null rows lost or others kept: $rows")
+  }
 }
