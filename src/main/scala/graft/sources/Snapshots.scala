@@ -70,17 +70,46 @@ object Snapshots {
       }
   }
 
-  /** The raw manifest lines of a version (after the note line). */
-  private def fileLines(spark: SparkSession, table: String,
+  /** Trailing sentinel line closing every manifest. The claim point is
+    * the create-EXCLUSIVE manifest create, but on filesystems where
+    * create and write are separately visible (local FS, HDFS — object
+    * stores PUT atomically) a concurrent reader can open a manifest
+    * whose bytes are still in flight and see a TORN prefix: the
+    * append-race spec caught exactly this, a rebasing appender reading
+    * a half-written parent list and silently dropping rows. A manifest
+    * is complete iff its last line is the terminator; readers spin
+    * briefly until it appears.
+    */
+  private val Terminator = "#end"
+
+  /** All lines of a complete manifest (note line first, terminator
+    * stripped), retrying torn reads — see [[Terminator]].
+    */
+  private def manifestLines(spark: SparkSession, table: String,
       version: Int): Seq[String] = {
     val mp = manifestPath(table, version)
     val f = fs(spark, mp)
     require(f.exists(mp), s"no version $version at $table")
-    val in = f.open(mp)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().toList.drop(1)
-    finally in.close()
+    var attempt = 0
+    while (true) {
+      val in = f.open(mp)
+      val all =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      if (all.nonEmpty && all.last == Terminator) return all.dropRight(1)
+      attempt += 1
+      require(attempt < 200,
+        s"manifest $mp still incomplete after $attempt reads — torn write " +
+          "or a writer died mid-manifest")
+      Thread.sleep(10)
+    }
+    Nil // unreachable
   }
+
+  /** The raw manifest lines of a version (after the note line). */
+  private def fileLines(spark: SparkSession, table: String,
+      version: Int): Seq[String] =
+    manifestLines(spark, table, version).drop(1)
 
   /** Parsed manifest entries of a version, stats included when present. */
   def manifestFiles(spark: SparkSession, table: String,
@@ -139,9 +168,12 @@ object Snapshots {
     f.mkdirs(vdir(table))
     val out = f.create(mp, false) // fail loudly if the version exists
     // the manifest is line-oriented (note line + one path per line): a
-    // newline inside the note would shift every file path by one line
+    // newline inside the note would shift every file path by one line.
+    // The closing Terminator line is what makes the content READABLE —
+    // concurrent readers treat a manifest without it as still in flight.
     val safeNote = note.replaceAll("[\\r\\n]+", " ")
-    try out.write((safeNote +: rels).mkString("", "\n", "\n").getBytes("UTF-8"))
+    try out.write((safeNote +: rels :+ Terminator)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     v
   }
@@ -265,14 +297,8 @@ object Snapshots {
   val RewriteNotePrefix = "compact:"
 
   /** The note line a version was committed with. */
-  def noteOf(spark: SparkSession, table: String, version: Int): String = {
-    val mp = manifestPath(table, version)
-    val f = fs(spark, mp)
-    require(f.exists(mp), s"no version $version at $table")
-    val in = f.open(mp)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
-    finally in.close()
-  }
+  def noteOf(spark: SparkSession, table: String, version: Int): String =
+    manifestLines(spark, table, version).head
 
   /** Compact the current version's SMALL files into target-sized ones as
     * a new version with IDENTICAL logical content — the maintenance pass
