@@ -110,6 +110,16 @@ object Dedup {
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    verifyCharPairs(cand, docsDf, minJac)
+  }
+
+  /** d2's exact verify stage over an arbitrary candidate pair set: ship
+    * each side's sorted char-3gram hash array to the CANDIDATE pairs
+    * only, merge-walk intersect, keep Jaccard >= minJac. Shared by
+    * ngramPairs and d16's asymmetric delta pairs.
+    */
+  private def verifyCharPairs(cand: DataFrame, docsDf: DataFrame,
+      minJac: Double): DataFrame = {
     val g = docsDf.select(col("doc_id"),
       graft.expressions.SetSketchExpressions
         .hashedSortedCharNgrams(col("text"), 3).as("grams"))
@@ -1333,7 +1343,133 @@ object Dedup {
       |FROM documents d LEFT JOIN pd USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------- d16_incremental_components
+  /** Incremental connected components — the daily update of d5's near-dup
+    * clusters when a new crawl lands (d10's split: sources src10+ are the
+    * incoming snapshot, src0-9 the standing corpus). Recomputing CC over
+    * the full corpus is the textbook 100 TB mistake: the component table
+    * changes only where delta edges touch it. The incremental discipline:
+    *
+    *   1. standing labels = min-label components over EXISTING docs (the
+    *      build here stands in for the persisted label table a
+    *      production run reads, exactly as d10's corpus index does);
+    *   2. delta pairs = d2-verified pairs touching >= 1 incoming doc,
+    *      from an ASYMMETRIC band join (incoming bands x all bands —
+    *      existing x existing never enumerates);
+    *   3. CONTRACT: delta endpoints map through standing labels, so
+    *      standing components become super-nodes;
+    *   4. CC on the contracted graph (standing labels + incoming ids —
+    *      the affected neighborhood, not the corpus);
+    *   5. EXPAND: every doc inherits its contracted node's final label.
+    *
+    * The min-label convention makes the algebra exact: a merged
+    * component's label = min over (old labels ∪ incoming ids), and each
+    * old label is already its component's min — so incremental == full
+    * recompute, which is PRECISELY what the oracle (full-graph recursive
+    * closure) asserts. `merged` flags nodes whose label moved — the
+    * audit of what the delta actually changed (including the bridge
+    * case: one incoming doc fusing two standing clusters).
+    */
+  val d16IncrementalComponents: Q = (s, d) =>
+    incrementalComponents(docs(s, d)
+      .withColumn("incoming", expr("CAST(substring(source, 4) AS INT) >= 10")))
+
+  /** d16 over an arbitrary documents frame carrying a boolean `incoming`
+    * column — the spec plants a bridge doc that merges two standing
+    * clusters, the case a naive per-delta-edge patch misses.
+    */
+  def incrementalComponents(all: DataFrame): DataFrame = {
+    val flags = all.select(col("doc_id"), col("incoming")).materialize()
+    val exi = all.where(!col("incoming"))
+    val standing = minLabelComponents(
+        exi.select(col("doc_id")),
+        ngramPairs(exi.select(col("doc_id"), col("text"))))
+      .withColumnRenamed("cluster_id", "old_label")
+      .materialize() // feeds the contraction AND the expansion
+    // asymmetric candidates: one probe per direction so the existing
+    // side never self-joins; doc_a < doc_b keeps the pair set directed
+    val bands = minhashBands(shingleSets(
+        all.select(col("doc_id"), col("text"))))
+      .join(flags, "doc_id").materialize()
+    val incB = bands.where(col("incoming"))
+    val cand = incB.as("x").join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .union(bands.where(!col("incoming")).as("x").join(incB.as("y"),
+          col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")))
+      .distinct()
+    val deltaPairs = verifyCharPairs(cand, all, 0.5)
+    val mapped = deltaPairs
+      .join(standing.select(col("doc_id").as("doc_a"),
+        col("old_label").as("la")), Seq("doc_a"), "left")
+      .join(standing.select(col("doc_id").as("doc_b"),
+        col("old_label").as("lb")), Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("ca"),
+        coalesce(col("lb"), col("doc_b")).as("cb"))
+      .where(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("doc_a"),
+        greatest(col("ca"), col("cb")).as("doc_b"))
+      .distinct()
+    val cnodes = standing.select(col("old_label").as("doc_id")).distinct()
+      .union(flags.where(col("incoming")).select(col("doc_id")))
+    val cc = minLabelComponents(cnodes, mapped)
+      .withColumnRenamed("cluster_id", "final_label")
+    flags
+      .join(standing.select(col("doc_id"), col("old_label")), Seq("doc_id"), "left")
+      .withColumn("node", coalesce(col("old_label"), col("doc_id")))
+      .join(cc.select(col("doc_id").as("node"), col("final_label")),
+        Seq("node"), "left")
+      .select(col("doc_id"), col("incoming"),
+        coalesce(col("final_label"), col("node")).as("cluster_id"),
+        (coalesce(col("final_label"), col("node")) =!= col("node")).as("merged"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle = FULL recompute: d5's recursive closure over the complete
+    * verified pair set gives final labels, the existing-only subgraph's
+    * closure gives old labels, and `merged` is their disagreement —
+    * hash-equality proves the contract/expand path exact.
+    */
+  val d16IncrementalComponentsSql: String =
+    s"""WITH RECURSIVE ${bandCandSql("documents")},
+      |${charVerifySql("documents")},
+      |flags AS (
+      |  SELECT doc_id,
+      |    CAST(substring(source, 4) AS INTEGER) >= 10 AS incoming
+      |  FROM documents),
+      |vp AS (SELECT doc_a, doc_b FROM cj
+      |  WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM vp
+      |  UNION SELECT doc_b AS u, doc_a AS v FROM vp),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |comp AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+      |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      |  GROUP BY d.doc_id),
+      |eedges AS (
+      |  SELECT e.u, e.v FROM edges e
+      |  JOIN flags a ON a.doc_id = e.u JOIN flags b ON b.doc_id = e.v
+      |  WHERE NOT a.incoming AND NOT b.incoming),
+      |ereach AS (
+      |  SELECT u, v FROM eedges
+      |  UNION SELECT r.u, e.v FROM ereach r JOIN eedges e ON r.v = e.u),
+      |ecomp AS (
+      |  SELECT f.doc_id,
+      |    least(f.doc_id, coalesce(min(r.v), f.doc_id)) AS old_label
+      |  FROM flags f LEFT JOIN ereach r ON r.u = f.doc_id
+      |  WHERE NOT f.incoming GROUP BY f.doc_id)
+      |SELECT f.doc_id, f.incoming, c.cluster_id,
+      |  c.cluster_id != coalesce(e.old_label, f.doc_id) AS merged
+      |FROM flags f JOIN comp c USING (doc_id) LEFT JOIN ecomp e USING (doc_id)
+      |ORDER BY f.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d16_incremental_components" -> d16IncrementalComponents,
     "d15_boilerplate_lines" -> d15BoilerplateLines,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_ngram_jaccard" -> d2NgramJaccard,
@@ -1349,6 +1485,7 @@ object Dedup {
     "d13_threshold_sweep" -> d13ThresholdSweep)
 
   val oracles: Map[String, String] = Map(
+    "d16_incremental_components" -> d16IncrementalComponentsSql,
     "d15_boilerplate_lines" -> d15BoilerplateLinesSql,
     "d1_exact_dedup" -> d1ExactDedupSql,
     "d2_ngram_jaccard" -> d2NgramJaccardSql,

@@ -401,4 +401,61 @@ class TextDedupSpec extends SparkSpec {
       if (nb == 0) assert(ntc == nt, "no boilerplate -> nothing removed")
     }
   }
+
+  test("d16 incremental components: bridge doc merges two standing clusters; equals full recompute") {
+    // Two standing clusters A={0,1}, B={2,3} whose texts share a core S
+    // small enough that jac(A,B) < 0.5, a standing singleton {4}, and an
+    // incoming BRIDGE doc 100 built from half of A's and half of B's
+    // extra vocabulary so it verifies >= 0.5 against BOTH — the delta
+    // must fuse A and B through the contracted graph. Doc 101 is new
+    // noise.
+    val core = (1 to 20).map(i => s"corewd$i").mkString(" ")
+    val aExtra = (1 to 20).map(i => s"alphaqx$i").mkString(" ")
+    val bExtra = (1 to 20).map(i => s"omegazk$i").mkString(" ")
+    val bridge = core + " " + (1 to 10).map(i => s"alphaqx$i").mkString(" ") +
+      " " + (1 to 10).map(i => s"omegazk$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$core $aExtra", false),
+      (1L, s"$core $aExtra trailingchange", false),
+      (2L, s"$core $bExtra", false),
+      (3L, s"$core $bExtra othertail", false),
+      (4L, (1 to 25).map(i => s"lonewolf$i").mkString(" "), false),
+      (100L, bridge, true),
+      (101L, (1 to 25).map(i => s"freshdoc$i").mkString(" "), true))
+      .toDF("doc_id", "text", "incoming")
+    val r = Dedup.incrementalComponents(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getBoolean(3)))).toMap
+    // the bridge fuses everything sharing the core into cluster 0
+    Seq(0L, 1L, 2L, 3L, 100L).foreach { id =>
+      assert(r(id)._1 == 0L, s"doc $id not in the fused cluster: ${r(id)}")
+    }
+    // merged flags: 0/1 kept their label; 2/3 were relabeled 2 -> 0; the
+    // bridge joined an existing cluster; isolates untouched
+    assert(!r(0L)._2 && !r(1L)._2)
+    assert(r(2L)._2 && r(3L)._2)
+    assert(r(100L)._2)
+    assert(r(4L) == ((4L, false)) && r(101L) == ((101L, false)))
+    // incremental == full recompute over the union graph
+    val full = Dedup.minLabelComponents(
+      docs.select($"doc_id"), Dedup.ngramPairs(docs.select($"doc_id", $"text")))
+      .as[(Long, Long)].collect().toMap
+    r.foreach { case (id, (cid, _)) =>
+      assert(full(id) == cid, s"doc $id: incremental $cid != full ${full(id)}")
+    }
+  }
+
+  test("d16 at sf: cluster ids are min members, existing labels only move downward") {
+    val rows = Dedup.d16IncrementalComponents(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getBoolean(1), x.getLong(2), x.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._3)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid,
+        s"cluster $cid is not its minimum member")
+    }
+    rows.foreach { case (id, _, cid, merged) =>
+      assert(cid <= id)
+      if (!merged) () // unmerged: label may be own id or an old label
+    }
+  }
 }
