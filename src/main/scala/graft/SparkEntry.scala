@@ -89,5 +89,6 @@ object SparkEntry {
     "t30_corpus_drift", "v14_ivfpq", "t31_sft_mask", "p7_sft_packing",
     "t32_preference_pairs", "t33_rejection_sampling", "p8_dpo_batches",
     "v15_diverse_ann", "mm10_crossmodal_audit", "d15_boilerplate_lines",
-    "p9_leak_safe_split", "t34_span_decontam", "d16_incremental_components")
+    "p9_leak_safe_split", "t34_span_decontam", "d16_incremental_components",
+    "mm11_video_neardup")
 }

@@ -641,7 +641,126 @@ object Multimodal {
       |FROM (SELECT * FROM doc_side UNION ALL SELECT * FROM vec_side)
       |ORDER BY part""".stripMargin
 
+  // ------------------------------------------- mm11_video_neardup
+  /** Video-level near-duplicate detection — the content-id shape: a video
+    * pair is a near-dup when its sampled KEYFRAMES match, regardless of
+    * trims or re-containering that shift total length. Composition of the
+    * family's audited pieces: mm2's frame geometry (non-overlapping
+    * 128-byte frames, every 2nd sampled) + mm4's 56-bit aHash per FRAME
+    * (not per payload) → per-video distinct frame-hash set → candidates
+    * from an exact frame-hash inverted index, df ∈ [2, 20] (d9's rare-key
+    * blocking: a ubiquitous frame — black screens, silence — must not
+    * fan out C(df,2) pairs) → EXACT set-overlap verify on the candidate
+    * pairs only (d2's zero-allocation merge-walk intersect). Flagged when
+    * the shared hashes cover ≥ half the smaller video's sampled frames
+    * (integer cross-multiply, no float predicate).
+    *
+    * Scale shape: frame hashing is one narrow columnar pass (explode
+    * fan-out = frames per doc); the index join is key-equality on rare
+    * hashes; the verify ships per-video hash sets (≤ sampled-frame count
+    * longs) to candidate pairs only. Nothing is ever corpus².
+    */
+  def mm11VideoNeardup(s: SparkSession, d: String): DataFrame = {
+    val fhh = Tables.load(s, d, "documents")
+      .selectExpr("doc_id", "text",
+        "CAST(ceil(length(text) / 128.0) AS INT) AS n_frames")
+      .where(col("n_frames") > 0)
+      .selectExpr("doc_id",
+        "explode(sequence(0, n_frames - 1, 2)) AS fi", "text")
+      .selectExpr("doc_id", "substring(text, fi * 128 + 1, 128) AS fb")
+      .selectExpr("doc_id", "fb", "length(fb) AS blen")
+      .selectExpr("doc_id",
+        """transform(sequence(0, 55), k -> ascii(substring(fb,
+           CAST(least(k * greatest(blen DIV 56, 1), blen - 1) AS INT) + 1,
+           1))) AS samples""")
+      .selectExpr("doc_id", "samples",
+        "aggregate(samples, 0L, (a, x) -> a + x) DIV 56 AS mean")
+      .selectExpr("doc_id",
+        """aggregate(sequence(0, 55), 0L, (a, k) ->
+           a + IF(element_at(samples, k + 1) > mean, shiftleft(1L, k), 0L))
+           AS fh""")
+    val dfh = fhh.select(col("doc_id"), col("fh")).distinct().materialize()
+    val sets = dfh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("fh"))).as("set"),
+        count(lit(1)).as("n"))
+      .materialize() // both verify sides
+    val rare = dfh.groupBy(col("fh")).agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, 20)).select(col("fh"))
+    val indexed = dfh.join(rare, "fh")
+    val cand = indexed.as("a").join(indexed.as("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a"),
+        col("n").as("n_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("n_shared", graft.expressions.SetSketchExpressions
+        .sortedIntersectSize(col("set_a"), col("set_b")).cast("long"))
+      .where(lit(2) * col("n_shared") >= least(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        graft.functions.TextFunctions.sround(
+          col("n_shared") / least(col("n_a"), col("n_b")), 4).as("overlap"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB twin: mm2's frame geometry + mm4's aHash arithmetic applied
+    * per frame, the same rare-hash index and integer-cross-multiply cut.
+    */
+  val mm11VideoNeardupSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    CAST(ceil(length(text) / 128.0) AS INTEGER) AS n_frames
+      |  FROM documents WHERE length(text) > 0),
+      |fr AS (
+      |  SELECT doc_id,
+      |    substring(text, CAST(fi AS INT) * 128 + 1, 128) AS fb
+      |  FROM (SELECT doc_id, text,
+      |          unnest(generate_series(0, n_frames - 1, 2)) AS fi
+      |        FROM f)),
+      |sm AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 56), k -> ord(substr(fb,
+      |      CAST(least(k * greatest(length(fb) // 56, 1),
+      |                 length(fb) - 1) AS INT) + 1, 1))) AS samples
+      |  FROM fr),
+      |mn AS (SELECT doc_id, samples,
+      |    CAST(list_aggregate(samples, 'sum') AS BIGINT) // 56 AS mean
+      |  FROM sm),
+      |fhh AS (SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 56),
+      |      k -> CASE WHEN samples[CAST(k AS INT) + 1] > mean
+      |           THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END))
+      |      AS BIGINT) AS fh
+      |  FROM mn),
+      |dfh AS (SELECT DISTINCT doc_id, fh FROM fhh),
+      |sets AS (SELECT doc_id, count(*) AS n FROM dfh GROUP BY doc_id),
+      |rare AS (SELECT fh FROM dfh GROUP BY fh
+      |  HAVING count(*) BETWEEN 2 AND 20),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM dfh a JOIN dfh b ON a.fh = b.fh AND a.doc_id < b.doc_id
+      |  WHERE a.fh IN (SELECT fh FROM rare)),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS n_shared
+      |  FROM cand c
+      |  JOIN dfh x ON x.doc_id = c.id_a
+      |  JOIN dfh y ON y.doc_id = c.id_b AND y.fh = x.fh
+      |  GROUP BY c.id_a, c.id_b)
+      |SELECT i.id_a, i.id_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+      |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |  floor(i.n_shared / least(sa.n, sb.n) * 10000.0 + 0.5) / 10000.0
+      |    AS overlap
+      |FROM inter i
+      |JOIN sets sa ON sa.doc_id = i.id_a
+      |JOIN sets sb ON sb.doc_id = i.id_b
+      |WHERE 2 * i.n_shared >= least(sa.n, sb.n)
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm11_video_neardup" -> (mm11VideoNeardup _),
     "mm9_pair_audit" -> (mm9PairAudit _),
     "mm8_shard_export" -> (mm8ShardExport _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
@@ -709,6 +828,7 @@ object Multimodal {
         |JOIN caps a ON d.id_a = a.doc_id
         |JOIN caps b ON d.id_b = b.doc_id
         |ORDER BY d.id_a, d.id_b""".stripMargin,
+    "mm11_video_neardup" -> mm11VideoNeardupSql,
     "mm9_pair_audit" -> mm9PairAuditSql,
     // the oracle replays the packing as ONE global window (affordable at
     // oracle scale — exactly why the Spark side must not use it) and the

@@ -714,4 +714,40 @@ class SimilaritySpec extends SparkSpec {
     assert(corpus.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
     assert(corpus.forall(r => r._3 <= r._2))
   }
+
+  test("mm11 video near-dup: shared sampled frames match, ubiquitous frames never block") {
+    // deterministic 128-char "frames" with varied content (a constant
+    // frame would aHash to 0 and alias every other constant frame)
+    def blk(s: Int): String =
+      (0 until 128).map(i => ('a' + ((i * s + s) % 26)).toChar).mkString
+    val mk = (frames: Seq[Int]) => frames.map(blk).mkString
+    val planted = Seq(
+      (0L, mk(Seq(1, 2, 3, 4))),  // sampled frames: blk1, blk3
+      (1L, mk(Seq(1, 2, 3, 4))),  // identical -> overlap 1.0 with 0
+      (2L, mk(Seq(1, 2, 9, 10))), // shares blk1 only -> overlap 0.5
+      (3L, mk(Seq(5, 6, 7, 8))))  // disjoint -> no pair
+    // 25 videos all opening with the SAME frame: its df (25) exceeds the
+    // blocking cap, so none of the C(25,2) pairs may surface
+    val common = (0 until 25).map(i => (100L + i, mk(Seq(20, 21 + i % 3))))
+    val dir = java.nio.file.Files.createTempDirectory("mm11").toString
+    (planted ++ common).map { case (id, t) => (id, t, "x", 1L) }
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.mm11VideoNeardup(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val byPair = got.map(r => (r._1, r._2) -> r).toMap
+    assert(byPair((0L, 1L))._3 == 2L && byPair((0L, 1L))._6 == 1.0)
+    assert(byPair((0L, 2L))._3 == 1L && byPair((0L, 2L))._6 == 0.5)
+    assert(byPair((1L, 2L))._6 == 0.5)
+    assert(!got.exists(r => r._1 == 3L || r._2 == 3L), "disjoint video paired")
+    assert(!got.exists(r => r._1 >= 100L && r._2 >= 100L),
+      s"df-capped common frame produced pairs: $got")
+    // corpus run: overlap within (0, 1], shared bounded by the smaller set
+    val corpus = Multimodal.mm11VideoNeardup(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    corpus.foreach { r =>
+      assert(r._3 <= math.min(r._4, r._5) && r._6 > 0.0 && r._6 <= 1.0)
+      assert(2 * r._3 >= math.min(r._4, r._5))
+    }
+  }
 }
