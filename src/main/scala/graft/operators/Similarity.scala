@@ -1492,8 +1492,68 @@ object Similarity {
        |GROUP BY t.dim, t.q_id ORDER BY t.dim, t.q_id""".stripMargin
   }
 
+  // ------------------------------------------------------ v16_knn_join
+  /** k-NN GRAPH construction (cell-blocked kNN self-join) — the
+    * SemDeDup / graph-ML prep step: EVERY corpus vector gets its top-3
+    * cosine neighbors among the vectors of its own IVF cell, with v4's
+    * coarse-quantizer build reused verbatim (one spelling, shared oracle
+    * CTE chain — the v14 discipline). The self-join is key-equality on
+    * the cell, never corpus²; the pair bill is Σ|cell|², which is the
+    * knob production turns by growing the cell count with the corpus
+    * (cells of bounded size keep the bill linear). Single-probe by
+    * design: a neighbor graph tolerates cell-boundary loss (d7 consumes
+    * exactly this kind of cell-local pair set; v11's harness is how a
+    * deploy measures what the boundary costs).
+    */
+  val v16KnnJoin: Q = (s, d) => {
+    val e = emb(s, d)
+    val refined = ivfRefined(e, 16)
+    val corpus = e.select(col("vec_id"), col("embedding"),
+        normSq(col("embedding")).as("nsq"),
+        nearestCell(refined, col("embedding")).as("cell"))
+      .materialize() // both sides of the cell self-join
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("nbr").asc)
+    corpus.select(col("vec_id").as("src"), col("embedding").as("e_a"),
+        col("nsq").as("nsq_a"), col("cell"))
+      .join(corpus.select(col("vec_id").as("nbr"), col("embedding").as("e_b"),
+        col("nsq").as("nsq_b"), col("cell")), Seq("cell"))
+      .filter(col("src") =!= col("nbr"))
+      .withColumn("sim", cosineWithNorms(dot(col("e_a"), col("e_b")),
+        col("nsq_a"), col("nsq_b")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("src").as("vec_id"), col("rnk"), col("nbr").as("nbr_id"),
+        sround(col("sim"), 4).as("sim"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  /** DuckDB twin: v4's shared build CTEs, then the same cell self-join
+    * and per-source rank.
+    */
+  val v16KnnJoinSql: String = {
+    def dotList(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+    s"""WITH $ivfCorpusCtes,
+       |pairs AS (
+       |  SELECT a.n_id AS vec_id, b.n_id AS nbr_id,
+       |    ${dotList("a.n_emb", "b.n_emb")}
+       |      / (sqrt(a.nsq_n) * sqrt(b.nsq_n)) AS sim
+       |  FROM corpus a JOIN corpus b USING (cell)
+       |  WHERE a.n_id != b.n_id),
+       |rk AS (
+       |  SELECT vec_id, nbr_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, nbr_id ASC) AS rnk
+       |  FROM pairs)
+       |SELECT vec_id, CAST(rnk AS INTEGER) AS rnk, nbr_id,
+       |  floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
+       |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "v16_knn_join" -> v16KnnJoin,
     "v13_truncation_eval" -> v13TruncationEval,
     "v14_ivfpq" -> v14IvfPq,
     "v15_diverse_ann" -> v15DiverseAnn,
@@ -1511,6 +1571,7 @@ object Similarity {
     "v12_ivf_append" -> v12IvfAppend)
 
   val oracles: Map[String, String] = Map(
+    "v16_knn_join" -> v16KnnJoinSql,
     "v13_truncation_eval" -> v13TruncationEvalSql,
     "v14_ivfpq" -> v14IvfPqSql,
     "v15_diverse_ann" -> v15DiverseAnnSql,

@@ -750,4 +750,42 @@ class SimilaritySpec extends SparkSpec {
       assert(2 * r._3 >= math.min(r._4, r._5))
     }
   }
+
+  test("v16 knn join matches a full in-memory IVF + kNN replay") {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // v4's build: normalized low-id seeds, one Lloyd step, 4-dec means
+    val seeds = vecs.filter(_._1 < 16).map(_._2).map { v =>
+      val n = math.sqrt(dotd(v, v)); v.map(x => if (n == 0) 0.0 else x / n)
+    }
+    def argmaxCell(cents: Array[Array[Double]], v: Array[Double]): Int =
+      cents.zipWithIndex.map { case (c, i) => (dotd(v, c), i) }
+        .maxBy { case (sc, i) => (sc, -i) }._2
+    val a0 = vecs.map { case (id, v) => (id, v, argmaxCell(seeds, v)) }
+    val refined = a0.groupBy(_._3).map { case (cell, members) =>
+      cell -> Array.tabulate(vecs.head._2.length) { p =>
+        val m = members.map(_._2(p)).sum / members.size
+        math.floor(m * 1e4 + 0.5) / 1e4
+      }
+    }.toArray.sortBy(_._1).map(_._2)
+    val assigned = vecs.map { case (id, v) => (id, v, argmaxCell(refined, v)) }
+    val expect = assigned.flatMap { case (id, v, cell) =>
+      val nsq = dotd(v, v)
+      assigned.filter(o => o._3 == cell && o._1 != id)
+        .map { case (oid, ov, _) =>
+          (oid, dotd(v, ov) / (math.sqrt(nsq) * math.sqrt(dotd(ov, ov)))) }
+        .sortBy { case (oid, sim) => (-sim, oid) }.take(3).zipWithIndex
+        .map { case ((oid, sim), i) =>
+          (id, i + 1, oid, math.floor(sim * 1e4 + 0.5) / 1e4) }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    val got = Similarity.v16KnnJoin(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == expect)
+  }
 }
