@@ -873,7 +873,15 @@ object TextAnalysis {
     * under any partitioning. Docs with <2 tokens have no bigram score
     * and are excluded, matching t17's domain.
     */
-  val t27CcnetBuckets: Q = (s, d) => {
+  /** Per-doc CCNet bucket assignment — t27's score-level tercile cut
+    * joined back to the doc grain: (doc_id, lang, n_tok, score4,
+    * bucket). Shared by t27's aggregated report and p10's curriculum
+    * order (one cut spelling, the v14 discipline). The join-back is
+    * keyed on (lang, score4) — a broadcast-sized table at any corpus
+    * size, so the doc grain costs one narrow join, not a second
+    * corpus-wide sort.
+    */
+  def ccnetDocBuckets(s: SparkSession, d: String): DataFrame = {
     val toks = docs(s, d)
       .select(col("doc_id"), col("lang"), lowerTokens(col("text")).as("t"))
       .materialize() // feeds the LM pipeline AND the meta join
@@ -885,7 +893,7 @@ object TextAnalysis {
       size(col("t")).cast("long").as("n_tok"))
     val dist = scored.join(meta, Seq("doc_id"))
       .groupBy(col("lang"), col("score4"))
-      .agg(count(lit(1)).as("c"), sum(col("n_tok")).as("tok"))
+      .agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("score4"))
     val marked = dist
@@ -897,26 +905,37 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
     val cut1 = floor((col("n_lang") + lit(2)) / lit(3.0)).cast("long")
     val cut2 = floor((lit(2) * col("n_lang") + lit(2)) / lit(3.0)).cast("long")
-    marked
+    val scoreBuckets = marked
       .withColumn("bucket",
         when(col("cum") < cut1, "head")
           .when(col("cum") < cut2, "middle")
           .otherwise("tail"))
+      .select(col("lang"), col("score4"), col("bucket"))
+    scored.join(meta, Seq("doc_id"))
+      .join(scoreBuckets, Seq("lang", "score4"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("score4"),
+        col("bucket"))
+  }
+
+  val t27CcnetBuckets: Q = (s, d) =>
+    ccnetDocBuckets(s, d)
       .groupBy(col("lang"), col("bucket"))
-      .agg(sum(col("c")).as("n_docs"), sum(col("tok")).as("n_tokens"),
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         min(col("score4")).as("min4"), max(col("score4")).as("max4"),
-        sum(col("score4") * col("c")).as("x4"))
+        sum(col("score4")).as("x4"))
       .select(col("lang"), col("bucket"), col("n_docs"), col("n_tokens"),
         (col("min4") / 10000.0).as("min_score"),
         (col("max4") / 10000.0).as("max_score"),
         (floor(col("x4") / (lit(10000.0) * col("n_docs")) * 10000.0
           + lit(0.5)) / 10000.0).as("mean_score"))
       .orderBy("lang", "bucket")
-  }
 
-  /** Oracle: t17's CTEs + the identical score-level tercile cut. */
-  val t27CcnetBucketsSql: String =
-    """WITH toks AS MATERIALIZED (
+  /** Oracle: t17's CTEs + the identical score-level tercile cut — the
+    * chain up to `bucketed` (lang, bucket, score4, c, tok) is shared
+    * with p10's curriculum oracle.
+    */
+  private[graft] val ccnetCtes: String =
+    """toks AS MATERIALIZED (
       |  SELECT doc_id, lang,
       |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
       |  FROM documents),
@@ -953,7 +972,10 @@ object TextAnalysis {
       |         WHEN cum < CAST(floor((2 * n_lang + 2) / 3.0) AS BIGINT) THEN 'middle'
       |         ELSE 'tail' END AS bucket,
       |    score4, c, tok
-      |  FROM marked)
+      |  FROM marked)""".stripMargin
+
+  val t27CcnetBucketsSql: String =
+    s"""WITH $ccnetCtes
       |SELECT lang, bucket, CAST(sum(c) AS BIGINT) AS n_docs,
       |  CAST(sum(tok) AS BIGINT) AS n_tokens,
       |  min(score4) / 10000.0 AS min_score,

@@ -927,8 +927,67 @@ object CorpusPipeline {
       |ORDER BY split""".stripMargin
   }
 
+  // ------------------------------------------------ p10_curriculum
+  /** Curriculum schedule — the easy→hard training ORDER: stage 0 is the
+    * per-language CCNet head (lowest-perplexity) tercile, 1 the middle,
+    * 2 the tail, with t27's score-level cut reused verbatim
+    * (TextAnalysis.ccnetDocBuckets — "difficulty" has ONE definition);
+    * within a stage the order is a deterministic hash permutation (p6's
+    * discipline — a content-correlated order would leak curriculum
+    * position into content). The global rank is stage-major:
+    * keyedPrefixBefore on the stage key (3 keys × 64 hash shards, no
+    * single-partition window at any scale) plus a 3-row driver offset
+    * table. Per-LANG terciles keep every stage's language mix balanced —
+    * a global cut would front-load whichever language the LM scores
+    * easiest. Domain = scored docs (≥ 2 tokens), t17's.
+    */
+  def p10Curriculum(s: SparkSession, d: String): DataFrame = {
+    import graft.expressions.PortableHashExpressions.md5Hash62
+    val staged = graft.operators.TextAnalysis.ccnetDocBuckets(s, d)
+      .withColumn("stage",
+        when(col("bucket") === "head", 0)
+          .when(col("bucket") === "middle", 1).otherwise(2))
+      .withColumn("h",
+        md5Hash62(concat(lit("curr#"), col("doc_id").cast("string"))))
+      .withColumn("one", lit(1L))
+      .withColumn("skey", col("stage").cast("string"))
+    val ranked = keyedPrefixBefore(staged, "skey", "h", "doc_id", "one")
+      .materialize() // feeds the offset agg AND the final projection
+    val offs = ranked.groupBy(col("stage")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offMap = offs.map(_._1)
+      .zip(offs.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    val offCol = coalesce(element_at(
+      map(offMap.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      col("stage")), lit(0L))
+    ranked.select(col("doc_id"), col("lang"), col("bucket"), col("stage"),
+        (col("before") + offCol).as("curriculum_rank"))
+      .orderBy("curriculum_rank")
+  }
+
+  /** Oracle: t27's shared CTE chain to per-doc buckets, then one global
+    * stage-major row_number — equivalent to the engine's sharded prefix
+    * sum + offsets.
+    */
+  val p10CurriculumSql: String =
+    s"""WITH ${graft.operators.TextAnalysis.ccnetCtes},
+      |docb AS (
+      |  SELECT s.doc_id, m.lang, b.bucket,
+      |    CASE b.bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1
+      |      ELSE 2 END AS stage
+      |  FROM scored s JOIN meta m USING (doc_id)
+      |  JOIN bucketed b ON b.lang = m.lang AND b.score4 = s.score4)
+      |SELECT doc_id, lang, bucket, CAST(stage AS INTEGER) AS stage,
+      |  CAST(row_number() OVER (ORDER BY stage,
+      |    CAST(md5_number_lower('curr#' || CAST(doc_id AS VARCHAR))
+      |      & 4611686018427387903 AS BIGINT), doc_id) - 1 AS BIGINT)
+      |    AS curriculum_rank
+      |FROM docb ORDER BY curriculum_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p1_corpus_pipeline" -> (p1CorpusPipeline _),
+      "p10_curriculum" -> (p10Curriculum _),
       "p9_leak_safe_split" -> (p9LeakSafeSplit _),
       "p7_sft_packing" -> (p7SftPacking _),
       "p8_dpo_batches" -> (p8DpoBatches _),
@@ -939,6 +998,7 @@ object CorpusPipeline {
       "p6_epoch_shuffle" -> (p6EpochShuffle _))
   val oracles: Map[String, String] =
     Map("p1_corpus_pipeline" -> p1CorpusPipelineSql,
+      "p10_curriculum" -> p10CurriculumSql,
       "p7_sft_packing" -> p7SftPackingSql,
       "p8_dpo_batches" -> p8DpoBatchesSql,
       "p9_leak_safe_split" -> p9LeakSafeSplitSql,

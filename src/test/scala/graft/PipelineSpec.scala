@@ -354,4 +354,40 @@ class PipelineSpec extends SparkSpec {
     assert(audit._4 == naive.toLong, s"audit=${audit._4} replay=$naive")
     assert(naive > 0, "fixture must demonstrate the leak the op prevents")
   }
+
+  test("p10 curriculum: stage-major permutation, per-lang tercile balance, hash order within stage") {
+    val rows = CorpusPipeline.p10Curriculum(spark, sfDir)
+      .as[(Long, String, String, Int, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // ranks are a permutation of 0..N-1
+    assert(rows.map(_._5).sorted == (0L until rows.size).toSeq)
+    // stage-major: rank ranges of stages 0/1/2 are disjoint and ordered
+    val byStage = rows.groupBy(_._4)
+    (0 to 1).foreach { st =>
+      if (byStage.contains(st) && byStage.contains(st + 1))
+        assert(byStage(st).map(_._5).max < byStage(st + 1).map(_._5).min,
+          s"stage $st ranks overlap stage ${st + 1}")
+    }
+    // per-LANG terciles: stage sizes within a language differ by <= 1
+    rows.groupBy(_._2).foreach { case (lang, ls) =>
+      val sizes = ls.groupBy(_._4).view.mapValues(_.size).values.toSeq
+      assert(sizes.max - sizes.min <= 1 || sizes.size < 3,
+        s"$lang stages unbalanced: $sizes")
+    }
+    // within a stage the order IS the md5 permutation (hash asc, id tie)
+    import graft.expressions.PortableHashExpressions.md5Hash62
+    val hashes = spark.range(0, 1).sparkSession.createDataFrame(
+      rows.map(r => (r._1, r._5, r._4))).toDF("doc_id", "rank", "stage")
+      .withColumn("h", md5Hash62(concat(lit("curr#"), $"doc_id".cast("string"))))
+      .as[(Long, Long, Int, Long)].collect()
+    hashes.groupBy(_._3).foreach { case (_, st) =>
+      val inRankOrder = st.sortBy(_._2).map(r => (r._4, r._1)).toSeq
+      assert(inRankOrder == inRankOrder.sorted, "within-stage order is not the hash permutation")
+    }
+    // domain: only scored docs (>= 2 tokens) appear
+    val short = Tables.load(spark, sfDir, "documents")
+      .filter(size(split(lower($"text"), "\\s+")) < 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(rows.forall(r => !short.contains(r._1)))
+  }
 }
