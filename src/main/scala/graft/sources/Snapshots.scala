@@ -399,6 +399,64 @@ object Snapshots {
       untouched.map(_._2) ++ rels)
   }
 
+  /** Marker prefix tagging a version as a keyed MERGE (copy-on-write
+    * upsert). Like deletes, merge versions are skipped by the
+    * incremental feed: their new files mix fresh delta rows with
+    * rewritten survivors, which an append-only consumer must not replay.
+    */
+  val MergeNotePrefix = "merge:"
+
+  /** Keyed MERGE (upsert): rows of the live version whose `keyCol`
+    * appears in `delta` are replaced by the delta's rows; unmatched
+    * delta rows are inserted — Delta/Iceberg MERGE reduced to the
+    * upsert core a CDC-refreshed training table needs. Copy-on-write at
+    * file granularity, scoped by the manifest zone maps exactly like
+    * [[deleteWhere]]:
+    *
+    *   - the delta's key envelope [min, max] is one tiny aggregate;
+    *     files whose `keyCol` stats cannot intersect it are carried
+    *     verbatim (lines, stats, bytes untouched);
+    *   - admitting (or stat-less) files are rewritten WITHOUT the rows
+    *     whose key occurs in the delta (a left-anti join against the
+    *     delta's distinct keys — broadcast or shuffle, AQE's call);
+    *   - the delta itself is staged as new files alongside.
+    *
+    * Rewritten and delta files carry fresh stats on every column the
+    * touched inputs carried plus `keyCol`, so later range reads, deletes
+    * and merges keep pruning. Schema discipline is the caller's (the
+    * delta should match the table's columns; parquet unions otherwise).
+    * Null-keyed table rows never match (SQL semantics) and survive.
+    * Returns the new version; prior versions stay time-travelable.
+    */
+  def mergeInto(spark: SparkSession, table: String, delta: DataFrame,
+      keyCol: String): Int = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val parent = currentVersion(spark, table)
+    require(parent > 0, s"nothing to merge into at $table")
+    val env = delta.agg(min(col(keyCol).cast("long")),
+      max(col(keyCol).cast("long"))).head()
+    val entries = manifestFiles(spark, table, parent)
+      .zip(fileLines(spark, table, parent))
+    val (touched, untouched) =
+      if (env.isNullAt(0)) (Seq.empty[(ManifestFile, String)], entries)
+      else entries.partition(_._1.admits(keyCol, env.getLong(0), env.getLong(1)))
+    val v = parent + 1
+    val statsCols =
+      (touched.flatMap(_._1.stats.keys) :+ keyCol).distinct
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(spark.read.parquet(touched.map(_._1.path): _*)
+        .join(delta.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti"))
+    val rels = relLines(spark, table,
+      survivors.map(s => stage(s, table, v)).getOrElse(Seq.empty) ++
+        stage(delta, table, v),
+      statsCols)
+    writeManifest(spark, table, v,
+      s"$MergeNotePrefix $keyCol: ${touched.size} files rewritten, " +
+        s"${untouched.size} carried",
+      untouched.map(_._2) ++ rels)
+  }
+
   /** The version that was CURRENT at `tsMillis` (TIMESTAMP AS OF): the
     * highest retained version whose manifest — the commit point, so its
     * file mtime IS the commit time — existed by then. -1 if the table
@@ -506,7 +564,8 @@ object Snapshots {
       val cur = files(spark, table, step)
       val note = noteOf(spark, table, step)
       if (!note.startsWith(RewriteNotePrefix) &&
-          !note.startsWith(DeleteNotePrefix))
+          !note.startsWith(DeleteNotePrefix) &&
+          !note.startsWith(MergeNotePrefix))
         added ++= cur.filterNot(prev)
       prev = cur.toSet
     }

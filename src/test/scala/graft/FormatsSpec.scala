@@ -642,4 +642,61 @@ class FormatsSpec extends SparkSpec {
       .select($"v").as[String].collect().toSet
     assert(rows == Set("n1", "n2"), s"null rows lost or others kept: $rows")
   }
+
+  test("mergeInto: keyed upsert rewrites only admitting files, inserts new keys, keeps time travel and feed neutrality") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_merge").toString + "/t"
+    val d1 = base.filter($"event_id" < 800).repartitionByRange(8, $"event_id")
+    Snapshots.commitOverwrite(d1, table, "ranged load",
+      statsCols = Seq("event_id"))
+    val mfs1 = Snapshots.manifestFiles(spark, table, 1)
+    val f = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtimes = mfs1.map(m =>
+      m.path -> f.getFileStatus(new org.apache.hadoop.fs.Path(m.path))
+        .getModificationTime).toMap
+    // merge 1 — UPDATE-only delta, narrow key envelope [100, 120]:
+    // only the band file(s) covering it may be rewritten
+    val updates = base.filter($"event_id".between(100, 120))
+      .withColumn("event_type", lit("merged"))
+    val v2 = Snapshots.mergeInto(spark, table, updates, "event_id")
+    assert(v2 == 2)
+    val got = Snapshots.readVersion(spark, table, Some(v2))
+    val oldIds = d1.select($"event_id").as[Long].collect().toSet
+    assert(got.select($"event_id").as[Long].collect().toSet == oldIds)
+    assert(got.count() == d1.count(), "upsert of existing keys must not grow rows")
+    val merged = got.filter($"event_id".between(100, 120))
+      .select($"event_type").distinct().as[String].collect().toSeq
+    assert(merged == Seq("merged"))
+    assert(got.filter($"event_type" === "merged").count() ==
+      d1.filter($"event_id".between(100, 120)).count())
+    // files outside the envelope: carried verbatim, physically untouched
+    val untouched = mfs1.filter(!_.admits("event_id", 100L, 120L))
+    assert(untouched.nonEmpty, s"fixture: no file escapes [100,120]: $mfs1")
+    val mfs2 = Snapshots.manifestFiles(spark, table, v2)
+    untouched.foreach { m =>
+      assert(mfs2.exists(_.rel == m.rel), s"untouched ${m.rel} dropped")
+      assert(f.getFileStatus(new org.apache.hadoop.fs.Path(m.path))
+        .getModificationTime == mtimes(m.path), "carried file rewritten")
+    }
+    // new files carry fresh key stats, so the NEXT merge/delete prunes too
+    val fresh = mfs2.filterNot(m => mfs1.exists(_.rel == m.rel))
+    assert(fresh.nonEmpty && fresh.forall(_.stats.contains("event_id")))
+    // merge 2 — INSERT-only delta with keys beyond every file's range:
+    // nothing admits, nothing is rewritten, the delta lands as new files
+    val inserts = base.filter($"event_id" < 5)
+      .withColumn("event_id", $"event_id" + 5000L)
+    val v3 = Snapshots.mergeInto(spark, table, inserts, "event_id")
+    val mfs3 = Snapshots.manifestFiles(spark, table, v3)
+    mfs2.foreach(m => assert(mfs3.exists(_.rel == m.rel),
+      s"disjoint-insert merge rewrote ${m.rel}"))
+    assert(Snapshots.readVersion(spark, table, Some(v3))
+      .select($"event_id").as[Long].collect().toSet ==
+      oldIds ++ (5000L until 5005L))
+    // merge versions add nothing to the append feed; time travel intact
+    assert(Snapshots.noteOf(spark, table, v2)
+      .startsWith(Snapshots.MergeNotePrefix))
+    assert(Snapshots.incrementalRead(spark, table, since = 1).count() == 0)
+    assert(Snapshots.readVersion(spark, table, Some(1)).count() == d1.count())
+  }
 }
