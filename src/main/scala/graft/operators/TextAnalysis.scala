@@ -2276,12 +2276,104 @@ object TextAnalysis {
       |FROM toks k LEFT JOIN da ON k.doc_id = da.doc_id
       |WHERE k.doc_id % 20 != 0 ORDER BY k.doc_id""".stripMargin
 
+  // ------------------------------------------------- t35_gopher_rules
+  /** Consolidated Gopher/C4-style heuristic rule filter — the cheap
+    * rule battery every web corpus passes through before any model-based
+    * scoring (Rae et al. 2021 §A1.1; the C4 line rules): per doc, the
+    * word/line shape statistics and one boolean per rule, plus the
+    * conjunction `keep`. Rules (integer cross-multiplied — no float
+    * predicates): mean word length in [3, 10]; symbol-to-word ratio
+    * ('#' chars + '...' runs) < 0.1; bullet-point lines < 90%;
+    * ellipsis-terminated lines < 30%; duplicate (trimmed) lines < 30%;
+    * ≥ 2 stopword hits (t2's list). Zero-word docs fail `wl_ok` rather
+    * than divide.
+    *
+    * Scale shape: one narrow codegen projection per doc — no shuffle at
+    * all except the oracle ORDER BY; at 100 TB this scales with input
+    * splits like t1/t29.
+    */
+  val t35GopherRules: Q = (s, d) =>
+    docs(s, d)
+      .selectExpr("doc_id", "text",
+        "filter(split(lower(text), '\\\\s+'), w -> w != '') AS words",
+        "filter(transform(split(text, '\\n'), l -> trim(l)), l -> l != '') AS lines")
+      .selectExpr("doc_id",
+        "CAST(size(words) AS BIGINT) AS n_words",
+        "CAST(size(lines) AS BIGINT) AS n_lines",
+        "aggregate(words, 0L, (a, w) -> a + length(w)) AS word_chars",
+        """CAST(length(text) - length(replace(text, '#', ''))
+           + (length(text) - length(replace(text, '...', ''))) DIV 3
+           AS BIGINT) AS n_symbols""",
+        "CAST(size(filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet",
+        "CAST(size(filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis",
+        "CAST(size(lines) - size(array_distinct(lines)) AS BIGINT) AS n_dup_lines",
+        s"""CAST(size(filter(words, w -> w IN (${stopWords.map(w => s"'$w'").mkString(", ")})))
+           AS BIGINT) AS n_stop""")
+      .selectExpr("doc_id", "n_words", "n_lines",
+        """CASE WHEN n_words = 0 THEN NULL ELSE
+           floor(word_chars / CAST(n_words AS DOUBLE) * 10000.0 + 0.5)
+           / 10000.0 END AS mean_word_len""",
+        "n_words > 0 AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words AS wl_ok",
+        "10 * n_symbols < n_words AS sym_ok",
+        "10 * n_bullet < 9 * n_lines AS bullet_ok",
+        "10 * n_ellipsis < 3 * n_lines AS ellipsis_ok",
+        "10 * n_dup_lines < 3 * n_lines AS dup_ok",
+        "n_stop >= 2 AS stop_ok")
+      .selectExpr("doc_id", "n_words", "n_lines", "mean_word_len",
+        "wl_ok", "sym_ok", "bullet_ok", "ellipsis_ok", "dup_ok", "stop_ok",
+        "wl_ok AND sym_ok AND bullet_ok AND ellipsis_ok AND dup_ok AND stop_ok AS keep")
+      .orderBy("doc_id")
+
+  /** DuckDB twin: identical splits, list arithmetic and integer
+    * cross-multiplied rules.
+    */
+  val t35GopherRulesSql: String =
+    s"""WITH f AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '') AS words,
+      |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |      l -> l != '') AS lines
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CAST(len(words) AS BIGINT) AS n_words,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+      |      AS BIGINT) AS word_chars,
+      |    CAST(length(text) - length(replace(text, '#', ''))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3
+      |      AS BIGINT) AS n_symbols,
+      |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'))
+      |      AS BIGINT) AS n_bullet,
+      |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis,
+      |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+      |    CAST(len(list_filter(words,
+      |      w -> w IN (${stopWords.map(w => s"'$w'").mkString(", ")})))
+      |      AS BIGINT) AS n_stop
+      |  FROM f)
+      |SELECT doc_id, n_words, n_lines,
+      |  CASE WHEN n_words = 0 THEN NULL ELSE
+      |    floor(word_chars / CAST(n_words AS DOUBLE) * 10000.0 + 0.5)
+      |    / 10000.0 END AS mean_word_len,
+      |  n_words > 0 AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words AS wl_ok,
+      |  10 * n_symbols < n_words AS sym_ok,
+      |  10 * n_bullet < 9 * n_lines AS bullet_ok,
+      |  10 * n_ellipsis < 3 * n_lines AS ellipsis_ok,
+      |  10 * n_dup_lines < 3 * n_lines AS dup_ok,
+      |  n_stop >= 2 AS stop_ok,
+      |  n_words > 0 AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+      |    AND 10 * n_symbols < n_words AND 10 * n_bullet < 9 * n_lines
+      |    AND 10 * n_ellipsis < 3 * n_lines AND 10 * n_dup_lines < 3 * n_lines
+      |    AND n_stop >= 2 AS keep
+      |FROM g ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t31_sft_mask" -> t31SftMask,
     "t32_preference_pairs" -> t32PreferencePairs,
     "t33_rejection_sampling" -> t33RejectionSampling,
     "t34_span_decontam" -> t34SpanDecontam,
+    "t35_gopher_rules" -> t35GopherRules,
     "t1_text_stats" -> t1TextStats,
     "t2_quality" -> t2Quality,
     "t3_lang_id" -> t3LangId,
@@ -2318,6 +2410,7 @@ object TextAnalysis {
     "t32_preference_pairs" -> t32PreferencePairsSql,
     "t33_rejection_sampling" -> t33RejectionSamplingSql,
     "t34_span_decontam" -> t34SpanDecontamSql,
+    "t35_gopher_rules" -> t35GopherRulesSql,
     "t1_text_stats" -> t1TextStatsSql,
     "t2_quality" -> t2QualitySql,
     "t3_lang_id" -> t3LangIdSql,

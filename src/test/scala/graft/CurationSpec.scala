@@ -733,4 +733,41 @@ class CurationSpec extends SparkSpec {
       if (spans == 0) assert(rm == 0 && keep == 1.0)
     }
   }
+
+  test("t35 gopher rules: planted rule violations flag exactly their rule") {
+    val goodText = "the cat sat of the mat and it was good for everyone there"
+    val docs = Seq(
+      (0L, goodText, "x", 1L),                              // passes all
+      (1L, "a bb c dd e ff the of", "x", 1L),               // mean wl < 3
+      (2L, "extraordinarily incomprehensible the of notwithstanding", "x", 1L), // wl > 10? check below
+      (3L, goodText + " # # # # # # # #", "x", 1L),         // symbols >= 10%
+      (4L, "- the cat of\n- the dog of\n- more bullets here\nplain", "x", 1L), // bullets < 90% -> ok
+      (5L, "- a the of\n- b cat it\n- c sat for\n- d mat to\n- e and is\n- f it that\n- g of in\n- h the a\n- i to is\n- j in for", "x", 1L), // 100% bullets
+      (6L, "the cat of it...\nthe dog of it...\nthe cow of it...\nplain the line", "x", 1L), // 75% ellipsis
+      (7L, "the cat of\nthe cat of\nthe cat of\nthe dog it", "x", 1L), // 50% dup lines
+      (8L, "zz yy xx ww vv uu tt ss", "x", 1L))             // no stopwords
+      .toDF("doc_id", "text", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("t35").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.t35GopherRules(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def flags(id: Long): (Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean) = {
+      val x = r(id)
+      (x.getBoolean(4), x.getBoolean(5), x.getBoolean(6), x.getBoolean(7),
+        x.getBoolean(8), x.getBoolean(9), x.getBoolean(10))
+    }
+    assert(flags(0L) == ((true, true, true, true, true, true, true)))
+    assert(!flags(1L)._1 && !r(1L).getBoolean(10)) // short words fail wl
+    assert(!flags(3L)._2, "symbol spam must fail sym_ok")
+    assert(flags(4L)._3, "25% plain lines keep bullet_ok")
+    assert(!flags(5L)._3, "all-bullet doc must fail bullet_ok")
+    assert(!flags(6L)._4, "75% ellipsis lines must fail ellipsis_ok")
+    assert(!flags(7L)._5, "50% duplicate lines must fail dup_ok")
+    assert(!flags(8L)._6 && !r(8L).getBoolean(10), "no stopwords fails stop_ok")
+    // keep is exactly the conjunction on every doc
+    r.values.foreach { x =>
+      assert(x.getBoolean(10) == (x.getBoolean(4) && x.getBoolean(5) &&
+        x.getBoolean(6) && x.getBoolean(7) && x.getBoolean(8) && x.getBoolean(9)))
+    }
+  }
 }
