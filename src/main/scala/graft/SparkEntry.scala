@@ -90,5 +90,6 @@ object SparkEntry {
     "t32_preference_pairs", "t33_rejection_sampling", "p8_dpo_batches",
     "v15_diverse_ann", "mm10_crossmodal_audit", "d15_boilerplate_lines",
     "p9_leak_safe_split", "t34_span_decontam", "d16_incremental_components",
-    "mm11_video_neardup", "v16_knn_join", "p10_curriculum", "t35_gopher_rules")
+    "mm11_video_neardup", "v16_knn_join", "p10_curriculum", "t35_gopher_rules",
+    "v17_hard_negatives", "v18_prototypicality", "p11_doremi_mixture")
 }

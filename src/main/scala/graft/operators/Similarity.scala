@@ -1551,8 +1551,173 @@ object Similarity {
        |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
   }
 
+  // -------------------------------------------------- v17_hard_negatives
+  /** Hard-negative mining for retrieval training — the DPR / ANCE prep
+    * step (Karpukhin et al. 2020; Xiong et al. 2021): for each query
+    * vector, the highest-cosine candidates with a DIFFERENT class label
+    * are the negatives a contrastive loss learns most from. Candidates
+    * come from v4's IVF probe budget verbatim (nprobe=4 cells — mining
+    * runs inside the ANN bill, never corpus-wide), negatives rank within
+    * the probe set, and each row carries the query's margin: best
+    * same-label sim minus the negative's sim. A NEGATIVE margin means
+    * this negative currently outscores every positive in the probe set —
+    * ANCE's signal that the pair matters; NULL margin means no positive
+    * was probed at all.
+    *
+    * Distributed shape: one corpus scan (cell assignment in the scan
+    * projection), candidates by cell-equality join against the broadcast
+    * probe set, and the candidate frame is materialized ONCE to feed
+    * both the negative ranking and the positive max — the second
+    * consumer costs no second scan.
+    */
+  val v17HardNegatives: Q = (s, d) => {
+    val nprobe = 4
+    val nNeg = 5
+    val e = emb(s, d)
+    val refined = ivfRefined(e, 16)
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("label").as("n_label"),
+      normSq(col("embedding")).as("nsq_n"),
+      nearestCell(refined, col("embedding")).as("cell"))
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"),
+        normSq(col("embedding")).as("nsq_q"),
+        centroidDots(refined, col("embedding")).as("cscores"))
+      .select(col("q_id"), col("q_emb"), col("q_label"), col("nsq_q"),
+        explode(slice(array_sort(
+          transform(col("cscores"), (sc, i) => struct((-sc).as("neg"), i.cast("int").as("cell")))),
+          1, nprobe)).as("probe"))
+      .select(col("q_id"), col("q_emb"), col("q_label"), col("nsq_q"),
+        col("probe.cell").as("cell"))
+    val cand = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim",
+        cosineWithNorms(dot(col("q_emb"), col("n_emb")), col("nsq_q"), col("nsq_n")))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"), col("sim"))
+      .materialize() // feeds the negative ranking AND the positive max
+    val pos = cand.filter(col("n_label") === col("q_label"))
+      .groupBy(col("q_id")).agg(max(col("sim")).as("pos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    cand.filter(col("n_label") =!= col("q_label"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= nNeg)
+      .join(pos, Seq("q_id"), "left")
+      .select(col("q_id"), col("rnk"), col("n_id"), col("n_label"),
+        sround(col("sim"), 4).as("sim"),
+        sround(col("pos_sim") - col("sim"), 4).as("margin"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB twin: v4's shared build CTEs + v4's probes spelling, labels
+    * joined back from the base table, then the same negative rank /
+    * positive max / margin arithmetic.
+    */
+  val v17HardNegativesSql: String = {
+    def dotList(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+    s"""WITH $ivfCorpusCtes,
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nsq AS nsq_q, cell
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, e.nsq, r.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotList("e.embedding", "r.c")} DESC, r.cell ASC) AS rn
+       |    FROM e, refined r
+       |    WHERE e.vec_id < $NQ)
+       |  WHERE rn <= 4),
+       |cand AS MATERIALIZED (
+       |  SELECT q.q_id, qe.label AS q_label, c.n_id, le.label AS n_label,
+       |    ${dotList("q.q_emb", "c.n_emb")} / (sqrt(q.nsq_q) * sqrt(c.nsq_n)) AS sim
+       |  FROM corpus c JOIN probes q USING (cell)
+       |  JOIN embeddings le ON le.vec_id = c.n_id
+       |  JOIN embeddings qe ON qe.vec_id = q.q_id
+       |  WHERE c.n_id != q.q_id),
+       |pos AS (
+       |  SELECT q_id, max(sim) AS pos_sim FROM cand
+       |  WHERE n_label = q_label GROUP BY q_id),
+       |negs AS (
+       |  SELECT q_id, n_id, n_label, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rnk
+       |  FROM cand WHERE n_label != q_label)
+       |SELECT n.q_id, n.rnk, n.n_id, n.n_label,
+       |  floor(n.sim * 10000.0 + 0.5) / 10000.0 AS sim,
+       |  floor((p.pos_sim - n.sim) * 10000.0 + 0.5) / 10000.0 AS margin
+       |FROM negs n LEFT JOIN pos p USING (q_id)
+       |WHERE n.rnk <= 5 ORDER BY n.q_id, n.rnk""".stripMargin
+  }
+
+  // ------------------------------------------------ v18_prototypicality
+  /** Prototypicality scoring & pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws: beating power law scaling via data pruning"):
+    * a vector's cosine to its OWN cluster centroid ranks how prototypical
+    * the example is; in the abundant-data regime the top fifth of each
+    * cluster — the easiest, most redundant examples — is pruned and the
+    * hard tail kept. Reuses v4's coarse quantizer verbatim (one build
+    * spelling, the v14 discipline).
+    *
+    * Distributed shape — why this is linear at any corpus size: there are
+    * NO pairs. One corpus scan computes the cell assignment and the
+    * centroid cosine in the scan projection (centroids are a k×dim
+    * broadcast literal); the only shuffle is the per-cell ranking window,
+    * and cells are exactly the unit production scales out by growing the
+    * cell count. The prune cutoff is integer arithmetic on the cell
+    * count (ceil(cnt/5)), so the keep flag is deterministic under any
+    * partitioning.
+    */
+  val v18Prototypicality: Q = (s, d) => {
+    val e = emb(s, d)
+    val refined = ivfRefined(e, 16)
+    val nsqC: Array[Double] = refined.map { c =>
+      var t = 0.0; var i = 0
+      while (i < c.length) { t += c(i) * c(i); i += 1 }; t
+    }
+    val w = Window.partitionBy(col("cell"))
+    e.select(col("vec_id"),
+        normSq(col("embedding")).as("nsq"),
+        nearestCell(refined, col("embedding")).as("cell"),
+        centroidDots(refined, col("embedding")).as("cdots"))
+      .select(col("vec_id"), col("cell"),
+        cosineWithNorms(element_at(col("cdots"), col("cell") + 1),
+          col("nsq"),
+          element_at(typedlit(nsqC.toSeq), col("cell") + 1)).as("proto"))
+      .withColumn("rnk",
+        row_number().over(w.orderBy(col("proto").desc, col("vec_id").asc)))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .select(col("vec_id"), col("cell"), sround(col("proto"), 4).as("proto"),
+        col("rnk"),
+        (col("rnk") > floor((col("cnt") + lit(4)) / lit(5))).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin: the shared build CTEs, centroid cosine via the same
+    * fold, per-cell rank + count windows, integer ceil-div cutoff.
+    */
+  val v18PrototypicalitySql: String = {
+    def dotList(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+    s"""WITH $ivfCorpusCtes,
+       |scored AS (
+       |  SELECT c.n_id AS vec_id, c.cell,
+       |    ${dotList("c.n_emb", "r.c")}
+       |      / (sqrt(c.nsq_n) * sqrt(${dotList("r.c", "r.c")})) AS proto
+       |  FROM corpus c JOIN refined r USING (cell)),
+       |rk AS (
+       |  SELECT vec_id, cell, proto,
+       |    CAST(row_number() OVER (PARTITION BY cell
+       |      ORDER BY proto DESC, vec_id ASC) AS INTEGER) AS rnk,
+       |    count(*) OVER (PARTITION BY cell) AS cnt
+       |  FROM scored)
+       |SELECT vec_id, cell, floor(proto * 10000.0 + 0.5) / 10000.0 AS proto,
+       |  rnk, rnk > (cnt + 4) // 5 AS keep
+       |FROM rk ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "v17_hard_negatives" -> v17HardNegatives,
+    "v18_prototypicality" -> v18Prototypicality,
     "v16_knn_join" -> v16KnnJoin,
     "v13_truncation_eval" -> v13TruncationEval,
     "v14_ivfpq" -> v14IvfPq,
@@ -1571,6 +1736,8 @@ object Similarity {
     "v12_ivf_append" -> v12IvfAppend)
 
   val oracles: Map[String, String] = Map(
+    "v17_hard_negatives" -> v17HardNegativesSql,
+    "v18_prototypicality" -> v18PrototypicalitySql,
     "v16_knn_join" -> v16KnnJoinSql,
     "v13_truncation_eval" -> v13TruncationEvalSql,
     "v14_ivfpq" -> v14IvfPqSql,

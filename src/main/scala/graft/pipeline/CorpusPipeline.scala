@@ -985,8 +985,136 @@ object CorpusPipeline {
       |    AS curriculum_rank
       |FROM docb ORDER BY curriculum_rank""".stripMargin
 
+  // ------------------------------------------------- p11_doremi_mixture
+  /** Group-DRO domain reweighting — the DoReMi shape (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): domains whose loss EXCEEDS the current mixture's
+    * weighted-average loss get their sampling weight multiplicatively
+    * boosted, iterated to a mixture that hedges against the worst
+    * domains. Losses here are t17's self-trained bigram LM scores (the
+    * proxy-model stand-in this container supports), domain = `source`.
+    * Five mirror-ascent rounds, each: baseline B = Σ w_d·L_d, excess
+    * e_d = max(L_d − B, 0), w ← w·(1 + η·e_d) renormalized, then
+    * DoReMi's uniform smoothing w ← (1−s)·w + s/|D|. The (1 + ηx)
+    * update is the rational multiplicative-weights variant of exp(ηx) —
+    * chosen because +,×,÷ are IEEE-identical across engines while exp()
+    * is not, so the oracle replays bit-for-bit.
+    *
+    * Scale shape: ONE corpus-sized stage (t17's gram-keyed scoring) into
+    * a source-keyed agg; per-doc scores collapse to exact 1e-4 integer
+    * units so per-domain sums are order-free longs (p4's discipline);
+    * the 5-round ascent runs on the |domains|-row frame (bounded — 20
+    * here, dozens in production) with sorted-fold sums, costing the same
+    * at 100 TB as at 1 GB beyond the scan. Docs with <2 tokens have no
+    * bigram score and are excluded (t17's domain).
+    */
+  def p11DoremiMixture(s: SparkSession, d: String): DataFrame = {
+    val eta = 0.1
+    val smooth = 0.01
+    val rounds = 5
+    def fold(c: Column): Column =
+      aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+    val scores = graft.operators.TextAnalysis.t17LmScore(s, d)
+      .select(col("doc_id"),
+        floor(col("avg_neg_log2p") * 10000.0 + lit(0.5)).cast("long").as("s4"))
+    val src = graft.Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"))
+    val perSrc = src.join(scores, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s4")).as("s4sum"))
+      .withColumn("l", col("s4sum") / col("n_docs").cast("double") / lit(10000.0))
+      .materialize() // the |domains|-row frame the ascent iterates on
+    val nd = perSrc.agg(count(lit(1)).cast("double").as("nd"))
+    var cur = perSrc.crossJoin(broadcast(nd))
+      .select(col("source"), col("n_docs"), col("l"), col("nd"),
+        (lit(1.0) / col("nd")).as("w"))
+    (1 to rounds).foreach { _ =>
+      val b = cur.agg(fold(col("w") * col("l")).as("b"))
+      val stepped = cur.crossJoin(broadcast(b))
+        .withColumn("wn",
+          col("w") * (lit(1.0) + lit(eta) * greatest(col("l") - col("b"), lit(0.0))))
+      val sw = stepped.agg(fold(col("wn")).as("sw"))
+      cur = stepped.crossJoin(broadcast(sw))
+        .select(col("source"), col("n_docs"), col("l"), col("nd"),
+          ((col("wn") / col("sw")) * lit(1.0 - smooth)
+            + lit(smooth) / col("nd")).as("w"))
+    }
+    cur.select(col("source"), col("n_docs"),
+        sround(col("l"), 6).as("loss"),
+        sround(col("w"), 6).as("weight"),
+        sround(col("w") * col("nd"), 4).as("boost"))
+      .orderBy("source")
+  }
+
+  /** Oracle: t17's CTE chain to per-doc integer score units, then the
+    * five ascent rounds unrolled as CTE pairs (baseline fold, update +
+    * renormalize + smooth) with identical arithmetic spellings.
+    * `per_src` and each round CTE are MATERIALIZED: every round
+    * references its predecessor twice, and DuckDB inlines plain CTEs
+    * per reference — without the fence the corpus-sized bigram chain
+    * under r0 re-evaluates 2^5 times (g5's exponential-re-eval
+    * pathology; OOMs at sf0.1).
+    */
+  val p11DoremiMixtureSql: String = {
+    val roundCtes = (1 to 5).map { t =>
+      val prev = if (t == 1) "r0" else s"r${t - 1}"
+      s"""b$t AS (SELECT list_aggregate(list_sort(list(w * l)), 'sum') AS b FROM $prev),
+         |u$t AS (
+         |  SELECT source, n_docs, l, nd,
+         |    w * (1.0 + 0.1 * greatest(l - b, 0.0)) AS wn
+         |  FROM $prev CROSS JOIN b$t),
+         |s$t AS (SELECT list_aggregate(list_sort(list(wn)), 'sum') AS sw FROM u$t),
+         |r$t AS MATERIALIZED (
+         |  SELECT source, n_docs, l, nd,
+         |    (wn / sw) * 0.99 + 0.01 / nd AS w
+         |  FROM u$t CROSS JOIN s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
+       |  FROM documents),
+       |big AS MATERIALIZED (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+       |        WHERE len(t) >= 2)),
+       |bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+       |ctx AS (SELECT w1, count(*) AS cc FROM big GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w) AS v
+       |      FROM (SELECT unnest(t) AS w FROM toks)),
+       |terms AS (
+       |  SELECT b.doc_id,
+       |    -log2((bc.c + 1) / CAST(ctx.cc + v.v AS DOUBLE)) AS term
+       |  FROM big b JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+       |scores AS (
+       |  SELECT doc_id,
+       |    CAST(floor(
+       |      floor(list_aggregate(list_sort(list(term)), 'sum') / count(*)
+       |        * 10000.0 + 0.5) / 10000.0
+       |      * 10000.0 + 0.5) AS BIGINT) AS s4
+       |  FROM terms GROUP BY doc_id),
+       |per_src AS MATERIALIZED (
+       |  SELECT d.source, count(*) AS n_docs, CAST(sum(s.s4) AS BIGINT) AS s4sum
+       |  FROM documents d JOIN scores s USING (doc_id)
+       |  GROUP BY d.source),
+       |base AS (
+       |  SELECT source, n_docs,
+       |    s4sum / CAST(n_docs AS DOUBLE) / 10000.0 AS l
+       |  FROM per_src),
+       |r0 AS (
+       |  SELECT source, n_docs, l, nd, 1.0 / nd AS w
+       |  FROM base CROSS JOIN
+       |    (SELECT CAST(count(*) AS DOUBLE) AS nd FROM base)),
+       |$roundCtes
+       |SELECT source, n_docs,
+       |  floor(l * 1000000.0 + 0.5) / 1000000.0 AS loss,
+       |  floor(w * 1000000.0 + 0.5) / 1000000.0 AS weight,
+       |  floor(w * nd * 10000.0 + 0.5) / 10000.0 AS boost
+       |FROM r5 ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p1_corpus_pipeline" -> (p1CorpusPipeline _),
+      "p11_doremi_mixture" -> (p11DoremiMixture _),
       "p10_curriculum" -> (p10Curriculum _),
       "p9_leak_safe_split" -> (p9LeakSafeSplit _),
       "p7_sft_packing" -> (p7SftPacking _),
@@ -998,6 +1126,7 @@ object CorpusPipeline {
       "p6_epoch_shuffle" -> (p6EpochShuffle _))
   val oracles: Map[String, String] =
     Map("p1_corpus_pipeline" -> p1CorpusPipelineSql,
+      "p11_doremi_mixture" -> p11DoremiMixtureSql,
       "p10_curriculum" -> p10CurriculumSql,
       "p7_sft_packing" -> p7SftPackingSql,
       "p8_dpo_batches" -> p8DpoBatchesSql,

@@ -390,4 +390,42 @@ class PipelineSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(rows.forall(r => !short.contains(r._1)))
   }
+
+  test("p11 doremi: weights replay the 5-round ascent exactly; weight is monotone in loss") {
+    val rows = CorpusPipeline.p11DoremiMixture(spark, sfDir)
+      .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.length > 1)
+    // replay: per-source integer score sums from t17's own output
+    val s4 = graft.operators.TextAnalysis.t17LmScore(spark, sfDir)
+      .select($"doc_id", floor($"avg_neg_log2p" * 10000.0 + lit(0.5)).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val srcOf = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val perSrc = s4.toSeq.groupBy(kv => srcOf(kv._1)).view.mapValues { ds =>
+      (ds.size.toLong, ds.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val nd = perSrc.size.toDouble
+    val l = perSrc.map { case (_, (n, sum)) => sum / n.toDouble / 10000.0 }.toArray
+    var w = Array.fill(perSrc.size)(1.0 / nd)
+    def fold(xs: Array[Double]): Double = xs.sorted.foldLeft(0.0)(_ + _)
+    (1 to 5).foreach { _ =>
+      val b = fold(l.indices.map(i => w(i) * l(i)).toArray)
+      val wn = l.indices.map(i => w(i) * (1.0 + 0.1 * math.max(l(i) - b, 0.0))).toArray
+      val sw = fold(wn)
+      w = wn.map(x => (x / sw) * 0.99 + 0.01 / nd)
+    }
+    def r(x: Double, f: Double): Double = math.floor(x * f + 0.5) / f
+    val expect = perSrc.zipWithIndex.map { case ((src, (n, _)), i) =>
+      (src, n, r(l(i), 1e6), r(w(i), 1e6), r(w(i) * nd, 1e4))
+    }
+    assert(rows.toSeq == expect)
+    // weights form a distribution and never fall below the smoothing floor
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    rows.foreach(r5 => assert(r5._4 >= 0.01 / nd - 1e-9))
+    // the linear MW update from a uniform start never lets a lower-loss
+    // domain overtake a higher-loss one
+    rows.sortBy(_._3).map(_._4).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b + 1e-9); case _ =>
+    }
+  }
 }

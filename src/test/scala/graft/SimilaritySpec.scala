@@ -788,4 +788,85 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect().toSeq
     assert(got == expect)
   }
+
+  test("v17 hard negatives: cross-label only, consistent margins, v4-prefix agreement") {
+    val labels = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val rows = Similarity.v17HardNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      // every negative's label differs from the query's, and the stored
+      // n_label is the base table's
+      rs.foreach { case (_, _, nId, nLabel, _, _) =>
+        assert(nLabel == labels(nId) && nLabel != labels(q))
+      }
+      // ranks dense from 1, sims descending
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rs.length))
+      val sims = sorted.map(_._5)
+      sims.zip(sims.tail).foreach { case (a, b) => assert(a >= b) }
+      // margin + sim reconstructs ONE pos_sim per query (all rows agree
+      // to rounding), and all margins share null-ness
+      val recon = sorted.flatMap { case (_, _, _, _, sim, m) => m.map(_ + sim) }
+      assert(recon.isEmpty || recon.length == rs.length)
+      recon.zip(recon.tail).foreach { case (a, b) => assert(math.abs(a - b) < 2e-4) }
+    }
+    // differential vs v4: among v4's top-10 (same probe set, same ranking)
+    // the cross-label rows in rank order must be a prefix of v17's negatives
+    val v4 = Similarity.v4IvfAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val v4Negs = v4.filter(_._1 == q).sortBy(_._2)
+        .filter(r => labels(r._3) != labels(q)).map(r => (r._3, r._4))
+      val mine = rs.sortBy(_._2).map(r => (r._3, r._5))
+      v4Negs.take(mine.length).zip(mine).foreach { case (a, b) => assert(a == b) }
+    }
+  }
+
+  test("v18 prototypicality matches a full in-memory replay of the build + rank + cutoff") {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val seeds = vecs.filter(_._1 < 16).map(_._2).map { v =>
+      val n = math.sqrt(dotd(v, v)); v.map(x => if (n == 0) 0.0 else x / n)
+    }
+    def argmaxCell(cents: Array[Array[Double]], v: Array[Double]): Int =
+      cents.zipWithIndex.map { case (c, i) => (dotd(v, c), i) }
+        .maxBy { case (sc, i) => (sc, -i) }._2
+    val a0 = vecs.map { case (id, v) => (id, v, argmaxCell(seeds, v)) }
+    val refined = a0.groupBy(_._3).map { case (cell, members) =>
+      cell -> Array.tabulate(vecs.head._2.length) { p =>
+        val m = members.map(_._2(p)).sum / members.size
+        math.floor(m * 1e4 + 0.5) / 1e4
+      }
+    }.toArray.sortBy(_._1).map(_._2)
+    val assigned = vecs.map { case (id, v) => (id, v, argmaxCell(refined, v)) }
+    val expect = assigned.groupBy(_._3).toSeq.flatMap { case (cell, members) =>
+      val scored = members.map { case (id, v, _) =>
+        val c = refined(cell)
+        (id, dotd(v, c) / (math.sqrt(dotd(v, v)) * math.sqrt(dotd(c, c))))
+      }.sortBy { case (id, p) => (-p, id) }
+      val cnt = scored.length
+      scored.zipWithIndex.map { case ((id, p), i) =>
+        (id, cell, math.floor(p * 1e4 + 0.5) / 1e4, i + 1, (i + 1) > (cnt + 4) / 5)
+      }
+    }.sortBy(_._1)
+    val got = Similarity.v18Prototypicality(spark, sfDir)
+      .as[(Long, Int, Double, Int, Boolean)].collect().toSeq
+    assert(got == expect)
+    // the pruning contract: every cell keeps strictly less than it had,
+    // and what is pruned is exactly the ceil(cnt/5) most prototypical
+    got.groupBy(_._2).foreach { case (_, cellRows) =>
+      val pruned = cellRows.filter(!_._5)
+      assert(pruned.size == (cellRows.size + 4) / 5)
+      assert(pruned.map(_._4).max == pruned.size)
+    }
+  }
 }
