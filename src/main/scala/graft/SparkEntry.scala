@@ -91,5 +91,6 @@ object SparkEntry {
     "v15_diverse_ann", "mm10_crossmodal_audit", "d15_boilerplate_lines",
     "p9_leak_safe_split", "t34_span_decontam", "d16_incremental_components",
     "mm11_video_neardup", "v16_knn_join", "p10_curriculum", "t35_gopher_rules",
-    "v17_hard_negatives", "v18_prototypicality", "p11_doremi_mixture")
+    "v17_hard_negatives", "v18_prototypicality", "p11_doremi_mixture",
+    "t36_moore_lewis")
 }

@@ -2367,8 +2367,153 @@ object TextAnalysis {
       |    AND n_stop >= 2 AS keep
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- t36_moore_lewis
+  /** Cross-entropy difference selection (Moore & Lewis 2010, "Intelligent
+    * selection of language model training data"): every document is
+    * ranked by H_in(x) − H_gen(x), its per-bigram cross-entropy under an
+    * IN-DOMAIN LM minus under the general-corpus LM. Documents the
+    * in-domain model finds easier than the general model (negative
+    * score) are the ones worth keeping when adapting a web corpus toward
+    * a trusted seed domain — the classic pre-DSIR domain-selection
+    * recipe (t19 is its hashed importance-weighting descendant). The
+    * seed here is `source = 'src0'`; both models are t17's add-one
+    * bigram estimator, so the whole operator is t17 run against two
+    * models at once.
+    *
+    * Distributed shape — why two models cost one: the seed is a SUBSET
+    * of the corpus, so both models fall out of t17's two gram-keyed hash
+    * aggs with a second CONDITIONAL counter (count of seed occurrences)
+    * — no second scan, no second shuffle. The scoring join ships each
+    * bigram occurrence to its model row once and carries both -log2
+    * terms back; per-doc sums are two sorted folds (bitwise-stable
+    * doubles). Bigrams unseen in the seed hit add-one's floor
+    * (1/(cc_t + V_in)) through the SAME inner-join row — corpus counts
+    * are never zero by construction, so no outer join appears.
+    *
+    * Selection: Moore-Lewis keeps the best FRACTION by score (the
+    * absolute zero point shifts with the two vocabularies' add-one
+    * floors, so a fixed threshold is meaningless) — here the bottom
+    * quartile via t27's score-level distribution-table cut: scores are
+    * sround-4 discrete, the corpus collapses to a (score4, count)
+    * table, and the cut runs on that bounded table (≤ distinct scores
+    * rows at any corpus size), never a corpus-wide sort. A score4 group
+    * straddling the boundary is kept whole, so every kept score is
+    * strictly below every dropped one and |kept| ≥ ceil(N/4). Assumes a
+    * non-empty seed (zero 2-token seed docs would make V_in = 0).
+    */
+  val t36MooreLewis: Q = (s, d) => {
+    val toks = docs(s, d)
+      .select(col("doc_id"), (col("source") === "src0").as("tgt"),
+        lowerTokens(col("text")).as("t"))
+      .materialize()
+    val big = toks
+      .select(col("doc_id"), col("tgt"),
+        posexplode(col("t")).as(Seq("i", "w1")), col("t"))
+      .filter(col("i") < size(col("t")) - 1)
+      .select(col("doc_id"), col("tgt"), col("w1"),
+        element_at(col("t"), col("i") + 2).as("w2"))
+      // feeds bigram counts, context counts, and the scoring join
+      .materialize()
+    val bc = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_g"), count(when(col("tgt"), lit(1))).as("c_t"))
+    val ctx = big.groupBy(col("w1"))
+      .agg(count(lit(1)).as("cc_g"), count(when(col("tgt"), lit(1))).as("cc_t"))
+    val vocab = toks.select(col("tgt"), explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v_g"),
+        countDistinct(when(col("tgt"), col("w"))).as("v_t"))
+    val scored = big.join(bc, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (-log2((col("c_t") + 1) / (col("cc_t") + col("v_t")).cast("double"))).as("term_t"),
+        (-log2((col("c_g") + 1) / (col("cc_g") + col("v_g")).cast("double"))).as("term_g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(array_sort(collect_list(col("term_t"))),
+          lit(0.0), (acc, x) => acc + x).as("ht"),
+        aggregate(array_sort(collect_list(col("term_g"))),
+          lit(0.0), (acc, x) => acc + x).as("hg"))
+      .select(col("doc_id"), col("n_bigrams"),
+        sround(col("ht") / col("n_bigrams"), 4).as("ce_in"),
+        sround(col("hg") / col("n_bigrams"), 4).as("ce_gen"))
+      .withColumn("s4",
+        floor((col("ce_in") - col("ce_gen")) * 10000.0 + lit(0.5)).cast("long"))
+      .materialize() // feeds the score distribution AND the final join-back
+    val dist = scored.groupBy(col("s4")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s4"))
+    // single-partition window, but over the bounded (score4, count)
+    // distribution table — t27's discipline, never the corpus
+    val marked = dist
+      .withColumn("cum", coalesce(
+        sum(col("c")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n_all", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("s4"),
+        (col("cum") < floor((col("n_all") + lit(3)) / lit(4.0)).cast("long"))
+          .as("keep"))
+    scored.join(broadcast(marked), Seq("s4"))
+      .select(col("doc_id"), col("n_bigrams"), col("ce_in"), col("ce_gen"),
+        (col("s4") / 10000.0).as("score"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: t17's CTE chain with the conditional seed counters;
+    * score arithmetic on the ROUNDED components so the subtraction sees
+    * identical doubles on both engines, then the identical score-level
+    * quartile cut over the (score4, count) distribution.
+    */
+  val t36MooreLewisSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, source = 'src0' AS tgt,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |big AS MATERIALIZED (
+      |  SELECT doc_id, tgt, t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT doc_id, tgt, t, unnest(range(1, len(t))) AS i FROM toks
+      |        WHERE len(t) >= 2)),
+      |bc AS (SELECT w1, w2, count(*) AS c_g,
+      |         count(CASE WHEN tgt THEN 1 END) AS c_t
+      |       FROM big GROUP BY 1, 2),
+      |ctx AS (SELECT w1, count(*) AS cc_g,
+      |          count(CASE WHEN tgt THEN 1 END) AS cc_t
+      |        FROM big GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v_g,
+      |        count(DISTINCT CASE WHEN tgt THEN w END) AS v_t
+      |      FROM (SELECT tgt, unnest(t) AS w FROM toks)),
+      |terms AS (
+      |  SELECT b.doc_id,
+      |    -log2((bc.c_t + 1) / CAST(ctx.cc_t + v.v_t AS DOUBLE)) AS term_t,
+      |    -log2((bc.c_g + 1) / CAST(ctx.cc_g + v.v_g AS DOUBLE)) AS term_g
+      |  FROM big b JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    list_aggregate(list_sort(list(term_t)), 'sum') AS ht,
+      |    list_aggregate(list_sort(list(term_g)), 'sum') AS hg
+      |  FROM terms GROUP BY doc_id),
+      |sc AS (
+      |  SELECT doc_id, n_bigrams,
+      |    floor(ht / n_bigrams * 10000.0 + 0.5) / 10000.0 AS ce_in,
+      |    floor(hg / n_bigrams * 10000.0 + 0.5) / 10000.0 AS ce_gen
+      |  FROM agg),
+      |sc2 AS MATERIALIZED (
+      |  SELECT doc_id, n_bigrams, ce_in, ce_gen,
+      |    CAST(floor((ce_in - ce_gen) * 10000.0 + 0.5) AS BIGINT) AS s4
+      |  FROM sc),
+      |dist AS (SELECT s4, count(*) AS c FROM sc2 GROUP BY 1),
+      |marked AS (
+      |  SELECT s4,
+      |    coalesce(sum(c) OVER (ORDER BY s4
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+      |    sum(c) OVER () AS n_all
+      |  FROM dist)
+      |SELECT doc_id, n_bigrams, ce_in, ce_gen, s4 / 10000.0 AS score,
+      |  cum < CAST(floor((n_all + 3) / 4.0) AS BIGINT) AS keep
+      |FROM sc2 JOIN marked USING (s4) ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "t36_moore_lewis" -> t36MooreLewis,
     "t31_sft_mask" -> t31SftMask,
     "t32_preference_pairs" -> t32PreferencePairs,
     "t33_rejection_sampling" -> t33RejectionSampling,
@@ -2406,6 +2551,7 @@ object TextAnalysis {
     "t13_repetition" -> t13Repetition)
 
   val oracles: Map[String, String] = Map(
+    "t36_moore_lewis" -> t36MooreLewisSql,
     "t31_sft_mask" -> t31SftMaskSql,
     "t32_preference_pairs" -> t32PreferencePairsSql,
     "t33_rejection_sampling" -> t33RejectionSamplingSql,

@@ -770,4 +770,50 @@ class CurationSpec extends SparkSpec {
         x.getBoolean(6) && x.getBoolean(7) && x.getBoolean(8) && x.getBoolean(9)))
     }
   }
+
+  test("t36 moore-lewis: ce_gen is t17 bitwise; seed-domain keeps, alien drops") {
+    // planted: src0 is the in-domain seed; doc 2 repeats seed text
+    // verbatim (strongly in-domain), doc 3 shares no bigram with it
+    val docs = Seq(
+      (0L, "the cat sat on the mat", "en", "src0"),
+      (1L, "the cat ate the fish", "en", "src0"),
+      (2L, "the cat sat on the mat", "en", "src7"),
+      (3L, "quantum flux harmonics perturb entangled qubits rapidly", "en", "src7"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("t36").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = TextAnalysis.t36MooreLewis(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(4), x.getBoolean(5))).toMap
+    // identical text => identical score regardless of source
+    assert(planted(0L)._1 == planted(2L)._1)
+    // the alien doc is the unique worst scorer and is dropped
+    assert(planted.values.map(_._1).max == planted(3L)._1 && !planted(3L)._2,
+      s"alien doc must score worst and drop: $planted")
+    // quartile cut on N=4: exactly the single best-scoring doc keeps
+    assert(planted.filter(_._2._2).keySet == Set(1L), s"bottom quartile: $planted")
+    // sf corpus: the general-model column IS t17's score (bitwise — the
+    // conditional second counter must not perturb the shared model), and
+    // the seed source's mean score sits below the rest of the corpus
+    val t36 = TextAnalysis.t36MooreLewis(spark, sfDir)
+      .select($"doc_id", $"ce_gen", $"score").as[(Long, Double, Double)].collect()
+    val t17 = TextAnalysis.t17LmScore(spark, sfDir)
+      .select($"doc_id", $"avg_neg_log2p").as[(Long, Double)].collect().toMap
+    assert(t36.length == t17.size)
+    t36.foreach { case (id, g, _) => assert(g == t17(id)) }
+    val srcOf = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val (seed, rest) = t36.partition(r => srcOf(r._1) == "src0")
+    assert(seed.nonEmpty && rest.nonEmpty)
+    assert(seed.map(_._3).sum / seed.length < rest.map(_._3).sum / rest.length,
+      "seed docs must average more in-domain than the rest")
+    // the score-level cut: every kept score strictly below every dropped
+    // one, and the kept mass is at least a quarter of the corpus
+    val flags = TextAnalysis.t36MooreLewis(spark, sfDir)
+      .select($"score", $"keep").as[(Double, Boolean)].collect()
+    val (kept, dropped) = flags.partition(_._2)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    assert(kept.map(_._1).max < dropped.map(_._1).min)
+    assert(kept.length >= (flags.length + 3) / 4)
+  }
 }
