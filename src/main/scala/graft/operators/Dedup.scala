@@ -1468,7 +1468,81 @@ object Dedup {
       |FROM flags f JOIN comp c USING (doc_id) LEFT JOIN ecomp e USING (doc_id)
       |ORDER BY f.doc_id""".stripMargin
 
+  // ---------------------------------------------- d17_source_overlap
+  /** Cross-source n-gram overlap audit — which sources duplicate each
+    * other: for every source pair sharing at least one distinct
+    * word-8gram (t9's gram unit), the shared-gram count plus Jaccard
+    * and containment (shared / smaller side). This is the
+    * mixture-design sign-off BEFORE cross-source dedup: a pair with
+    * high containment means the smaller source is mostly a re-crawl of
+    * the same material — double-weighted in any mixture that treats
+    * them as independent — and tells the pipeline which source pairs
+    * are worth a scoped d2/d3 pass.
+    *
+    * Distributed shape: one corpus scan to the distinct (source, gram)
+    * frame (the per-doc distinct happens inside the fused md5-62
+    * expression; the cross-doc distinct is one gram-keyed agg), then
+    * g6's capped-self-join discipline: the self-join fans out C(k,2)
+    * per gram where k = sources containing the gram — bounded by the
+    * SOURCE REGISTRY size (dozens-to-thousands), never corpus size,
+    * and the output is at most |sources|² rows. Per-source totals
+    * reuse the same materialized frame. Zero-overlap pairs are absent
+    * by construction (inner join), keeping the output sparse.
+    */
+  val d17SourceOverlap: Q = (s, d) => {
+    val sg = docs(s, d)
+      .select(col("source"), lowerTokens(col("text")).as("toks"))
+      .select(col("source"), explode(graft.expressions.PortableHashExpressions
+        .md5HashArray62(wordNgrams(col("toks"), 8), distinctSorted = true)).as("g"))
+      .distinct()
+      .materialize() // feeds per-source totals AND both self-join sides
+    val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sg.as("a").join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(tot.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("common"),
+        sround(col("common") / (col("n_a") + col("n_b") - col("common")).cast("double"), 6)
+          .as("jaccard"),
+        sround(col("common") / least(col("n_a"), col("n_b")).cast("double"), 6)
+          .as("containment"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** DuckDB twin: identical 8-gram md5-62 lanes, distinct (source, gram),
+    * ordered self-join, identical ratio spellings.
+    */
+  val d17SourceOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |sg AS MATERIALIZED (
+      |  SELECT DISTINCT source, g FROM (
+      |    SELECT source,
+      |      unnest(list_distinct(list_transform(
+      |        list_transform(range(1, len(t) - 6),
+      |          i -> array_to_string(t[i:i+7], ' ')),
+      |        gm -> CAST(md5_number_lower(gm) & 4611686018427387903 AS BIGINT))))
+      |        AS g
+      |    FROM toks WHERE len(t) >= 8)),
+      |tot AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS common
+      |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, ta.n AS n_a, tb.n AS n_b, common,
+      |  floor(common / CAST(ta.n + tb.n - common AS DOUBLE) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS jaccard,
+      |  floor(common / CAST(least(ta.n, tb.n) AS DOUBLE) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS containment
+      |FROM pairs JOIN tot ta ON ta.source = src_a JOIN tot tb ON tb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d17_source_overlap" -> d17SourceOverlap,
     "d16_incremental_components" -> d16IncrementalComponents,
     "d15_boilerplate_lines" -> d15BoilerplateLines,
     "d1_exact_dedup" -> d1ExactDedup,
@@ -1485,6 +1559,7 @@ object Dedup {
     "d13_threshold_sweep" -> d13ThresholdSweep)
 
   val oracles: Map[String, String] = Map(
+    "d17_source_overlap" -> d17SourceOverlapSql,
     "d16_incremental_components" -> d16IncrementalComponentsSql,
     "d15_boilerplate_lines" -> d15BoilerplateLinesSql,
     "d1_exact_dedup" -> d1ExactDedupSql,

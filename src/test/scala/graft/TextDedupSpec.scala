@@ -458,4 +458,39 @@ class TextDedupSpec extends SparkSpec {
       if (!merged) () // unmerged: label may be own id or an old label
     }
   }
+
+  test("d17 source overlap: planted pair exact; sf replay from the gram sets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_d17").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "srcA", 46L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota", "en", "srcB", 51L),
+      (3L, "one two three four five six seven eight nine", "en", "srcC", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Dedup.d17SourceOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect().toSeq
+    // srcA's single 8gram is contained in srcB (2 grams); srcC disjoint
+    assert(planted == Seq(("srcA", "srcB", 1L, 2L, 1L, 0.5, 1.0)), planted.toString)
+
+    // sf replay: rebuild per-source gram sets from the same fused hash
+    // expression (audited in PortableHashSpec) and recompute every pair
+    // in memory — validates the self-join, totals, and ratio arithmetic
+    val sets = Tables.load(spark, sfDir, "documents")
+      .select($"source", explode(graft.expressions.PortableHashExpressions
+        .md5HashArray62(wordNgrams(lowerTokens($"text"), 8), distinctSorted = true)).as("g"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = sets.keys.toSeq.sorted.combinations(2).toSeq.flatMap { case Seq(a, b) =>
+      val common = (sets(a) & sets(b)).size.toLong
+      if (common == 0) None else Some((a, b, sets(a).size.toLong, sets(b).size.toLong,
+        common,
+        r6(common.toDouble / (sets(a).size + sets(b).size - common)),
+        r6(common.toDouble / math.min(sets(a).size, sets(b).size))))
+    }.sortBy(t => (t._1, t._2))
+    val got = Dedup.d17SourceOverlap(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == expect)
+    assert(got.nonEmpty, "sf corpus must have at least one overlapping source pair")
+  }
 }
