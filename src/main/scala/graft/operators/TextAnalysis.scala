@@ -2511,8 +2511,119 @@ object TextAnalysis {
       |  cum < CAST(floor((n_all + 3) / 4.0) AS BIGINT) AS keep
       |FROM sc2 JOIN marked USING (s4) ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- t37_zipf_audit
+  /** Per-language Zipf / vocabulary-health audit: natural text follows a
+    * rank-frequency power law with slope ≈ −1 in log-log space (Zipf
+    * 1949); machine-generated spam, templated boilerplate, and broken
+    * tokenization bend or flatten the curve. Per language this reports
+    * the OLS slope and r² of log2(freq) against log2(rank) over the
+    * top-1000 words, plus the top-1 token share (boilerplate indicator)
+    * and hapax share (OCR-noise / tokenizer-breakage indicator) — the
+    * corpus-health datasheet row next to t5's raw vocabulary and t22's
+    * label audit.
+    *
+    * Distributed shape: ONE corpus-wide shuffle (the (lang, word) count
+    * agg); everything after runs on the vocab-collapsed table — the
+    * per-lang stats are a second hash agg over vocab rows, and the
+    * top-1000 rank window also partitions over vocab rows, never the
+    * corpus. The regression itself is arithmetic over ≤1000 rows per
+    * language. Float discipline: the fold arrays are sorted by rank
+    * (unique per lang), so every sum is order-pinned and the slope/r²
+    * doubles replay bitwise (g12's never-pow rule: squares are spelled
+    * as explicit products).
+    */
+  val t37ZipfAudit: Q = (s, d) => {
+    val wc = docs(s, d)
+      .select(col("lang"), explode(lowerTokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .materialize() // feeds per-lang stats AND the top-k ranking
+    val stats = wc.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top1"),
+        count(when(col("c") === 1, lit(1))).as("hapax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("c").desc, col("w").asc)
+    def fsum(f: Column => Column): Column =
+      aggregate(transform(col("arr"), e => f(e)), lit(0.0), (a, x) => a + x)
+    val fit = wc
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 1000)
+      .select(col("lang"), struct(col("rnk"),
+        log2(col("rnk").cast("double")).as("x"),
+        log2(col("c").cast("double")).as("y")).as("e"))
+      .groupBy(col("lang"))
+      .agg(array_sort(collect_list(col("e"))).as("arr"))
+      .select(col("lang"), size(col("arr")).cast("double").as("k"),
+        fsum(_.getField("x")).as("sx"), fsum(_.getField("y")).as("sy"),
+        fsum(e => e.getField("x") * e.getField("y")).as("sxy"),
+        fsum(e => e.getField("x") * e.getField("x")).as("sxx"),
+        fsum(e => e.getField("y") * e.getField("y")).as("syy"))
+      .select(col("lang"), col("k").cast("long").as("k"),
+        ((col("k") * col("sxy") - col("sx") * col("sy"))
+          / (col("k") * col("sxx") - col("sx") * col("sx"))).as("slope_raw"),
+        (((col("k") * col("sxy") - col("sx") * col("sy"))
+          * (col("k") * col("sxy") - col("sx") * col("sy")))
+          / ((col("k") * col("sxx") - col("sx") * col("sx"))
+            * (col("k") * col("syy") - col("sy") * col("sy")))).as("r2_raw"))
+    stats.join(fit, Seq("lang"))
+      .select(col("lang"), col("n_tokens"), col("n_distinct"), col("k"),
+        sround(col("slope_raw"), 4).as("zipf_slope"),
+        sround(col("r2_raw"), 4).as("zipf_r2"),
+        sround(col("top1") / col("n_tokens").cast("double"), 6).as("top1_share"),
+        sround(col("hapax") / col("n_distinct").cast("double"), 6).as("hapax_share"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB twin: same vocab agg; the fold lists are built with
+    * `list(expr ORDER BY rnk)` so the per-component sums run in the
+    * identical rank order as Spark's array_sort-by-rank fold.
+    */
+  val t37ZipfAuditSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |wc AS MATERIALIZED (
+      |  SELECT lang, w, count(*) AS c
+      |  FROM (SELECT lang, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top1,
+      |    count(CASE WHEN c = 1 THEN 1 END) AS hapax
+      |  FROM wc GROUP BY 1),
+      |rk AS (
+      |  SELECT lang, c, CAST(row_number() OVER (PARTITION BY lang
+      |    ORDER BY c DESC, w ASC) AS BIGINT) AS rnk
+      |  FROM wc),
+      |sums AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS k,
+      |    list_aggregate(list(log2(CAST(rnk AS DOUBLE)) ORDER BY rnk), 'sum') AS sx,
+      |    list_aggregate(list(log2(CAST(c AS DOUBLE)) ORDER BY rnk), 'sum') AS sy,
+      |    list_aggregate(list(log2(CAST(rnk AS DOUBLE)) * log2(CAST(c AS DOUBLE))
+      |      ORDER BY rnk), 'sum') AS sxy,
+      |    list_aggregate(list(log2(CAST(rnk AS DOUBLE)) * log2(CAST(rnk AS DOUBLE))
+      |      ORDER BY rnk), 'sum') AS sxx,
+      |    list_aggregate(list(log2(CAST(c AS DOUBLE)) * log2(CAST(c AS DOUBLE))
+      |      ORDER BY rnk), 'sum') AS syy
+      |  FROM rk WHERE rnk <= 1000 GROUP BY lang),
+      |fit AS (
+      |  SELECT lang, k,
+      |    (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope_raw,
+      |    ((k * sxy - sx * sy) * (k * sxy - sx * sy))
+      |      / ((k * sxx - sx * sx) * (k * syy - sy * sy)) AS r2_raw
+      |  FROM sums)
+      |SELECT s.lang, s.n_tokens, s.n_distinct, f.k,
+      |  floor(f.slope_raw * 10000.0 + 0.5) / 10000.0 AS zipf_slope,
+      |  floor(f.r2_raw * 10000.0 + 0.5) / 10000.0 AS zipf_r2,
+      |  floor(s.top1 / CAST(s.n_tokens AS DOUBLE) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS top1_share,
+      |  floor(s.hapax / CAST(s.n_distinct AS DOUBLE) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS hapax_share
+      |FROM stats s JOIN fit f USING (lang) ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "t37_zipf_audit" -> t37ZipfAudit,
     "t36_moore_lewis" -> t36MooreLewis,
     "t31_sft_mask" -> t31SftMask,
     "t32_preference_pairs" -> t32PreferencePairs,
@@ -2551,6 +2662,7 @@ object TextAnalysis {
     "t13_repetition" -> t13Repetition)
 
   val oracles: Map[String, String] = Map(
+    "t37_zipf_audit" -> t37ZipfAuditSql,
     "t36_moore_lewis" -> t36MooreLewisSql,
     "t31_sft_mask" -> t31SftMaskSql,
     "t32_preference_pairs" -> t32PreferencePairsSql,

@@ -816,4 +816,54 @@ class CurationSpec extends SparkSpec {
     assert(kept.map(_._1).max < dropped.map(_._1).min)
     assert(kept.length >= (flags.length + 3) / 4)
   }
+
+  test("t37 zipf audit: in-memory OLS replay matches; natural-text shape holds") {
+    val got = TextAnalysis.t37ZipfAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(got.nonEmpty)
+    val wcRows = Tables.load(spark, sfDir, "documents")
+      .select($"lang",
+        explode(graft.functions.TextFunctions.lowerTokens($"text")).as("w"))
+      .groupBy($"lang", $"w").count().as[(String, String, Long)].collect()
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    wcRows.groupBy(_._1).foreach { case (lang, rows) =>
+      val counts = rows.map(r => (r._2, r._3))
+      val nTok = counts.map(_._2).sum
+      val nDis = counts.length.toLong
+      val ranked = counts.sortBy { case (w, c) => (-c, w) }.take(1000)
+      val k = ranked.length
+      val xy = ranked.zipWithIndex.map { case ((_, c), i) =>
+        (lg2(i + 1.0), lg2(c.toDouble)) }
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val syy = xy.map(p => p._2 * p._2).sum
+      val num = k * sxy - sx * sy
+      val den = k * sxx - sx * sx
+      val (gTok, gDis, gK, gSlope, gR2, gTop1, gHapax) = got(lang)
+      assert(gTok == nTok && gDis == nDis && gK == k)
+      // output is sround-4; replay uses math.log — allow the rounding step
+      assert(math.abs(gSlope - num / den) < 2e-4, s"$lang slope")
+      assert(math.abs(gR2 - num * num / (den * (k * syy - sy * sy))) < 2e-4, s"$lang r2")
+      def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+      assert(gTop1 == r6(counts.map(_._2).max.toDouble / nTok))
+      assert(gHapax == r6(counts.count(_._2 == 1L).toDouble / nDis))
+      // the synthetic corpus draws from a ~31-word pool per lang —
+      // inherently flat, exactly what this audit is built to flag:
+      // slope still negative, but far from Zipf's -1 with a weak fit
+      assert(gSlope < 0 && gR2 < 0.5, s"$lang flat-pool shape: ${got(lang)}")
+    }
+    // discrimination: a genuinely Zipfian planted doc fits slope ~ -1
+    // with high r2, unlike the flat synthetic pool above
+    val zipfText = (1 to 40).flatMap(i => Seq.fill(200 / i)(f"w$i%02d")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("t37").toString
+    Seq((0L, zipfText, "xx", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val z = TextAnalysis.t37ZipfAudit(spark, dir).collect().head
+    assert(z.getDouble(4) < -0.8 && z.getDouble(4) > -1.2 && z.getDouble(5) > 0.95,
+      s"planted zipf fixture: $z")
+  }
 }
