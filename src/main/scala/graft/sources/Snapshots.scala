@@ -490,6 +490,78 @@ object Snapshots {
       .parquet(files(spark, table, v): _*)
   }
 
+  // ---------------------------------------------------------- named refs
+  private def refsDir(table: String) = new Path(table, "_refs")
+  private def refPath(table: String, name: String) =
+    new Path(refsDir(table), s"$name.ref")
+
+  /** Tag `version` with an immutable human name — Iceberg-style named
+    * refs: "the exact bytes run X trained on" becomes `tag("run-x", v)`
+    * instead of a version number in a runbook. Tags are created
+    * create-EXCLUSIVE (re-tagging an existing name fails loudly — a ref
+    * that silently moves is worse than none; drop it first to re-point)
+    * and PROTECT their target: [[expire]] retains tagged versions and
+    * their files regardless of `keepLast`, so the audited bytes survive
+    * routine retention until the tag itself is dropped. The ref file
+    * carries the manifest [[Terminator]] so concurrent readers detect
+    * torn writes the same way manifests do.
+    */
+  def tag(spark: SparkSession, table: String, name: String, version: Int): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"tag name must be [A-Za-z0-9][A-Za-z0-9._-]*, got '$name'")
+    val mp = manifestPath(table, version)
+    val f = fs(spark, mp)
+    require(f.exists(mp), s"no version $version at $table")
+    f.mkdirs(refsDir(table))
+    val out = f.create(refPath(table, name), false) // loud if the tag exists
+    try out.write(s"$version\n$Terminator\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Resolve a tag to its version, retrying torn reads like
+    * [[manifestLines]]; loud if the tag does not exist.
+    */
+  def resolveTag(spark: SparkSession, table: String, name: String): Int = {
+    val rp = refPath(table, name)
+    val f = fs(spark, rp)
+    require(f.exists(rp), s"no tag '$name' at $table")
+    var attempt = 0
+    while (true) {
+      val in = f.open(rp)
+      val all =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      if (all.length == 2 && all.last == Terminator) return all.head.toInt
+      attempt += 1
+      require(attempt < 200,
+        s"ref $rp still incomplete after $attempt reads — torn write")
+      Thread.sleep(10)
+    }
+    -1 // unreachable
+  }
+
+  /** All tags of a table as (name, version), name-sorted. */
+  def tags(spark: SparkSession, table: String): Seq[(String, Int)] = {
+    val rd = refsDir(table)
+    val f = fs(spark, rd)
+    if (!f.exists(rd)) Seq.empty
+    else f.listStatus(rd).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".ref")).map(_.stripSuffix(".ref")).sorted
+      .map(n => n -> resolveTag(spark, table, n))
+  }
+
+  /** Remove a tag (the version becomes expirable again); loud if absent. */
+  def dropTag(spark: SparkSession, table: String, name: String): Unit = {
+    val rp = refPath(table, name)
+    val f = fs(spark, rp)
+    require(f.exists(rp), s"no tag '$name' at $table")
+    require(f.delete(rp, false), s"dropTag: delete failed for '$name' at $table")
+  }
+
+  /** Read the exact table state a tag names. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame =
+    readVersion(spark, table, Some(resolveTag(spark, table, name)))
+
   /** Roll the live table BACK to `toVersion` as a NEW version (Delta
     * RESTORE): the new manifest is a copy of the old version's file
     * lines (stats included) — a pure metadata operation, no data file
@@ -640,9 +712,15 @@ object Snapshots {
     require(cur > 0, s"nothing to expire at $table")
     val floor = math.max(1, cur - keepLast + 1) // retained: [floor, cur]
     val f = fs(spark, new Path(table))
-    val expired = (1 until floor).filter(v => f.exists(manifestPath(table, v)))
+    // tagged versions are retention-pinned (see [[tag]]): their manifests
+    // and files survive any keepLast until the tag is dropped
+    val tagged = tags(spark, table).map(_._2).toSet
+    val expired = (1 until floor)
+      .filter(v => !tagged(v) && f.exists(manifestPath(table, v)))
     if (expired.isEmpty) return ExpireResult(Nil, Nil, 0)
-    val retained = (floor to cur).flatMap(files(spark, table, _)).toSet
+    val retained = ((floor to cur) ++ tagged.filter(_ < floor))
+      .filter(v => f.exists(manifestPath(table, v)))
+      .flatMap(files(spark, table, _)).toSet
     val candidates = expired.flatMap(files(spark, table, _)).distinct
     val (shared, doomed) = candidates.partition(retained)
     expired.foreach { v =>

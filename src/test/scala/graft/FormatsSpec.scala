@@ -699,4 +699,45 @@ class FormatsSpec extends SparkSpec {
     assert(Snapshots.incrementalRead(spark, table, since = 1).count() == 0)
     assert(Snapshots.readVersion(spark, table, Some(1)).count() == d1.count())
   }
+
+  test("named refs: tags pin versions through expire, immutable until dropped") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_tag").toString + "/docs"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id").as[Long].collect().toSet
+    val d1 = base.filter($"event_id" < 100)
+    val d2 = base.filter($"event_id" >= 100 && $"event_id" < 150)
+    val d3 = base.filter($"event_id" >= 900)
+    val v1 = Snapshots.commitOverwrite(d1, table, "load")
+    Snapshots.tag(spark, table, "run-a", v1)
+    val v2 = Snapshots.commitOverwrite(d2, table, "rebuild 1")
+    val v3 = Snapshots.commitOverwrite(d3, table, "rebuild 2")
+
+    // resolution, listing, read-by-tag
+    assert(Snapshots.resolveTag(spark, table, "run-a") == v1)
+    assert(Snapshots.tags(spark, table) == Seq("run-a" -> v1))
+    assert(rows(Snapshots.readTag(spark, table, "run-a")) == rows(d1))
+    // immutability + validation fail loudly
+    intercept[Exception](Snapshots.tag(spark, table, "run-a", v2))
+    intercept[Exception](Snapshots.tag(spark, table, "bad/name", v2))
+    intercept[Exception](Snapshots.tag(spark, table, "ghost", 99))
+    intercept[Exception](Snapshots.resolveTag(spark, table, "nope"))
+
+    // keepLast=1 would expire v1 and v2; the tag pins v1 (manifest AND
+    // files), v2 goes, and the pinned bytes survive a zero-age vacuum
+    val res = Snapshots.expire(spark, table, keepLast = 1)
+    assert(res.expired == Seq(v2))
+    Snapshots.vacuumOrphans(spark, table, olderThanMs = 0L)
+    assert(rows(Snapshots.readTag(spark, table, "run-a")) == rows(d1))
+    intercept[Exception](Snapshots.readVersion(spark, table, Some(v2)))
+
+    // dropping the tag releases the pin: the next expire reclaims v1
+    Snapshots.dropTag(spark, table, "run-a")
+    intercept[Exception](Snapshots.dropTag(spark, table, "run-a"))
+    val res2 = Snapshots.expire(spark, table, keepLast = 1)
+    assert(res2.expired == Seq(v1))
+    intercept[Exception](Snapshots.readTag(spark, table, "run-a"))
+    assert(rows(Snapshots.readVersion(spark, table)) == rows(d3))
+    assert(Snapshots.tags(spark, table).isEmpty)
+  }
 }
