@@ -2621,8 +2621,107 @@ object TextAnalysis {
       |    / 1000000.0 AS hapax_share
       |FROM stats s JOIN fit f USING (lang) ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------- t38_dup_ngram_chars
+  /** Gopher's duplicated-n-gram coverage rule (Rae et al. 2021 §A1.1):
+    * the fraction of a document covered by word-5grams that occur MORE
+    * THAN ONCE within the same document — the self-repetition signal
+    * t13's top-bigram share and t35's duplicate-line rule both miss
+    * (loops and boilerplate repeated mid-paragraph, not line-aligned).
+    * Coverage is a positional interval union (overlapping repeats are
+    * not double-counted), and keep applies Gopher's 0.15 bound via an
+    * integer cross-multiplication.
+    *
+    * Distributed shape: ZERO shuffles — everything is per-document
+    * array arithmetic in one narrow codegen projection (duplicate grams
+    * from sorted-neighbor equality, O(k log k) per doc; coverage from
+    * the sorted start positions, where consecutive starts closer than n
+    * overlap by construction), so at 100 TB it scales with input splits
+    * like t1/t29/t35. Docs under 5 tokens have no grams and score 0.
+    */
+  val t38DupNgramChars: Q = (s, d) =>
+    docs(s, d)
+      .selectExpr("doc_id",
+        "filter(split(lower(text), '\\\\s+'), w -> w != '') AS toks")
+      .selectExpr("doc_id", "CAST(size(toks) AS BIGINT) AS n_tokens",
+        """CASE WHEN size(toks) < 5 THEN array()
+           ELSE transform(sequence(1, size(toks) - 4),
+             i -> concat_ws(' ', slice(toks, i, 5))) END AS grams""")
+      .selectExpr("doc_id", "n_tokens", "grams",
+        "array_sort(grams) AS sg")
+      .selectExpr("doc_id", "n_tokens", "grams",
+        """CASE WHEN size(sg) < 2 THEN array()
+           ELSE array_distinct(filter(
+             transform(sequence(2, size(sg)), i ->
+               IF(element_at(sg, i) = element_at(sg, i - 1),
+                  element_at(sg, i), NULL)),
+             x -> x IS NOT NULL)) END AS dups""")
+      .selectExpr("doc_id", "n_tokens",
+        """CASE WHEN size(grams) = 0 THEN array()
+           ELSE filter(sequence(1, size(grams)),
+             i -> array_contains(dups, element_at(grams, i))) END AS starts""")
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(size(starts) AS BIGINT) AS n_dup_positions",
+        """CAST(CASE WHEN size(starts) = 0 THEN 0
+           WHEN size(starts) = 1 THEN 5
+           ELSE aggregate(
+             transform(sequence(1, size(starts) - 1), j ->
+               least(5, element_at(starts, j + 1) - element_at(starts, j))),
+             0, (a, x) -> a + x) + 5 END AS BIGINT) AS covered_tokens""")
+      .selectExpr("doc_id", "n_tokens", "n_dup_positions", "covered_tokens",
+        """CAST(CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+           floor(covered_tokens / CAST(n_tokens AS DOUBLE) * 1000000.0 + 0.5)
+           / 1000000.0 END AS DOUBLE) AS dup_frac""",
+        "covered_tokens * 100 <= 15 * n_tokens AS keep")
+      .orderBy("doc_id")
+
+  /** DuckDB twin: identical list arithmetic (1-based on both engines by
+    * spelling the positions explicitly), identical coverage fold.
+    */
+  val t38DupNgramCharsSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CASE WHEN len(toks) < 5 THEN []
+      |    ELSE list_transform(range(1, len(toks) - 3),
+      |      i -> array_to_string(toks[i:i+4], ' ')) END AS grams
+      |  FROM f),
+      |s AS (
+      |  SELECT doc_id, n_tokens, grams, list_sort(grams) AS sg FROM g),
+      |du AS (
+      |  SELECT doc_id, n_tokens, grams,
+      |    CASE WHEN len(sg) < 2 THEN []
+      |    ELSE list_distinct(list_filter(
+      |      list_transform(range(2, len(sg) + 1),
+      |        i -> CASE WHEN sg[i] = sg[i - 1] THEN sg[i] END),
+      |      x -> x IS NOT NULL)) END AS dups
+      |  FROM s),
+      |st AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN len(grams) = 0 THEN []
+      |    ELSE list_filter(range(1, len(grams) + 1),
+      |      i -> list_contains(dups, grams[i])) END AS starts
+      |  FROM du),
+      |cov AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(len(starts) AS BIGINT) AS n_dup_positions,
+      |    CAST(CASE WHEN len(starts) = 0 THEN 0
+      |    ELSE coalesce(list_sum(list_transform(range(1, len(starts)),
+      |      j -> least(5, starts[j + 1] - starts[j]))), 0) + 5
+      |    END AS BIGINT) AS covered_tokens
+      |  FROM st)
+      |SELECT doc_id, n_tokens, n_dup_positions, covered_tokens,
+      |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+      |    floor(covered_tokens / CAST(n_tokens AS DOUBLE) * 1000000.0 + 0.5)
+      |    / 1000000.0 END AS dup_frac,
+      |  covered_tokens * 100 <= 15 * n_tokens AS keep
+      |FROM cov ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "t38_dup_ngram_chars" -> t38DupNgramChars,
     "t37_zipf_audit" -> t37ZipfAudit,
     "t36_moore_lewis" -> t36MooreLewis,
     "t31_sft_mask" -> t31SftMask,
@@ -2662,6 +2761,7 @@ object TextAnalysis {
     "t13_repetition" -> t13Repetition)
 
   val oracles: Map[String, String] = Map(
+    "t38_dup_ngram_chars" -> t38DupNgramCharsSql,
     "t37_zipf_audit" -> t37ZipfAuditSql,
     "t36_moore_lewis" -> t36MooreLewisSql,
     "t31_sft_mask" -> t31SftMaskSql,

@@ -866,4 +866,49 @@ class CurationSpec extends SparkSpec {
     assert(z.getDouble(4) < -0.8 && z.getDouble(4) > -1.2 && z.getDouble(5) > 0.95,
       s"planted zipf fixture: $z")
   }
+
+  test("t38 dup ngram chars: planted coverage exact; sf in-memory replay") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"), // no repeated 5gram
+      (1L, "x y z w v x y z w v x y z w v"), // every gram repeats: full cover
+      (2L, "p q r s t m1 m2 m3 m4 m5 m6 p q r s t"), // disjoint repeat: 10/16
+      (3L, "a a a a a a a"), // overlapping repeats union to the whole doc
+      (4L, "one two")) // too short for any gram
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("t38").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t38DupNgramChars(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (0L, 10L, 0L, 0L, 0.0, true),
+      (1L, 15L, 11L, 15L, 1.0, false),
+      (2L, 16L, 2L, 10L, 0.625, false),
+      (3L, 7L, 3L, 7L, 1.0, false),
+      (4L, 2L, 0L, 0L, 0.0, true)), got.toString)
+
+    // sf replay: recompute per doc in memory
+    val expect = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().map { case (id, text) =>
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val grams = if (toks.length < 5) Array.empty[String]
+          else toks.sliding(5).map(_.mkString(" ")).toArray
+        val dups = grams.groupBy(identity).filter(_._2.length > 1).keySet
+        val starts = grams.indices.filter(i => dups(grams(i)))
+        val covered =
+          if (starts.isEmpty) 0L
+          else starts.zip(starts.tail).map { case (a, b) => math.min(5, b - a) }.sum + 5L
+        val frac = if (toks.isEmpty) 0.0
+          else math.floor(covered.toDouble / toks.length * 1e6 + 0.5) / 1e6
+        (id, toks.length.toLong, starts.length.toLong, covered, frac,
+          covered * 100 <= 15L * toks.length)
+      }.sortBy(_._1).toSeq
+    val sfGot = TextAnalysis.t38DupNgramChars(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(sfGot == expect)
+    // the synthetic corpus samples word pools without within-doc gram
+    // repeats — all-keep here; the planted fixture covers the positives
+    assert(sfGot.nonEmpty && sfGot.forall(_._6))
+  }
 }
