@@ -1040,7 +1040,94 @@ object Graph {
       |ORDER BY h.seed, h.h1, h2""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // --------------------------------------------------------- g14_ppr
+  /** Personalized PageRank from a seed set (Haveliwala 2002; the random
+    * walk restarts at the SEEDS, not uniformly) — graph-proximity data
+    * selection: starting from trusted curator users, mass flows to the
+    * items and users most entangled with them, ranking what to keep or
+    * sample when explicit labels stop at the seed set. Seeds are the
+    * user nodes with user_id % 50 == 0; un-normalized absorbing form
+    * (rank₀ = 1 on seeds, restart 0.15 paid to seeds only), 3 rounds.
+    *
+    * Distributed shape: g1's machinery verbatim — one materialized
+    * (src, dst, deg) edge frame, one join + one agg per round with
+    * sorted contribution folds for bit parity. The one PPR-specific
+    * win: rank frames stay SPARSE (only nodes reached within i hops of
+    * a seed are nonzero), and the contribution join filters rank != 0,
+    * so early rounds touch the seed neighborhood, not the graph —
+    * exactly why PPR scales to huge graphs when global PageRank must
+    * touch every node. Zero contributions are exact float identities,
+    * so the filter cannot change a single output bit.
+    */
+  val g14Ppr: Q = (s, d) => {
+    val base = bipartiteBase(s, d)
+    val edges = {
+      val e = base.unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+        .materialize()
+    }
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .withColumn("is_seed", expr(
+        "node LIKE 'u%' AND CAST(substring(node, 2) AS BIGINT) % 50 = 0"))
+    var rank = nodes.select(col("node"),
+      when(col("is_seed"), lit(1.0)).otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to 3) {
+      val contribs = edges
+        .join(rank.filter(col("rank") =!= 0.0), edges("src") === rank("node"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+      rank = nodes
+        .join(contribs.groupBy(col("node")).agg(sortedFoldSum(col("c")).as("csum")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed"), lit(0.15)).otherwise(lit(0.0))
+            + lit(0.85) * coalesce(col("csum"), lit(0.0))).as("rank"))
+    }
+    rank.join(nodes, Seq("node"))
+      .select(col("node"), col("is_seed"), sround(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(30)
+  }
+
+  /** DuckDB twin: g1's unrolled-CTE shape with the seeded init/restart
+    * and the identical rank != 0 contribution filter.
+    */
+  val g14PprSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.node, n.is_seed,
+         |    CASE WHEN n.is_seed THEN 0.15 ELSE 0.0 END
+         |      + 0.85 * coalesce(s.csum, 0.0) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      list_aggregate(list_sort(list(r.rank / d.deg)), 'sum') AS csum
+         |    FROM edges e JOIN $prev r ON e.src = r.node
+         |      JOIN deg d ON e.src = d.src
+         |    WHERE r.rank != 0
+         |    GROUP BY e.dst) s USING (node))""".stripMargin
+    s"""WITH base AS (
+       |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+       |    'k' || json_extract_string(props, '$$.k') AS dst
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nodes AS MATERIALIZED (
+       |  SELECT node,
+       |    node LIKE 'u%' AND CAST(substring(node, 2) AS BIGINT) % 50 = 0
+       |      AS is_seed
+       |  FROM (SELECT DISTINCT src AS node FROM edges)),
+       |r0 AS (SELECT node, is_seed,
+       |  CASE WHEN is_seed THEN 1.0 ELSE 0.0 END AS rank FROM nodes),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT node, is_seed, floor(rank * 1000000.0 + 0.5) / 1000000.0 AS rank
+       |FROM r3 ORDER BY 3 DESC, node LIMIT 30""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "g14_ppr" -> g14Ppr,
     "g11_hits" -> g11Hits,
     "g12_modularity" -> g12Modularity,
     "g13_neighbor_sample" -> g13NeighborSample,
@@ -1056,6 +1143,7 @@ object Graph {
     "g10_walk_pairs" -> g10WalkPairs)
 
   val oracles: Map[String, String] = Map(
+    "g14_ppr" -> g14PprSql,
     "g11_hits" -> g11HitsSql,
     "g12_modularity" -> g12ModularitySql,
     "g13_neighbor_sample" -> g13NeighborSampleSql,

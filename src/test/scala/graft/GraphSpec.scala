@@ -31,6 +31,43 @@ class GraphSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("g14 ppr: exact in-memory replay of the seeded 3-round walk") {
+    val got = Graph.g14Ppr(spark, sfDir)
+      .as[(String, Boolean, Double)].collect().toSeq
+    assert(got.length == 30)
+    assert(got == got.sortBy { case (n, _, r) => (-r, n) })
+    // replay: same edges, same seeds, sorted-fold sums
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(concat(lit("u"), $"user_id").as("src"),
+        concat(lit("k"), get_json_object($"props", "$.k")).as("dst"))
+      .where($"dst".isNotNull).distinct().as[(String, String)].collect()
+    val edges = ev ++ ev.map(e => (e._2, e._1))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val inEdges = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val nodes = deg.keySet
+    def isSeed(n: String) = n.startsWith("u") && n.drop(1).toLong % 50 == 0
+    var rank: Map[String, Double] =
+      nodes.map(n => n -> (if (isSeed(n)) 1.0 else 0.0)).toMap
+    for (_ <- 1 to 3) {
+      rank = nodes.map { n =>
+        val cs = inEdges.getOrElse(n, Array.empty[String])
+          .filter(s => rank(s) != 0.0).map(s => rank(s) / deg(s))
+        val csum = cs.sorted.foldLeft(0.0)(_ + _)
+        n -> ((if (isSeed(n)) 0.15 else 0.0) + 0.85 * csum)
+      }.toMap
+    }
+    val expect = rank.toSeq
+      .map { case (n, r) =>
+        (n, isSeed(n), math.floor(r * 1e6 + 0.5) / 1e6) }
+      .sortBy { case (n, _, r) => (-r, n) }.take(30)
+    assert(got == expect)
+    // proximity semantics: mass concentrates near seeds — the top node
+    // is a seed or a direct neighbor of one
+    val top = got.head._1
+    assert(got.head._3 > 0 && (isSeed(top) ||
+      inEdges.getOrElse(top, Array.empty[String]).exists(isSeed)))
+  }
+
   test("g2 triangles: oriented enumeration matches brute-force reference") {
     val out = Graph.g2Triangles(spark, sfDir)
       .as[(Long, Long, Long)].collect()
