@@ -2719,8 +2719,154 @@ object TextAnalysis {
       |  covered_tokens * 100 <= 15 * n_tokens AS keep
       |FROM cov ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- t39_filter_funnel
+  /** Filter-attribution funnel — the report every curation pipeline
+    * needs before committing a rule battery: per rule, how many docs
+    * fail it (n_fail), how many ONLY it kills (n_unique_fail — the
+    * rule's marginal value; a rule with zero unique kills is redundant),
+    * and the cumulative survivor count applying rules in their fixed
+    * order. Rules composed verbatim from the audited operators:
+    * `gopher` = t35's conjunction, `dup5gram` = t38's coverage bound,
+    * `ppl_tail` = t27's CCNet tail cut (docs too short to score pass —
+    * no evidence is not a verdict).
+    *
+    * Distributed shape: the three per-doc flag frames join co-keyed on
+    * doc_id (t35/t38 are narrow projections, the bucket join is t27's
+    * broadcast-sized cut table), then ONE 1-row aggregate computes all
+    * nine conditional counts in a single pass — the funnel costs one
+    * corpus scan more than the rules themselves, and the output is
+    * constant-size (3 rows) at any corpus size.
+    */
+  val t39FilterFunnel: Q = (s, d) => {
+    val gopher = t35GopherRules(s, d).select(col("doc_id"), col("keep").as("r_gopher"))
+    val dup = t38DupNgramChars(s, d).select(col("doc_id"), col("keep").as("r_dup"))
+    val ppl = ccnetDocBuckets(s, d)
+      .select(col("doc_id"), (col("bucket") =!= "tail").as("b"))
+    val flags = gopher.join(dup, "doc_id").join(ppl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("r_gopher"), col("r_dup"),
+        coalesce(col("b"), lit(true)).as("r_ppl"))
+    def cnt(c: Column): Column = count(when(c, lit(1)))
+    flags.agg(
+        count(lit(1)).as("n_docs"),
+        cnt(!col("r_gopher")).as("gf"),
+        cnt(!col("r_gopher") && col("r_dup") && col("r_ppl")).as("gu"),
+        cnt(col("r_gopher")).as("s1"),
+        cnt(!col("r_dup")).as("df"),
+        cnt(!col("r_dup") && col("r_gopher") && col("r_ppl")).as("du"),
+        cnt(col("r_gopher") && col("r_dup")).as("s2"),
+        cnt(!col("r_ppl")).as("pf"),
+        cnt(!col("r_ppl") && col("r_gopher") && col("r_dup")).as("pu"),
+        cnt(col("r_gopher") && col("r_dup") && col("r_ppl")).as("s3"))
+      .selectExpr("n_docs", """stack(3,
+          'gopher',   1, gf, gu, s1,
+          'dup5gram', 2, df, du, s2,
+          'ppl_tail', 3, pf, pu, s3)
+        AS (rule, ord, n_fail, n_unique_fail, survivors_after)""")
+      .select(col("rule"), col("ord"), col("n_docs"), col("n_fail"),
+        col("n_unique_fail"), col("survivors_after"))
+      .orderBy("ord")
+  }
+
+  /** DuckDB twin: t35's and t38's chains inlined under prefixed CTE
+    * names (their published oracles stay untouched), t27's shared
+    * ccnetCtes + p10's doc-grain bucket join, one 1-row aggregate,
+    * three UNION ALL rows.
+    */
+  val t39FilterFunnelSql: String =
+    s"""WITH g35f AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '') AS words,
+      |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |      l -> l != '') AS lines
+      |  FROM documents),
+      |g35g AS (
+      |  SELECT doc_id,
+      |    CAST(len(words) AS BIGINT) AS n_words,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+      |      AS BIGINT) AS word_chars,
+      |    CAST(length(text) - length(replace(text, '#', ''))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3
+      |      AS BIGINT) AS n_symbols,
+      |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'))
+      |      AS BIGINT) AS n_bullet,
+      |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis,
+      |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+      |    CAST(len(list_filter(words,
+      |      w -> w IN (${stopWords.map(w => s"'$w'").mkString(", ")})))
+      |      AS BIGINT) AS n_stop
+      |  FROM g35f),
+      |g35_rules AS (
+      |  SELECT doc_id,
+      |    n_words > 0 AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+      |      AND 10 * n_symbols < n_words AND 10 * n_bullet < 9 * n_lines
+      |      AND 10 * n_ellipsis < 3 * n_lines AND 10 * n_dup_lines < 3 * n_lines
+      |      AND n_stop >= 2 AS keep
+      |  FROM g35g),
+      |d38f AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '') AS toks
+      |  FROM documents),
+      |d38g AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CASE WHEN len(toks) < 5 THEN []
+      |    ELSE list_transform(range(1, len(toks) - 3),
+      |      i -> array_to_string(toks[i:i+4], ' ')) END AS grams
+      |  FROM d38f),
+      |d38s AS (
+      |  SELECT doc_id, n_tokens, grams, list_sort(grams) AS sg FROM d38g),
+      |d38du AS (
+      |  SELECT doc_id, n_tokens, grams,
+      |    CASE WHEN len(sg) < 2 THEN []
+      |    ELSE list_distinct(list_filter(
+      |      list_transform(range(2, len(sg) + 1),
+      |        i -> CASE WHEN sg[i] = sg[i - 1] THEN sg[i] END),
+      |      x -> x IS NOT NULL)) END AS dups
+      |  FROM d38s),
+      |d38st AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN len(grams) = 0 THEN []
+      |    ELSE list_filter(range(1, len(grams) + 1),
+      |      i -> list_contains(dups, grams[i])) END AS starts
+      |  FROM d38du),
+      |d38_rules AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN len(starts) = 0 THEN 0
+      |    ELSE coalesce(list_sum(list_transform(range(1, len(starts)),
+      |      j -> least(5, starts[j + 1] - starts[j]))), 0) + 5
+      |    END AS BIGINT) * 100 <= 15 * n_tokens AS keep
+      |  FROM d38st),
+      |$ccnetCtes,
+      |docb AS (
+      |  SELECT s.doc_id, b.bucket
+      |  FROM scored s JOIN meta m USING (doc_id)
+      |  JOIN bucketed b ON b.lang = m.lang AND b.score4 = s.score4),
+      |flags AS (
+      |  SELECT g.doc_id, g.keep AS r_gopher, t.keep AS r_dup,
+      |    coalesce(b.bucket != 'tail', TRUE) AS r_ppl
+      |  FROM g35_rules g JOIN d38_rules t USING (doc_id)
+      |  LEFT JOIN docb b USING (doc_id)),
+      |agg AS (
+      |  SELECT count(*) AS n_docs,
+      |    count(CASE WHEN NOT r_gopher THEN 1 END) AS gf,
+      |    count(CASE WHEN NOT r_gopher AND r_dup AND r_ppl THEN 1 END) AS gu,
+      |    count(CASE WHEN r_gopher THEN 1 END) AS s1,
+      |    count(CASE WHEN NOT r_dup THEN 1 END) AS df,
+      |    count(CASE WHEN NOT r_dup AND r_gopher AND r_ppl THEN 1 END) AS du,
+      |    count(CASE WHEN r_gopher AND r_dup THEN 1 END) AS s2,
+      |    count(CASE WHEN NOT r_ppl THEN 1 END) AS pf,
+      |    count(CASE WHEN NOT r_ppl AND r_gopher AND r_dup THEN 1 END) AS pu,
+      |    count(CASE WHEN r_gopher AND r_dup AND r_ppl THEN 1 END) AS s3
+      |  FROM flags)
+      |SELECT 'gopher' AS rule, 1 AS ord, n_docs, gf AS n_fail,
+      |  gu AS n_unique_fail, s1 AS survivors_after FROM agg
+      |UNION ALL SELECT 'dup5gram', 2, n_docs, df, du, s2 FROM agg
+      |UNION ALL SELECT 'ppl_tail', 3, n_docs, pf, pu, s3 FROM agg
+      |ORDER BY ord""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "t39_filter_funnel" -> t39FilterFunnel,
     "t38_dup_ngram_chars" -> t38DupNgramChars,
     "t37_zipf_audit" -> t37ZipfAudit,
     "t36_moore_lewis" -> t36MooreLewis,
@@ -2761,6 +2907,7 @@ object TextAnalysis {
     "t13_repetition" -> t13Repetition)
 
   val oracles: Map[String, String] = Map(
+    "t39_filter_funnel" -> t39FilterFunnelSql,
     "t38_dup_ngram_chars" -> t38DupNgramCharsSql,
     "t37_zipf_audit" -> t37ZipfAuditSql,
     "t36_moore_lewis" -> t36MooreLewisSql,

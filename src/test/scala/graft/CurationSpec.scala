@@ -911,4 +911,30 @@ class CurationSpec extends SparkSpec {
     // repeats — all-keep here; the planted fixture covers the positives
     assert(sfGot.nonEmpty && sfGot.forall(_._6))
   }
+
+  test("t39 filter funnel: counts reconcile exactly with the component rules") {
+    val g = TextAnalysis.t35GopherRules(spark, sfDir)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val t = TextAnalysis.t38DupNgramChars(spark, sfDir)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val b = TextAnalysis.ccnetDocBuckets(spark, sfDir)
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    val flags = g.keySet.toSeq.map(id => (g(id), t(id), b.get(id).forall(_ != "tail")))
+    val n = flags.length.toLong
+    def c(p: ((Boolean, Boolean, Boolean)) => Boolean) = flags.count(p).toLong
+    val expect = Seq(
+      ("gopher", 1, n, c(!_._1), c(r => !r._1 && r._2 && r._3), c(_._1)),
+      ("dup5gram", 2, n, c(!_._2), c(r => !r._2 && r._1 && r._3), c(r => r._1 && r._2)),
+      ("ppl_tail", 3, n, c(!_._3), c(r => !r._3 && r._1 && r._2),
+        c(r => r._1 && r._2 && r._3)))
+    val got = TextAnalysis.t39FilterFunnel(spark, sfDir)
+      .as[(String, Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect, s"got $got expect $expect")
+    // funnel invariants: survivors monotone nonincreasing, unique <= fail,
+    // and the tail cut actually kills something on this corpus
+    val surv = got.map(_._6)
+    assert(surv == surv.sorted.reverse)
+    got.foreach(r => assert(r._5 <= r._4))
+    assert(got.last._4 > 0, "ppl tail cut should fail some docs")
+  }
 }
