@@ -2632,11 +2632,25 @@ object TextAnalysis {
     * integer cross-multiplication.
     *
     * Distributed shape: ZERO shuffles — everything is per-document
-    * array arithmetic in one narrow codegen projection (duplicate grams
-    * from sorted-neighbor equality, O(k log k) per doc; coverage from
-    * the sorted start positions, where consecutive starts closer than n
-    * overlap by construction), so at 100 TB it scales with input splits
-    * like t1/t29/t35. Docs under 5 tokens have no grams and score 0.
+    * array arithmetic in one narrow projection (duplicate positions from
+    * sorted-neighbor equality on a (gram, pos) struct sort, O(k log k)
+    * per doc; coverage from the sorted start positions, where
+    * consecutive starts closer than n overlap by construction), so at
+    * 100 TB it scales with input splits like t1/t29/t35. Docs under 5
+    * tokens have no grams and score 0.
+    *
+    * Expression-shape rule learned here the hard way: NEVER reference a
+    * derived array column inside another higher-order function's LAMBDA
+    * (e.g. `array_contains(dups, element_at(grams, i))`) — projection
+    * collapse inlines the producing expression into the lambda body and
+    * it re-evaluates PER ELEMENT (the first formulation re-sorted the
+    * gram array once per position: measured 7.8 s for 5000 tiny docs at
+    * sf0.1). Neighbor logic is therefore spelled with zip_with over
+    * slice-shifted copies, where every lambda touches only its bound
+    * variables and array producers appear only as HOF ARGUMENTS
+    * (evaluated O(1) times per row). The oracle's index-lambda spelling
+    * is equivalent in VALUES: the duplicate-position set is the same,
+    * and coverage diffs are base-shift-invariant.
     */
   val t38DupNgramChars: Q = (s, d) =>
     docs(s, d)
@@ -2646,27 +2660,33 @@ object TextAnalysis {
         """CASE WHEN size(toks) < 5 THEN array()
            ELSE transform(sequence(1, size(toks) - 4),
              i -> concat_ws(' ', slice(toks, i, 5))) END AS grams""")
-      .selectExpr("doc_id", "n_tokens", "grams",
-        "array_sort(grams) AS sg")
-      .selectExpr("doc_id", "n_tokens", "grams",
-        """CASE WHEN size(sg) < 2 THEN array()
-           ELSE array_distinct(filter(
-             transform(sequence(2, size(sg)), i ->
-               IF(element_at(sg, i) = element_at(sg, i - 1),
-                  element_at(sg, i), NULL)),
-             x -> x IS NOT NULL)) END AS dups""")
       .selectExpr("doc_id", "n_tokens",
-        """CASE WHEN size(grams) = 0 THEN array()
-           ELSE filter(sequence(1, size(grams)),
-             i -> array_contains(dups, element_at(grams, i))) END AS starts""")
+        "array_sort(transform(grams, (g, i) -> struct(g AS g, i AS p))) AS ga")
+      .selectExpr("doc_id", "n_tokens",
+        """CASE WHEN size(ga) = 0 THEN array()
+           ELSE zip_with(ga,
+             concat(slice(ga, 2, greatest(size(ga) - 1, 0)),
+               array(struct('' AS g, -1 AS p))),
+             (a, b) -> a.g = b.g) END AS eq_next""",
+        "transform(ga, a -> a.p) AS pos")
+      .selectExpr("doc_id", "n_tokens",
+        """CASE WHEN size(pos) = 0 THEN array()
+           ELSE array_sort(filter(zip_with(pos,
+             zip_with(eq_next,
+               concat(array(false),
+                 slice(eq_next, 1, greatest(size(eq_next) - 1, 0))),
+               (n, p) -> n OR p),
+             (pp, f) -> IF(f, pp, CAST(NULL AS INT))),
+           x -> x IS NOT NULL)) END AS starts""")
       .selectExpr("doc_id", "n_tokens",
         "CAST(size(starts) AS BIGINT) AS n_dup_positions",
         """CAST(CASE WHEN size(starts) = 0 THEN 0
            WHEN size(starts) = 1 THEN 5
            ELSE aggregate(
-             transform(sequence(1, size(starts) - 1), j ->
-               least(5, element_at(starts, j + 1) - element_at(starts, j))),
-             0, (a, x) -> a + x) + 5 END AS BIGINT) AS covered_tokens""")
+             zip_with(slice(starts, 2, size(starts) - 1),
+               slice(starts, 1, size(starts) - 1),
+               (a, b) -> least(5, a - b)),
+             0, (acc, x) -> acc + x) + 5 END AS BIGINT) AS covered_tokens""")
       .selectExpr("doc_id", "n_tokens", "n_dup_positions", "covered_tokens",
         """CAST(CASE WHEN n_tokens = 0 THEN 0.0 ELSE
            floor(covered_tokens / CAST(n_tokens AS DOUBLE) * 1000000.0 + 0.5)

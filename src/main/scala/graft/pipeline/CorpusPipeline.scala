@@ -1002,18 +1002,22 @@ object CorpusPipeline {
     *
     * Scale shape: ONE corpus-sized stage (t17's gram-keyed scoring) into
     * a source-keyed agg; per-doc scores collapse to exact 1e-4 integer
-    * units so per-domain sums are order-free longs (p4's discipline);
-    * the 5-round ascent runs on the |domains|-row frame (bounded — 20
-    * here, dozens in production) with sorted-fold sums, costing the same
-    * at 100 TB as at 1 GB beyond the scan. Docs with <2 tokens have no
-    * bigram score and are excluded (t17's domain).
+    * units so per-domain sums are order-free longs (p4's discipline).
+    * The ascent itself runs DRIVER-SIDE on the collected |domains|-row
+    * table (bounded — 20 here, dozens-to-thousands in production: the
+    * domain registry, never the corpus — v10's bounded-collect rule).
+    * The frame formulation was measured at 53 s on a 20-row input: each
+    * round references its predecessor twice (baseline agg + update), so
+    * the unrolled plan re-executes upstream 2^rounds times — Spark's
+    * edition of the CTE re-inlining pathology the ORACLE dodges with
+    * MATERIALIZED fences. Sorted ascending folds keep the driver doubles
+    * bit-identical to the oracle's list_sort sums. Docs with <2 tokens
+    * have no bigram score and are excluded (t17's domain).
     */
   def p11DoremiMixture(s: SparkSession, d: String): DataFrame = {
     val eta = 0.1
     val smooth = 0.01
     val rounds = 5
-    def fold(c: Column): Column =
-      aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
     val scores = graft.operators.TextAnalysis.t17LmScore(s, d)
       .select(col("doc_id"),
         floor(col("avg_neg_log2p") * 10000.0 + lit(0.5)).cast("long").as("s4"))
@@ -1022,27 +1026,26 @@ object CorpusPipeline {
     val perSrc = src.join(scores, "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("s4")).as("s4sum"))
-      .withColumn("l", col("s4sum") / col("n_docs").cast("double") / lit(10000.0))
-      .materialize() // the |domains|-row frame the ascent iterates on
-    val nd = perSrc.agg(count(lit(1)).cast("double").as("nd"))
-    var cur = perSrc.crossJoin(broadcast(nd))
-      .select(col("source"), col("n_docs"), col("l"), col("nd"),
-        (lit(1.0) / col("nd")).as("w"))
+      .select(col("source"), col("n_docs"),
+        (col("s4sum") / col("n_docs").cast("double") / lit(10000.0)).as("l"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1) // bounded: one row per domain
+    val nd = perSrc.length.toDouble
+    val l = perSrc.map(_._3)
+    def fold(xs: Array[Double]): Double = xs.sorted.foldLeft(0.0)(_ + _)
+    var w = Array.fill(perSrc.length)(1.0 / nd)
     (1 to rounds).foreach { _ =>
-      val b = cur.agg(fold(col("w") * col("l")).as("b"))
-      val stepped = cur.crossJoin(broadcast(b))
-        .withColumn("wn",
-          col("w") * (lit(1.0) + lit(eta) * greatest(col("l") - col("b"), lit(0.0))))
-      val sw = stepped.agg(fold(col("wn")).as("sw"))
-      cur = stepped.crossJoin(broadcast(sw))
-        .select(col("source"), col("n_docs"), col("l"), col("nd"),
-          ((col("wn") / col("sw")) * lit(1.0 - smooth)
-            + lit(smooth) / col("nd")).as("w"))
+      val b = fold(l.indices.map(i => w(i) * l(i)).toArray)
+      val wn = l.indices.map(i =>
+        w(i) * (1.0 + eta * math.max(l(i) - b, 0.0))).toArray
+      val sw = fold(wn)
+      w = wn.map(x => (x / sw) * (1.0 - smooth) + smooth / nd)
     }
-    cur.select(col("source"), col("n_docs"),
-        sround(col("l"), 6).as("loss"),
-        sround(col("w"), 6).as("weight"),
-        sround(col("w") * col("nd"), 4).as("boost"))
+    def r(x: Double, f: Double): Double = math.floor(x * f + 0.5) / f
+    import s.implicits._
+    perSrc.zipWithIndex.map { case ((source, nDocs, li), i) =>
+      (source, nDocs, r(li, 1e6), r(w(i), 1e6), r(w(i) * nd, 1e4))
+    }.toSeq.toDF("source", "n_docs", "loss", "weight", "boost")
       .orderBy("source")
   }
 
