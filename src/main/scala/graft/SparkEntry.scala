@@ -93,5 +93,6 @@ object SparkEntry {
     "mm11_video_neardup", "v16_knn_join", "p10_curriculum", "t35_gopher_rules",
     "v17_hard_negatives", "v18_prototypicality", "p11_doremi_mixture",
     "t36_moore_lewis", "d17_source_overlap", "t37_zipf_audit",
-    "t38_dup_ngram_chars", "g14_ppr", "t39_filter_funnel")
+    "t38_dup_ngram_chars", "g14_ppr", "t39_filter_funnel",
+    "v19_nprobe_sweep")
 }

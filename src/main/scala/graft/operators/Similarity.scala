@@ -1714,8 +1714,114 @@ object Similarity {
        |FROM rk ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------------------- v19_nprobe_sweep
+  /** IVF operating-point sweep — d13's threshold-sweep discipline for the
+    * vector index: recall@K against v1's exact ground truth AND the
+    * candidate bill (vectors actually scored) at nprobe ∈ {1, 2, 4, 8},
+    * the curve a deploy reads to pick its probe budget (v4 hardcodes 4;
+    * this is the evidence). Recall denominators and candidate counts are
+    * exact integers, so the curve hash-replays.
+    *
+    * Distributed shape: ONE candidate frame at the maximum budget
+    * (probe_rank ≤ 8) with each similarity computed ONCE, materialized,
+    * then every operating point is a filter + rank over that frame (the
+    * nprobe=n candidate set is a prefix of nprobe=8's by construction) —
+    * the sweep costs one ANN pass, not four. The 4-row budget table
+    * cross-joins broadcast; rank windows partition on (np, q_id) — K×NQ×4
+    * rows past the candidate frame at any corpus size.
+    */
+  val v19NprobeSweep: Q = (s, d) => {
+    import s.implicits._
+    val maxProbe = 8
+    val e = emb(s, d)
+    val refined = ivfRefined(e, 16)
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      normSq(col("embedding")).as("nsq_n"),
+      nearestCell(refined, col("embedding")).as("cell"))
+    val queries = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normSq(col("embedding")).as("nsq_q"),
+        centroidDots(refined, col("embedding")).as("cscores"))
+      .select(col("q_id"), col("q_emb"), col("nsq_q"),
+        posexplode(slice(array_sort(
+          transform(col("cscores"), (sc, i) => struct((-sc).as("neg"), i.cast("int").as("cell")))),
+          1, maxProbe)).as(Seq("pr0", "probe")))
+      .select(col("q_id"), col("q_emb"), col("nsq_q"),
+        (col("pr0") + 1).as("probe_rank"), col("probe.cell").as("cell"))
+    val cand = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("probe_rank"), col("n_id"),
+        cosineWithNorms(dot(col("q_emb"), col("n_emb")), col("nsq_q"), col("nsq_n"))
+          .as("sim"))
+      .materialize() // one sim per candidate serves all four budgets
+    val nps = Seq(1, 2, 4, 8).toDF("np")
+    val percand = cand.crossJoin(broadcast(nps))
+      .filter(col("probe_rank") <= col("np"))
+    val w = Window.partitionBy(col("np"), col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    val exact = v1KnnBrute(s, d).select(col("q_id"), col("n_id"))
+    val counts = percand.groupBy(col("np"))
+      .agg(count(lit(1)).as("total_candidates"))
+    val overlap = percand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .join(exact, Seq("q_id", "n_id"))
+      .groupBy(col("np")).agg(count(lit(1)).as("total_overlap"))
+    counts.join(overlap, Seq("np"), "left")
+      .select(col("np").as("nprobe"), col("total_candidates"),
+        coalesce(col("total_overlap"), lit(0L)).as("total_overlap"),
+        sround(coalesce(col("total_overlap"), lit(0L))
+          / lit((NQ * K).toDouble), 4).as("recall_at_k"))
+      .orderBy("nprobe")
+  }
+
+  /** DuckDB twin: the shared IVF build CTEs, v4's probe spelling at
+    * rank ≤ 8, the same single candidate frame filtered per budget, and
+    * v1's oracle as the exact side.
+    */
+  val v19NprobeSweepSql: String = {
+    def dotList(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+    s"""WITH $ivfCorpusCtes,
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nsq AS nsq_q, cell,
+       |    rn AS probe_rank
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, e.nsq, r.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotList("e.embedding", "r.c")} DESC, r.cell ASC) AS rn
+       |    FROM e, refined r
+       |    WHERE e.vec_id < $NQ)
+       |  WHERE rn <= 8),
+       |cand AS MATERIALIZED (
+       |  SELECT q.q_id, q.probe_rank, c.n_id,
+       |    ${dotList("q.q_emb", "c.n_emb")} / (sqrt(q.nsq_q) * sqrt(c.nsq_n)) AS sim
+       |  FROM corpus c JOIN probes q USING (cell)
+       |  WHERE c.n_id != q.q_id),
+       |nps AS (SELECT unnest([1, 2, 4, 8]) AS np),
+       |percand AS MATERIALIZED (
+       |  SELECT np, q_id, n_id, sim FROM cand JOIN nps ON probe_rank <= np),
+       |topk AS (
+       |  SELECT np, q_id, n_id FROM (
+       |    SELECT np, q_id, n_id, row_number() OVER (PARTITION BY np, q_id
+       |      ORDER BY sim DESC, n_id ASC) AS rnk
+       |    FROM percand)
+       |  WHERE rnk <= $K),
+       |exact AS (SELECT q_id, n_id FROM ($v1KnnBruteSql)),
+       |counts AS (SELECT np, CAST(count(*) AS BIGINT) AS total_candidates
+       |           FROM percand GROUP BY np),
+       |ov AS (SELECT np, CAST(count(*) AS BIGINT) AS total_overlap
+       |       FROM topk t JOIN exact e USING (q_id, n_id) GROUP BY np)
+       |SELECT c.np AS nprobe, c.total_candidates,
+       |  coalesce(o.total_overlap, 0) AS total_overlap,
+       |  floor(coalesce(o.total_overlap, 0) / CAST(${NQ * K} AS DOUBLE)
+       |    * 10000.0 + 0.5) / 10000.0 AS recall_at_k
+       |FROM counts c LEFT JOIN ov o USING (np)
+       |ORDER BY nprobe""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "v19_nprobe_sweep" -> v19NprobeSweep,
     "v17_hard_negatives" -> v17HardNegatives,
     "v18_prototypicality" -> v18Prototypicality,
     "v16_knn_join" -> v16KnnJoin,
@@ -1736,6 +1842,7 @@ object Similarity {
     "v12_ivf_append" -> v12IvfAppend)
 
   val oracles: Map[String, String] = Map(
+    "v19_nprobe_sweep" -> v19NprobeSweepSql,
     "v17_hard_negatives" -> v17HardNegativesSql,
     "v18_prototypicality" -> v18PrototypicalitySql,
     "v16_knn_join" -> v16KnnJoinSql,

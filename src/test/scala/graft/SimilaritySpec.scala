@@ -825,6 +825,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("v19 nprobe sweep: monotone curve; nprobe=4 row agrees with v4/v1 overlap") {
+    val rows = Similarity.v19NprobeSweep(spark, sfDir)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._1) == Seq(1, 2, 4, 8))
+    // more probes never scan fewer candidates or find fewer true neighbors
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4, s"$a vs $b")
+    case _ => }
+    // the nprobe=4 operating point must reproduce v4-vs-v1 overlap exactly
+    val v4 = Similarity.v4IvfAnn(spark, sfDir)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val v1 = Similarity.v1KnnBrute(spark, sfDir)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val overlap4 = (v4 & v1).size.toLong
+    assert(rows.find(_._1 == 4).get._3 == overlap4)
+    assert(rows.last._4 > 0.5, s"nprobe=8 recall suspiciously low: ${rows.last}")
+  }
+
   test("v18 prototypicality matches a full in-memory replay of the build + rank + cutoff") {
     val vecs = Tables.load(spark, sfDir, "embeddings")
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
