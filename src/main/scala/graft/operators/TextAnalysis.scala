@@ -2884,8 +2884,106 @@ object TextAnalysis {
       |UNION ALL SELECT 'ppl_tail', 3, n_docs, pf, pu, s3 FROM agg
       |ORDER BY ord""".stripMargin
 
+  // ---------------------------------------------- t40_heldout_ppl
+  /** Held-out perplexity evaluation of the LM quality scorer — d12's
+    * eval discipline applied to t17: the bigram model is trained on the
+    * TRAIN split only (doc_id % 10 != 9) and scored on the held-out
+    * tenth, per language, with the OOV-bigram share alongside. t17's
+    * self-perplexity cannot say whether the scorer memorizes templated
+    * boilerplate; the train/test gap and the unseen-bigram rate are the
+    * numbers that can. Per-lang averages are MACRO (mean of per-doc
+    * scores in exact 1e-4 integer units — order-free long sums, p4's
+    * discipline; a per-lang float fold over unbounded doc counts would
+    * not scale), OOV share is a ratio of exact counts.
+    *
+    * Distributed shape: t17's two gram-keyed hash aggs filtered to the
+    * train split (the split predicate pushes below the aggregates, the
+    * t9 pattern), scoring is a gram-keyed LEFT join from held-out
+    * occurrences (unseen bigrams hit add-one's floor via null-coalesced
+    * counts), then one doc-keyed and one lang-keyed agg.
+    */
+  val t40HeldoutPpl: Q = (s, d) => {
+    val toks = docs(s, d)
+      .select(col("doc_id"), col("lang"), (col("doc_id") % 10 =!= 9).as("train"),
+        lowerTokens(col("text")).as("t"))
+      .materialize()
+    val big = toks
+      .select(col("doc_id"), col("lang"), col("train"),
+        posexplode(col("t")).as(Seq("i", "w1")), col("t"))
+      .filter(col("i") < size(col("t")) - 1)
+      .select(col("doc_id"), col("lang"), col("train"), col("w1"),
+        element_at(col("t"), col("i") + 2).as("w2"))
+      .materialize() // feeds both model aggs AND the held-out scoring
+    val bc = big.filter(col("train")).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val ctx = big.filter(col("train")).groupBy(col("w1"))
+      .agg(count(lit(1)).as("cc"))
+    val vocab = toks.filter(col("train")).select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val perDoc = big.filter(!col("train"))
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("lang"),
+        (-log2((coalesce(col("c"), lit(0L)) + 1)
+          / (coalesce(col("cc"), lit(0L)) + col("v")).cast("double"))).as("term"),
+        col("c").isNull.cast("long").as("unseen"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("nb"),
+        aggregate(array_sort(collect_list(col("term"))),
+          lit(0.0), (acc, x) => acc + x).as("h"),
+        sum(col("unseen")).as("oov"))
+      .select(col("doc_id"), col("lang"), col("nb"), col("oov"),
+        floor(col("h") / col("nb") * 10000.0 + lit(0.5)).cast("long").as("s4"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bigrams"),
+        sum(col("s4")).as("s4sum"), sum(col("oov")).as("n_oov"))
+      .select(col("lang"), col("n_docs"), col("n_bigrams"),
+        sround(col("s4sum") / col("n_docs").cast("double") / lit(10000.0), 4)
+          .as("heldout_neg_log2p"),
+        sround(col("n_oov") / col("n_bigrams").cast("double"), 6).as("oov_share"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB twin: t17's chain with train-filtered model CTEs, LEFT-join
+    * scoring with null-coalesced counts, identical macro-average units.
+    */
+  val t40HeldoutPplSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, lang, doc_id % 10 != 9 AS train,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |big AS MATERIALIZED (
+      |  SELECT doc_id, lang, train, t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT doc_id, lang, train, t, unnest(range(1, len(t))) AS i
+      |        FROM toks WHERE len(t) >= 2)),
+      |bc AS (SELECT w1, w2, count(*) AS c FROM big WHERE train GROUP BY 1, 2),
+      |ctx AS (SELECT w1, count(*) AS cc FROM big WHERE train GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v
+      |      FROM (SELECT unnest(t) AS w FROM toks WHERE train)),
+      |terms AS (
+      |  SELECT b.doc_id, b.lang,
+      |    -log2((coalesce(bc.c, 0) + 1)
+      |      / CAST(coalesce(ctx.cc, 0) + v.v AS DOUBLE)) AS term,
+      |    CAST(bc.c IS NULL AS BIGINT) AS unseen
+      |  FROM big b LEFT JOIN bc USING (w1, w2) LEFT JOIN ctx USING (w1)
+      |  CROSS JOIN v WHERE NOT b.train),
+      |perdoc AS (
+      |  SELECT doc_id, lang, count(*) AS nb,
+      |    CAST(sum(unseen) AS BIGINT) AS oov,
+      |    CAST(floor(list_aggregate(list_sort(list(term)), 'sum') / count(*)
+      |      * 10000.0 + 0.5) AS BIGINT) AS s4
+      |  FROM terms GROUP BY 1, 2)
+      |SELECT lang, count(*) AS n_docs, CAST(sum(nb) AS BIGINT) AS n_bigrams,
+      |  floor(sum(s4) / CAST(count(*) AS DOUBLE) / 10000.0 * 10000.0 + 0.5)
+      |    / 10000.0 AS heldout_neg_log2p,
+      |  floor(sum(oov) / CAST(sum(nb) AS DOUBLE) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS oov_share
+      |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "t40_heldout_ppl" -> t40HeldoutPpl,
     "t39_filter_funnel" -> t39FilterFunnel,
     "t38_dup_ngram_chars" -> t38DupNgramChars,
     "t37_zipf_audit" -> t37ZipfAudit,
@@ -2927,6 +3025,7 @@ object TextAnalysis {
     "t13_repetition" -> t13Repetition)
 
   val oracles: Map[String, String] = Map(
+    "t40_heldout_ppl" -> t40HeldoutPplSql,
     "t39_filter_funnel" -> t39FilterFunnelSql,
     "t38_dup_ngram_chars" -> t38DupNgramCharsSql,
     "t37_zipf_audit" -> t37ZipfAuditSql,

@@ -937,4 +937,49 @@ class CurationSpec extends SparkSpec {
     got.foreach(r => assert(r._5 <= r._4))
     assert(got.last._4 > 0, "ppl tail cut should fail some docs")
   }
+
+  test("t40 heldout ppl: in-memory replay matches; held-out scores above self-ppl") {
+    val got = TextAnalysis.t40HeldoutPpl(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    // replay: train-split bigram model, held-out scoring, macro average
+    val raw = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    def tok(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val (train, held) = raw.partition(_._1 % 10 != 9)
+    val bigs = (rows: Array[(Long, String, String)]) => rows.flatMap { case (id, lg, tx) =>
+      val t = tok(tx); t.zip(t.tail).map(p => (id, lg, p._1, p._2)) }
+    val bc = bigs(train).groupBy(b => (b._3, b._4)).view.mapValues(_.length.toLong).toMap
+    val ctx = bigs(train).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val v = train.flatMap(r => tok(r._3)).distinct.length.toLong
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val perDoc = bigs(held).groupBy(b => (b._1, b._2)).map { case ((id, lg), bs) =>
+      val terms = bs.map { b =>
+        val c = bc.getOrElse((b._3, b._4), 0L)
+        val cc = ctx.getOrElse(b._3, 0L)
+        -lg2((c + 1).toDouble / (cc + v))
+      }
+      val h = terms.sorted.foldLeft(0.0)(_ + _)
+      val oov = bs.count(b => !bc.contains((b._3, b._4))).toLong
+      (lg, bs.length.toLong, oov,
+        math.floor(h / bs.length * 1e4 + 0.5).toLong)
+    }.toSeq
+    def r(x: Double, f: Double) = math.floor(x * f + 0.5) / f
+    perDoc.groupBy(_._1).foreach { case (lg, ds) =>
+      val (nd, nb, noov, s4) =
+        (ds.length.toLong, ds.map(_._2).sum, ds.map(_._3).sum, ds.map(_._4).sum)
+      val (gNd, gNb, gAvg, gOov) = got(lg)
+      assert(gNd == nd && gNb == nb, s"$lg counts")
+      assert(gAvg == r(s4 / nd.toDouble / 1e4, 1e4), s"$lg avg")
+      assert(gOov == r(noov.toDouble / nb, 1e6), s"$lg oov")
+    }
+    // the held-out tenth must score no better than the self-trained
+    // corpus average — a held-out ppl BELOW self-ppl means leakage
+    val self = TextAnalysis.t17LmScore(spark, sfDir)
+      .select($"doc_id", $"avg_neg_log2p").as[(Long, Double)].collect()
+    val selfAvg = self.map(_._2).sum / self.length
+    val heldAvg = got.values.map(t => t._3 * t._1).sum / got.values.map(_._1).sum
+    assert(heldAvg > selfAvg, s"held-out $heldAvg vs self $selfAvg")
+  }
 }
