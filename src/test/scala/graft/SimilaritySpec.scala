@@ -843,6 +843,17 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.last._4 > 0.5, s"nprobe=8 recall suspiciously low: ${rows.last}")
   }
 
+  test("v17 plan: candidates come from a broadcast cell-equality join, never a cartesian") {
+    val q = Similarity.v17HardNegatives(spark, sfDir)
+    q.collect() // finalize the adaptive plan before inspecting it
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe set must broadcast to the corpus cells:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus-wide pair stage crept in:\n$plan")
+  }
+
   test("v18 prototypicality matches a full in-memory replay of the build + rank + cutoff") {
     val vecs = Tables.load(spark, sfDir, "embeddings")
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])]

@@ -459,6 +459,18 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("d17 plan: pair generation is a gram-equality join, never a cartesian") {
+    val q = Dedup.d17SourceOverlap(spark, sfDir)
+    q.collect() // finalize the adaptive plan before inspecting it
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs stage crept into the self-join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected an equality join on the gram key:\n$plan")
+  }
+
   test("d17 source overlap: planted pair exact; sf replay from the gram sets") {
     val dir = java.nio.file.Files.createTempDirectory("graft_d17").toString
     Seq(
