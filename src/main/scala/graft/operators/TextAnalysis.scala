@@ -2288,6 +2288,15 @@ object TextAnalysis {
     * ≥ 2 stopword hits (t2's list). Zero-word docs fail `wl_ok` rather
     * than divide.
     *
+    * `mean_word_len` (the one float this battery exposes) is rounded to
+    * 4 decimals in EXACT integer arithmetic — round-half-up of p/q is
+    * `(20000p + q) div (2q)` — followed by a single IEEE division by
+    * 10000.0. The usual `floor(x*1e4 + 0.5)` float chain is three
+    * separately-rounded ops whose last-ulp behavior can differ across
+    * engines/builds (FMA contraction, evaluation order) exactly at the
+    * .5 boundary this data hits (power-of-two word counts land there);
+    * the integer form is bitwise-deterministic everywhere.
+    *
     * Scale shape: one narrow codegen projection per doc — no shuffle at
     * all except the oracle ORDER BY; at 100 TB this scales with input
     * splits like t1/t29.
@@ -2311,7 +2320,7 @@ object TextAnalysis {
            AS BIGINT) AS n_stop""")
       .selectExpr("doc_id", "n_words", "n_lines",
         """CASE WHEN n_words = 0 THEN NULL ELSE
-           floor(word_chars / CAST(n_words AS DOUBLE) * 10000.0 + 0.5)
+           ((20000L * word_chars + n_words) DIV (2L * n_words))
            / 10000.0 END AS mean_word_len""",
         "n_words > 0 AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words AS wl_ok",
         "10 * n_symbols < n_words AS sym_ok",
@@ -2353,7 +2362,7 @@ object TextAnalysis {
       |  FROM f)
       |SELECT doc_id, n_words, n_lines,
       |  CASE WHEN n_words = 0 THEN NULL ELSE
-      |    floor(word_chars / CAST(n_words AS DOUBLE) * 10000.0 + 0.5)
+      |    ((20000 * word_chars + n_words) // (2 * n_words))
       |    / 10000.0 END AS mean_word_len,
       |  n_words > 0 AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words AS wl_ok,
       |  10 * n_symbols < n_words AS sym_ok,
@@ -2558,13 +2567,21 @@ object TextAnalysis {
         fsum(e => e.getField("x") * e.getField("y")).as("sxy"),
         fsum(e => e.getField("x") * e.getField("x")).as("sxx"),
         fsum(e => e.getField("y") * e.getField("y")).as("syy"))
+      .select(col("lang"), col("k"),
+        (col("k") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("k") * col("sxx") - col("sx") * col("sx")).as("dxx"),
+        (col("k") * col("syy") - col("sy") * col("sy")).as("dyy"))
+      // Degenerate-fit guard: k=1 or zero-variance x/y (all top-ranked
+      // words sharing one count) makes the OLS denominators 0 — emit
+      // NULL rather than let 0/0 NaN/Inf flow into sround, where
+      // engine NaN conventions diverge. Mirrored verbatim in the twin.
       .select(col("lang"), col("k").cast("long").as("k"),
-        ((col("k") * col("sxy") - col("sx") * col("sy"))
-          / (col("k") * col("sxx") - col("sx") * col("sx"))).as("slope_raw"),
-        (((col("k") * col("sxy") - col("sx") * col("sy"))
-          * (col("k") * col("sxy") - col("sx") * col("sy")))
-          / ((col("k") * col("sxx") - col("sx") * col("sx"))
-            * (col("k") * col("syy") - col("sy") * col("sy")))).as("r2_raw"))
+        when(col("k") < 2.0 || col("dxx") === 0.0, lit(null))
+          .otherwise(col("num") / col("dxx")).as("slope_raw"),
+        when(col("k") < 2.0 || col("dxx") === 0.0 || col("dyy") === 0.0,
+          lit(null))
+          .otherwise(col("num") * col("num") / (col("dxx") * col("dyy")))
+          .as("r2_raw"))
     stats.join(fit, Seq("lang"))
       .select(col("lang"), col("n_tokens"), col("n_distinct"), col("k"),
         sround(col("slope_raw"), 4).as("zipf_slope"),
@@ -2608,9 +2625,12 @@ object TextAnalysis {
       |  FROM rk WHERE rnk <= 1000 GROUP BY lang),
       |fit AS (
       |  SELECT lang, k,
-      |    (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope_raw,
-      |    ((k * sxy - sx * sy) * (k * sxy - sx * sy))
-      |      / ((k * sxx - sx * sx) * (k * syy - sy * sy)) AS r2_raw
+      |    CASE WHEN k < 2 OR (k * sxx - sx * sx) = 0.0 THEN NULL ELSE
+      |      (k * sxy - sx * sy) / (k * sxx - sx * sx) END AS slope_raw,
+      |    CASE WHEN k < 2 OR (k * sxx - sx * sx) = 0.0
+      |        OR (k * syy - sy * sy) = 0.0 THEN NULL ELSE
+      |      ((k * sxy - sx * sy) * (k * sxy - sx * sy))
+      |        / ((k * sxx - sx * sx) * (k * syy - sy * sy)) END AS r2_raw
       |  FROM sums)
       |SELECT s.lang, s.n_tokens, s.n_distinct, f.k,
       |  floor(f.slope_raw * 10000.0 + 0.5) / 10000.0 AS zipf_slope,
