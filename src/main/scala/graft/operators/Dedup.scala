@@ -592,8 +592,14 @@ object Dedup {
     // state is tiny relative to the corpus (one row per doc, edges only
     // for candidates), so the iteration runs on few partitions — per-round
     // task-scheduling overhead dominates otherwise; a 100 TB corpus still
-    // iterates on the (small) label/edge state, not the corpus.
-    val iterParts = 8
+    // iterates on the (small) label/edge state, not the corpus. Sized by
+    // `spark.graft.cc.iterParts` when set; the default scales with the
+    // cluster (defaultParallelism/4, floor 8) instead of pinning label
+    // state to a local[32]-tuned constant.
+    val spark = nodes.sparkSession
+    val iterParts = spark.conf.getOption("spark.graft.cc.iterParts")
+      .map(_.toInt)
+      .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 4))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("u", "v").repartition(iterParts, col("u")).materialize()

@@ -56,10 +56,19 @@ object Snapshots {
   /** One manifest file entry: table-relative path, absolute path, and the
     * per-file column statistics carried on its manifest line — zero or
     * more `TAB col TAB lo TAB hi` triples after the path (long-typed
-    * columns' min/max), one per stats column.
+    * columns' min/max over the NON-NULL rows), one per stats column. A
+    * column token ending in `?` marks the file as containing NULLs in
+    * that column: range pruning still applies (a range predicate never
+    * selects nulls), but whole-file metadata operations that need
+    * "min/max inside the range ⇒ EVERY row matches" must not fire.
+    * A line whose first token is `+` marks a file staged as a MERGE
+    * DELTA (fresh upsert rows, not copy-on-write survivors) — the
+    * incremental feed emits these and skips the survivors.
     */
   final case class ManifestFile(rel: String, path: String,
-      stats: Map[String, (Long, Long)]) {
+      stats: Map[String, (Long, Long)],
+      hasNulls: Set[String] = Set.empty,
+      isMergeDelta: Boolean = false) {
     /** Can this file contain a row with `column` in [lo, hi]? Files
       * without stats on the column must be read.
       */
@@ -68,6 +77,11 @@ object Snapshots {
         case Some((flo, fhi)) => fhi >= lo && flo <= hi
         case None => true
       }
+    /** Stats recorded AND the column proven null-free in this file —
+      * the precondition for metadata-only whole-file drops.
+      */
+    def nullFree(column: String): Boolean =
+      stats.contains(column) && !hasNulls(column)
   }
 
   /** Trailing sentinel line closing every manifest. The claim point is
@@ -84,23 +98,51 @@ object Snapshots {
 
   /** All lines of a complete manifest (note line first, terminator
     * stripped), retrying torn reads — see [[Terminator]].
+    *
+    * Terminator-less manifests are NOT bricked: a manifest written by a
+    * pre-terminator writer (legacy format) — or left by a writer that
+    * died after some bytes landed — never gains the sentinel, and
+    * failing forever would make the whole table permanently unreadable
+    * (currentVersion counts the manifest, appends read the parent's
+    * lines). Instead, a non-empty manifest whose content is IDENTICAL
+    * across several spaced re-reads is accepted as complete: an
+    * in-flight writer's bytes are still landing (content grows between
+    * reads, microseconds apart in practice), a legacy or crashed
+    * writer's never change. The crashed-writer case is indistinguishable
+    * from legacy by construction and accepting its stable prefix trades
+    * a bounded, loudly-logged risk (the write was a single buffer; a
+    * partial flush is a sub-10ms window) for availability. Truly empty
+    * manifests (claimed, zero bytes) still fail — with the repair path
+    * in the message.
     */
+  private val StableReads = 5
   private def manifestLines(spark: SparkSession, table: String,
       version: Int): Seq[String] = {
     val mp = manifestPath(table, version)
     val f = fs(spark, mp)
     require(f.exists(mp), s"no version $version at $table")
     var attempt = 0
+    var prev: Vector[String] = null
+    var stable = 0
     while (true) {
       val in = f.open(mp)
       val all =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
         finally in.close()
       if (all.nonEmpty && all.last == Terminator) return all.dropRight(1)
+      if (all.nonEmpty && all == prev) {
+        stable += 1
+        // legacy terminator-less manifest, or a writer that died after
+        // its (single-buffer) write: content settled — accept it
+        if (stable >= StableReads) return all
+      } else stable = 0
+      prev = all
       attempt += 1
       require(attempt < 200,
         s"manifest $mp still incomplete after $attempt reads — torn write " +
-          "or a writer died mid-manifest")
+          "or a writer died before any content landed. Repair: verify no " +
+          s"writer is alive, then delete $mp to drop the torn version " +
+          "(its staged data files are vacuumOrphans' documented class)")
       Thread.sleep(10)
     }
     Nil // unreachable
@@ -111,18 +153,37 @@ object Snapshots {
       version: Int): Seq[String] =
     manifestLines(spark, table, version).drop(1)
 
+  /** Marker token opening the manifest line of a merge-delta file. */
+  private val DeltaLineMark = "+"
+
   /** Parsed manifest entries of a version, stats included when present. */
   def manifestFiles(spark: SparkSession, table: String,
       version: Int): Seq[ManifestFile] =
     fileLines(spark, table, version).map { line =>
-      val parts = line.split("\t", -1)
-      val stats =
-        if (parts.length < 4 || (parts.length - 1) % 3 != 0) Map.empty[String, (Long, Long)]
-        else parts.drop(1).grouped(3)
-          .map { case Array(c, lo, hi) => c -> ((lo.toLong, hi.toLong)) }
-          .toMap
-      ManifestFile(parts(0), new Path(table, parts(0)).toString, stats)
+      val raw = line.split("\t", -1)
+      val isDelta = raw.headOption.contains(DeltaLineMark)
+      val parts = if (isDelta) raw.drop(1) else raw
+      val (stats, nulls) =
+        if (parts.length < 4 || (parts.length - 1) % 3 != 0)
+          (Map.empty[String, (Long, Long)], Set.empty[String])
+        else {
+          val triples = parts.drop(1).grouped(3).map {
+            case Array(c, lo, hi) => (c, lo.toLong, hi.toLong)
+          }.toSeq
+          (triples.map { case (c, lo, hi) =>
+            c.stripSuffix("?") -> ((lo, hi)) }.toMap,
+            triples.collect { case (c, _, _) if c.endsWith("?") =>
+              c.stripSuffix("?") }.toSet)
+        }
+      ManifestFile(parts(0), new Path(table, parts(0)).toString,
+        stats, nulls, isDelta)
     }
+
+  /** The table-relative path a raw manifest line names. */
+  private def relOf(line: String): String = {
+    val parts = line.split("\t", -1)
+    if (parts.headOption.contains(DeltaLineMark)) parts(1) else parts(0)
+  }
 
   /** The data-file list (absolute paths) of a version. */
   def files(spark: SparkSession, table: String, version: Int): Seq[String] =
@@ -181,21 +242,23 @@ object Snapshots {
   /** Decorate staged rels with per-file min/max of a long-typed column —
     * the manifest-level zone map. ONE job over all staged files (grouped
     * by input_file_name), not a job per file. Files the stats pass can't
-    * cover (zero rows, all-null column, ANY null in the column) keep a
-    * plain line and are simply never pruned — absence of stats degrades
-    * to reading the file, the only correct default.
+    * cover (zero rows, all-null column) keep a plain line and are simply
+    * never pruned — absence of stats degrades to reading the file, the
+    * only correct default.
     *
-    * Recorded stats additionally assert the column is NULL-FREE in that
-    * file: a range predicate never selects null rows, so range pruning
-    * was always null-safe, but [[deleteWhere]]'s whole-file metadata drop
-    * needs "min/max inside the range" to mean EVERY row matches — a null
-    * row would be deleted without matching. Files with nulls in a stats
-    * column degrade to plain lines (always read, rewritten on delete).
+    * A file with SOME nulls in a stats column keeps its non-null min/max
+    * (range pruning never selects nulls, so the prune stays exact) but
+    * its column token carries the `?` has-nulls marker: [[deleteWhere]]'s
+    * whole-file metadata drop needs "min/max inside the range" to mean
+    * EVERY row matches, and a null row would be deleted without matching
+    * — marked files are rewritten instead of dropped.
     */
   private def relLines(spark: SparkSession, table: String,
       rels: Seq[String], statsCols: Seq[String]): Seq[String] =
     if (statsCols.isEmpty) rels
     else {
+      require(statsCols.forall(!_.contains("?")),
+        s"stats column names may not contain '?' (the has-nulls marker): $statsCols")
       import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
       val paths = rels.map(r => new Path(table, r).toString)
       val aggs = statsCols.flatMap(c => Seq(
@@ -208,8 +271,11 @@ object Snapshots {
         .collect().map { r =>
           val triples = statsCols.zipWithIndex.flatMap { case (c, i) =>
             val (loI, hiI, nullI) = (1 + 3 * i, 2 + 3 * i, 3 + 3 * i)
-            if (r.isNullAt(loI) || r.isNullAt(hiI) || r.getLong(nullI) > 0) None
-            else Some(s"$c\t${r.getLong(loI)}\t${r.getLong(hiI)}")
+            if (r.isNullAt(loI) || r.isNullAt(hiI)) None
+            else {
+              val mark = if (r.getLong(nullI) > 0) "?" else ""
+              Some(s"$c$mark\t${r.getLong(loI)}\t${r.getLong(hiI)}")
+            }
           }
           new Path(r.getString(0)).getName -> triples
         }.toMap
@@ -289,6 +355,46 @@ object Snapshots {
     -1 // unreachable
   }
 
+  /** Reserved note token stamping the commit with a streaming epoch:
+    * `epoch=<id>` anywhere in the note line. A foreachBatch sink that
+    * stamps each commit with its batch id gets EXACTLY-ONCE table
+    * updates from at-least-once batch delivery: a crash between the
+    * sink's commit and the checkpoint advance re-delivers the batch,
+    * and the stamped manifest makes re-applying it a no-op. Requires
+    * monotone epochs (Structured Streaming batch ids are); free-text
+    * notes must not contain the token.
+    */
+  val EpochTag = "epoch="
+
+  private def epochOf(note: String): Option[Long] =
+    note.split(' ').find(_.startsWith(EpochTag))
+      .map(_.stripPrefix(EpochTag).toLong)
+
+  /** The highest epoch recorded in any retained version's note, None if
+    * no epoch-stamped version exists. Epochs rise with versions (monotone
+    * by contract), so the DESCENDING scan stops at the first stamped
+    * note — O(1) manifest reads at streaming cadence; O(versions) only
+    * for a table never written by an epoch sink.
+    */
+  def lastEpoch(spark: SparkSession, table: String): Option[Long] = {
+    val f = fs(spark, new Path(table))
+    (currentVersion(spark, table) to 1 by -1).iterator
+      .filter(v => f.exists(manifestPath(table, v)))
+      .map(v => epochOf(noteOf(spark, table, v)))
+      .collectFirst { case Some(e) => e }
+  }
+
+  /** [[commitAppend]] stamped with a streaming epoch: a replayed epoch
+    * (id at or below the last stamped one) is a NO-OP returning the
+    * current version — nothing staged, nothing committed.
+    */
+  def commitAppendEpoch(df: DataFrame, table: String, epoch: Long,
+      note: String = "append", statsCols: Seq[String] = Nil): Int = {
+    val spark = df.sparkSession
+    if (lastEpoch(spark, table).exists(_ >= epoch)) currentVersion(spark, table)
+    else commitAppend(df, table, s"$EpochTag$epoch $note", statsCols)
+  }
+
   /** Marker prefix that tags a version as a REWRITE (same logical rows,
     * different physical files). Incremental readers must skip these
     * versions' file additions or every compaction would replay the whole
@@ -347,6 +453,50 @@ object Snapshots {
     */
   val DeleteNotePrefix = "delete:"
 
+  /** Commit a row-level (delete/merge) result with DISJOINT-rebase retry
+    * — the row-level half of [[commitAppend]]'s optimistic concurrency.
+    * The staged output (`newLines`) was computed by reading exactly
+    * `touchedRels` of the parent this committer saw; those files are
+    * immutable, so the staged result stays valid under ANY concurrent
+    * commit that left every touched file in the live list. On a lost
+    * claim the committer re-lists: if the winner's state still carries
+    * all touched files, the two commits changed disjoint file sets and
+    * commute — the rebased manifest (winner's lines minus touched, plus
+    * the staged lines) is exactly the loser-first serialization, so both
+    * succeed with serialized versions. A winner that rewrote or dropped
+    * a touched file (compaction, an overlapping delete/merge, restore)
+    * invalidated the staged rows — that conflict still fails loudly with
+    * nothing published (the staged files are [[vacuumOrphans]]' class).
+    */
+  private def commitRowLevel(spark: SparkSession, table: String,
+      firstParent: Int, touchedRels: Set[String],
+      note: Int => String, newLines: Seq[String]): Int = {
+    val MaxRetries = 10
+    var attempt = 0
+    while (true) {
+      val parent = currentVersion(spark, table)
+      val parentLines =
+        if (parent == 0) Seq.empty else fileLines(spark, table, parent)
+      if (parent != firstParent) {
+        val present = parentLines.map(relOf).toSet
+        val missing = touchedRels.filterNot(present)
+        require(missing.isEmpty,
+          s"row-level commit on $table: concurrent v$parent rewrote or " +
+            s"dropped ${missing.size} file(s) this commit had read " +
+            s"(${missing.take(3).mkString(", ")}) — the staged result is " +
+            "stale; nothing published, re-run against the new state")
+      }
+      val carried = parentLines.filterNot(l => touchedRels(relOf(l)))
+      if (tryClaim(spark, table, parent + 1, note(carried.size),
+          carried ++ newLines)) return parent + 1
+      attempt += 1
+      require(attempt < MaxRetries,
+        s"row-level commit on $table: lost the version claim $MaxRetries " +
+          "times in a row — giving up with nothing published")
+    }
+    -1 // unreachable
+  }
+
   /** Row-level DELETE of `column` in [lo, hi] — the takedown/expiry verb
     * a training-data store cannot ship without (a removal request against
     * 100 TB must not rewrite 100 TB). Copy-on-write at file granularity,
@@ -367,8 +517,8 @@ object Snapshots {
     * Returns the new version, or the current one when no file admits the
     * range (metadata-only no-op, nothing committed). Prior versions stay
     * time-travelable; reclaiming the replaced files is retention's job.
-    * Like overwrites, a lost version-claim race fails loudly — deleting
-    * from a table state that changed underneath is the caller's call.
+    * A lost version-claim race rebases when the winner changed only
+    * DISJOINT files and fails loudly otherwise — see [[commitRowLevel]].
     */
   def deleteWhere(spark: SparkSession, table: String, column: String,
       lo: Long, hi: Long): Int = {
@@ -377,13 +527,15 @@ object Snapshots {
     require(parent > 0, s"nothing to delete from at $table")
     val entries = manifestFiles(spark, table, parent)
       .zip(fileLines(spark, table, parent))
-    val (touched, untouched) =
-      entries.partition(_._1.admits(column, lo, hi))
+    val touched = entries.filter(_._1.admits(column, lo, hi))
     if (touched.isEmpty) return parent
+    // metadata-only drop needs every row to match: stats inside the range
+    // AND the file proven null-free in the column (nulls never match a
+    // range predicate and must survive — marked files are rewritten)
     val (dropped, rewrite) = touched.partition { case (mf, _) =>
-      mf.stats.get(column).exists { case (flo, fhi) => flo >= lo && fhi <= hi }
+      mf.nullFree(column) &&
+        mf.stats.get(column).exists { case (flo, fhi) => flo >= lo && fhi <= hi }
     }
-    val v = parent + 1
     val rels =
       if (rewrite.isEmpty) Seq.empty
       else {
@@ -391,12 +543,14 @@ object Snapshots {
           .filter(col(column) < lo || col(column) > hi || col(column).isNull)
         // preserve every zone-map column the rewritten inputs carried
         val statsCols = rewrite.flatMap(_._1.stats.keys).distinct
-        relLines(spark, table, stage(keep, table, v), statsCols)
+        relLines(spark, table, stage(keep, table, parent + 1), statsCols)
       }
-    writeManifest(spark, table, v,
-      s"$DeleteNotePrefix $column in [$lo, $hi]: ${dropped.size} files " +
-        s"dropped, ${rewrite.size} rewritten, ${untouched.size} carried",
-      untouched.map(_._2) ++ rels)
+    commitRowLevel(spark, table, parent,
+      touched.map(e => relOf(e._2)).toSet,
+      carried => s"$DeleteNotePrefix $column in [$lo, $hi]: " +
+        s"${dropped.size} files dropped, ${rewrite.size} rewritten, " +
+        s"$carried carried",
+      rels)
   }
 
   /** Marker prefix tagging a version as a keyed MERGE (copy-on-write
@@ -427,19 +581,31 @@ object Snapshots {
     * delta should match the table's columns; parquet unions otherwise).
     * Null-keyed table rows never match (SQL semantics) and survive.
     * Returns the new version; prior versions stay time-travelable.
+    *
+    * The delta's staged files are MARKED on their manifest lines (see
+    * [[ManifestFile.isMergeDelta]]): [[incrementalRead]] emits exactly
+    * those — the merge's upsert row images — while still skipping the
+    * rewritten survivors. A lost version-claim race rebases when the
+    * winner changed only disjoint files — see [[commitRowLevel]].
     */
   def mergeInto(spark: SparkSession, table: String, delta: DataFrame,
-      keyCol: String): Int = {
+      keyCol: String, epoch: Option[Long] = None): Int = {
     import org.apache.spark.sql.functions.{col, max, min}
+    // epoch-stamped merges are exactly-once: a replayed epoch no-ops
+    // before anything is read or staged (see [[EpochTag]])
+    epoch.foreach { e =>
+      if (lastEpoch(spark, table).exists(_ >= e))
+        return currentVersion(spark, table)
+    }
     val parent = currentVersion(spark, table)
     require(parent > 0, s"nothing to merge into at $table")
     val env = delta.agg(min(col(keyCol).cast("long")),
       max(col(keyCol).cast("long"))).head()
     val entries = manifestFiles(spark, table, parent)
       .zip(fileLines(spark, table, parent))
-    val (touched, untouched) =
-      if (env.isNullAt(0)) (Seq.empty[(ManifestFile, String)], entries)
-      else entries.partition(_._1.admits(keyCol, env.getLong(0), env.getLong(1)))
+    val touched =
+      if (env.isNullAt(0)) Seq.empty[(ManifestFile, String)]
+      else entries.filter(_._1.admits(keyCol, env.getLong(0), env.getLong(1)))
     val v = parent + 1
     val statsCols =
       (touched.flatMap(_._1.stats.keys) :+ keyCol).distinct
@@ -447,14 +613,21 @@ object Snapshots {
       if (touched.isEmpty) None
       else Some(spark.read.parquet(touched.map(_._1.path): _*)
         .join(delta.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti"))
+    val deltaRels = stage(delta, table, v)
+    val deltaSet = deltaRels.toSet
+    // one stats job over survivors + delta together; the delta's lines
+    // then get the feed marker
     val rels = relLines(spark, table,
-      survivors.map(s => stage(s, table, v)).getOrElse(Seq.empty) ++
-        stage(delta, table, v),
-      statsCols)
-    writeManifest(spark, table, v,
-      s"$MergeNotePrefix $keyCol: ${touched.size} files rewritten, " +
-        s"${untouched.size} carried",
-      untouched.map(_._2) ++ rels)
+      survivors.map(s => stage(s, table, v)).getOrElse(Seq.empty) ++ deltaRels,
+      statsCols).map { line =>
+      if (deltaSet(relOf(line))) s"$DeltaLineMark\t$line" else line
+    }
+    val stamp = epoch.map(e => s" $EpochTag$e").getOrElse("")
+    commitRowLevel(spark, table, parent,
+      touched.map(e => relOf(e._2)).toSet,
+      carried => s"$MergeNotePrefix $keyCol: ${touched.size} files " +
+        s"rewritten, $carried carried$stamp",
+      rels)
   }
 
   /** The version that was CURRENT at `tsMillis` (TIMESTAMP AS OF): the
@@ -624,6 +797,15 @@ object Snapshots {
     * existed — a delete ADDS nothing. Deletions do not flow through this
     * feed at all (standard append-feed semantics); a consumer that must
     * observe removals diffs versions with [[diff]].
+    *
+    * Versions tagged [[MergeNotePrefix]] contribute exactly their
+    * DELTA-marked files: the merge's upsert row images (inserted keys
+    * and the new images of updated keys) flow to consumers — a
+    * CDC-refreshed feed must not silently lose genuinely new rows —
+    * while the rewritten survivors are skipped as row-neutral. A keyed
+    * consumer that wants inserts only filters against its own state;
+    * merge versions written before delta marking existed carry no marks
+    * and contribute nothing (the old skip behavior).
     */
   def incrementalRead(spark: SparkSession, table: String, since: Int,
       until: Option[Int] = None): DataFrame = {
@@ -633,13 +815,14 @@ object Snapshots {
     var prev: Set[String] =
       if (since == 0) Set.empty else files(spark, table, since).toSet
     for (step <- since + 1 to v) {
-      val cur = files(spark, table, step)
       val note = noteOf(spark, table, step)
-      if (!note.startsWith(RewriteNotePrefix) &&
-          !note.startsWith(DeleteNotePrefix) &&
-          !note.startsWith(MergeNotePrefix))
-        added ++= cur.filterNot(prev)
-      prev = cur.toSet
+      val mfs = manifestFiles(spark, table, step)
+      if (note.startsWith(MergeNotePrefix))
+        added ++= mfs.filter(m => m.isMergeDelta && !prev(m.path)).map(_.path)
+      else if (!note.startsWith(RewriteNotePrefix) &&
+          !note.startsWith(DeleteNotePrefix))
+        added ++= mfs.map(_.path).filterNot(prev)
+      prev = mfs.map(_.path).toSet
     }
     if (added.isEmpty) spark.read.parquet(files(spark, table, v): _*).limit(0)
     else spark.read.parquet(added.toSeq: _*)

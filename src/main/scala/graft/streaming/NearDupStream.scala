@@ -25,11 +25,17 @@ import graft.operators.Dedup
   * d10's documented contract; the stream wrapper adds nothing
   * corpus-sized per batch.
   *
-  * Exactly-once without a transactional sink: replays are SELF-HEALING —
-  * if a batch re-runs after a crash-between-write-and-commit, its docs
-  * are already in the store, so each re-processed doc exact-matches its
-  * own fingerprint, gets verdict `exact`, and is not appended again.
-  * (StreamingSpec proves this by replaying a processed drop.)
+  * Exactly-once: the store is a [[graft.sources.Snapshots]] table and
+  * each micro-batch commits via `commitAppendEpoch(batchId)` — the epoch
+  * stamped in the version manifest makes a crash between the sink commit
+  * and the checkpoint advance replay as a NO-OP (StreamingSpec proves
+  * this by re-running a committed batch id). The store thereby inherits
+  * the whole snapshot discipline — time travel ("the corpus as of batch
+  * N"), named tags, retention, compaction of micro-batch small files —
+  * instead of bespoke parquet-dir handling. Replays are additionally
+  * SELF-HEALING at the row level: a re-processed doc exact-matches its
+  * own fingerprint in the store and is verdicted `exact`, so even an
+  * epoch-less re-delivery cannot re-append.
   *
   * Within a batch, exact duplicates collapse to the smallest doc_id
   * before the store pass; near-dup pairs WITHIN one micro-batch are
@@ -61,26 +67,34 @@ object NearDupStream {
         .unionByName(slim.withColumn("incoming", lit(true))))
   }
 
-  /** One micro-batch: verdict against the store at `storePath` (absent =
-    * empty corpus) and append the `new` survivors.
+  /** One micro-batch: verdict against the snapshot store at `storePath`
+    * (no committed version = empty corpus) and commit the `new`
+    * survivors as an epoch-stamped append — a replayed `batchId` no-ops
+    * before the verdict pass even runs.
     *
-    * Store absence is decided by an EXPLICIT existence probe, never by
+    * Store absence is decided by the snapshot version listing, never by
     * classifying read-error messages: a transient read failure of a real
     * store must fail the batch loudly (streaming retries it) rather than
     * silently verdict against an empty corpus and re-admit duplicates.
+    * Every batch commits (even an all-duplicate one) so the epoch
+    * watermark — and the table history — advances with the stream;
+    * [[graft.sources.Snapshots.compact]] is the maintenance pass that
+    * folds the resulting micro-batch files.
     */
   def processBatch(spark: SparkSession, storePath: String)(
       batch: DataFrame, batchId: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(storePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import graft.sources.Snapshots
+    if (Snapshots.lastEpoch(spark, storePath).exists(_ >= batchId)) return
     val store =
-      if (fs.exists(p)) spark.read.schema(CorpusStream.docSchema).parquet(storePath)
+      if (Snapshots.currentVersion(spark, storePath) > 0)
+        Snapshots.readVersion(spark, storePath)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(CorpusStream.docSchema))
     val keep = verdicts(store, batch).where(col("verdict") === "new")
-    batch.join(keep.select(col("doc_id")), "doc_id")
-      .write.mode("append").parquet(storePath)
+    Snapshots.commitAppendEpoch(
+      batch.join(keep.select(col("doc_id")), "doc_id"),
+      storePath, batchId, "neardup batch")
   }
 
   /** Wire the suppressor onto a file-source doc feed. */

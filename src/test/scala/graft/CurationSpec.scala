@@ -451,6 +451,16 @@ class CurationSpec extends SparkSpec {
     assert(uf == iter)
     assert(uf(4L) == 1L && uf(7L) == 5L && uf(10L) == 8L)
     assert(uf(11L) == 11L && uf(12L) == 12L)
+    // the iteration-state partitioning knob is honored (wrong values
+    // fail loudly) and a non-default width leaves the labels unchanged
+    spark.conf.set("spark.graft.cc.iterParts", "3")
+    try {
+      assert(toMap(Dedup.minLabelComponents(nodes, pairs, -1L)) == uf)
+      spark.conf.set("spark.graft.cc.iterParts", "not-a-number")
+      intercept[NumberFormatException] {
+        Dedup.minLabelComponents(nodes, pairs, -1L).collect()
+      }
+    } finally spark.conf.unset("spark.graft.cc.iterParts")
   }
 
   test("t24 code switch: planted mixed doc flags; monolingual docs agree with whole-doc langid") {

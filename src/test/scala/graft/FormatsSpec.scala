@@ -633,8 +633,16 @@ class FormatsSpec extends SparkSpec {
       (None, "n1"), (None, "n2"))
       .toDF("k", "v").coalesce(1)
     Snapshots.commitOverwrite(df, table, "load", statsCols = Seq("k"))
-    // nulls present -> the file gets NO stats on k (relLines null guard)
-    assert(Snapshots.manifestFiles(spark, table, 1).forall(_.stats.isEmpty))
+    // nulls present -> non-null min/max ARE recorded (range pruning never
+    // selects nulls, so the prune stays exact) with the has-nulls marker
+    // withholding only the whole-file metadata drop
+    val mf1 = Snapshots.manifestFiles(spark, table, 1)
+    assert(mf1.forall(m => m.stats.get("k").contains((1L, 3L))
+      && m.hasNulls("k") && !m.nullFree("k")), s"stats: $mf1")
+    // ...so a disjoint range read prunes the file from the listing
+    assert(Snapshots.pruneFiles(spark, table, 1, "k", 10L, 20L)._1.isEmpty)
+    assert(Snapshots.readVersionWhere(spark, table, "k", 2L, 3L)
+      .count() == 2)
     // delete covering every non-null k: file must be REWRITTEN, not
     // dropped, and the null rows must survive (SQL DELETE semantics)
     val v2 = Snapshots.deleteWhere(spark, table, "k", 1L, 3L)
@@ -643,7 +651,7 @@ class FormatsSpec extends SparkSpec {
     assert(rows == Set("n1", "n2"), s"null rows lost or others kept: $rows")
   }
 
-  test("mergeInto: keyed upsert rewrites only admitting files, inserts new keys, keeps time travel and feed neutrality") {
+  test("mergeInto: keyed upsert rewrites only admitting files, inserts new keys, feeds exactly its delta, keeps time travel") {
     import graft.sources.Snapshots
     val table = Files.createTempDirectory("snap_merge").toString + "/t"
     val d1 = base.filter($"event_id" < 800).repartitionByRange(8, $"event_id")
@@ -693,11 +701,141 @@ class FormatsSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, table, Some(v3))
       .select($"event_id").as[Long].collect().toSet ==
       oldIds ++ (5000L until 5005L))
-    // merge versions add nothing to the append feed; time travel intact
+    // merge versions feed exactly their DELTA (upsert row images) —
+    // inserted keys and new images of updated keys — never the
+    // copy-on-write survivors (which would replay old rows)
     assert(Snapshots.noteOf(spark, table, v2)
       .startsWith(Snapshots.MergeNotePrefix))
-    assert(Snapshots.incrementalRead(spark, table, since = 1).count() == 0)
+    val feed1 = Snapshots.incrementalRead(spark, table, since = 1,
+      until = Some(v2))
+    assert(feed1.count() == updates.count(), "merge delta missing from feed")
+    assert(feed1.select($"event_type").distinct()
+      .as[String].collect().toSeq == Seq("merged"))
+    val feed2 = Snapshots.incrementalRead(spark, table, since = v2)
+    assert(feed2.select($"event_id").as[Long].collect().toSet ==
+      (5000L until 5005L).toSet, "merge INSERTS lost from the feed")
     assert(Snapshots.readVersion(spark, table, Some(1)).count() == d1.count())
+  }
+
+  test("row-level commit race: deleteWhere vs disjoint-zone mergeInto — both succeed, serialized versions, row-exact result") {
+    import graft.sources.Snapshots
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val table = Files.createTempDirectory("snap_rowrace").toString + "/t"
+    val d1 = base.filter($"event_id" < 800).repartitionByRange(8, $"event_id")
+    Snapshots.commitOverwrite(d1, table, "ranged load",
+      statsCols = Seq("event_id"))
+    // racer A deletes a LOW key band, racer B merges a HIGH-key delta:
+    // with 8 range-partitioned band files their zone-map touch sets are
+    // disjoint, so the claim loser must REBASE and succeed, not throw
+    val updates = base.filter($"event_id".between(700, 720))
+      .withColumn("event_type", lit("merged"))
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val fa = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = { gate.await()
+        Snapshots.deleteWhere(spark, table, "event_id", 0L, 50L) }
+    })
+    val fb = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = { gate.await()
+        Snapshots.mergeInto(spark, table, updates, "event_id") }
+    })
+    gate.countDown()
+    val (va, vb) = (fa.get(), fb.get())
+    pool.shutdown()
+    assert(Set(va, vb) == Set(2, 3), s"serialized versions, got ($va, $vb)")
+    // final state = both operations applied exactly once, either order
+    val got = Snapshots.readVersion(spark, table)
+    val expectIds = d1.filter($"event_id" > 50)
+      .select($"event_id").as[Long].collect().toSet
+    assert(got.select($"event_id").as[Long].collect().toSet == expectIds)
+    assert(got.filter($"event_type" === "merged").count() ==
+      d1.filter($"event_id".between(700, 720)).count(),
+      "merge lost in the race")
+    assert(got.filter($"event_id" <= 50).count() == 0, "delete lost in the race")
+    // OVERLAPPING row-level commits must never both apply: race two
+    // deletes of one range — outcomes per racer are success, a loud
+    // stale-conflict error, or a metadata no-op; the range dies once
+    val gate2 = new CountDownLatch(1)
+    val pool2 = Executors.newFixedThreadPool(2)
+    val rs = (0 until 2).map { _ =>
+      pool2.submit(new java.util.concurrent.Callable[Either[String, Int]] {
+        def call(): Either[String, Int] = { gate2.await()
+          try Right(Snapshots.deleteWhere(spark, table, "event_id", 100L, 160L))
+          catch { case e: IllegalArgumentException => Left(e.getMessage) }
+        }
+      })
+    }
+    gate2.countDown()
+    val outs = rs.map(_.get())
+    pool2.shutdown()
+    assert(outs.exists(_.isRight), s"no delete landed: $outs")
+    outs.collect { case Left(m) =>
+      assert(m.contains("stale"), s"unexpected failure: $m") }
+    val after = Snapshots.readVersion(spark, table)
+    assert(after.filter($"event_id".between(100, 160)).count() == 0)
+    assert(after.count() ==
+      got.count() - got.filter($"event_id".between(100, 160)).count(),
+      "overlapping race double-applied or lost rows")
+  }
+
+  test("legacy terminator-less manifest reads after stabilization; empty torn manifest fails with the repair path") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_legacy").toString + "/t"
+    Snapshots.commitOverwrite(Seq(1L, 2L).toDF("id"), table, "v1")
+    Snapshots.commitAppend(Seq(3L).toDF("id"), table, "v2")
+    val f = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // strip v2's terminator in place — the pre-terminator manifest format
+    val mp = new org.apache.hadoop.fs.Path(s"$table/_versions/v00002.manifest")
+    val src = scala.io.Source.fromInputStream(f.open(mp), "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    assert(lines.last == "#end")
+    f.delete(mp, false)
+    val out = f.create(mp, true)
+    try out.write(lines.dropRight(1).mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    // the table is NOT bricked: stable re-reads accept the legacy manifest
+    assert(Snapshots.readVersion(spark, table)
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // and appends on top of it keep the legacy lines
+    val v3 = Snapshots.commitAppend(Seq(4L).toDF("id"), table, "v3")
+    assert(Snapshots.readVersion(spark, table, Some(v3))
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // a zero-byte manifest (claimed, writer died before content) still
+    // fails loudly, naming the repair path
+    val torn = new org.apache.hadoop.fs.Path(s"$table/_versions/v00004.manifest")
+    f.create(torn, true).close()
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, table).collect()
+    }
+    assert(e.getMessage.contains("delete"), s"no repair path: ${e.getMessage}")
+  }
+
+  test("epoch-stamped commits: replayed epochs no-op for append and merge; history stays time-travelable") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_epoch").toString + "/t"
+    val v1 = Snapshots.commitAppendEpoch(Seq(1L, 2L).toDF("id"), table, 0L)
+    val v2 = Snapshots.commitAppendEpoch(Seq(3L).toDF("id"), table, 1L)
+    assert((v1, v2) == (1, 2) && Snapshots.lastEpoch(spark, table).contains(1L))
+    // crash between sink commit and checkpoint advance = same epoch again
+    assert(Snapshots.commitAppendEpoch(Seq(3L).toDF("id"), table, 1L) == v2)
+    assert(Snapshots.currentVersion(spark, table) == v2, "replay committed")
+    assert(Snapshots.readVersion(spark, table)
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // epoch-stamped merge: applied once, replay no-ops
+    val up = Seq((2L, "u")).toDF("id", "tag")
+    val base2 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag")
+    val t2 = Files.createTempDirectory("snap_epochm").toString + "/t"
+    Snapshots.commitAppendEpoch(base2, t2, 0L, statsCols = Seq("id"))
+    val mv = Snapshots.mergeInto(spark, t2, up, "id", epoch = Some(1L))
+    assert(mv == 2 && Snapshots.lastEpoch(spark, t2).contains(1L))
+    assert(Snapshots.mergeInto(spark, t2, up, "id", epoch = Some(1L)) == mv,
+      "replayed merge epoch must no-op")
+    assert(Snapshots.readVersion(spark, t2).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "u"), (3L, "c")))
+    // epoch versions time travel like any other
+    assert(Snapshots.readVersion(spark, t2, Some(1))
+      .as[(Long, String)].collect().toSet == base2.as[(Long, String)].collect().toSet)
   }
 
   test("named refs: tags pin versions through expire, immutable until dropped") {

@@ -581,7 +581,8 @@ class StreamingSpec extends SparkSpec {
       val q = NearDupStream.start(spark, src, store, ckpt)
       try q.processAllAvailable() finally q.stop()
     }
-    def stored() = spark.read.parquet(store)
+    import graft.sources.Snapshots
+    def stored() = Snapshots.readVersion(spark, store)
       .select($"doc_id").as[Long].collect().toSet
 
     mkDf(drop1).coalesce(1).write.mode("append").parquet(src)
@@ -601,10 +602,26 @@ class StreamingSpec extends SparkSpec {
     assert(v(10L) == ("exact", Some(1L)) && v(11L) == ("near", Some(2L)) &&
       v(12L) == ("new", None), s"verdicts: $v")
 
-    // self-healing replay: re-delivering already-stored docs is a no-op
-    // (they exact-match their own fingerprints in the store)
+    // exactly-once: each batch committed an epoch-stamped store version.
+    // Crash between epoch commit and checkpoint advance = foreachBatch
+    // re-runs with the SAME batch id — must be a no-op, not a re-apply
+    val lastE = Snapshots.lastEpoch(spark, store)
+    assert(lastE.nonEmpty, "batches must stamp their epoch")
+    val vBefore = Snapshots.currentVersion(spark, store)
+    NearDupStream.processBatch(spark, store)(mkDf(drop2), lastE.get)
+    assert(Snapshots.currentVersion(spark, store) == vBefore,
+      "replayed epoch committed a new version")
+    assert(stored() == Set(1L, 2L, 12L), "replayed epoch changed the store")
+
+    // self-healing replay: re-delivering already-stored docs as a NEW
+    // epoch is row-level suppressed (they exact-match their own
+    // fingerprints); the store is a snapshot table, so the pre-replay
+    // corpus states stay time-travelable
     mkDf(drop1).coalesce(1).write.mode("append").parquet(src)
     run()
     assert(stored() == Set(1L, 2L, 12L), "replay must not re-append")
+    assert(Snapshots.readVersion(spark, store, Some(1))
+      .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "batch-0 store state lost to time travel")
   }
 }
