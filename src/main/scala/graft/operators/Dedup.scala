@@ -889,11 +889,19 @@ object Dedup {
     * one long so the argmin is a primitive min, not a struct compare.
     * Reconstruction is a per-doc sort of ≤ len/3 kept spans.
     */
-  val d8SpanDedup: Q = (s, d) => {
+  /** d8's body at span length `n` — the match grain is the ONLY knob
+    * between the didactic 3-token form and Lee et al.'s production
+    * ~50-token ExactSubstr grain, and the plan is identical at any n:
+    * one streamed generate, one span-keyed argmin shuffle, one join
+    * back. Cost FALLS as n grows (spans per doc ~ len/n, and longer
+    * spans collide less, shrinking the winner table) — see the recorded
+    * sf1 cost curve in PLANS.md.
+    */
+  private[graft] def spanDedupAt(s: SparkSession, d: String, n: Int): DataFrame = {
     import graft.expressions.SpanChunks.spanChunks
     val spans = docs(s, d)
       .select(col("doc_id"), lowerTokens(col("text")).as("t"))
-      .select(col("doc_id"), spanChunks(col("t"), 3).as(Seq("idx", "span")))
+      .select(col("doc_id"), spanChunks(col("t"), n).as(Seq("idx", "span")))
       // feeds the winner agg, the kept join AND the per-doc totals
       .materialize()
     val winners = spans.groupBy(col("span"))
@@ -918,19 +926,22 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** DuckDB twin of d8: list slices replay the generator's spans
-    * byte-for-byte; string_agg(... ORDER BY idx) replays the ordered
-    * reconstruction (idx is unique per doc, so the order is total).
+  val d8SpanDedup: Q = (s, d) => spanDedupAt(s, d, 3)
+
+  /** DuckDB twin of d8 at span length `n`: list slices replay the
+    * generator's spans byte-for-byte; string_agg(... ORDER BY idx)
+    * replays the ordered reconstruction (idx is unique per doc, so the
+    * order is total).
     */
-  val d8SpanDedupSql: String =
-    """WITH toks AS (
+  private def spanDedupSqlAt(n: Int): String =
+    s"""WITH toks AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
       |  FROM documents),
       |chunks AS MATERIALIZED (
       |  SELECT doc_id, CAST(i AS INT) AS idx,
-      |    array_to_string(t[(i*3)+1:(i*3)+3], ' ') AS span
-      |  FROM toks, unnest(range(CAST(ceil(len(t) / 3.0) AS BIGINT))) AS u(i)),
+      |    array_to_string(t[(i*$n)+1:(i*$n)+$n], ' ') AS span
+      |  FROM toks, unnest(range(CAST(ceil(len(t) / $n.0) AS BIGINT))) AS u(i)),
       |w AS (SELECT span, min(doc_id * 1048576 + idx) AS wkey
       |      FROM chunks GROUP BY span),
       |kept AS (
@@ -948,6 +959,21 @@ object Dedup {
       |FROM documents d
       |LEFT JOIN tot USING (doc_id) LEFT JOIN kept USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  val d8SpanDedupSql: String = spanDedupSqlAt(3)
+
+  // --------------------------------------------- d18_span_dedup32
+  /** ExactSubstr at production grain: d8's exact span dedup with
+    * 32-token spans — the order of magnitude Lee et al. 2022 actually
+    * deduplicate at (§4.1 uses 50-token matches; 3-token spans are the
+    * didactic grain that maximizes collisions for testing). Same
+    * streamed generator, same argmin-join plan; at 32 tokens a span
+    * collision means a genuinely copied passage, not a common phrase,
+    * so n_dropped is the corpus's real boilerplate mass.
+    */
+  val d18SpanDedup32: Q = (s, d) => spanDedupAt(s, d, 32)
+
+  val d18SpanDedup32Sql: String = spanDedupSqlAt(32)
 
   // ---------------------------------------------------- d9_containment
   /** Containment dedup (subset-duplicate detection): pairs where one
@@ -1559,6 +1585,7 @@ object Dedup {
     "d6_keep_best" -> d6KeepBest,
     "d7_semantic_dedup" -> d7SemanticDedup,
     "d8_span_dedup" -> d8SpanDedup,
+    "d18_span_dedup32" -> d18SpanDedup32,
     "d9_containment" -> d9Containment,
     "d10_incremental_dedup" -> d10IncrementalDedup,
     "d12_lsh_eval" -> d12LshEval,
@@ -1576,6 +1603,7 @@ object Dedup {
     "d6_keep_best" -> d6KeepBestSql,
     "d7_semantic_dedup" -> d7SemanticDedupSql,
     "d8_span_dedup" -> d8SpanDedupSql,
+    "d18_span_dedup32" -> d18SpanDedup32Sql,
     "d9_containment" -> d9ContainmentSql,
     "d10_incremental_dedup" -> d10IncrementalDedupSql,
     "d12_lsh_eval" -> d12LshEvalSql,

@@ -3001,8 +3001,217 @@ object TextAnalysis {
       |    / 1000000.0 AS oov_share
       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ----------------------------------------------- t41_bpe_train64
+  /** Production-grain BPE TRAINING (t21 past its toy merge count): the
+    * same pair-count → argmax → merge loop, run for 64 rounds instead
+    * of 5. The distributed piece is exactly what scales with the
+    * corpus — ONE scan building the word-frequency table — and the
+    * rounds run DRIVER-SIDE on the collected vocab multiset, which is
+    * how production trainers work (HuggingFace tokenizers/SentencePiece
+    * train on a word-count table in memory; merge decisions are
+    * inherently sequential, so "distributing" them buys 3 tiny shuffles
+    * of latency per round and nothing else — t21's 5 unrolled
+    * table-algebra rounds are the didactic form, this is the shape that
+    * reaches 32k merges). The collect is BOUNDED at any corpus size: the
+    * vocab is capped to the top `VocabCap` words by (freq DESC, word) —
+    * the standard trainer discipline — so 100 TB of text still collects
+    * at most 64k (word, freq) rows.
+    *
+    * Merge semantics are bit-identical to t21 (pair counts weighted by
+    * word freq over every adjacency, ties lexicographic on (a, b),
+    * apply = literal leftmost-non-overlapping `" a b "` → `" ab "`
+    * String.replace — the same scan rule as Spark/DuckDB `replace()`),
+    * so rounds 1..5 equal t21's output wherever the cap does not bind.
+    */
+  val BpeRounds64 = 64
+  val BpeVocabCap = 65536
+
+  /** Collected (freq DESC, word)-capped vocab → `rounds` sequential BPE
+    * merges: (rank, a, b, merged, pair_freq). Loud when the vocab
+    * exhausts before `rounds` (corpus too small to support the table).
+    */
+  private def bpeTrainDriver(s: SparkSession, d: String,
+      rounds: Int): Array[(Int, String, String, String, Long)] = {
+    val vocab = docs(s, d)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .where(length(col("w")) >= 2 && length(col("w")) <= 12)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(BpeVocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words = vocab.map { case (w, _) => " " + w.map(c => s"$c ").mkString }
+    val freqs = vocab.map(_._2)
+    val out = Array.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    while (r <= rounds) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var k = 0
+      while (k < words.length) {
+        val t = words(k).trim.split(" ")
+        var i = 0
+        while (i < t.length - 1) {
+          val key = (t(i), t(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + freqs(k))
+          i += 1
+        }
+        k += 1
+      }
+      require(counts.nonEmpty,
+        s"bpe trainer: vocab fully merged at round $r — corpus too small " +
+          s"for $rounds merges")
+      val ((a, b), pf) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+      out += ((r, a, b, a + b, pf))
+      val (pat, rep) = (s" $a $b ", s" $a$b ")
+      var k2 = 0
+      while (k2 < words.length) { words(k2) = words(k2).replace(pat, rep); k2 += 1 }
+      r += 1
+    }
+    out.result()
+  }
+
+  val t41BpeTrain64: Q = (s, d) => {
+    import s.implicits._
+    bpeTrainDriver(s, d, BpeRounds64).toSeq
+      .toDF("rank", "a", "b", "merged", "pf").orderBy("rank")
+  }
+
+  /** The 64-round trainer as oracle CTEs. Every `words`/`m` frame is
+    * MATERIALIZED: each round references the previous words frame twice
+    * (pair counting AND merge application), and without the fences the
+    * twin re-executes 2^64 times instead of 64 (the t21 5-round chain
+    * survives un-fenced at 2^5; this one would never finish).
+    */
+  private def bpeTrainerCtes64(rounds: Int): String = {
+    def round(prev: String, r: Int): String =
+      s"""p$r AS (
+         |  SELECT l[i + 1] AS a, l[i + 2] AS b,
+         |    CAST(sum(freq) AS BIGINT) AS pf FROM (
+         |    SELECT string_split(trim(syms), ' ') AS l, freq,
+         |      unnest(range(len(string_split(trim(syms), ' ')) - 1)) AS i
+         |    FROM $prev WHERE len(string_split(trim(syms), ' ')) >= 2)
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT $r AS rank, a, b, a || b AS merged, pf
+         |  FROM p$r ORDER BY pf DESC, a, b LIMIT 1)""".stripMargin
+    def app(prev: String, r: Int): String =
+      s"""words$r AS MATERIALIZED (
+         |  SELECT replace(syms, ' ' || a || ' ' || b || ' ',
+         |    ' ' || merged || ' ') AS syms, freq
+         |  FROM $prev, m$r)""".stripMargin
+    val chain = (1 to rounds).map { r =>
+      if (r < rounds) s"${round(s"words${r - 1}", r)},\n${app(s"words${r - 1}", r)}"
+      else round(s"words${r - 1}", r)
+    }.mkString(",\n")
+    s"""vocab AS (
+       |  SELECT w, freq FROM (
+       |    SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |      FROM documents)
+       |    WHERE length(w) >= 2 AND length(w) <= 12 GROUP BY w)
+       |  ORDER BY freq DESC, w LIMIT $BpeVocabCap),
+       |words0 AS MATERIALIZED (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS syms, freq
+       |  FROM vocab),
+       |$chain""".stripMargin
+  }
+
+  val t41BpeTrain64Sql: String =
+    s"""WITH ${bpeTrainerCtes64(BpeRounds64)}
+       |SELECT rank, a, b, merged, pf FROM (
+       |  ${(1 to BpeRounds64).map(r => s"SELECT * FROM m$r")
+            .mkString(" UNION ALL ")})
+       |ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------- t42_bpe_encode64
+  /** Production-grain BPE ENCODING: t25's per-document token account
+    * under the 64-merge table, with the two plan properties a real
+    * tokenizer deployment needs and the toy encoder lacks:
+    *
+    *  1. **Plan size O(1) in the merge count.** The merge table rides
+    *     inside ONE codegen'd kernel expression
+    *     ([[graft.expressions.BpeApplyMerges]]) that loops rank order
+    *     internally — not 64 (or 32k) chained `replace` projections,
+    *     whose generated code grows linearly and collapses codegen.
+    *  2. **Encode the VOCABULARY, not the corpus.** BPE is a pure
+    *     word function, so the kernel runs once per DISTINCT word
+    *     (vocab-sized — bounded and tiny next to any corpus), and the
+    *     corpus pass is a broadcast dictionary join word → (n_base,
+    *     n_bpe) plus one per-doc hash agg. At 100 TB that swaps ~64
+    *     string passes over every occurrence for one map-side join;
+    *     this is how serving tokenizers actually amortize (cache by
+    *     word), expressed relationally.
+    *
+    * Out-of-vocab handling matches t25: EVERY nonempty word is encoded
+    * (the distinct-word table covers the corpus by construction), words
+    * the trainer never saw just pick up whatever merges fire.
+    */
+  val t42BpeEncode64: Q = (s, d) => {
+    val merges = bpeTrainDriver(s, d, BpeRounds64)
+      .map { case (_, a, b, m, _) => (a, b, m) }.toSeq
+    val words = docs(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .where(col("w") =!= "")
+    val wenc = words.select(col("w")).distinct()
+      .select(col("w"),
+        graft.expressions.BpeExpressions.applyMerges(
+          concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")),
+          merges).as("syms"))
+      .select(col("w"), length(col("w")).cast("long").as("n_base_w"),
+        size(split(trim(col("syms")), " ")).cast("long").as("n_bpe_w"))
+    val perDoc = words.join(broadcast(wenc), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_base_w")).as("n_base"),
+        sum(col("n_bpe_w")).as("n_bpe"))
+    docs(s, d).select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the 64-round trainer CTEs, then the encode chain applied to
+    * the DISTINCT-word table (vocab-sized per round, fenced) and joined
+    * back to word occurrences — the same dictionary shape as the Spark
+    * side, so the account hash-matches.
+    */
+  val t42BpeEncode64Sql: String = {
+    val encChain = (1 to BpeRounds64).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT w, replace(syms, ' ' || a || ' ' || b || ' ',
+         |    ' ' || merged || ' ') AS syms
+         |  FROM e${r - 1}, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainerCtes64(BpeRounds64)},
+       |allw AS MATERIALIZED (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE w != ''),
+       |e0 AS MATERIALIZED (
+       |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS syms
+       |  FROM (SELECT DISTINCT w FROM allw)),
+       |$encChain,
+       |wenc AS MATERIALIZED (
+       |  SELECT w, CAST(length(w) AS BIGINT) AS n_base_w,
+       |    CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_bpe_w
+       |  FROM e$BpeRounds64),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(n_base_w) AS BIGINT) AS n_base,
+       |    CAST(sum(n_bpe_w) AS BIGINT) AS n_bpe
+       |  FROM allw JOIN wenc USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(p.n_words, CAST(0 AS BIGINT)) AS n_words,
+       |  coalesce(p.n_base, CAST(0 AS BIGINT)) AS n_base,
+       |  coalesce(p.n_bpe, CAST(0 AS BIGINT)) AS n_bpe
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "t41_bpe_train64" -> t41BpeTrain64,
+    "t42_bpe_encode64" -> t42BpeEncode64,
     "t40_heldout_ppl" -> t40HeldoutPpl,
     "t39_filter_funnel" -> t39FilterFunnel,
     "t38_dup_ngram_chars" -> t38DupNgramChars,
@@ -3045,6 +3254,8 @@ object TextAnalysis {
     "t13_repetition" -> t13Repetition)
 
   val oracles: Map[String, String] = Map(
+    "t41_bpe_train64" -> t41BpeTrain64Sql,
+    "t42_bpe_encode64" -> t42BpeEncode64Sql,
     "t40_heldout_ppl" -> t40HeldoutPplSql,
     "t39_filter_funnel" -> t39FilterFunnelSql,
     "t38_dup_ngram_chars" -> t38DupNgramCharsSql,

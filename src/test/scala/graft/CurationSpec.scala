@@ -420,6 +420,58 @@ class CurationSpec extends SparkSpec {
     assert(expect.head._5 > 100)
   }
 
+  test("t41/t42 BPE at 64 merges: trainer prefix equals t21, encode plan is O(1) in merges and dictionary-joined") {
+    import graft.operators.TextAnalysis
+    // the driver trainer's first 5 rounds ARE t21's table-algebra merges
+    // (the vocab cap doesn't bind at this scale)
+    val m64 = TextAnalysis.t41BpeTrain64(spark, sfDir)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m64.size == 64 && m64.map(_._1) == (1 to 64))
+    val m5 = TextAnalysis.t21BpeMerges(spark, sfDir)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m64.take(5) == m5, "64-round trainer diverged from t21's rounds")
+    // pair mass is non-increasing in rank ONLY per fixed round state —
+    // but a merged symbol can create new mass; just sanity-bound it
+    assert(m64.forall(_._5 >= 1))
+
+    val enc = TextAnalysis.t42BpeEncode64(spark, sfDir)
+    val phys = enc.queryExecution.sparkPlan
+    def exprCount(
+        pred: org.apache.spark.sql.catalyst.expressions.Expression => Boolean)
+        : Int = {
+      var n = 0
+      phys.foreach(node =>
+        node.expressions.foreach(_.foreach(e => if (pred(e)) n += 1)))
+      n
+    }
+    // plan property 1: the merge table lives in ONE kernel expression,
+    // not 64 chained replace projections (the toy t25 shape)
+    assert(exprCount(
+      _.isInstanceOf[graft.expressions.BpeApplyMerges]) == 1,
+      s"encode plan must carry exactly one merge-table kernel:\n$phys")
+    assert(exprCount(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.StringReplace]) == 0,
+      "inlined replace chain leaked into the 64-merge encode plan")
+    // plan property 2: the corpus pass is a broadcast dictionary join
+    assert(phys.toString.contains("BroadcastHashJoin"),
+      s"vocab dictionary must broadcast-join the corpus words:\n$phys")
+
+    // account consistency vs the toy encoder: same words and base chars,
+    // strictly-no-worse token counts under a superset merge table
+    val by64 = enc.as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val by5 = TextAnalysis.t25BpeEncode(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(by64.keySet == by5.keySet)
+    by64.foreach { case (id, (nw, nb, bpe)) =>
+      val (nw5, nb5, bpe5) = by5(id)
+      assert(nw == nw5 && nb == nb5, s"doc $id: word/base account diverged")
+      assert(bpe <= bpe5, s"doc $id: more merges can't tokenize worse")
+      assert(bpe >= nw, s"doc $id: tokens can't undercut words")
+    }
+  }
+
   test("t22 langid audit: cells recompute from t3; recall shares sum to 1 per truth") {
     val preds = graft.operators.TextAnalysis.t3LangId(spark, sfDir)
       .select($"lang", $"pred_lang").as[(String, String)].collect()
@@ -779,6 +831,18 @@ class CurationSpec extends SparkSpec {
       assert(x.getBoolean(10) == (x.getBoolean(4) && x.getBoolean(5) &&
         x.getBoolean(6) && x.getBoolean(7) && x.getBoolean(8) && x.getBoolean(9)))
     }
+  }
+
+  test("t36 plan: LM scoring is an equality join on the gram key, never a cartesian") {
+    val q = TextAnalysis.t36MooreLewis(spark, sfDir)
+    q.collect() // finalize the adaptive plan before inspecting it
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bigram scoring degraded to all-pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"expected the gram-keyed model join:\n$plan")
   }
 
   test("t36 moore-lewis: ce_gen is t17 bitwise; seed-domain keeps, alien drops") {

@@ -305,6 +305,18 @@ class GraphSpec extends SparkSpec {
       u < v && !e0.contains((u, v)) })
   }
 
+  test("g8 plan: propagation rounds are equality joins, never a cartesian") {
+    val q = Graph.g8Labelprop(spark, sfDir)
+    q.collect() // finalize the adaptive plan before inspecting it
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"label propagation degraded to all-pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"expected equality joins on the edge key:\n$plan")
+  }
+
   test("g8 labelprop: matches an in-memory sync-LPA reference; splits what CC merges") {
     // corpus run vs in-memory reference (3 synchronous rounds, majority
     // vote, lexicographically-smallest tie-break)

@@ -715,6 +715,18 @@ class SimilaritySpec extends SparkSpec {
     assert(corpus.forall(r => r._3 <= r._2))
   }
 
+  test("mm11 plan: the frame-hash inverted index joins by equality, never a cartesian") {
+    val q = graft.multimodal.Multimodal.mm11VideoNeardup(spark, sfDir)
+    q.collect() // finalize the adaptive plan before inspecting it
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"frame-pair stage degraded to all-pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"expected the hash-bucket equality join:\n$plan")
+  }
+
   test("mm11 video near-dup: shared sampled frames match, ubiquitous frames never block") {
     // deterministic 128-char "frames" with varied content (a constant
     // frame would aHash to 0 and alias every other constant frame)

@@ -219,6 +219,33 @@ class TextDedupSpec extends SparkSpec {
       s"first doc kept ${firstDoc._3}, expected $firstDistinct")
   }
 
+  test("d18 span dedup at 32 tokens: a copied 64-token passage dies, common short phrases survive") {
+    // two docs share a verbatim 64-token passage (= two aligned 32-token
+    // spans); a third doc shares only a 3-token phrase — at production
+    // grain the passage is boilerplate, the phrase is not
+    val passage = (1 to 64).map(i => s"tok$i").mkString(" ")
+    val phrase = "the quick fox"
+    val dir = java.nio.file.Files.createTempDirectory("graft_d18").toString
+    Seq(
+      (1L, passage + " unique tail one", "en", "web", 1L),
+      (2L, passage + " other ending words here", "en", "web", 1L),
+      (3L, phrase + " jumps somewhere else entirely today", "en", "web", 1L),
+      (4L, phrase + " runs away again tomorrow morning", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.d18SpanDedup32(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 (first occurrence) keeps everything: 64+3 tokens → 3 spans
+    assert(out(1L) == ((3L, 3L, 0L)), s"doc1: ${out(1L)}")
+    // doc 2 drops exactly the two copied aligned spans, keeps its tail
+    assert(out(2L) == ((3L, 1L, 2L)), s"doc2: ${out(2L)}")
+    // the 3-token phrase never forms a full shared 32-token span: both
+    // phrase docs keep their single (partial) span
+    assert(out(3L) == ((1L, 1L, 0L)) && out(4L) == ((1L, 1L, 0L)),
+      s"phrase docs: ${out(3L)}, ${out(4L)}")
+  }
+
   test("d7 parity holds when embeddings.vec_id is NOT a subset of documents.doc_id") {
     // The oracle's `comp JOIN q USING (doc_id)` drops embedding-only ids
     // AFTER they participate in connected components; the Spark side must
@@ -265,6 +292,33 @@ class TextDedupSpec extends SparkSpec {
     out.groupBy(_._2).foreach { case (cid, members) =>
       assert(members.count(_._4) == 1, s"cluster $cid keepers != 1")
     }
+  }
+
+  test("d12/d16 plans: band stages are equality joins; the only nested loops are d12's bounded stats frames") {
+    // d12 is the board's slowest query, d16 the incremental-CC core: an
+    // AQE or optimizer drift that degrades either to an all-pairs shape
+    // must fail here, not in a bench read
+    def finalPlan(q: org.apache.spark.sql.DataFrame): String = {
+      q.collect() // finalize the adaptive plan before inspecting it
+      q.queryExecution.executedPlan.toString
+    }
+    val p12 = finalPlan(Dedup.d12LshEval(spark, sfDir))
+    assert(!p12.contains("CartesianProduct"), s"all-pairs stage in d12:\n$p12")
+    assert(p12.contains("BroadcastHashJoin") || p12.contains("SortMergeJoin")
+      || p12.contains("ShuffledHashJoin"), s"d12 lost its equality joins:\n$p12")
+    // the nested loops are 1-row denominator/threshold stats frames
+    // (bounded by construction); more means a corpus-sized loop crept in.
+    // Count the FINAL adaptive plan only — the string repeats every node
+    // under "== Initial Plan =="
+    val p12Final = p12.split("== Initial Plan ==").head
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p12Final).size <= 3,
+      s"unexpected nested-loop stage in d12:\n$p12")
+    val p16 = finalPlan(Dedup.d16IncrementalComponents(spark, sfDir))
+    assert(!p16.contains("CartesianProduct") &&
+      !p16.contains("BroadcastNestedLoopJoin"),
+      s"d16's asymmetric band join degraded to all-pairs:\n$p16")
+    assert(p16.contains("BroadcastHashJoin") || p16.contains("SortMergeJoin")
+      || p16.contains("ShuffledHashJoin"), s"d16 lost its equality joins:\n$p16")
   }
 
   test("d12 LSH eval: verified count equals d3's verified pairs; metrics recompute") {
