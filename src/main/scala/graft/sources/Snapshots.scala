@@ -436,11 +436,12 @@ object Snapshots {
       math.ceil(small.map(_._3).sum.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(small.map(_._1.path): _*).coalesce(nOut)
     val v = parent + 1
-    // rewritten outputs don't carry stats (their inputs' ranges merged);
-    // carried big files keep their manifest lines — and their stats —
-    // verbatim. Statless files are never pruned, so this only costs
-    // pruning opportunity, never correctness.
-    val rels = stage(df, table, v)
+    // rewritten outputs carry FRESH stats on every column any compacted
+    // input carried stats for — a table compacted daily at 100 TB must
+    // not bleed its pruning away one maintenance pass at a time; carried
+    // big files keep their manifest lines (and stats) verbatim.
+    val statsCols = small.flatMap(_._1.stats.keys).distinct
+    val rels = relLines(spark, table, stage(df, table, v), statsCols)
     writeManifest(spark, table, v,
       s"$RewriteNotePrefix ${small.size} -> ${rels.size} files",
       big.map(_._2) ++ rels)

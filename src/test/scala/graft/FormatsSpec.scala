@@ -339,6 +339,19 @@ class FormatsSpec extends SparkSpec {
       smallBytes = 1L) // nothing under 1 byte -> no candidates
     assert(again == cur, "no-op compaction must not commit a version")
 
+    // compaction must not bleed pruning away: a stats-carrying table's
+    // compacted outputs get FRESH zone maps on the same columns
+    val t2 = Files.createTempDirectory("snap_compstats").toString + "/t"
+    Snapshots.commitOverwrite(d1.repartition(16), t2, "fragmented",
+      statsCols = Seq("event_id"))
+    val cv = Snapshots.compact(spark, t2)
+    val rewritten = Snapshots.manifestFiles(spark, t2, cv)
+      .filterNot(m => Snapshots.manifestFiles(spark, t2, 1)
+        .exists(_.rel == m.rel))
+    assert(rewritten.nonEmpty &&
+      rewritten.forall(_.stats.contains("event_id")),
+      s"compacted outputs lost their zone maps: $rewritten")
+
     // DESCRIBE HISTORY surface: one row per version, notes and rewrite
     // flags faithful, file counts consistent with the manifests
     val hist = Snapshots.history(spark, table)
