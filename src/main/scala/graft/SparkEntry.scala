@@ -95,5 +95,6 @@ object SparkEntry {
     "t36_moore_lewis", "d17_source_overlap", "t37_zipf_audit",
     "t38_dup_ngram_chars", "g14_ppr", "t39_filter_funnel",
     "v19_nprobe_sweep", "t40_heldout_ppl", "t41_bpe_train64",
-    "t42_bpe_encode64", "d18_span_dedup32")
+    "t42_bpe_encode64", "d18_span_dedup32", "t43_kn_lm_score",
+    "g15_cc_star")
 }

@@ -1126,7 +1126,42 @@ object Graph {
        |FROM r3 ORDER BY 3 DESC, node LIMIT 30""".stripMargin
   }
 
+  // ------------------------------------------------------ g15_cc_star
+  /** Connected components by ALTERNATING STARS — the same clusters as d5
+    * (identical oracle), computed by [[Dedup.starComponents]]'s
+    * large-star/small-star edge rewriting instead of min-label
+    * propagation. Shipping both algorithms against one oracle is the
+    * point: the label-frontier form wins on small diameters, the star
+    * form on adversarial skew (a hub's neighborhood collapses to its
+    * minimum in one round), and a 100-TB deployment picks per graph.
+    * Runs on d5's verified near-dup pair graph, so the closure oracle
+    * stays bounded by construction.
+    *
+    * Cost stance: unlike d5 (which finishes small graphs driver-side and
+    * is ~3× faster at test scale), g15 deliberately iterates the
+    * distributed path end-to-end — it is the certification that the
+    * no-driver-state algorithm lands the same clusters at every SF. A
+    * production deployment keeps d5's hybrid and swaps in this loop only
+    * past the driver-finish threshold.
+    */
+  val g15CcStar: Q = (s, d) => {
+    val comps = Dedup.starComponents(
+      graft.Tables.load(s, d, "documents").select(col("doc_id")),
+      Dedup.d2Pairs(s, d))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    comps
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: d5's recursive-closure SQL verbatim — two algorithms, one
+    * answer.
+    */
+  val g15CcStarSql: String = Dedup.d5DedupClustersSql
+
   val queries: Map[String, Q] = Map(
+    "g15_cc_star" -> g15CcStar,
     "g14_ppr" -> g14Ppr,
     "g11_hits" -> g11Hits,
     "g12_modularity" -> g12Modularity,
@@ -1143,6 +1178,7 @@ object Graph {
     "g10_walk_pairs" -> g10WalkPairs)
 
   val oracles: Map[String, String] = Map(
+    "g15_cc_star" -> g15CcStarSql,
     "g14_ppr" -> g14PprSql,
     "g11_hits" -> g11HitsSql,
     "g12_modularity" -> g12ModularitySql,

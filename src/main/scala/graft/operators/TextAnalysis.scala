@@ -3001,6 +3001,122 @@ object TextAnalysis {
       |    / 1000000.0 AS oov_share
       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ----------------------------------------------- t43_kn_lm_score
+  /** Interpolated Kneser-Ney bigram scoring — the production LM recipe
+    * behind CCNet/DSIR-style data selection (Heafield's KenLM default),
+    * where t17/t40's add-one is the didactic stand-in. Add-one gives
+    * frequent contexts far too much smoothing mass and scores novel-but-
+    * fluent text poorly; KN discounts every seen bigram by a fixed D and
+    * redistributes by CONTINUATION counts (how many distinct contexts a
+    * word completes), the quantity that actually predicts novel usage.
+    *
+    * Model (D = 0.75, trained on t40's split doc_id % 10 != 9):
+    *   P(w2|w1) = max(c(w1 w2) - D, 0)/c(w1)
+    *            + [D · N1+(w1,·)/c(w1)] · Pcont(w2)        (w1 seen)
+    *   P(w2|w1) = Pcont(w2)                                 (w1 unseen)
+    *   Pcont(w2) = (N1+(·,w2) + 1) / (N1+(·,·) + V + 1)
+    * with add-one on the continuation distribution so held-out OOV
+    * words keep nonzero mass (the <unk> role, spelled arithmetically so
+    * both engines replay it).
+    *
+    * Distributed shape: all four model statistics fall out of TWO
+    * gram-keyed hash aggs over the train bigrams — (w1,w2) counts, then
+    * per-w1 totals+distincts and per-w2 distincts from that table (the
+    * second agg runs on the BIGRAM TYPE table, vocab², not the corpus);
+    * scoring is t40's gram-keyed left-join shape with the same sorted
+    * per-doc fold. Output is PER HELD-OUT DOC — this operator's job is
+    * doc-level selection scores, t40's is the per-language eval.
+    */
+  val t43KnLmScore: Q = (s, d) => {
+    val toks = docs(s, d)
+      .select(col("doc_id"), col("lang"), (col("doc_id") % 10 =!= 9).as("train"),
+        lowerTokens(col("text")).as("t"))
+      .materialize()
+    val big = toks
+      .select(col("doc_id"), col("lang"), col("train"),
+        posexplode(col("t")).as(Seq("i", "w1")), col("t"))
+      .filter(col("i") < size(col("t")) - 1)
+      .select(col("doc_id"), col("lang"), col("train"), col("w1"),
+        element_at(col("t"), col("i") + 2).as("w2"))
+      .materialize() // feeds the model aggs AND the held-out scoring
+    val bc = big.filter(col("train")).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .materialize() // feeds ctx, cont, B and the scoring join
+    val ctx = bc.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cc"), count(lit(1)).as("n1f"))
+    val cont = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val stats = bc.agg(count(lit(1)).as("bb")).crossJoin(
+      toks.filter(col("train")).select(explode(col("t")).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+    val pcont = (coalesce(col("n1b"), lit(0L)) + 1) /
+      (col("bb") + col("v") + 1).cast("double")
+    val perDoc = big.filter(!col("train"))
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("lang"),
+        (-log2(when(col("cc").isNull, pcont)
+          .otherwise(
+            greatest(coalesce(col("c"), lit(0L)) - 0.75, lit(0.0))
+              / col("cc").cast("double")
+              + (lit(0.75) * col("n1f") / col("cc").cast("double")) * pcont)))
+          .as("term"),
+        col("c").isNull.cast("long").as("unseen"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(array_sort(collect_list(col("term"))),
+          lit(0.0), (acc, x) => acc + x).as("h"),
+        sum(col("unseen")).as("n_oov"))
+    perDoc
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("n_oov"),
+        sround(col("h") / col("n_bigrams").cast("double"), 4)
+          .as("kn_neg_log2p"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: identical model CTEs off the bigram-count table, the
+    * same CASE/greatest arithmetic (operator-for-operator, so the IEEE
+    * evaluation order matches), list-sorted per-doc fold.
+    */
+  val t43KnLmScoreSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, lang, doc_id % 10 != 9 AS train,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |big AS MATERIALIZED (
+      |  SELECT doc_id, lang, train, t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT doc_id, lang, train, t, unnest(range(1, len(t))) AS i
+      |        FROM toks WHERE len(t) >= 2)),
+      |bc AS MATERIALIZED (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+      |  FROM big WHERE train GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cc,
+      |          CAST(count(*) AS BIGINT) AS n1f FROM bc GROUP BY 1),
+      |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bc GROUP BY 1),
+      |stats AS (
+      |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM bc) AS bb,
+      |    (SELECT CAST(count(DISTINCT w) AS BIGINT)
+      |     FROM (SELECT unnest(t) AS w FROM toks WHERE train)) AS v),
+      |terms AS (
+      |  SELECT b.doc_id, b.lang,
+      |    -log2(CASE WHEN ctx.cc IS NULL THEN
+      |        (coalesce(cont.n1b, 0) + 1) / CAST(s.bb + s.v + 1 AS DOUBLE)
+      |      ELSE
+      |        greatest(coalesce(bc.c, 0) - 0.75, 0.0) / CAST(ctx.cc AS DOUBLE)
+      |        + (0.75 * ctx.n1f / CAST(ctx.cc AS DOUBLE))
+      |          * ((coalesce(cont.n1b, 0) + 1) / CAST(s.bb + s.v + 1 AS DOUBLE))
+      |      END) AS term,
+      |    CAST(bc.c IS NULL AS BIGINT) AS unseen
+      |  FROM big b LEFT JOIN bc USING (w1, w2) LEFT JOIN ctx USING (w1)
+      |  LEFT JOIN cont USING (w2) CROSS JOIN stats s
+      |  WHERE NOT b.train)
+      |SELECT doc_id, lang, count(*) AS n_bigrams,
+      |  CAST(sum(unseen) AS BIGINT) AS n_oov,
+      |  floor(list_aggregate(list_sort(list(term)), 'sum') / count(*)
+      |    * 10000.0 + 0.5) / 10000.0 AS kn_neg_log2p
+      |FROM terms GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------- t41_bpe_train64
   /** Production-grain BPE TRAINING (t21 past its toy merge count): the
     * same pair-count → argmax → merge loop, run for 64 rounds instead
@@ -3212,6 +3328,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "t41_bpe_train64" -> t41BpeTrain64,
     "t42_bpe_encode64" -> t42BpeEncode64,
+    "t43_kn_lm_score" -> t43KnLmScore,
     "t40_heldout_ppl" -> t40HeldoutPpl,
     "t39_filter_funnel" -> t39FilterFunnel,
     "t38_dup_ngram_chars" -> t38DupNgramChars,
@@ -3256,6 +3373,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t41_bpe_train64" -> t41BpeTrain64Sql,
     "t42_bpe_encode64" -> t42BpeEncode64Sql,
+    "t43_kn_lm_score" -> t43KnLmScoreSql,
     "t40_heldout_ppl" -> t40HeldoutPplSql,
     "t39_filter_funnel" -> t39FilterFunnelSql,
     "t38_dup_ngram_chars" -> t38DupNgramCharsSql,

@@ -305,6 +305,25 @@ class GraphSpec extends SparkSpec {
       u < v && !e0.contains((u, v)) })
   }
 
+  test("g15 star components: equals min-label CC on chains, hubs and isolates") {
+    import graft.operators.Dedup
+    val nodes = (1L to 40L).toDF("doc_id")
+    // a long chain (worst case for label propagation), a 20-spoke hub
+    // rooted at a NON-minimal id (worst case for naive min-push), two
+    // isolates, and a triangle
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val hub = (21L to 39L).map(v => (20L, v)) // 20 is the hub, not the min
+    val tri = Seq((11L, 12L), (12L, 13L), (11L, 13L))
+    val pairs = (chain ++ hub ++ tri).toDF("doc_a", "doc_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val star = toMap(Dedup.starComponents(nodes, pairs))
+    val label = toMap(Dedup.minLabelComponents(nodes, pairs, -1L))
+    assert(star == label, "two CC algorithms disagree")
+    assert(star(10L) == 1L && star(39L) == 20L && star(13L) == 11L)
+    assert(star(14L) == 14L && star(40L) == 40L, "isolates must self-root")
+  }
+
   test("g8 plan: propagation rounds are equality joins, never a cartesian") {
     val q = Graph.g8Labelprop(spark, sfDir)
     q.collect() // finalize the adaptive plan before inspecting it
