@@ -531,4 +531,63 @@ class PropertySpec extends SparkSpec {
         "batch read must reproduce every appended record in order")
     }
   }
+
+  test("snapshot op sequences serialize: append/deleteWhere/mergeInto/compact equal the in-memory model") {
+    import graft.sources.Snapshots
+    // ops over rows (k: nullable long in [0, 50], v: short string); every
+    // sequence starts with an append so row-level verbs have a parent.
+    // Nullable keys exercise the has-nulls zone-map markers; compaction
+    // exercises stats preservation under later zone-scoped deletes.
+    sealed trait Op
+    case class App(rows: List[(Option[Long], String)]) extends Op
+    case class Del(lo: Long, hi: Long) extends Op
+    case class Mrg(rows: List[(Long, String)]) extends Op
+    case object Comp extends Op
+    val key: Gen[Option[Long]] =
+      Gen.frequency((9, Gen.choose(0L, 50L).map(Option(_))), (1, Gen.const(None)))
+    val row: Gen[(Option[Long], String)] = Gen.zip(key, word)
+    val app: Gen[Op] = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, row)).map(App)
+    val del: Gen[Op] = Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 20L))
+      .map { case (lo, span) => Del(lo, lo + span) }
+    val mrg: Gen[Op] = Gen.choose(1, 4)
+      .flatMap(n => Gen.listOfN(n, Gen.zip(Gen.choose(0L, 50L), word))).map(Mrg)
+    val ops: Gen[List[Op]] = Gen.listOfN(5,
+      Gen.frequency((4, app), (3, del), (3, mrg), (1, Gen.const(Comp))))
+    var i = 0
+    forAll(Gen.zip(Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, row)), ops),
+        n = 6) { case (first, rest) =>
+      i += 1
+      val table = java.nio.file.Files
+        .createTempDirectory(s"snap_prop_$i").toString + "/t"
+      var model = Vector.empty[(Option[Long], String)]
+      def run(op: Op): Unit = op match {
+        case App(rows) =>
+          Snapshots.commitAppend(rows.toDF("k", "v"), table,
+            statsCols = Seq("k"))
+          model = model ++ rows
+        case Del(lo, hi) =>
+          Snapshots.deleteWhere(spark, table, "k", lo, hi)
+          model = model.filterNot(_._1.exists(k => k >= lo && k <= hi))
+        case Mrg(rows) =>
+          Snapshots.mergeInto(spark, table,
+            rows.map { case (k, v) => (Option(k), v) }.toDF("k", "v"), "k")
+          val keys = rows.map(_._1).toSet
+          model = model.filterNot(_._1.exists(keys)) ++
+            rows.map { case (k, v) => (Option(k), v) }
+        case Comp =>
+          Snapshots.compact(spark, table, smallBytes = Long.MaxValue)
+      }
+      run(App(first))
+      val afterFirst = model
+      rest.foreach(run)
+      val got = Snapshots.readVersion(spark, table)
+        .as[(Option[Long], String)].collect().toVector
+      assert(got.sorted == model.sorted,
+        s"live state diverged from the serial model at table $table")
+      // the first committed version stays time-travelable through it all
+      assert(Snapshots.readVersion(spark, table, Some(1))
+        .as[(Option[Long], String)].collect().toVector.sorted
+        == afterFirst.sorted, "v1 time travel drifted")
+    }
+  }
 }
