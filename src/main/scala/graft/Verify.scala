@@ -16,8 +16,27 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Type guard: the driver's result hash is TYPE-sensitive while
+        // DuckDB oracles never emit DECIMAL — a DecimalType column here
+        // (e.g. from an uncast `x / 10000.0` literal, which Spark parses
+        // as DECIMAL(5,1)) is value-identical but hash-red on the
+        // driver. Fail the dump loudly instead of shipping it.
+        val decimals = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+        }
+        require(decimals.isEmpty,
+          s"query '$name' emits DecimalType column(s) ${decimals.mkString(",")}; " +
+          "cast to DOUBLE — the driver hash is type-sensitive and oracles emit DOUBLE")
+        // coalesce(1) keeps driver-gate dumps single-file; for scaled
+        // certification runs whose results are corpus-sized (e.g. q24 at
+        // sf10), SPARK_GRAFT_NO_COALESCE=1 keeps the write distributed
+        // (the compare tools glob part files either way)
+        val out = if (sys.env.get("SPARK_GRAFT_NO_COALESCE").contains("1")) df
+                  else df.coalesce(1)
+        out.write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

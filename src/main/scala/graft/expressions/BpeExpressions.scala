@@ -26,8 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * contract), so a chain of N expression steps equals N chained SQL
   * replaces bit-for-bit.
   */
+// pats/reps are IndexedSeq, NOT Array: case-class equals/hashCode on an
+// Array field is reference-based, so two semantically identical nodes
+// would never compare equal — defeating Catalyst canonicalization
+// (common-subexpression elimination, plan/exchange reuse).
 case class BpeApplyMerges(child: Expression,
-    pats: Array[String], reps: Array[String])
+    pats: IndexedSeq[String], reps: IndexedSeq[String])
     extends UnaryExpression with KernelCodegen {
 
   require(pats.length == reps.length,
@@ -41,11 +45,17 @@ case class BpeApplyMerges(child: Expression,
       s"expected a (sentinel-padded) string of symbols, got $other")
   }
 
+  // hot-path copies: flat array indexing inside the per-row loop
+  @transient private lazy val patsArr: Array[String] = pats.toArray
+  @transient private lazy val repsArr: Array[String] = reps.toArray
+
   override def nullSafeEval(input: Any): Any = {
     var s = input.asInstanceOf[UTF8String].toString
+    val p = patsArr
+    val r = repsArr
     var i = 0
-    while (i < pats.length) {
-      s = s.replace(pats(i), reps(i))
+    while (i < p.length) {
+      s = s.replace(p(i), r(i))
       i += 1
     }
     UTF8String.fromString(s)
@@ -61,6 +71,6 @@ object BpeExpressions {
     */
   def applyMerges(syms: Column, merges: Seq[(String, String, String)]): Column =
     ColumnBridge.column(BpeApplyMerges(ColumnBridge.expression(syms),
-      merges.map { case (a, b, _) => s" $a $b " }.toArray,
-      merges.map { case (_, _, m) => s" $m " }.toArray))
+      merges.map { case (a, b, _) => s" $a $b " }.toIndexedSeq,
+      merges.map { case (_, _, m) => s" $m " }.toIndexedSeq))
 }

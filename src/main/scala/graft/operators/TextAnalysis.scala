@@ -2295,7 +2295,11 @@ object TextAnalysis {
     * separately-rounded ops whose last-ulp behavior can differ across
     * engines/builds (FMA contraction, evaluation order) exactly at the
     * .5 boundary this data hits (power-of-two word counts land there);
-    * the integer form is bitwise-deterministic everywhere.
+    * the integer form is bitwise-deterministic everywhere. The explicit
+    * CAST(... AS DOUBLE) before the division matters: Spark parses the
+    * bare literal `10000.0` as DECIMAL(5,1), and BIGINT/DECIMAL yields
+    * DECIMAL(28,7) — same values, different parquet type than the
+    * oracle's DOUBLE, which breaks any type-sensitive result hash.
     *
     * Scale shape: one narrow codegen projection per doc — no shuffle at
     * all except the oracle ORDER BY; at 100 TB this scales with input
@@ -2320,7 +2324,7 @@ object TextAnalysis {
            AS BIGINT) AS n_stop""")
       .selectExpr("doc_id", "n_words", "n_lines",
         """CASE WHEN n_words = 0 THEN NULL ELSE
-           ((20000L * word_chars + n_words) DIV (2L * n_words))
+           CAST((20000L * word_chars + n_words) DIV (2L * n_words) AS DOUBLE)
            / 10000.0 END AS mean_word_len""",
         "n_words > 0 AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words AS wl_ok",
         "10 * n_symbols < n_words AS sym_ok",
@@ -3248,13 +3252,18 @@ object TextAnalysis {
     *     internally — not 64 (or 32k) chained `replace` projections,
     *     whose generated code grows linearly and collapses codegen.
     *  2. **Encode the VOCABULARY, not the corpus.** BPE is a pure
-    *     word function, so the kernel runs once per DISTINCT word
-    *     (vocab-sized — bounded and tiny next to any corpus), and the
-    *     corpus pass is a broadcast dictionary join word → (n_base,
-    *     n_bpe) plus one per-doc hash agg. At 100 TB that swaps ~64
-    *     string passes over every occurrence for one map-side join;
-    *     this is how serving tokenizers actually amortize (cache by
-    *     word), expressed relationally.
+    *     word function, so the kernel runs once per DISTINCT word —
+    *     tiny next to the corpus, but NOT bounded (typos and junk
+    *     tokens grow the corpus vocab with the data; only the
+    *     trainer's vocab is capped at 64k). The corpus pass is a
+    *     dictionary join word → (n_base, n_bpe) plus one per-doc hash
+    *     agg, with NO explicit broadcast hint: AQE broadcasts when
+    *     the measured dictionary fits and falls back to a word-keyed
+    *     shuffle join when a 100-TB corpus's junk-heavy vocab does
+    *     not — forcing `broadcast()` here would OOM exactly there.
+    *     Either way the kernel cost stays per-distinct-word; this is
+    *     how serving tokenizers amortize (cache by word), expressed
+    *     relationally.
     *
     * Out-of-vocab handling matches t25: EVERY nonempty word is encoded
     * (the distinct-word table covers the corpus by construction), words
@@ -3274,7 +3283,7 @@ object TextAnalysis {
           merges).as("syms"))
       .select(col("w"), length(col("w")).cast("long").as("n_base_w"),
         size(split(trim(col("syms")), " ")).cast("long").as("n_bpe_w"))
-    val perDoc = words.join(broadcast(wenc), Seq("w"))
+    val perDoc = words.join(wenc, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_base_w")).as("n_base"),
         sum(col("n_bpe_w")).as("n_bpe"))

@@ -22,11 +22,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * readable until an explicit retention vacuum ([[expire]]) reclaims
   * them. Concurrency: version numbers are claimed by listing + a
   * create-EXCLUSIVE manifest write; a committer that loses the claim race
-  * either rebases and retries (appends — optimistic concurrency, the
-  * Iceberg/Delta shape: staged files are version-independent, only the
-  * manifest is recomputed against the new parent) or fails loudly
-  * (overwrites — replacing a table state that changed underneath is a
-  * decision for the caller, not the engine).
+  * rebases and retries — appends and overwrites always (optimistic
+  * concurrency, the Iceberg/Delta shape: staged files are
+  * version-independent, only the manifest is recomputed against the new
+  * parent; an overwrite is parent-independent and serializes
+  * last-writer-wins), row-level commits and compactions when the winner
+  * left every file they read untouched (disjoint commits commute) — and
+  * fails loudly only on a true conflict: a winner that rewrote or
+  * dropped a file this commit had read.
   *
   * `incrementalRead` is the consumer half: "give me only what v added
   * since w" — the delta feed that drives uber/Incremental-style
@@ -108,14 +111,25 @@ object Snapshots {
     * across several spaced re-reads is accepted as complete: an
     * in-flight writer's bytes are still landing (content grows between
     * reads, microseconds apart in practice), a legacy or crashed
-    * writer's never change. The crashed-writer case is indistinguishable
-    * from legacy by construction and accepting its stable prefix trades
-    * a bounded, loudly-logged risk (the write was a single buffer; a
-    * partial flush is a sub-10ms window) for availability. Truly empty
-    * manifests (claimed, zero bytes) still fail — with the repair path
-    * in the message.
+    * writer's never change — AND whose mtime is at least
+    * [[LegacyAcceptAgeMs]] old. The age gate is what closes the
+    * stalled-writer window: a writer paused mid-write (GC pause,
+    * multi-chunk flush of a >4KB manifest) exposes a prefix that is
+    * byte-stable for tens of milliseconds, but its file is always
+    * FRESH — any flush it eventually makes bumps mtime and resets the
+    * gate — while a legacy or crashed writer's manifest only ages.
+    * Acceptance emits a WARN naming the manifest so the legacy path is
+    * never silent. The crashed-writer case is indistinguishable from
+    * legacy by construction and accepting its stable, aged prefix
+    * trades a bounded, loudly-logged risk for availability. Truly
+    * empty manifests (claimed, zero bytes) still fail — with the
+    * repair path in the message.
     */
   private val StableReads = 5
+  private val StableReadSpacingMs = 25L
+  /** Minimum manifest age before a terminator-less manifest can be
+    * accepted as legacy/crashed rather than in-flight. */
+  private[graft] val LegacyAcceptAgeMs = 5000L
   private def manifestLines(spark: SparkSession, table: String,
       version: Int): Seq[String] = {
     val mp = manifestPath(table, version)
@@ -130,20 +144,36 @@ object Snapshots {
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
         finally in.close()
       if (all.nonEmpty && all.last == Terminator) return all.dropRight(1)
+      val ageMs = System.currentTimeMillis() - f.getFileStatus(mp).getModificationTime
+      if (all.isEmpty && ageMs >= LegacyAcceptAgeMs)
+        // claimed but zero bytes ever landed, and no writer has touched
+        // it for the full age window: fail fast with the repair path
+        require(false,
+          s"manifest $mp is empty and ${ageMs}ms old — writer died before " +
+            "any content landed. Repair: verify no writer is alive, then " +
+            s"delete $mp to drop the torn version (its staged data files " +
+            "are vacuumOrphans' documented class)")
       if (all.nonEmpty && all == prev) {
         stable += 1
         // legacy terminator-less manifest, or a writer that died after
-        // its (single-buffer) write: content settled — accept it
-        if (stable >= StableReads) return all
+        // its write: content settled AND the file is old enough that no
+        // live writer can still be mid-flush — accept it, loudly
+        if (stable >= StableReads && ageMs >= LegacyAcceptAgeMs) {
+          System.err.println(
+            s"[snapshots] WARN accepting terminator-less manifest $mp " +
+              s"(${all.size} lines, stable over $stable reads, ${ageMs}ms " +
+              "old) as legacy/crashed-writer format")
+          return all
+        }
       } else stable = 0
       prev = all
       attempt += 1
-      require(attempt < 200,
+      require(attempt < 400,
         s"manifest $mp still incomplete after $attempt reads — torn write " +
           "or a writer died before any content landed. Repair: verify no " +
           s"writer is alive, then delete $mp to drop the torn version " +
           "(its staged data files are vacuumOrphans' documented class)")
-      Thread.sleep(10)
+      Thread.sleep(StableReadSpacingMs)
     }
     Nil // unreachable
   }
@@ -298,9 +328,25 @@ object Snapshots {
   def commitOverwrite(df: DataFrame, table: String,
       note: String = "overwrite", statsCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
-    val v = currentVersion(spark, table) + 1
-    writeManifest(spark, table, v, note,
-      relLines(spark, table, stage(df, table, v), statsCols))
+    val lines = relLines(spark, table,
+      stage(df, table, currentVersion(spark, table) + 1), statsCols)
+    // An overwrite's content is parent-INDEPENDENT (full replacement), so
+    // a lost version claim rebases trivially: re-claim the next number
+    // with the same staged lines. Semantics are last-writer-wins by
+    // construction — the racing commit's state stays time-travelable at
+    // its own serialized version, the overwrite lands after it.
+    val MaxRetries = 10
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, table) + 1
+      if (tryClaim(spark, table, v, note, lines)) return v
+      attempt += 1
+      require(attempt < MaxRetries,
+        s"snapshot overwrite on $table: lost the version claim $MaxRetries " +
+          "times in a row — giving up with nothing published (staged files " +
+          "are orphans; vacuumOrphans reclaims them)")
+    }
+    -1 // unreachable
   }
 
   /** Attempt the create-exclusive manifest claim; false = LOST the race
@@ -333,7 +379,23 @@ object Snapshots {
     * the orphan class [[vacuumOrphans]] reclaims.
     */
   def commitAppend(df: DataFrame, table: String,
-      note: String = "append", statsCols: Seq[String] = Nil): Int = {
+      note: String = "append", statsCols: Seq[String] = Nil): Int =
+    commitAppendLoop(df, table, note, statsCols, None)
+
+  /** [[commitAppend]]'s claim-retry loop, with the exactly-once epoch
+    * guard INSIDE the loop: two committers replaying the same epoch
+    * concurrently (zombie driver + restarted driver — the crash scenario
+    * epoch stamping exists to survive) can both pass an entry-time
+    * `lastEpoch` check; check-then-act is not enough. Re-checking after
+    * reading the parent, immediately before each claim, closes the race
+    * airtight because the claim is create-EXCLUSIVE: any epoch-stamped
+    * commit that lands after this committer's check must have claimed
+    * parent+1 first, so this committer's claim FAILS and the next
+    * iteration's re-check sees the applied epoch and no-ops (its staged
+    * files are [[vacuumOrphans]]' orphan class).
+    */
+  private def commitAppendLoop(df: DataFrame, table: String, note: String,
+      statsCols: Seq[String], epoch: Option[Long]): Int = {
     val spark = df.sparkSession
     val lines = relLines(spark, table,
       stage(df, table, currentVersion(spark, table) + 1), statsCols)
@@ -341,6 +403,8 @@ object Snapshots {
     var attempt = 0
     while (true) {
       val parent = currentVersion(spark, table)
+      if (epoch.exists(e => lastEpoch(spark, table).exists(_ >= e)))
+        return currentVersion(spark, table)
       val prior =
         if (parent == 0) Seq.empty
         else fileLines(spark, table, parent)
@@ -391,8 +455,12 @@ object Snapshots {
   def commitAppendEpoch(df: DataFrame, table: String, epoch: Long,
       note: String = "append", statsCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
+    // entry check saves the staging cost on the common replay; the loop
+    // in commitAppendLoop re-checks per claim attempt for the concurrent
+    // zombie-replay race (see its doc)
     if (lastEpoch(spark, table).exists(_ >= epoch)) currentVersion(spark, table)
-    else commitAppend(df, table, s"$EpochTag$epoch $note", statsCols)
+    else commitAppendLoop(df, table, s"$EpochTag$epoch $note", statsCols,
+      Some(epoch))
   }
 
   /** Marker prefix that tags a version as a REWRITE (same logical rows,
@@ -442,9 +510,17 @@ object Snapshots {
     // big files keep their manifest lines (and stats) verbatim.
     val statsCols = small.flatMap(_._1.stats.keys).distinct
     val rels = relLines(spark, table, stage(df, table, v), statsCols)
-    writeManifest(spark, table, v,
-      s"$RewriteNotePrefix ${small.size} -> ${rels.size} files",
-      big.map(_._2) ++ rels)
+    // Commit through the row-level disjoint-rebase path: compaction's
+    // touched set is exactly the small files it read, so losing the claim
+    // race to a DISJOINT commit (an append; a delete/merge over only big
+    // files) rebases — the winner's untouched lines are carried, both
+    // land on serialized versions. A winner that rewrote or dropped a
+    // compacted input (overlapping compaction/delete/merge) still fails
+    // loudly: the staged rewrite is stale.
+    commitRowLevel(spark, table, parent,
+      small.map(e => relOf(e._2)).toSet,
+      _ => s"$RewriteNotePrefix ${small.size} -> ${rels.size} files",
+      rels)
   }
 
   /** Marker prefix tagging a version as a row-level DELETE (copy-on-write
@@ -471,11 +547,18 @@ object Snapshots {
     */
   private def commitRowLevel(spark: SparkSession, table: String,
       firstParent: Int, touchedRels: Set[String],
-      note: Int => String, newLines: Seq[String]): Int = {
+      note: Int => String, newLines: Seq[String],
+      epoch: Option[Long] = None): Int = {
     val MaxRetries = 10
     var attempt = 0
     while (true) {
       val parent = currentVersion(spark, table)
+      // exactly-once guard INSIDE the loop — a concurrent committer
+      // replaying the same epoch may have applied it after this
+      // committer's entry check; see commitAppendLoop's doc for why
+      // claim-exclusivity makes the per-attempt re-check airtight
+      if (epoch.exists(e => lastEpoch(spark, table).exists(_ >= e)))
+        return currentVersion(spark, table)
       val parentLines =
         if (parent == 0) Seq.empty else fileLines(spark, table, parent)
       if (parent != firstParent) {
@@ -628,7 +711,7 @@ object Snapshots {
       touched.map(e => relOf(e._2)).toSet,
       carried => s"$MergeNotePrefix $keyCol: ${touched.size} files " +
         s"rewritten, $carried carried$stamp",
-      rels)
+      rels, epoch)
   }
 
   /** The version that was CURRENT at `tsMillis` (TIMESTAMP AS OF): the

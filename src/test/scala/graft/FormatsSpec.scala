@@ -209,43 +209,43 @@ class FormatsSpec extends SparkSpec {
     fs.delete(claim, false)
   }
 
-  test("snapshot commit race: two concurrent committers of the same version — exactly one wins, loser fails loudly") {
+  test("snapshot commit race: racing overwrites BOTH land on serialized versions — a lost claim re-claims, last writer wins") {
     import graft.sources.Snapshots
     import java.util.concurrent.{CountDownLatch, Executors}
     val table = Files.createTempDirectory("snap_race").toString + "/t"
     Snapshots.commitOverwrite(Seq(1L).toDF("id"), table, "base")
-    // both committers observe parent=1 and try to claim version 2
+    // both committers observe parent=1 and race for the version claim
     val gate = new CountDownLatch(1)
     val pool = Executors.newFixedThreadPool(2)
     val results = (0 until 2).map { i =>
-      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Int]] {
-        def call(): Either[Throwable, Int] = {
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
           gate.await()
-          try Right(Snapshots.commitOverwrite(
-            Seq(100L + i).toDF("id"), table, s"racer $i"))
-          catch { case t: Throwable => Left(t) }
+          // an overwrite's content is parent-independent: a lost claim
+          // re-claims the next version — no committer may throw
+          Snapshots.commitOverwrite(
+            Seq(100L + i).toDF("id"), table, s"racer $i")
         }
       })
     }
     gate.countDown()
-    val outcomes = results.map(_.get())
+    val wins = results.map(_.get())
     pool.shutdown()
-    val wins = outcomes.collect { case Right(v) => v }
-    val losses = outcomes.collect { case Left(t) => t }
-    // the manifest create(overwrite = false) is the claim: with both
-    // racing for v2, at most one manifest exists per version and any
-    // loser surfaced an exception instead of silently clobbering
-    assert(wins.nonEmpty, s"no committer succeeded: $losses")
-    assert(wins.distinct.size == wins.size,
-      s"two committers claimed the same version: $wins")
-    val cur = Snapshots.currentVersion(spark, table)
-    assert(cur == 1 + wins.size)
-    // every committed version reads back exactly one racer's content
+    // the manifest create(overwrite = false) is the claim: at most one
+    // manifest per version, so both landed on DISTINCT serialized versions
+    assert(wins.sorted == Seq(2, 3), s"versions $wins")
+    assert(Snapshots.currentVersion(spark, table) == 3)
+    // every committed version reads back exactly one racer's full content
+    // (overwrites never merge), and the final state is the later claim's
     wins.foreach { v =>
       val got = Snapshots.readVersion(spark, table, Some(v))
         .as[Long].collect().toSet
       assert(got == Set(100L) || got == Set(101L), s"v$v read $got")
     }
+    assert(
+      Snapshots.readVersion(spark, table, Some(2)).as[Long].collect().toSet
+        != Snapshots.readVersion(spark, table, Some(3)).as[Long].collect().toSet,
+      "v2 and v3 must carry the two distinct racer states")
   }
 
   test("snapshot append race: racing appenders BOTH succeed — rebase onto the new parent, serialized versions, union rows") {
@@ -791,6 +791,44 @@ class FormatsSpec extends SparkSpec {
       "overlapping race double-applied or lost rows")
   }
 
+  test("compaction racing a disjoint append: BOTH land on serialized versions, rows exactly once, feed stays delta-only") {
+    import graft.sources.Snapshots
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val table = Files.createTempDirectory("snap_comprace").toString + "/t"
+    val d1 = base.filter($"event_id" < 200).repartition(16) // fragmented
+    Snapshots.commitOverwrite(d1, table, "fragmented base")
+    val d2 = base.filter($"event_id" >= 200 && $"event_id" < 260)
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val fc = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = { gate.await(); Snapshots.compact(spark, table) }
+    })
+    val fa = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = { gate.await()
+        Snapshots.commitAppend(d2, table, "racing delta") }
+    })
+    gate.countDown()
+    val (vc, va) = (fc.get(), fa.get())
+    pool.shutdown()
+    // the append's file is DISJOINT from the compacted inputs, so a lost
+    // claim on either side rebases: both commits land, serialized
+    assert(Set(vc, va) == Set(2, 3), s"compact=$vc append=$va")
+    assert(Snapshots.noteOf(spark, table, vc)
+      .startsWith(Snapshots.RewriteNotePrefix))
+    // final state carries base + delta rows EXACTLY once (a bad rebase
+    // would duplicate compacted rows or drop the delta)
+    val want = (d1.select($"event_id").as[Long].collect()
+      ++ d2.select($"event_id").as[Long].collect()).sorted.toSeq
+    val got = Snapshots.readVersion(spark, table)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(got == want, s"rows diverged: got ${got.size}, want ${want.size}")
+    // the rewrite version is row-neutral to the incremental feed: since
+    // the base, consumers replay only the racing delta
+    assert(Snapshots.incrementalRead(spark, table, since = 1)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+      == d2.select($"event_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("legacy terminator-less manifest reads after stabilization; empty torn manifest fails with the repair path") {
     import graft.sources.Snapshots
     val table = Files.createTempDirectory("snap_legacy").toString + "/t"
@@ -807,6 +845,9 @@ class FormatsSpec extends SparkSpec {
     val out = f.create(mp, true)
     try out.write(lines.dropRight(1).mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    // a legacy manifest is OLD by definition — backdate past the age gate
+    // (a fresh terminator-less file is treated as an in-flight writer)
+    f.setTimes(mp, System.currentTimeMillis() - 60000L, -1L)
     // the table is NOT bricked: stable re-reads accept the legacy manifest
     assert(Snapshots.readVersion(spark, table)
       .as[Long].collect().toSet == Set(1L, 2L, 3L))
@@ -818,6 +859,7 @@ class FormatsSpec extends SparkSpec {
     // fails loudly, naming the repair path
     val torn = new org.apache.hadoop.fs.Path(s"$table/_versions/v00004.manifest")
     f.create(torn, true).close()
+    f.setTimes(torn, System.currentTimeMillis() - 60000L, -1L)
     val e = intercept[IllegalArgumentException] {
       Snapshots.readVersion(spark, table).collect()
     }
