@@ -3159,6 +3159,16 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("w"))
       .limit(BpeVocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    bpeTrainOnVocabIndexed(vocab, rounds)
+  }
+
+  /** Reference trainer: full pair recount every round — O(rounds ×
+    * total adjacencies). Semantically canonical (this IS t21's table
+    * algebra in a loop) and the differential oracle for the indexed
+    * trainer below; too slow past a few hundred rounds on a 64k vocab.
+    */
+  private[graft] def bpeTrainOnVocab(vocab: Array[(String, Long)],
+      rounds: Int): Array[(Int, String, String, String, Long)] = {
     val words = vocab.map { case (w, _) => " " + w.map(c => s"$c ").mkString }
     val freqs = vocab.map(_._2)
     val out = Array.newBuilder[(Int, String, String, String, Long)]
@@ -3184,6 +3194,69 @@ object TextAnalysis {
       val (pat, rep) = (s" $a $b ", s" $a$b ")
       var k2 = 0
       while (k2 < words.length) { words(k2) = words(k2).replace(pat, rep); k2 += 1 }
+      r += 1
+    }
+    out.result()
+  }
+
+  /** Production-shape trainer: incremental pair-count maintenance (the
+    * HuggingFace-tokenizers / SentencePiece discipline). The pair-count
+    * table and a pair → {word index} inverted index are built ONCE; each
+    * round then touches only the words that actually contain the merged
+    * pair — subtract their current pair counts, apply the same literal
+    * `" a b "` → `" ab "` String.replace the reference trainer uses, and
+    * re-add. Per-round cost is O(words containing the argmax pair), not
+    * O(vocab), which is what makes 512–32k merges a driver-side
+    * non-event: merged symbols grow rarer as training proceeds, so the
+    * touched set SHRINKS with rank while the naive recount stays flat.
+    *
+    * Bit-identical to [[bpeTrainOnVocab]] by construction — the apply
+    * step is the same String.replace, the counts are maintained exactly
+    * (entries dropped at zero so argmax never sees a dead pair), and the
+    * argmax tie-break is the same (-freq, a, b) — and differentially
+    * asserted against it at 64 and 512 rounds in CurationSpec.
+    */
+  private[graft] def bpeTrainOnVocabIndexed(vocab: Array[(String, Long)],
+      rounds: Int): Array[(Int, String, String, String, Long)] = {
+    val words = vocab.map { case (w, _) => " " + w.map(c => s"$c ").mkString }
+    val freqs = vocab.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occurs = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.BitSet]
+    def tally(k: Int, sign: Long): Unit = {
+      val t = words(k).trim.split(" ")
+      var i = 0
+      while (i < t.length - 1) {
+        val key = (t(i), t(i + 1))
+        val c = counts.getOrElse(key, 0L) + sign * freqs(k)
+        if (c == 0L) counts.remove(key) else counts.update(key, c)
+        if (sign > 0)
+          occurs.getOrElseUpdate(key,
+            scala.collection.mutable.BitSet.empty) += k
+        i += 1
+      }
+    }
+    var k0 = 0
+    while (k0 < words.length) { tally(k0, 1L); k0 += 1 }
+    val out = Array.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    while (r <= rounds) {
+      require(counts.nonEmpty,
+        s"bpe trainer: vocab fully merged at round $r — corpus too small " +
+          s"for $rounds merges")
+      val ((a, b), pf) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+      out += ((r, a, b, a + b, pf))
+      val (pat, rep) = (s" $a $b ", s" $a$b ")
+      // the inverted index may hold stale ids (word no longer contains
+      // the pair after an earlier merge); counts are exact, so a literal
+      // containment check is the precise filter
+      occurs.remove((a, b)).foreach(_.foreach { k =>
+        if (words(k).contains(pat)) {
+          tally(k, -1L)
+          words(k) = words(k).replace(pat, rep)
+          tally(k, 1L)
+        }
+      })
       r += 1
     }
     out.result()

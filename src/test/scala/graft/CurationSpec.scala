@@ -472,6 +472,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("BPE trainer at production merge counts: indexed trainer equals the full-recount reference at 64 and 512 merges") {
+    import graft.operators.TextAnalysis
+    // corpus-shaped vocab (what bpeTrainDriver collects at any SF)
+    val corpusVocab = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("explode(split(lower(text), '[^a-z]+')) AS w")
+      .where("length(w) >= 2 AND length(w) <= 12")
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"w")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(TextAnalysis.bpeTrainOnVocabIndexed(corpusVocab, 64).toSeq
+      == TextAnalysis.bpeTrainOnVocab(corpusVocab, 64).toSeq,
+      "indexed trainer diverged from the reference on the corpus vocab")
+
+    // production merge count needs a richer vocab than the 30-word
+    // synthetic corpus supports: a deterministic Zipf-ish word-frequency
+    // table — exactly the input shape the trainer consumes at any scale
+    val rng = new scala.util.Random(41)
+    val synthVocab = (0 until 5000).map { i =>
+      val len = 3 + rng.nextInt(10)
+      val w = (0 until len).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+      (w, (100000L / (i + 1)) + 1L) // Zipf-ish mass, always >= 1
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }
+      .toArray.sortBy { case (w, f) => (-f, w) }
+    val indexed = TextAnalysis.bpeTrainOnVocabIndexed(synthVocab, 512)
+    assert(indexed.toSeq == TextAnalysis.bpeTrainOnVocab(synthVocab, 512).toSeq,
+      "indexed trainer diverged from the reference at 512 merges")
+    assert(indexed.length == 512 && indexed.map(_._1).toSeq == (1 to 512))
+    // merged symbols are real concatenations with positive mass
+    indexed.foreach { case (_, a, b, m, pf) =>
+      assert(m == a + b && pf >= 1L)
+    }
+  }
+
   test("t22 langid audit: cells recompute from t3; recall shares sum to 1 per truth") {
     val preds = graft.operators.TextAnalysis.t3LangId(spark, sfDir)
       .select($"lang", $"pred_lang").as[(String, String)].collect()
