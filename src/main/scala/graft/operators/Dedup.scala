@@ -742,8 +742,41 @@ object Dedup {
         coalesce(col("uf_cluster"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Single connected-components entry point: the algorithm is a POLICY
+    * (`spark.graft.cc.algo`), not a code fork. Both strategies share the
+    * same contract — (doc_id, cluster_id = min reachable doc_id) — and
+    * the same oracle (d5 and g15 are hash-certified against ONE
+    * recursive-closure SQL at sf0.01/0.1/1/10; GraphSpec asserts they
+    * agree on planted fixtures including the bridge merge):
+    *
+    *   - `hybrid` (default): [[minLabelComponents]] — min-label +
+    *     pointer jumping, with a driver union-find finish once the pair
+    *     graph fits (≤ `driverFinishEdges`). Wins on the shallow, small
+    *     residual graphs near-dup pipelines produce.
+    *   - `star`: [[starComponents]] — alternating large-star/small-star
+    *     edge rewriting (Kiveris et al. 2014), zero driver state. Wins
+    *     under adversarial skew and unbounded pair graphs: a hub's
+    *     neighborhood collapses onto its minimum in one round.
+    *
+    * `algoOverride` pins a strategy regardless of the session conf —
+    * g15 uses it to stay the standing certification of the star path.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      driverFinishEdges: Long = 2000000L,
+      algoOverride: Option[String] = None): DataFrame = {
+    val algo = algoOverride.orElse(
+      nodes.sparkSession.conf.getOption("spark.graft.cc.algo"))
+      .getOrElse("hybrid")
+    algo match {
+      case "hybrid" => minLabelComponents(nodes, pairs, driverFinishEdges)
+      case "star"   => starComponents(nodes, pairs)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.cc.algo=$other — expected 'hybrid' or 'star'")
+    }
+  }
+
   val d5DedupClusters: Q = (s, d) => {
-    val comps = minLabelComponents(
+    val comps = connectedComponents(
       docs(s, d).select(col("doc_id")), d2Pairs(s, d))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     comps
@@ -870,7 +903,7 @@ object Dedup {
       .filter(cosineWithNorms(dot(col("emb_a"), col("emb_b")),
         col("nsq_a"), col("nsq_b")) >= 0.35)
       .select(col("doc_a"), col("doc_b"))
-    val comps = minLabelComponents(e.select(col("vec_id").as("doc_id")), pairs)
+    val comps = connectedComponents(e.select(col("vec_id").as("doc_id")), pairs)
     val scored = TextAnalysis.qualityCounts(s, d).select(col("doc_id"),
       coalesce(floor(TextAnalysis.qualityBlend * lit(10000.0) + lit(0.5))
         .cast("long"), lit(-1L)).as("q4"))
@@ -1486,7 +1519,7 @@ object Dedup {
   def incrementalComponents(all: DataFrame): DataFrame = {
     val flags = all.select(col("doc_id"), col("incoming")).materialize()
     val exi = all.where(!col("incoming"))
-    val standing = minLabelComponents(
+    val standing = connectedComponents(
         exi.select(col("doc_id")),
         ngramPairs(exi.select(col("doc_id"), col("text"))))
       .withColumnRenamed("cluster_id", "old_label")
@@ -1518,7 +1551,7 @@ object Dedup {
       .distinct()
     val cnodes = standing.select(col("old_label").as("doc_id")).distinct()
       .union(flags.where(col("incoming")).select(col("doc_id")))
-    val cc = minLabelComponents(cnodes, mapped)
+    val cc = connectedComponents(cnodes, mapped)
       .withColumnRenamed("cluster_id", "final_label")
     flags
       .join(standing.select(col("doc_id"), col("old_label")), Seq("doc_id"), "left")

@@ -1145,9 +1145,9 @@ object Graph {
     * past the driver-finish threshold.
     */
   val g15CcStar: Q = (s, d) => {
-    val comps = Dedup.starComponents(
+    val comps = Dedup.connectedComponents(
       graft.Tables.load(s, d, "documents").select(col("doc_id")),
-      Dedup.d2Pairs(s, d))
+      Dedup.d2Pairs(s, d), algoOverride = Some("star"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     comps
       .withColumn("cluster_size", count(lit(1)).over(w))

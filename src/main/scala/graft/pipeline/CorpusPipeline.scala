@@ -103,7 +103,7 @@ object CorpusPipeline {
   def stages(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
     val front = frontEnd(s, d)
     val keepers = front.last._2
-    val comps = Dedup.minLabelComponents(
+    val comps = Dedup.connectedComponents(
       keepers.select(col("doc_id")), Dedup.ngramPairs(keepers))
     val canon = keepers.join(
       comps.filter(col("doc_id") === col("cluster_id")).select(col("doc_id")),
@@ -857,7 +857,7 @@ object CorpusPipeline {
     val docsDf = graft.Tables.load(s, d, "documents")
     val pairs = Dedup.d2Pairs(s, d).select(col("doc_a"), col("doc_b"))
       .materialize() // component edges AND the counterfactual audit
-    val comps = Dedup.minLabelComponents(
+    val comps = Dedup.connectedComponents(
       docsDf.select(col("doc_id")), pairs)
     val assigned = comps
       .join(docsDf.select(col("doc_id"), col("n_chars")), "doc_id")

@@ -322,6 +322,26 @@ class GraphSpec extends SparkSpec {
     assert(star == label, "two CC algorithms disagree")
     assert(star(10L) == 1L && star(39L) == 20L && star(13L) == 11L)
     assert(star(14L) == 14L && star(40L) == 40L, "isolates must self-root")
+
+    // the algorithm is a POLICY through the single entry point: the
+    // spark.graft.cc.algo conf selects the strategy, and both agree on
+    // the planted BRIDGE-MERGE fixture (one edge fusing the chain, the
+    // triangle and the hub into a single component rooted at 1)
+    val bridged = pairs.union(Seq((10L, 11L), (13L, 20L)).toDF("doc_a", "doc_b"))
+    def viaConf(algo: String) = {
+      spark.conf.set("spark.graft.cc.algo", algo)
+      try toMap(Dedup.connectedComponents(nodes, bridged, -1L))
+      finally spark.conf.unset("spark.graft.cc.algo")
+    }
+    val hybrid = viaConf("hybrid")
+    assert(hybrid == viaConf("star"),
+      "cc.algo strategies disagree on the bridge merge")
+    assert(hybrid(39L) == 1L && hybrid(13L) == 1L && hybrid(10L) == 1L,
+      "bridge edges must fuse chain+triangle+hub into the 1-rooted component")
+    assert(hybrid(14L) == 14L, "isolates stay self-rooted after the merge")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, bridged, -1L, Some("bogus")).collect()
+    }
   }
 
   test("g8 plan: propagation rounds are equality joins, never a cartesian") {
