@@ -493,6 +493,189 @@ object Dedup {
        |             (SELECT count(*) FROM ver2) AS nv2)""".stripMargin
   }
 
+  // ----------------------------------------------------- d19_oph_minhash
+  /** One-Permutation Hashing MinHash (Li, Owen & Zhang 2012) with
+    * rotation densification (Shrivastava & Li, ICML 2014) — the sketch
+    * that makes MinHash affordable at corpus scale. Classic d3 evaluates
+    * 64 permutations per shingle (64 × corpus hash work, THE dominant
+    * dedup cost at 100 TB); OPH hashes each shingle ONCE (the already-
+    * hashed shingle set IS the permutation), splits the hash space into
+    * 64 bins (h mod 64), takes the min per bin, and densifies empty bins
+    * by borrowing from the nearest non-empty bin to the right
+    * (cyclically), offset by distance × a constant so borrowed slots
+    * only collide when the borrow pattern matches. Downstream is
+    * unchanged: 32 bands × 2 rows over the 64 slots, candidates from
+    * band-key equality.
+    *
+    * Shape: this is d12's evaluation harness pointed at the OPH sketch —
+    * one row of (truth, candidates, recall, precision) at both the ≥1-
+    * and ≥2-collision operating points, so a deployment can certify the
+    * 64×-cheaper sketch against the exact word-shingle truth on ITS
+    * corpus before switching d3's signature kernel over. Everything is
+    * bin-keyed aggs and key-equality joins (densification joins each
+    * doc's EMPTY bins to its non-empty minima — ≤64×64 rows per doc,
+    * in practice a handful since real docs fill most bins); nothing
+    * is all-pairs.
+    */
+  val d19OphMinhash: Q = (s, d) => {
+    val base = shingleSets(docs(s, d))
+      .materialize() // feeds truth inverted index AND the OPH slots
+    val inv = base.select(col("doc_id"), explode(col("sh")).as("h"))
+    val tp = inv.as("x").join(inv.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = tp
+      .join(base.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.2)
+      .select(col("doc_a"), col("doc_b"))
+      .materialize() // referenced by the count AND both semi joins
+    val bandsDf = ophBands(base).materialize()
+    val candC = bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.band") === col("y.band") && col("x.r0") === col("y.r0") &&
+          col("x.r1") === col("y.r1") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ncoll"))
+      .materialize() // feeds both operating points + both semis
+    val cand2 = candC.filter(col("ncoll") >= 2).select("doc_a", "doc_b")
+    val verified = truth.join(candC.select("doc_a", "doc_b"),
+      Seq("doc_a", "doc_b"), "left_semi")
+    val verified2 = truth.join(cand2, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(candC.agg(count(lit(1)).as("n_cand"),
+        count(when(col("ncoll") >= 2, 1)).as("n_cand2")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .crossJoin(verified2.agg(count(lit(1)).as("n_verified2")))
+      .select(col("n_truth"), col("n_cand"), col("n_cand2"), col("n_verified"),
+        col("n_verified2"),
+        sround(col("n_verified") / col("n_truth").cast("double"), 4)
+          .as("oph_recall"),
+        sround(col("n_verified2") / col("n_truth").cast("double"), 4)
+          .as("oph_recall2"),
+        sround(col("n_verified") / col("n_cand").cast("double"), 4)
+          .as("oph_precision"),
+        sround(col("n_verified2") / col("n_cand2").cast("double"), 4)
+          .as("oph_precision2"))
+  }
+
+  private[graft] val OphBins = 64
+  /** Borrow-distance offset (a 32-bit odd constant): densified slots
+    * carry v + dist*C so two docs' borrowed slots only collide when both
+    * the source minimum AND the borrow distance agree — without it, any
+    * two docs sharing one non-empty bin would collide on every empty
+    * band (Shrivastava & Li's fake-collision fix).
+    */
+  private[graft] val OphC = 2654435761L
+
+  /** The densified 64-slot OPH signature, one row per (doc, slot):
+    * filled slots are per-bin minima of the hashed shingle set; empty
+    * slots borrow cyclically-right. Docs with no shingles emit no rows.
+    */
+  private[graft] def ophSlots(docsDf: DataFrame): DataFrame = {
+    val base = docsDf.columns.toSeq match {
+      case cols if cols.contains("sh") => docsDf
+      case _ => shingleSets(docsDf)
+    }
+    val inv = base.select(col("doc_id"), explode(col("sh")).as("h"))
+    val slots = inv
+      .groupBy(col("doc_id"), pmod(col("h"), lit(OphBins.toLong)).as("idx"))
+      .agg(min(col("h")).as("v"))
+      .materialize() // grid anti-join, densify join AND the union
+    val grid = base.where(col("n_sh") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(OphBins - 1L))).as("idx"))
+    val empt = grid.join(slots, Seq("doc_id", "idx"), "left_anti")
+    val dens = empt.select(col("doc_id"), col("idx").as("eidx"))
+      .join(slots.select(col("doc_id"), col("idx").as("fidx"), col("v")),
+        "doc_id")
+      .withColumn("dist", pmod(col("fidx") - col("eidx"), lit(OphBins.toLong)))
+      .groupBy(col("doc_id"), col("eidx"))
+      .agg(min_by(col("v") + col("dist") * lit(OphC), col("dist")).as("v"))
+      .select(col("doc_id"), col("eidx").as("idx"), col("v"))
+    slots.union(dens)
+  }
+
+  /** OPH slots folded 32×2: (doc_id, band, r0, r1). */
+  private def ophBands(base: DataFrame): DataFrame =
+    ophSlots(base)
+      .groupBy(col("doc_id"), (col("idx") - pmod(col("idx"), lit(2L))).as("b2"))
+      .agg(min(when(pmod(col("idx"), lit(2L)) === 0, col("v"))).as("r0"),
+        min(when(pmod(col("idx"), lit(2L)) === 1, col("v"))).as("r1"))
+      .select(col("doc_id"), (col("b2") / 2).cast("long").as("band"),
+        col("r0"), col("r1"))
+
+  val d19OphMinhashSql: String =
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id, sh, len(sh) AS n_sh
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_sort(list_distinct(list_transform(
+       |        CASE WHEN len(t) >= 3
+       |          THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |          ELSE CAST([] AS VARCHAR[]) END,
+       |        gm -> CAST(md5_number_lower(gm) & 4611686018427387903 AS BIGINT)))) AS sh
+       |    FROM (SELECT doc_id,
+       |            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
+       |          FROM documents))),
+       |inv AS MATERIALIZED (SELECT doc_id, unnest(sh) AS h FROM g),
+       |tp AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM inv x JOIN inv y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b
+       |  FROM tp JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
+       |  WHERE inter / CAST(ga.n_sh + gb.n_sh - inter AS DOUBLE) >= 0.2),
+       |slots AS MATERIALIZED (
+       |  SELECT doc_id, h % $OphBins AS idx, min(h) AS v
+       |  FROM inv GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT doc_id, unnest(range(0, $OphBins)) AS idx
+       |  FROM g WHERE n_sh > 0),
+       |empt AS (
+       |  SELECT gr.doc_id, gr.idx FROM grid gr
+       |  LEFT JOIN slots s ON s.doc_id = gr.doc_id AND s.idx = gr.idx
+       |  WHERE s.v IS NULL),
+       |dens AS (
+       |  SELECT e.doc_id, e.idx,
+       |    min_by(f.v + (((f.idx - e.idx) % $OphBins + $OphBins) % $OphBins) * $OphC,
+       |           ((f.idx - e.idx) % $OphBins + $OphBins) % $OphBins) AS v
+       |  FROM empt e JOIN slots f ON f.doc_id = e.doc_id
+       |  GROUP BY 1, 2),
+       |filled AS (SELECT * FROM slots UNION ALL SELECT * FROM dens),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, idx // 2 AS band,
+       |    min(CASE WHEN idx % 2 = 0 THEN v END) AS r0,
+       |    min(CASE WHEN idx % 2 = 1 THEN v END) AS r1
+       |  FROM filled GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS ncoll
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1 AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |ver AS (
+       |  SELECT t.doc_a, t.doc_b FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM cand c
+       |                WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)),
+       |ver2 AS (
+       |  SELECT t.doc_a, t.doc_b FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM cand c
+       |                WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+       |                  AND c.ncoll >= 2))
+       |SELECT CAST(nt AS BIGINT) AS n_truth, CAST(nc AS BIGINT) AS n_cand,
+       |  CAST(nc2 AS BIGINT) AS n_cand2,
+       |  CAST(nv AS BIGINT) AS n_verified, CAST(nv2 AS BIGINT) AS n_verified2,
+       |  floor(nv / CAST(nt AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS oph_recall,
+       |  floor(nv2 / CAST(nt AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS oph_recall2,
+       |  floor(nv / CAST(nc AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS oph_precision,
+       |  floor(nv2 / CAST(nc2 AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS oph_precision2
+       |FROM (SELECT (SELECT count(*) FROM truth) AS nt,
+       |             (SELECT count(*) FROM cand) AS nc,
+       |             (SELECT count(*) FROM cand WHERE ncoll >= 2) AS nc2,
+       |             (SELECT count(*) FROM ver) AS nv,
+       |             (SELECT count(*) FROM ver2) AS nv2)""".stripMargin
+
   // --------------------------------------------------------- d4_simhash
   /** SimHash fingerprint per doc + near-dup pairs via 16-bit chunk blocking
     * (pigeonhole: Hamming<=3 pairs must share a chunk) verified at
@@ -1695,7 +1878,8 @@ object Dedup {
     "d9_containment" -> d9Containment,
     "d10_incremental_dedup" -> d10IncrementalDedup,
     "d12_lsh_eval" -> d12LshEval,
-    "d13_threshold_sweep" -> d13ThresholdSweep)
+    "d13_threshold_sweep" -> d13ThresholdSweep,
+    "d19_oph_minhash" -> d19OphMinhash)
 
   val oracles: Map[String, String] = Map(
     "d17_source_overlap" -> d17SourceOverlapSql,
@@ -1713,5 +1897,6 @@ object Dedup {
     "d9_containment" -> d9ContainmentSql,
     "d10_incremental_dedup" -> d10IncrementalDedupSql,
     "d12_lsh_eval" -> d12LshEvalSql,
-    "d13_threshold_sweep" -> d13ThresholdSweepSql)
+    "d13_threshold_sweep" -> d13ThresholdSweepSql,
+    "d19_oph_minhash" -> d19OphMinhashSql)
 }

@@ -343,6 +343,59 @@ class TextDedupSpec extends SparkSpec {
     assert(recall2 == recall, s"recall2 $recall2 < recall $recall")
   }
 
+  test("d19 OPH slots: distributed densification equals a serial rotation replay; eval metrics recompute") {
+    // hashed word-3gram shingle sets via the SAME expression the operator
+    // uses, replayed through an in-memory OPH (bin minima + cyclic-right
+    // rotation densification) and compared slot-for-slot
+    val docsDf = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val sh = docsDf
+      .select($"doc_id", graft.expressions.PortableHashExpressions
+        .md5HashArray62(wordNgrams(lowerTokens($"text"), 3),
+          distinctSorted = true).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val expect = sh.toSeq.flatMap { case (id, hs) =>
+      if (hs.isEmpty) Seq.empty
+      else {
+        val bins = Array.fill[Option[Long]](Dedup.OphBins)(None)
+        hs.foreach { h =>
+          val i = (h % Dedup.OphBins).toInt
+          if (bins(i).forall(_ > h)) bins(i) = Some(h)
+        }
+        (0 until Dedup.OphBins).map { i =>
+          bins(i) match {
+            case Some(v) => (id, i.toLong, v)
+            case None =>
+              val dist = (1 until Dedup.OphBins)
+                .find(j => bins((i + j) % Dedup.OphBins).isDefined).get
+              (id, i.toLong,
+                bins((i + dist) % Dedup.OphBins).get + dist * Dedup.OphC)
+          }
+        }
+      }
+    }.toSet
+    val got = Dedup.ophSlots(docsDf).as[(Long, Long, Long)].collect().toSet
+    assert(got == expect, "distributed OPH densification diverged from the serial replay")
+    // every doc with shingles carries exactly 64 slots
+    val perDoc = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perDoc.values.forall(_ == Dedup.OphBins))
+    assert(perDoc.keySet == sh.filter(_._2.nonEmpty).keySet)
+
+    // eval row: metrics recompute, and the sketch is certified usable on
+    // this corpus (full recall at the >= 1-collision operating point)
+    val Array((nt, nc, nc2, nv, nv2, recall, recall2, prec, prec2)) =
+      Dedup.d19OphMinhash(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long, Double, Double, Double, Double)]
+        .collect()
+    assert(nc >= nc2 && nv >= nv2 && nt >= nv && nt > 0 && nc2 > 0)
+    assert(recall == math.floor(nv.toDouble / nt * 1e4 + 0.5) / 1e4)
+    assert(recall2 == math.floor(nv2.toDouble / nt * 1e4 + 0.5) / 1e4)
+    assert(prec == math.floor(nv.toDouble / nc * 1e4 + 0.5) / 1e4)
+    assert(prec2 == math.floor(nv2.toDouble / nc2 * 1e4 + 0.5) / 1e4)
+    assert(recall == 1.0,
+      s"OPH at 32x2 must keep full recall on this corpus, got $recall")
+  }
+
   test("d2 band candidates: subset of brute-force char-3gram pairs, exact jaccard, full recall on word-similar pairs") {
     import spark.implicits._
     val texts = Tables.load(spark, sfDir, "documents")

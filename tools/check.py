@@ -2,16 +2,18 @@
 """Local replica of the driver's t2 correctness gate (dev tool only — the
 shipped Scala library has no Python dependency).
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [q1,q2,...]
 
-For each query in <verifyOutDir>/oracle_sql.json: run the oracle in DuckDB
-against <sfDir>/*.parquet views, load the Spark parquet result, sort columns
-by name + rows by all columns, and diff."""
+For each query in <verifyOutDir>/oracle_sql.json (optionally restricted to
+the comma-separated third arg, for scoped scaled-SF certification runs):
+run the oracle in DuckDB against <sfDir>/*.parquet views, load the Spark
+parquet result, sort columns by name + rows by all columns, and diff."""
 import json, sys, glob, os
 import duckdb
 import pandas as pd
 
 sf, out = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sf, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
@@ -23,6 +25,8 @@ for p in glob.glob(os.path.join(sf, "*.parquet")):
 oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 fails = 0
 for q, sql in sorted(oracle.items()):
+    if only is not None and q not in only:
+        continue
     spark_dir = os.path.join(out, q)
     if not os.path.isdir(spark_dir):
         print(f"FAIL {q}: no spark output"); fails += 1; continue
