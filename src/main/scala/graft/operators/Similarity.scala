@@ -58,12 +58,12 @@ object Similarity {
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQ),
        |pairs AS (
        |  SELECT q.q_id, e.vec_id AS n_id,
-       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-       |    / (sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
-       |         i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
-       |     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
-       |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS sim
+       |    list_dot_product(
+       |      CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |    / (sqrt(list_dot_product(
+       |         CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
+       |     * sqrt(list_dot_product(
+       |         CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim
        |  FROM embeddings e, q WHERE e.vec_id != q.q_id),
        |ranked AS (
        |  SELECT q_id, n_id, sim,
@@ -120,8 +120,8 @@ object Similarity {
     }.mkString("\n      + ")
     s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding,
-       |    list_sum(list_transform(range(1, len(embedding) + 1),
-       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq,
+       |    list_dot_product(
+       |      CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS nsq,
        |    CAST($bucketExpr AS BIGINT) AS bucket
        |  FROM embeddings),
        |q AS (
@@ -130,8 +130,8 @@ object Similarity {
        |  FROM e WHERE vec_id < $NQ),
        |pairs AS (
        |  SELECT DISTINCT q.q_id, c.vec_id AS n_id,
-       |    list_sum(list_transform(range(1, len(c.embedding) + 1),
-       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |    list_dot_product(
+       |      CAST(q.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
        |      / (sqrt(q.nsq_q) * sqrt(c.nsq)) AS sim
        |  FROM e c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.q_id),
        |ranked AS (
@@ -167,12 +167,12 @@ object Similarity {
   val v3EmbeddingNeardupSql: String =
     """WITH pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
-      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
-      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-      |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-      |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS sim
+      |    list_dot_product(
+      |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |    / (sqrt(list_dot_product(
+      |         CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+      |     * sqrt(list_dot_product(
+      |         CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
       |  FROM embeddings a JOIN embeddings b
       |    ON a.label = b.label AND a.vec_id < b.vec_id)
       |SELECT id_a, id_b, label, floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
@@ -274,11 +274,11 @@ object Similarity {
     */
   private val ivfCorpusCtes: String = {
     def dotList(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
     s"""e AS MATERIALIZED (
        |  SELECT vec_id, embedding,
-       |    list_sum(list_transform(range(1, len(embedding) + 1),
-       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+       |    list_dot_product(
+       |      CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS nsq
        |  FROM embeddings),
        |seeds AS MATERIALIZED (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
@@ -313,7 +313,7 @@ object Similarity {
 
   val v4IvfAnnSql: String = {
     def dotList(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
     s"""WITH $ivfCorpusCtes,
        |probes AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, nsq AS nsq_q, cell
@@ -384,7 +384,7 @@ object Similarity {
   /** DuckDB twin: v4's shared build chain + the two-stage rank. */
   val v15DiverseAnnSql: String = {
     def dotList(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
     s"""WITH $ivfCorpusCtes,
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nsq AS nsq_q
        |      FROM e WHERE vec_id < $NQ),
@@ -607,8 +607,8 @@ object Similarity {
        |  WHERE rn = 1),
        |qn AS (
        |  SELECT vec_id AS q_id,
-       |    list_sum(list_transform(range(1, len(embedding) + 1),
-       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq_q
+       |    list_dot_product(
+       |      CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS nsq_q
        |  FROM e WHERE vec_id < $NQ),
        |terms AS (
        |  SELECT cd.vec_id AS n_id, qs.vec_id AS q_id, cd.m,
@@ -770,8 +770,8 @@ object Similarity {
     }.mkString("\n      + ")
     s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding,
-       |    list_sum(list_transform(range(1, len(embedding) + 1),
-       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+       |    list_dot_product(
+       |      CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS nsq
        |  FROM embeddings),
        |c AS MATERIALIZED (
        |  SELECT vec_id, embedding,
@@ -787,8 +787,8 @@ object Similarity {
        |    FROM e WHERE vec_id < $NQ)),
        |pairs AS (
        |  SELECT DISTINCT q.q_id, c.vec_id AS n_id,
-       |    list_sum(list_transform(range(1, len(c.embedding) + 1),
-       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |    list_dot_product(
+       |      CAST(q.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
        |      AS score
        |  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.q_id),
        |ranked AS (
@@ -840,12 +840,12 @@ object Similarity {
        |  WHERE e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
        |pairs AS (
        |  SELECT q.q_id, e.vec_id AS n_id,
-       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-       |    / (sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
-       |         i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
-       |     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
-       |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS sim
+       |    list_dot_product(
+       |      CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |    / (sqrt(list_dot_product(
+       |         CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
+       |     * sqrt(list_dot_product(
+       |         CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim
        |  FROM c e, q WHERE e.vec_id != q.q_id),
        |ranked AS (
        |  SELECT q_id, n_id, sim,
@@ -939,12 +939,12 @@ object Similarity {
        |  WHERE coarse_rnk <= ${4 * K}),
        |ex AS (
        |  SELECT s.q_id, s.n_id, s.coarse_rnk,
-       |    list_sum(list_transform(range(1, len(ne.embedding) + 1),
-       |      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)))
-       |    / (sqrt(list_sum(list_transform(range(1, len(qe.embedding) + 1),
-       |         i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))))
-       |     * sqrt(list_sum(list_transform(range(1, len(ne.embedding) + 1),
-       |         i -> CAST(ne.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)))))
+       |    list_dot_product(
+       |      CAST(qe.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[]))
+       |    / (sqrt(list_dot_product(
+       |         CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))
+       |     * sqrt(list_dot_product(
+       |         CAST(ne.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[]))))
        |      AS sim
        |  FROM short s JOIN embeddings ne ON ne.vec_id = s.n_id
        |  JOIN embeddings qe ON qe.vec_id = s.q_id),
@@ -1051,7 +1051,7 @@ object Similarity {
     */
   val v10KmeansSql: String = {
     def dotList(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
     def assign(n: Int): String =
       s"""a$n AS MATERIALIZED (
          |  SELECT vec_id, embedding, cell FROM (
@@ -1078,8 +1078,8 @@ object Similarity {
        |         ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(nsq)) END AS c
        |  FROM (
        |    SELECT vec_id, embedding,
-       |      list_sum(list_transform(range(1, len(embedding) + 1),
-       |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+       |      list_dot_product(
+       |        CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS nsq
        |    FROM embeddings WHERE vec_id < $KmCells)),
        |$rounds,
        |af AS MATERIALIZED (
@@ -1151,11 +1151,11 @@ object Similarity {
 
   val v12IvfAppendSql: String = {
     def dotList(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
     s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding,
-       |    list_sum(list_transform(range(1, len(embedding) + 1),
-       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+       |    list_dot_product(
+       |      CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS nsq
        |  FROM embeddings),
        |ex AS MATERIALIZED (SELECT * FROM e WHERE vec_id < 400),
        |seeds AS MATERIALIZED (
@@ -1306,14 +1306,14 @@ object Similarity {
     */
   val v14IvfPqSql: String = {
     def dotList(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
     def dotSub(a: String, b: String): String =
       s"list_sum(list_transform(range(1, 9), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
     def nsqSub(a: String): String = dotSub(a, a)
     s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding,
-       |    list_sum(list_transform(range(1, len(embedding) + 1),
-       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+       |    list_dot_product(
+       |      CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS nsq
        |  FROM embeddings),
        |iv_seeds AS MATERIALIZED (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
@@ -1533,7 +1533,7 @@ object Similarity {
     */
   val v16KnnJoinSql: String = {
     def dotList(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
     s"""WITH $ivfCorpusCtes,
        |pairs AS (
        |  SELECT a.n_id AS vec_id, b.n_id AS nbr_id,
@@ -1615,7 +1615,7 @@ object Similarity {
     */
   val v17HardNegativesSql: String = {
     def dotList(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
     s"""WITH $ivfCorpusCtes,
        |probes AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, nsq AS nsq_q, cell
@@ -1696,7 +1696,7 @@ object Similarity {
     */
   val v18PrototypicalitySql: String = {
     def dotList(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
     s"""WITH $ivfCorpusCtes,
        |scored AS (
        |  SELECT c.n_id AS vec_id, c.cell,
@@ -1780,7 +1780,7 @@ object Similarity {
     */
   val v19NprobeSweepSql: String = {
     def dotList(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
     s"""WITH $ivfCorpusCtes,
        |probes AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, nsq AS nsq_q, cell,
