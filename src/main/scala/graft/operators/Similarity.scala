@@ -1534,6 +1534,17 @@ object Similarity {
   val v16KnnJoinSql: String = {
     def dotList(a: String, b: String): String =
       s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+    // The naive twin ranks EVERY within-cell pair in one window — at
+    // scaled SFs that is a multi-billion-row sort (the compare harness,
+    // not the operator, became the certification bottleneck; round-12's
+    // q24 lesson). Exact top-3 without the giant sort: bucket neighbors
+    // by nbr_id mod 64, take per-bucket maxima (hash agg), and
+    // lower-bound the true 3rd-best sim by the 3rd-largest bucket max —
+    // three distinct buckets' maxima are sims of three distinct pairs,
+    // so the 3rd-best overall can't be smaller. Rows below the bound
+    // (the overwhelming majority) never reach the window; vecs with
+    // fewer than 3 non-empty buckets keep everything (bound -2 < any
+    // cosine). Same rows, bit-identical sims, tiny sort.
     s"""WITH $ivfCorpusCtes,
        |pairs AS (
        |  SELECT a.n_id AS vec_id, b.n_id AS nbr_id,
@@ -1541,11 +1552,22 @@ object Similarity {
        |      / (sqrt(a.nsq_n) * sqrt(b.nsq_n)) AS sim
        |  FROM corpus a JOIN corpus b USING (cell)
        |  WHERE a.n_id != b.n_id),
+       |bmax AS MATERIALIZED (
+       |  SELECT vec_id, nbr_id % 64 AS bk, max(sim) AS m
+       |  FROM pairs GROUP BY 1, 2),
+       |bound AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CASE WHEN count(*) >= 3 THEN min(m) ELSE -2.0 END AS m3
+       |  FROM (SELECT vec_id, m,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY m DESC) AS r
+       |        FROM bmax)
+       |  WHERE r <= 3 GROUP BY vec_id),
        |rk AS (
-       |  SELECT vec_id, nbr_id, sim,
-       |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY sim DESC, nbr_id ASC) AS rnk
-       |  FROM pairs)
+       |  SELECT p.vec_id, p.nbr_id, p.sim,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY p.sim DESC, p.nbr_id ASC) AS rnk
+       |  FROM pairs p JOIN bound b ON b.vec_id = p.vec_id
+       |  WHERE p.sim >= b.m3)
        |SELECT vec_id, CAST(rnk AS INTEGER) AS rnk, nbr_id,
        |  floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
        |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
