@@ -1545,16 +1545,25 @@ object Similarity {
     // (the overwhelming majority) never reach the window; vecs with
     // fewer than 3 non-empty buckets keep everything (bound -2 < any
     // cosine). Same rows, bit-identical sims, tiny sort.
+    // pairsA/pairsB are the SAME pair stream written twice on purpose: a
+    // CTE referenced twice gets materialized by the engine, and the pair
+    // stream is the one thing that must NEVER materialize (billions of
+    // rows). Two single-reference copies inline into both consumers, so
+    // each pass streams pairs straight into a hash agg / tiny window.
+    def pairsSql: String =
+      s"""  SELECT a.n_id AS vec_id, b.n_id AS nbr_id,
+         |    ${dotList("a.n_emb", "b.n_emb")}
+         |      / (sqrt(a.nsq_n) * sqrt(b.nsq_n)) AS sim
+         |  FROM corpus a JOIN corpus b USING (cell)
+         |  WHERE a.n_id != b.n_id""".stripMargin
     s"""WITH $ivfCorpusCtes,
-       |pairs AS (
-       |  SELECT a.n_id AS vec_id, b.n_id AS nbr_id,
-       |    ${dotList("a.n_emb", "b.n_emb")}
-       |      / (sqrt(a.nsq_n) * sqrt(b.nsq_n)) AS sim
-       |  FROM corpus a JOIN corpus b USING (cell)
-       |  WHERE a.n_id != b.n_id),
+       |pairsA AS (
+       |$pairsSql),
+       |pairsB AS (
+       |$pairsSql),
        |bmax AS MATERIALIZED (
        |  SELECT vec_id, nbr_id % 64 AS bk, max(sim) AS m
-       |  FROM pairs GROUP BY 1, 2),
+       |  FROM pairsA GROUP BY 1, 2),
        |bound AS MATERIALIZED (
        |  SELECT vec_id,
        |    CASE WHEN count(*) >= 3 THEN min(m) ELSE -2.0 END AS m3
@@ -1566,7 +1575,7 @@ object Similarity {
        |  SELECT p.vec_id, p.nbr_id, p.sim,
        |    row_number() OVER (PARTITION BY p.vec_id
        |      ORDER BY p.sim DESC, p.nbr_id ASC) AS rnk
-       |  FROM pairs p JOIN bound b ON b.vec_id = p.vec_id
+       |  FROM pairsB p JOIN bound b ON b.vec_id = p.vec_id
        |  WHERE p.sim >= b.m3)
        |SELECT vec_id, CAST(rnk AS INTEGER) AS rnk, nbr_id,
        |  floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
