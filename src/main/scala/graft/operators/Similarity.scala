@@ -1545,37 +1545,31 @@ object Similarity {
     // (the overwhelming majority) never reach the window; vecs with
     // fewer than 3 non-empty buckets keep everything (bound -2 < any
     // cosine). Same rows, bit-identical sims, tiny sort.
-    // pairsA/pairsB are the SAME pair stream written twice on purpose: a
-    // CTE referenced twice gets materialized by the engine, and the pair
-    // stream is the one thing that must NEVER materialize (billions of
-    // rows). Two single-reference copies inline into both consumers, so
-    // each pass streams pairs straight into a hash agg / tiny window.
+    // The pair stream appears TWICE as an inline derived table on
+    // purpose: a pair-stream CTE gets engine-materialized (billions of
+    // buffered rows at scaled SFs — exactly what this rewrite avoids),
+    // while a derived table streams straight into its consumer's hash
+    // agg / bounded window.
     def pairsSql: String =
-      s"""  SELECT a.n_id AS vec_id, b.n_id AS nbr_id,
+      s"""(SELECT a.n_id AS vec_id, b.n_id AS nbr_id,
          |    ${dotList("a.n_emb", "b.n_emb")}
          |      / (sqrt(a.nsq_n) * sqrt(b.nsq_n)) AS sim
          |  FROM corpus a JOIN corpus b USING (cell)
-         |  WHERE a.n_id != b.n_id""".stripMargin
+         |  WHERE a.n_id != b.n_id)""".stripMargin
     s"""WITH $ivfCorpusCtes,
-       |pairsA AS (
-       |$pairsSql),
-       |pairsB AS (
-       |$pairsSql),
-       |bmax AS MATERIALIZED (
-       |  SELECT vec_id, nbr_id % 64 AS bk, max(sim) AS m
-       |  FROM pairsA GROUP BY 1, 2),
        |bound AS MATERIALIZED (
        |  SELECT vec_id,
        |    CASE WHEN count(*) >= 3 THEN min(m) ELSE -2.0 END AS m3
        |  FROM (SELECT vec_id, m,
        |          row_number() OVER (PARTITION BY vec_id ORDER BY m DESC) AS r
-       |        FROM bmax)
+       |        FROM (SELECT vec_id, nbr_id % 64 AS bk, max(sim) AS m
+       |              FROM $pairsSql bm GROUP BY 1, 2))
        |  WHERE r <= 3 GROUP BY vec_id),
        |rk AS (
        |  SELECT p.vec_id, p.nbr_id, p.sim,
        |    row_number() OVER (PARTITION BY p.vec_id
        |      ORDER BY p.sim DESC, p.nbr_id ASC) AS rnk
-       |  FROM pairsB p JOIN bound b ON b.vec_id = p.vec_id
+       |  FROM $pairsSql p JOIN bound b ON b.vec_id = p.vec_id
        |  WHERE p.sim >= b.m3)
        |SELECT vec_id, CAST(rnk AS INTEGER) AS rnk, nbr_id,
        |  floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
