@@ -3406,8 +3406,52 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- t44_blocklist
+  /** Multi-pattern blocklist audit via Aho–Corasick: one O(len) automaton
+    * scan per document counts the occurrences of EVERY phrase at once —
+    * the pattern-count-independent corpus pass a production blocklist
+    * (NSFW/PII/contamination lists, 10k–1M phrases) requires at 100 TB.
+    * The oracle twin is the naive documents × patterns replace-trick
+    * (one corpus pass PER pattern — fine for two dozen phrases in
+    * DuckDB, the exact shape AC exists to avoid). Patterns are
+    * border-free (construction-asserted), so all-occurrence counts equal
+    * leftmost-non-overlapping counts and the replace trick is exact; the
+    * list deliberately includes patterns ending inside other patterns
+    * ("can" in "scan", "art" in "part") to exercise collapsed output
+    * links on real data.
+    */
+  val blockPatterns: Seq[String] = Seq(
+    "scan", "can", "art", "spark", "stream", "join",
+    "merge batch", "key agg", "the line", "query big",
+    "slow fast", "value table", "big table", "sort column",
+    "window s", "hash v")
+
+  val t44Blocklist: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        graft.expressions.BlocklistExpressions
+          .blocklistStats(col("text"), blockPatterns).as("bs"))
+      .select(col("doc_id"),
+        col("bs.n_hits").as("n_hits"),
+        col("bs.n_pats").as("n_pats"))
+      .orderBy("doc_id")
+
+  val t44BlocklistSql: String = {
+    val vals = blockPatterns.map(p => s"('$p')").mkString(", ")
+    s"""WITH pats(pat) AS (VALUES $vals),
+       |hits AS (
+       |  SELECT d.doc_id,
+       |    (length(d.text) - length(replace(d.text, p.pat, '')))
+       |      // length(p.pat) AS cnt
+       |  FROM documents d CROSS JOIN pats p)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_hits,
+       |  CAST(count(*) FILTER (cnt > 0) AS INTEGER) AS n_pats
+       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "t44_blocklist" -> t44Blocklist,
     "t41_bpe_train64" -> t41BpeTrain64,
     "t42_bpe_encode64" -> t42BpeEncode64,
     "t43_kn_lm_score" -> t43KnLmScore,
@@ -3453,6 +3497,7 @@ object TextAnalysis {
     "t13_repetition" -> t13Repetition)
 
   val oracles: Map[String, String] = Map(
+    "t44_blocklist" -> t44BlocklistSql,
     "t41_bpe_train64" -> t41BpeTrain64Sql,
     "t42_bpe_encode64" -> t42BpeEncode64Sql,
     "t43_kn_lm_score" -> t43KnLmScoreSql,

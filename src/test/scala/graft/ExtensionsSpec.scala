@@ -111,4 +111,57 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(q().as[(String, Long)].collect().toMap == exact)
     assert(!q().queryExecution.optimizedPlan.toString.contains("graft_kmv_distinct"))
   }
+
+  test("AC automaton counts == naive all-occurrence counts (incl. nested patterns)") {
+    import graft.expressions.AcAutomaton
+    // "can" ends inside every "scan" (collapsed output links), "art"
+    // inside "part"; adjacent repeats exercise goto self-transitions
+    val pats = IndexedSeq("scan", "can", "art", "merge batch", "ab")
+    val auto = new AcAutomaton(pats)
+    def naive(text: String, p: String): Int =
+      (0 to text.length - p.length).count(i => text.regionMatches(i, p, 0, p.length))
+    val fixtures = Seq(
+      "scan scan part can merge batch scanscan",
+      "abababab",                    // "ab" x4, adjacent
+      "",                            // empty text
+      "no hits here",
+      "canscancan art cart artart")
+    fixtures.foreach { t =>
+      val got = auto.counts(t)
+      pats.zipWithIndex.foreach { case (p, i) =>
+        assert(got(i) == naive(t, p), s"pattern '$p' on '$t'")
+      }
+    }
+    // non-ASCII text chars reset to root, never crash or false-match
+    assert(auto.counts("scän scan").toSeq == Seq(1, 1, 0, 0, 0))
+  }
+
+  test("AC construction rejects bordered patterns (oracle contract)") {
+    import graft.expressions.AcAutomaton
+    assert(AcAutomaton.hasBorder("table t"))   // border "t"
+    assert(AcAutomaton.hasBorder("abxab"))     // border "ab" (first!=last)
+    assert(!AcAutomaton.hasBorder("scan"))
+    intercept[IllegalArgumentException](new AcAutomaton(IndexedSeq("table t")))
+  }
+
+  test("blocklist_stats struct agrees with per-pattern counts and stays codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.{AcAutomaton, BlocklistExpressions}
+    import spark.implicits._
+    val pats = graft.operators.TextAnalysis.blockPatterns
+    val auto = new AcAutomaton(pats.toIndexedSeq)
+    // parquet-backed input: a local Seq would be constant-folded into a
+    // LocalTableScan and there'd be no stage left to assert codegen on
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"), BlocklistExpressions.blocklistStats(col("text"), pats).as("bs"))
+      .select(col("text"), col("bs.n_hits").as("h"), col("bs.n_pats").as("p"))
+    df.collect().foreach { r =>
+      val cnt = auto.counts(r.getString(0))
+      assert(r.getLong(1) == cnt.map(_.toLong).sum)
+      assert(r.getInt(2) == cnt.count(_ > 0))
+    }
+    // the kernel must NOT drop the stage out of whole-stage codegen
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected WholeStageCodegen stage:\n$plan")
+  }
 }
