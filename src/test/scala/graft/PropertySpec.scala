@@ -590,4 +590,27 @@ class PropertySpec extends SparkSpec {
         == afterFirst.sorted, "v1 time travel drifted")
     }
   }
+
+  test("AC automaton == naive all-occurrence counting on random pattern sets") {
+    import graft.expressions.AcAutomaton
+    // random border-free pattern sets over a 3-letter alphabet (maximal
+    // overlap pressure: patterns nest inside and chain across each other)
+    val abcWord: Gen[String] = Gen.choose(1, 5)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val patSet: Gen[List[String]] = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, abcWord))
+      .map(_.distinct.filterNot(AcAutomaton.hasBorder))
+    val text: Gen[String] = Gen.choose(0, 120)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))
+    def naive(t: String, p: String): Int =
+      (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length))
+    forAll(Gen.zip(patSet, text), n = 60) { case (pats: List[String], t: String) =>
+      whenever(pats.nonEmpty) {
+        val got = new AcAutomaton(pats.toIndexedSeq).counts(t)
+        pats.zipWithIndex.foreach { case (p, i) =>
+          assert(got(i) == naive(t, p), s"pattern '$p' on text '$t'")
+        }
+      }
+    }
+  }
 }
