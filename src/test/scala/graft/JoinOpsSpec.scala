@@ -85,6 +85,39 @@ class JoinOpsSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // The 100-TB story for selective dim joins that are too big to
+    // broadcast: Catalyst's InjectRuntimeFilter builds a bloom filter
+    // from the filtered dim side and semi-filters the fact scan BEFORE
+    // the shuffle, so the exchange moves only rows that can match. The
+    // size thresholds are tuned for clusters; forcing them here proves
+    // the rewrite fires on our join shapes and stays result-exact.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+    val orders = Tables.load(s2, sfDir, "orders")
+    val cust = Tables.load(s2, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val j = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"))
+    val optimized = j.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain"),
+      s"runtime bloom filter did not inject:\n$optimized")
+    // and the filter is only a pruning hint: results stay exact
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    val plain = Tables.load(s3, sfDir, "orders")
+      .join(Tables.load(s3, sfDir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"))
+      .collect().map(_.toSeq).toSet
+    assert(j.collect().map(_.toSeq).toSet == plain && plain.nonEmpty)
+  }
+
   test("q24 bucketed range join == naive inequality join (independent path)") {
     // The DuckDB oracle twin now shares the bucket ACCESS PATH (the plain
     // IEJoin oracle was unusable at sf10); this differential keeps the
