@@ -3449,9 +3449,86 @@ object TextAnalysis {
        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- t45_fim_prep
+  /** Fill-in-the-Middle training prep (Bavarian et al. 2022): each doc is
+    * deterministically either left autoregressive ('ar', 10%) or FIM-
+    * transformed ('fim', 90%) — two uniform split points over [0, len]
+    * cut prefix/middle/suffix, and the training text is reassembled in
+    * PSM order (<PRE>prefix<SUF>suffix<MID>middle) so the model learns
+    * infilling while the data stays a plain next-token stream. All
+    * randomness is portable md5-62 hash lanes of doc_id (the p9
+    * discipline), so the oracle replays the exact same splits; the dump
+    * carries md5(out_text) instead of the reassembled corpus. Scale
+    * shape: a pure narrow projection — zero shuffles beyond the
+    * gate-only ORDER BY, whole-stage codegen end to end, and the
+    * transform is position arithmetic + three substrings per row
+    * regardless of corpus size.
+    */
+  val t45FimPrep: Q = (s, d) => {
+    import graft.expressions.PortableHashExpressions.md5Hash62
+    def lane(tag: String): Column =
+      md5Hash62(concat(lit(tag), col("doc_id").cast("string")))
+    val lenL = col("len")
+    docs(s, d)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("u1", lane("fim#a#") % (lenL + lit(1L)))
+      .withColumn("u2", lane("fim#b#") % (lenL + lit(1L)))
+      .withColumn("is_fim", lane("fim#m#") % 10 < 9)
+      .withColumn("lo", least(col("u1"), col("u2")))
+      .withColumn("hi", greatest(col("u1"), col("u2")))
+      .select(
+        col("doc_id"),
+        when(col("is_fim"), lit("fim")).otherwise(lit("ar")).as("mode"),
+        when(col("is_fim"), col("lo")).otherwise(lenL).as("n_prefix"),
+        when(col("is_fim"), col("hi") - col("lo")).otherwise(lit(0L)).as("n_middle"),
+        when(col("is_fim"), lenL - col("hi")).otherwise(lit(0L)).as("n_suffix"),
+        md5(when(col("is_fim"),
+          concat(lit("<PRE>"),
+            col("text").substr(lit(1), col("lo").cast("int")),
+            lit("<SUF>"),
+            col("text").substr((col("hi") + 1L).cast("int"),
+              (lenL - col("hi")).cast("int")),
+            lit("<MID>"),
+            col("text").substr((col("lo") + 1L).cast("int"),
+              (col("hi") - col("lo")).cast("int"))))
+          .otherwise(col("text"))).as("fim_md5"))
+      .orderBy("doc_id")
+  }
+
+  val t45FimPrepSql: String = {
+    def lane(tag: String): String =
+      s"CAST(md5_number_lower('$tag' || CAST(doc_id AS VARCHAR)) " +
+        "& 4611686018427387903 AS BIGINT)"
+    s"""WITH b AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+       |    ${lane("fim#a#")} % (CAST(length(text) AS BIGINT) + 1) AS u1,
+       |    ${lane("fim#b#")} % (CAST(length(text) AS BIGINT) + 1) AS u2,
+       |    ${lane("fim#m#")} % 10 < 9 AS is_fim
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, text, len, is_fim,
+       |    least(u1, u2) AS lo, greatest(u1, u2) AS hi
+       |  FROM b)
+       |SELECT doc_id,
+       |  CASE WHEN is_fim THEN 'fim' ELSE 'ar' END AS mode,
+       |  CASE WHEN is_fim THEN lo ELSE len END AS n_prefix,
+       |  CASE WHEN is_fim THEN hi - lo ELSE CAST(0 AS BIGINT) END AS n_middle,
+       |  CASE WHEN is_fim THEN len - hi ELSE CAST(0 AS BIGINT) END AS n_suffix,
+       |  md5(CASE WHEN is_fim
+       |      THEN '<PRE>' || substr(text, 1, CAST(lo AS INTEGER))
+       |        || '<SUF>' || substr(text, CAST(hi + 1 AS INTEGER),
+       |                             CAST(len - hi AS INTEGER))
+       |        || '<MID>' || substr(text, CAST(lo + 1 AS INTEGER),
+       |                             CAST(hi - lo AS INTEGER))
+       |      ELSE text END) AS fim_md5
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "t44_blocklist" -> t44Blocklist,
+    "t45_fim_prep" -> t45FimPrep,
     "t41_bpe_train64" -> t41BpeTrain64,
     "t42_bpe_encode64" -> t42BpeEncode64,
     "t43_kn_lm_score" -> t43KnLmScore,
@@ -3498,6 +3575,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t44_blocklist" -> t44BlocklistSql,
+    "t45_fim_prep" -> t45FimPrepSql,
     "t41_bpe_train64" -> t41BpeTrain64Sql,
     "t42_bpe_encode64" -> t42BpeEncode64Sql,
     "t43_kn_lm_score" -> t43KnLmScoreSql,

@@ -1145,4 +1145,49 @@ class CurationSpec extends SparkSpec {
     val knAvg = got.values.map(t => t._3 * t._1).sum / got.values.map(_._1).sum
     assert(knAvg > 0 && knAvg.isFinite, s"KN average broken: $knAvg")
   }
+
+  test("t45 FIM prep: splits reassemble the doc, PSM md5 replays, mode is 90/10") {
+    import graft.expressions.PortableHashExpressions.md5Hash62
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // independent replay of the hash lanes through the SAME expression
+    // surface p9 certified, but with the split/reassembly logic redone
+    // in plain Scala
+    val lanes = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id",
+        md5Hash62(concat(lit("fim#a#"), $"doc_id".cast("string"))).as("a"),
+        md5Hash62(concat(lit("fim#b#"), $"doc_id".cast("string"))).as("b"),
+        md5Hash62(concat(lit("fim#m#"), $"doc_id".cast("string"))).as("m"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, a, b, m) => id -> (a, b, m) }.toMap
+    val out = TextAnalysis.t45FimPrep(spark, sfDir).collect()
+    assert(out.length == docs.size)
+    var fim = 0
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (mode, np, nm, ns, h) =
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))
+      val text = docs(id)
+      val (a, b, m) = lanes(id)
+      val len = text.length.toLong
+      val (lo, hi) = (math.min(a % (len + 1), b % (len + 1)),
+        math.max(a % (len + 1), b % (len + 1)))
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      if (m % 10 < 9) {
+        fim += 1
+        assert(mode == "fim" && np == lo && nm == hi - lo && ns == len - hi)
+        val (p, mid, suf) = (text.substring(0, lo.toInt),
+          text.substring(lo.toInt, hi.toInt), text.substring(hi.toInt))
+        assert(p + mid + suf == text) // splits lose nothing
+        assert(h == md5hex(s"<PRE>$p<SUF>$suf<MID>$mid"))
+      } else {
+        assert(mode == "ar" && np == len && nm == 0 && ns == 0)
+        assert(h == md5hex(text))
+      }
+    }
+    // hash-lane rate: 90% +/- a loose binomial band
+    assert(math.abs(fim.toDouble / out.length - 0.9) < 0.1, s"fim rate $fim/${out.length}")
+  }
 }
