@@ -1115,8 +1115,113 @@ object CorpusPipeline {
        |FROM r5 ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------- p12_unimax_mixture
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread a total token budget across languages as
+    * UNIFORMLY as possible, subject to a per-language cap of
+    * availability × E epochs — low-resource languages contribute all
+    * their data (up to E repeats, bounding overfitting) and the residual
+    * budget splits equally among the high-resource ones.
+    *
+    * The allocation is exact water-filling in CLOSED FORM — no driver
+    * loop: languages sorted by cap ascending; the cutoff is the first
+    * rank where the remaining budget spread over the remaining languages
+    * fits under that language's cap, tested with the exact integer
+    * cross-multiplication `B − cum ≤ cap × rem` (never a float compare,
+    * so the branch cannot flip between engines); every language before
+    * the cutoff is capped (alloc = cap), everyone at/after it shares
+    * `(B − cum_cut) / rem_cut` — ONE division of two longs, bit-identical
+    * in Spark and DuckDB.
+    *
+    * Scale shape: one corpus scan into a lang-keyed agg (map-side
+    * partial); everything after runs on the language frame, which is
+    * REGISTRY-bounded (dozens of rows — the month-partials precedent for
+    * a single-partition window on a catalog-sized frame, never the
+    * corpus). Budget B = 3/2 of corpus chars with E = 2: on this corpus
+    * the four smaller languages cap at exactly 2.0 epochs and `en`
+    * absorbs the residual — the canonical UniMax readout.
+    */
+  def p12UnimaxMixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val E = 2L
+    val byLang = Tables.load(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("n_avail"))
+      .withColumn("cap", col("n_avail") * lit(E))
+    val budget = byLang.agg(
+      expr("CAST((3 * sum(n_avail)) DIV 2 AS BIGINT)").as("b"))
+    val w = Window.orderBy(col("cap").asc, col("lang").asc)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = byLang.crossJoin(broadcast(budget)) // 1-row stats frame
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum", coalesce(
+        sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n_langs", count(lit(1)).over(full))
+      .withColumn("rem", col("n_langs") - col("rn") + 1L)
+      // exact integer water-filling cutoff test
+      .withColumn("is_cut", col("b") - col("cum") <= col("cap") * col("rem"))
+      .withColumn("cut_rn", min(when(col("is_cut"), col("rn"))).over(full))
+      .withColumn("theta_num",
+        max(when(col("rn") === col("cut_rn"), col("b") - col("cum"))).over(full))
+      .withColumn("theta_den",
+        max(when(col("rn") === col("cut_rn"), col("rem"))).over(full))
+    ranked
+      .withColumn("capped",
+        col("cut_rn").isNull || col("rn") < col("cut_rn"))
+      .withColumn("alloc", when(col("capped"), col("cap").cast("double"))
+        .otherwise(col("theta_num").cast("double") / col("theta_den")))
+      .select(col("lang"), col("n_avail"), col("cap"),
+        sround(col("alloc"), 4).as("alloc"),
+        sround(col("alloc") / col("n_avail"), 4).as("epochs_used"),
+        col("capped"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: the same closed-form water-filling — integer cutoff test,
+    * one long÷long division — spelled in DuckDB window functions.
+    */
+  val p12UnimaxMixtureSql: String =
+    """WITH bylang AS (
+      |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_avail,
+      |    CAST(2 * sum(n_chars) AS BIGINT) AS cap
+      |  FROM documents GROUP BY lang),
+      |b AS (SELECT CAST((3 * sum(n_avail)) // 2 AS BIGINT) AS b FROM bylang),
+      |ranked AS (
+      |  SELECT lang, n_avail, cap, b.b,
+      |    row_number() OVER (ORDER BY cap ASC, lang ASC) AS rn,
+      |    coalesce(sum(cap) OVER (ORDER BY cap ASC, lang ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+      |    count(*) OVER () AS n_langs
+      |  FROM bylang, b),
+      |cut AS (
+      |  SELECT *, n_langs - rn + 1 AS rem,
+      |    (b - cum <= cap * (n_langs - rn + 1)) AS is_cut
+      |  FROM ranked),
+      |withcut AS (
+      |  SELECT *, min(CASE WHEN is_cut THEN rn END) OVER () AS cut_rn
+      |  FROM cut),
+      |marked AS (
+      |  SELECT *,
+      |    max(CASE WHEN rn = cut_rn THEN b - cum END) OVER () AS theta_num,
+      |    max(CASE WHEN rn = cut_rn THEN rem END) OVER () AS theta_den
+      |  FROM withcut)
+      |SELECT lang, n_avail, cap,
+      |  floor(CASE WHEN cut_rn IS NULL OR rn < cut_rn
+      |      THEN CAST(cap AS DOUBLE)
+      |      ELSE CAST(theta_num AS DOUBLE) / theta_den END * 10000.0 + 0.5)
+      |    / 10000.0 AS alloc,
+      |  floor((CASE WHEN cut_rn IS NULL OR rn < cut_rn
+      |      THEN CAST(cap AS DOUBLE)
+      |      ELSE CAST(theta_num AS DOUBLE) / theta_den END / n_avail)
+      |      * 10000.0 + 0.5) / 10000.0 AS epochs_used,
+      |  (cut_rn IS NULL OR rn < cut_rn) AS capped
+      |FROM marked ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p1_corpus_pipeline" -> (p1CorpusPipeline _),
+      "p12_unimax_mixture" -> (p12UnimaxMixture _),
       "p11_doremi_mixture" -> (p11DoremiMixture _),
       "p10_curriculum" -> (p10Curriculum _),
       "p9_leak_safe_split" -> (p9LeakSafeSplit _),
@@ -1129,6 +1234,7 @@ object CorpusPipeline {
       "p6_epoch_shuffle" -> (p6EpochShuffle _))
   val oracles: Map[String, String] =
     Map("p1_corpus_pipeline" -> p1CorpusPipelineSql,
+      "p12_unimax_mixture" -> p12UnimaxMixtureSql,
       "p11_doremi_mixture" -> p11DoremiMixtureSql,
       "p10_curriculum" -> p10CurriculumSql,
       "p7_sft_packing" -> p7SftPackingSql,

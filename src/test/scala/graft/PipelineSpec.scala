@@ -428,4 +428,33 @@ class PipelineSpec extends SparkSpec {
       case Seq(a, b) => assert(a <= b + 1e-9); case _ =>
     }
   }
+
+  test("p12 UniMax water-filling laws: budget exhausted, caps respected, uniform residual") {
+    val d = "/root/testdata/sf0.01" // sf0.001's lang frame is too sparse to cap
+    val rows = CorpusPipeline.p12UnimaxMixture(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    val totalAvail = rows.map(_._2).sum
+    val budget = 3L * totalAvail / 2L
+    // every alloc within its cap; capped langs sit exactly ON the cap
+    rows.foreach { case (lang, avail, cap, alloc, epochs, capped) =>
+      assert(cap == 2L * avail)
+      assert(alloc <= cap + 1e-6, s"$lang over cap")
+      if (capped) assert(alloc == cap.toDouble, s"$lang capped but alloc != cap")
+      assert(math.abs(epochs - alloc / avail) < 2e-4, s"$lang epochs drifted")
+    }
+    // uncapped languages share ONE water level, >= every capped cap
+    val unc = rows.filterNot(_._6).map(_._4)
+    assert(unc.nonEmpty, "fixture must exercise the uncapped branch")
+    assert(unc.distinct.length == 1, s"residual not uniform: ${unc.toSeq}")
+    val capsOfCapped = rows.filter(_._6).map(_._3.toDouble)
+    assert(capsOfCapped.nonEmpty, "fixture must exercise the capped branch")
+    assert(capsOfCapped.forall(_ <= unc.head + 1e-6),
+      "a capped language exceeds the water level")
+    // the budget is exhausted exactly (up to the 1e-4 presentation round)
+    val spent = rows.map(_._4).sum
+    assert(math.abs(spent - budget.toDouble) < 1e-3 * budget,
+      s"spent $spent vs budget $budget")
+  }
 }
