@@ -1149,6 +1149,8 @@ object CorpusPipeline {
       .groupBy(col("lang"))
       .agg(sum(col("n_chars")).as("n_avail"))
       .withColumn("cap", col("n_avail") * lit(E))
+      .materialize() // the lang frame feeds BOTH the budget scalar and
+                     // the ranking; without the cut the corpus scans twice
     val budget = byLang.agg(
       expr("CAST((3 * sum(n_avail)) DIV 2 AS BIGINT)").as("b"))
     val w = Window.orderBy(col("cap").asc, col("lang").asc)
