@@ -759,7 +759,138 @@ object Multimodal {
       |WHERE 2 * i.n_shared >= least(sa.n, sb.n)
       |ORDER BY id_a, id_b""".stripMargin
 
+  // -------------------------------------------- mm12_audio_neardup
+  /** Audio near-duplicate detection via delta-sign fingerprints — the
+    * Haitsma–Kalker (2002) audio content-id shape adapted to the
+    * decode-stub world: 16-byte energy windows at an 8-byte hop (finer
+    * than mm3's loudness framing — fingerprinting needs temporal
+    * resolution), then each run of 16 consecutive energy DELTAS packs
+    * sign(e[i+k+1] > e[i+k]) into bit k of a 16-bit sub-fingerprint.
+    * Sign-of-delta is invariant to constant gain offsets — adding a
+    * constant to every sample shifts every window energy equally and no
+    * sign flips — the robustness class mm11's absolute aHash cannot give
+    * (asserted in the spec). Downstream is mm11's audited machinery
+    * verbatim: per-doc DISTINCT sub-fp sets, rare-df [2,20] inverted
+    * index, merge-walk overlap verify, integer cross-multiply cut at
+    * half the smaller set.
+    *
+    * Scale shape: window energies stream per-partition (the mm1 codec
+    * seam); the sub-fp fold is SIXTEEN lead() terms over ONE window spec
+    * — one Exchange + one Sort per doc-partition, no derived-array HOF
+    * chains (each lead is a frame offset, not an array index), nulls
+    * propagate through + so only complete shingles survive the filter.
+    * Nothing is ever corpus²: candidates come from the rare-fp index.
+    */
+  def mm12AudioNeardup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val media = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    // delta sign per window: null at the last window (no next energy)
+    val signed = audioWindows(media, win = 16, hop = 8).toDF()
+      .withColumn("sgn", when(lead(col("energy"), 1).over(w).isNotNull,
+        when(lead(col("energy"), 1).over(w) > col("energy"), 1L)
+          .otherwise(0L)))
+    // 16-delta shingle: bit k = sgn at offset k; any missing term nulls
+    // the sum, so trailing incomplete shingles drop in one filter
+    val fpCol = (1 until 16).foldLeft(col("sgn")) { (acc, k) =>
+      acc + (lead(col("sgn"), k).over(w) * lit(1L << k))
+    }
+    val dfh = signed
+      .withColumn("fp", fpCol)
+      .where(col("fp").isNotNull)
+      .select(col("doc_id"), col("fp")).distinct()
+      .materialize() // index, sets, and candidate sides
+    val sets = dfh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("fp"))).as("set"),
+        count(lit(1)).as("n"))
+      .materialize()
+    val rare = dfh.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, 20)).select(col("fp"))
+    val indexed = dfh.join(rare, "fp")
+    val cand = indexed.as("a").join(indexed.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a"),
+        col("n").as("n_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("n_shared", graft.expressions.SetSketchExpressions
+        .sortedIntersectSize(col("set_a"), col("set_b")).cast("long"))
+      .where(lit(2) * col("n_shared") >= least(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        graft.functions.TextFunctions.sround(
+          col("n_shared") / least(col("n_a"), col("n_b")), 4).as("overlap"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB twin: mm3's ord()-sum energy replay at the 16/8 framing, the
+    * same lead()-folded 16-bit delta-sign shingle, then mm11's index +
+    * overlap chain on the fp sets.
+    */
+  val mm12AudioNeardupSql: String =
+    """WITH wins AS (
+      |  SELECT doc_id, CAST(i AS INT) AS win_idx,
+      |    CAST(list_aggregate(list_transform(
+      |      range(i * 8 + 1, least(i * 8 + 16, blen) + 1),
+      |      p -> ord(substr(text, CAST(p AS INT), 1))), 'sum') AS BIGINT)
+      |      AS energy
+      |  FROM (SELECT doc_id, text, octet_length(encode(text)) AS blen,
+      |          unnest(range(CAST(ceil(octet_length(encode(text)) / 8.0)
+      |            AS BIGINT))) AS i
+      |        FROM documents)),
+      |sgns AS (
+      |  SELECT doc_id, win_idx,
+      |    CASE WHEN lead(energy) OVER dw IS NOT NULL
+      |         THEN CASE WHEN lead(energy) OVER dw > energy
+      |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+      |    END AS sgn
+      |  FROM wins
+      |  WINDOW dw AS (PARTITION BY doc_id ORDER BY win_idx)),
+      |fps AS (
+      |  SELECT doc_id,
+      |    sgn
+      |      + lead(sgn, 1) OVER dw * 2 + lead(sgn, 2) OVER dw * 4
+      |      + lead(sgn, 3) OVER dw * 8 + lead(sgn, 4) OVER dw * 16
+      |      + lead(sgn, 5) OVER dw * 32 + lead(sgn, 6) OVER dw * 64
+      |      + lead(sgn, 7) OVER dw * 128 + lead(sgn, 8) OVER dw * 256
+      |      + lead(sgn, 9) OVER dw * 512 + lead(sgn, 10) OVER dw * 1024
+      |      + lead(sgn, 11) OVER dw * 2048 + lead(sgn, 12) OVER dw * 4096
+      |      + lead(sgn, 13) OVER dw * 8192 + lead(sgn, 14) OVER dw * 16384
+      |      + lead(sgn, 15) OVER dw * 32768 AS fp
+      |  FROM sgns
+      |  WINDOW dw AS (PARTITION BY doc_id ORDER BY win_idx)),
+      |dfh AS (SELECT DISTINCT doc_id, fp FROM fps WHERE fp IS NOT NULL),
+      |sets AS (SELECT doc_id, count(*) AS n FROM dfh GROUP BY doc_id),
+      |rare AS (SELECT fp FROM dfh GROUP BY fp
+      |  HAVING count(*) BETWEEN 2 AND 20),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM dfh a JOIN dfh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  WHERE a.fp IN (SELECT fp FROM rare)),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS n_shared
+      |  FROM cand c
+      |  JOIN dfh x ON x.doc_id = c.id_a
+      |  JOIN dfh y ON y.doc_id = c.id_b AND y.fp = x.fp
+      |  GROUP BY c.id_a, c.id_b)
+      |SELECT i.id_a, i.id_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+      |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |  floor(i.n_shared / least(sa.n, sb.n) * 10000.0 + 0.5) / 10000.0
+      |    AS overlap
+      |FROM inter i
+      |JOIN sets sa ON sa.doc_id = i.id_a
+      |JOIN sets sb ON sb.doc_id = i.id_b
+      |WHERE 2 * i.n_shared >= least(sa.n, sb.n)
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm12_audio_neardup" -> (mm12AudioNeardup _),
     "mm11_video_neardup" -> (mm11VideoNeardup _),
     "mm9_pair_audit" -> (mm9PairAudit _),
     "mm8_shard_export" -> (mm8ShardExport _),
@@ -828,6 +959,7 @@ object Multimodal {
         |JOIN caps a ON d.id_a = a.doc_id
         |JOIN caps b ON d.id_b = b.doc_id
         |ORDER BY d.id_a, d.id_b""".stripMargin,
+    "mm12_audio_neardup" -> mm12AudioNeardupSql,
     "mm11_video_neardup" -> mm11VideoNeardupSql,
     "mm9_pair_audit" -> mm9PairAuditSql,
     // the oracle replays the packing as ONE global window (affordable at

@@ -910,4 +910,48 @@ class SimilaritySpec extends SparkSpec {
       assert(pruned.map(_._4).max == pruned.size)
     }
   }
+
+  test("mm12 audio near-dup: exact copies pair at 1.0 and fingerprints are gain-invariant") {
+    import graft.multimodal.Multimodal
+    // pseudo-audio: byte streams long enough for 16-delta shingles at
+    // the 16/8 framing (>= 26 windows -> >= 200 bytes), content varied
+    // so energies actually move between windows
+    def wave(seed: Int, n: Int): String =
+      (0 until n).map(i => ('a' + ((i * i + seed * (i + 3)) % 26)).toChar).mkString
+    // gain shift: every byte +1 (stays ASCII) — all window energies move
+    // by the window length, delta SIGNS are preserved where window
+    // lengths match, so the full-window fingerprints survive
+    def gain(s: String): String = s.map(c => (c + 1).toChar)
+    val a = wave(1, 400)
+    val planted = Seq(
+      (0L, a),           // base
+      (1L, a),           // exact copy -> overlap 1.0 with 0
+      (2L, gain(a)),     // gain-shifted copy -> shares the full-window fps
+      (3L, wave(9, 400)))// unrelated -> no pair with 0
+    val dir = java.nio.file.Files.createTempDirectory("mm12").toString
+    planted.map { case (id, t) => (id, t, "x", 1L) }
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.mm12AudioNeardup(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val byPair = got.map(r => (r._1, r._2) -> r).toMap
+    assert(byPair((0L, 1L))._6 == 1.0, s"exact copy must overlap 1.0: $got")
+    // the gain-shifted copy keeps >= half of the base's fingerprints
+    // (only the trailing PARTIAL window's energy moves differently)
+    assert(byPair.contains((0L, 2L)), s"gain-shifted copy not paired: $got")
+    assert(byPair((0L, 2L))._6 >= 0.5)
+    assert(!got.exists(r => r._1 == 3L || r._2 == 3L), "unrelated stream paired")
+    // serial replay of the fingerprint pipeline on the base stream
+    val bytes = a.getBytes("UTF-8")
+    val nw = math.max(1, math.ceil(bytes.length / 8.0).toInt)
+    val energies = (0 until nw).map { i =>
+      bytes.slice(i * 8, math.min(i * 8 + 16, bytes.length))
+        .map(b => (b & 0xff).toLong).sum
+    }
+    val sgn = energies.sliding(2).map(p => if (p(1) > p(0)) 1L else 0L).toSeq
+    val fps = sgn.sliding(16).filter(_.size == 16)
+      .map(s => s.zipWithIndex.map { case (b, k) => b << k }.sum).toSet
+    assert(byPair((0L, 1L))._4 == fps.size.toLong,
+      "Spark per-doc fp set size != serial replay")
+  }
 }
