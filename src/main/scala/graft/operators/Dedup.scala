@@ -605,8 +605,12 @@ object Dedup {
       .select(col("doc_id"), (col("b2") / 2).cast("long").as("band"),
         col("r0"), col("r1"))
 
-  val d19OphMinhashSql: String =
-    s"""WITH g AS MATERIALIZED (
+  /** The d-family shingle build (sorted distinct md5-62 word-3gram sets)
+    * as the oracle's `g`+`inv` CTE pair — ONE spelling shared by the
+    * d19/d20 twins so the set definition can never drift between them.
+    */
+  private[graft] val shingleSetsCtes: String =
+    s"""g AS MATERIALIZED (
        |  SELECT doc_id, sh, len(sh) AS n_sh
        |  FROM (
        |    SELECT doc_id,
@@ -618,7 +622,10 @@ object Dedup {
        |    FROM (SELECT doc_id,
        |            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
        |          FROM documents))),
-       |inv AS MATERIALIZED (SELECT doc_id, unnest(sh) AS h FROM g),
+       |inv AS MATERIALIZED (SELECT doc_id, unnest(sh) AS h FROM g)""".stripMargin
+
+  val d19OphMinhashSql: String =
+    s"""WITH $shingleSetsCtes,
        |tp AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
        |  FROM inv x JOIN inv y ON x.h = y.h AND x.doc_id < y.doc_id
@@ -675,6 +682,92 @@ object Dedup {
        |             (SELECT count(*) FROM cand WHERE ncoll >= 2) AS nc2,
        |             (SELECT count(*) FROM ver) AS nv,
        |             (SELECT count(*) FROM ver2) AS nv2)""".stripMargin
+
+  // ----------------------------------------------------- d20_allpairs
+  /** EXACT threshold similarity join via prefix filtering — AllPairs
+    * (Bayardo, Ma & Srikant, WWW'07; the PPJoin family): every pair with
+    * word-shingle Jaccard ≥ 0.2, exactly — no sketch, no recall loss —
+    * without ever joining the full inverted index. The pruning law:
+    * J(x,y) ≥ t ⟹ |x∩y| ≥ t·|x∪y| ≥ t·|x|, so if the first
+    * |x| − ceil(t·|x|) + 1 shingles of x in a canonical RAREST-FIRST
+    * global order (df ASC, hash ASC) share nothing with y, x's remaining
+    * suffix (ceil(t·|x|) − 1 shingles) is too short to reach the required
+    * overlap — the pair cannot qualify. Candidates therefore come from
+    * joining only the PREFIXES, which by construction hold each doc's
+    * rarest shingles: the frequent-gram df² blowup the naive inverted
+    * index pays (the reason d2/d9 must cap df) is structurally excluded
+    * while recall stays exactly 1. Each candidate is verified with the
+    * zero-allocation merge-walk intersect on the full sorted sets.
+    *
+    * This is the join production runs when the dedup decision must be
+    * COMPLETE (legal/contamination-grade) — d3/d19 are its cheaper
+    * sketched approximations, and d12/d13 measure what they give up.
+    * Scale shape: df is one gram-keyed agg; prefix selection is one
+    * per-doc window over (df, h); verification ships sorted arrays to
+    * candidate pairs only. ceil(0.2·n) is exact integer arithmetic:
+    * (n + 4) DIV 5.
+    */
+  val d20Allpairs: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = shingleSets(docs(s, d))
+      .materialize() // feeds the prefix build AND both verify sides
+    val inv = base.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("h"))
+    val dfreq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = inv.join(dfreq, "h")
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= col("n_sh") - expr("(n_sh + 4) DIV 5") + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("inter", graft.expressions.SetSketchExpressions
+        .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("long"))
+      .where(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.2)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        sround(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4)
+          .as("jacc"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin: the shared shingle CTEs, the same rarest-first prefix
+    * window and integer prefix length, candidate intersect via the
+    * inverted index restricted to candidate pairs (mm11's idiom).
+    */
+  val d20AllpairsSql: String =
+    s"""WITH $shingleSetsCtes,
+       |dfreq AS (SELECT h, count(*) AS df FROM inv GROUP BY h),
+       |prefix AS MATERIALIZED (
+       |  SELECT doc_id, h FROM (
+       |    SELECT i.doc_id, i.h, g.n_sh,
+       |      row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.h) AS pos
+       |    FROM inv i JOIN dfreq d USING (h) JOIN g USING (doc_id))
+       |  WHERE pos <= n_sh - ((n_sh + 4) // 5) + 1),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM prefix x JOIN prefix y ON x.h = y.h AND x.doc_id < y.doc_id),
+       |ints AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN inv x ON x.doc_id = c.doc_a
+       |  JOIN inv y ON y.doc_id = c.doc_b AND y.h = x.h
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+       |  CAST(ga.n_sh AS BIGINT) AS n_a, CAST(gb.n_sh AS BIGINT) AS n_b,
+       |  floor(i.inter / CAST(ga.n_sh + gb.n_sh - i.inter AS DOUBLE)
+       |    * 10000.0 + 0.5) / 10000.0 AS jacc
+       |FROM ints i
+       |JOIN g ga ON ga.doc_id = i.doc_a
+       |JOIN g gb ON gb.doc_id = i.doc_b
+       |WHERE i.inter / CAST(ga.n_sh + gb.n_sh - i.inter AS DOUBLE) >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // --------------------------------------------------------- d4_simhash
   /** SimHash fingerprint per doc + near-dup pairs via 16-bit chunk blocking
@@ -1879,7 +1972,8 @@ object Dedup {
     "d10_incremental_dedup" -> d10IncrementalDedup,
     "d12_lsh_eval" -> d12LshEval,
     "d13_threshold_sweep" -> d13ThresholdSweep,
-    "d19_oph_minhash" -> d19OphMinhash)
+    "d19_oph_minhash" -> d19OphMinhash,
+    "d20_allpairs" -> d20Allpairs)
 
   val oracles: Map[String, String] = Map(
     "d17_source_overlap" -> d17SourceOverlapSql,
@@ -1898,5 +1992,6 @@ object Dedup {
     "d10_incremental_dedup" -> d10IncrementalDedupSql,
     "d12_lsh_eval" -> d12LshEvalSql,
     "d13_threshold_sweep" -> d13ThresholdSweepSql,
-    "d19_oph_minhash" -> d19OphMinhashSql)
+    "d19_oph_minhash" -> d19OphMinhashSql,
+    "d20_allpairs" -> d20AllpairsSql)
 }

@@ -612,4 +612,51 @@ class TextDedupSpec extends SparkSpec {
     assert(got == expect)
     assert(got.nonEmpty, "sf corpus must have at least one overlapping source pair")
   }
+
+  test("d20 AllPairs: prefix-filtered join == naive inverted-index join, with fewer candidates") {
+    val d = "/root/testdata/sf0.01" // sf0.001 has no >=0.2 shingle pairs
+    // the exact answer from d20's prefix-filtered plan
+    val got = Dedup.queries("d20_allpairs")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty, "corpus must contain >=0.2 Jaccard pairs")
+    // naive reference: full inverted-index self-join (what d19's truth
+    // computes) — same shingle build, NO prefix pruning
+    val docsDf = Tables.load(spark, d, "documents")
+    val base = docsDf
+      .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordNgrams(col("toks"), 3).as("ngrams"))
+      .select(col("doc_id"), graft.expressions.PortableHashExpressions
+        .md5HashArray62(col("ngrams"), distinctSorted = true).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = base.select(col("doc_id"), explode(col("sh")).as("h"))
+    val naivePairs = inv.as("x").join(inv.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val naive = naivePairs
+      .join(base.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.2)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    // EXACTNESS: recall 1 and precision 1 on the final pair set
+    assert(got.map(r => (r._1, r._2)).toSet == naive)
+    // and the point of the algorithm: fewer verified candidates than the
+    // naive join's pair-count stage touches
+    val naiveCand = naivePairs.count()
+    val prefixCand = {
+      import org.apache.spark.sql.expressions.Window
+      val i2 = base.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("h"))
+      val dfreq = i2.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+      val pre = i2.join(dfreq, "h")
+        .withColumn("pos", row_number().over(w))
+        .where(col("pos") <= col("n_sh") - expr("(n_sh + 4) DIV 5") + 1)
+        .select(col("doc_id"), col("h"))
+      pre.as("x").join(pre.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    }
+    assert(prefixCand < naiveCand,
+      s"prefix filter must prune: $prefixCand vs $naiveCand")
+  }
 }
