@@ -718,6 +718,8 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <= col("n_sh") - expr("(n_sh + 4) DIV 5") + 1)
       .select(col("doc_id"), col("h"))
+      .materialize() // both sides of the candidate self-join — without
+                     // the cut the scan+dfreq+window chain runs twice
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
