@@ -1844,8 +1844,118 @@ object Similarity {
        |ORDER BY nprobe""".stripMargin
   }
 
+  // -------------------------------------------------- v20_bitext_mining
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * LASER/CCMatrix recipe for building parallel MT/LLM corpora): for
+    * every non-English document, the best English candidate scored by
+    * the MARGIN criterion — raw cosine divided by the mean of both
+    * sides' k-NN cosines — which cancels hubness (a vector that is close
+    * to EVERYTHING has a high denominator, so raw-cosine false mates are
+    * demoted; margin > 1 ⟺ this pair is closer than its neighborhoods).
+    *
+    *   margin(x, y) = 2·cos(x,y) / (meanK(x) + meanK(y)),  k = 4
+    *
+    * Blocking is v4's coarse quantizer verbatim (one spelling, shared
+    * oracle CTE chain): candidates and BOTH k-NN neighborhoods live
+    * inside the vector's own IVF cell, so the pair bill is Σ|Xc|·|Yc| —
+    * the bipartite v16 shape, grown by cell count at corpus scale, never
+    * corpus². The pair stream is deliberately recomputed per consumer
+    * (three passes: meanK(x), meanK(y), final scoring) — at 100 TB
+    * recomputing a streamed join is cheap, materializing billions of
+    * pairs is not (v16's lesson). meanK sums use the sorted-fold idiom
+    * (g1's bitwise-deterministic double reduction), and the margin is
+    * one identically-spelled division, so the twin replays exactly.
+    */
+  val v20BitextMining: Q = (s, d) => {
+    val kNN = 4
+    val e = emb(s, d)
+    val langs = Tables.load(s, d, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val refined = ivfRefined(e, 16)
+    val corpus = e.join(langs, "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        normSq(col("embedding")).as("nsq"),
+        nearestCell(refined, col("embedding")).as("cell"), col("lang"))
+      .materialize() // linear frame; feeds both language sides
+    val xs = corpus.filter(col("lang") =!= "en")
+      .select(col("vec_id").as("x_id"), col("embedding").as("e_x"),
+        col("nsq").as("nsq_x"), col("cell"))
+    val ys = corpus.filter(col("lang") === "en")
+      .select(col("vec_id").as("y_id"), col("embedding").as("e_y"),
+        col("nsq").as("nsq_y"), col("cell"))
+    def pairs: DataFrame = xs.join(ys, Seq("cell"))
+      .withColumn("sim", cosineWithNorms(dot(col("e_x"), col("e_y")),
+        col("nsq_x"), col("nsq_y")))
+      .select(col("x_id"), col("y_id"), col("sim"))
+    def sortedFoldSum(c: Column): Column =
+      aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+    def meanK(key: String, other: String): DataFrame = pairs
+      .withColumn("r", row_number().over(Window.partitionBy(col(key))
+        .orderBy(col("sim").desc, col(other).asc)))
+      .where(col("r") <= kNN)
+      .groupBy(col(key))
+      .agg((sortedFoldSum(col("sim")) / count(lit(1))).as(s"m_$key"))
+    pairs
+      .join(meanK("x_id", "y_id"), "x_id")
+      .join(meanK("y_id", "x_id"), "y_id")
+      .withColumn("margin",
+        lit(2.0) * col("sim") / (col("m_x_id") + col("m_y_id")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("x_id"))
+        .orderBy(col("margin").desc, col("y_id").asc)))
+      .where(col("rk") === 1)
+      .select(col("x_id"), col("y_id"),
+        sround(col("sim"), 4).as("sim"), sround(col("margin"), 4).as("margin"))
+      .orderBy("x_id")
+  }
+
+  /** DuckDB twin: v4's shared build CTEs + lang join, the pair stream
+    * INLINED per consumer (a pair CTE would materialize — v16's lesson),
+    * list_sort+list_aggregate for the deterministic k-NN mean folds.
+    */
+  val v20BitextMiningSql: String = {
+    def dotList(a: String, b: String): String =
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+    def pairsSql: String =
+      s"""(SELECT x.n_id AS x_id, y.n_id AS y_id,
+         |    ${dotList("x.n_emb", "y.n_emb")}
+         |      / (sqrt(x.nsq_n) * sqrt(y.nsq_n)) AS sim
+         |  FROM corpx x JOIN corpy y USING (cell))""".stripMargin
+    def meanSql(key: String, other: String): String =
+      s"""  SELECT $key, list_aggregate(list_sort(list(sim)), 'sum')
+         |      / count(*) AS m_$key
+         |  FROM (SELECT $key, $other, sim,
+         |          row_number() OVER (PARTITION BY $key
+         |            ORDER BY sim DESC, $other ASC) AS r
+         |        FROM $pairsSql pr)
+         |  WHERE r <= 4 GROUP BY $key""".stripMargin
+    s"""WITH $ivfCorpusCtes,
+       |langd AS (SELECT doc_id AS n_id, lang FROM documents),
+       |corpx AS MATERIALIZED (
+       |  SELECT c.* FROM corpus c JOIN langd l USING (n_id)
+       |  WHERE l.lang != 'en'),
+       |corpy AS MATERIALIZED (
+       |  SELECT c.* FROM corpus c JOIN langd l USING (n_id)
+       |  WHERE l.lang = 'en'),
+       |mx AS MATERIALIZED (
+       |${meanSql("x_id", "y_id")}),
+       |my AS MATERIALIZED (
+       |${meanSql("y_id", "x_id")}),
+       |scored AS (
+       |  SELECT p.x_id, p.y_id, p.sim,
+       |    2.0 * p.sim / (mx.m_x_id + my.m_y_id) AS margin,
+       |    row_number() OVER (PARTITION BY p.x_id
+       |      ORDER BY 2.0 * p.sim / (mx.m_x_id + my.m_y_id) DESC,
+       |               p.y_id ASC) AS rk
+       |  FROM $pairsSql p JOIN mx USING (x_id) JOIN my USING (y_id))
+       |SELECT x_id, y_id,
+       |  floor(sim * 10000.0 + 0.5) / 10000.0 AS sim,
+       |  floor(margin * 10000.0 + 0.5) / 10000.0 AS margin
+       |FROM scored WHERE rk = 1 ORDER BY x_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "v20_bitext_mining" -> v20BitextMining,
     "v19_nprobe_sweep" -> v19NprobeSweep,
     "v17_hard_negatives" -> v17HardNegatives,
     "v18_prototypicality" -> v18Prototypicality,
@@ -1867,6 +1977,7 @@ object Similarity {
     "v12_ivf_append" -> v12IvfAppend)
 
   val oracles: Map[String, String] = Map(
+    "v20_bitext_mining" -> v20BitextMiningSql,
     "v19_nprobe_sweep" -> v19NprobeSweepSql,
     "v17_hard_negatives" -> v17HardNegativesSql,
     "v18_prototypicality" -> v18PrototypicalitySql,

@@ -911,6 +911,62 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("v20 bitext mining matches a full in-memory build + margin replay") {
+    val langs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val seeds = vecs.filter(_._1 < 16).map(_._2).map { v =>
+      val n = math.sqrt(dotd(v, v)); v.map(x => if (n == 0) 0.0 else x / n)
+    }
+    def argmaxCell(cents: Array[Array[Double]], v: Array[Double]): Int =
+      cents.zipWithIndex.map { case (c, i) => (dotd(v, c), i) }
+        .maxBy { case (sc, i) => (sc, -i) }._2
+    val a0 = vecs.map { case (id, v) => (id, v, argmaxCell(seeds, v)) }
+    val refined = a0.groupBy(_._3).map { case (cell, members) =>
+      cell -> Array.tabulate(vecs.head._2.length) { p =>
+        val m = members.map(_._2(p)).sum / members.size
+        math.floor(m * 1e4 + 0.5) / 1e4
+      }
+    }.toArray.sortBy(_._1).map(_._2)
+    val assigned = vecs.map { case (id, v) => (id, v, argmaxCell(refined, v)) }
+    // bipartite per-cell pair sims
+    val pairs: Seq[(Long, Long, Double)] =
+      assigned.groupBy(_._3).values.toSeq.flatMap { members =>
+        val xs = members.filter(m => langs(m._1) != "en")
+        val ys = members.filter(m => langs(m._1) == "en")
+        for ((xid, xv, _) <- xs.toSeq; (yid, yv, _) <- ys.toSeq) yield
+          (xid, yid,
+            dotd(xv, yv) / (math.sqrt(dotd(xv, xv)) * math.sqrt(dotd(yv, yv))))
+      }
+    // sorted-fold k-NN means (ascending sum, the engine's fold order)
+    def meanK(top: Seq[Double]): Double =
+      top.sorted.foldLeft(0.0)(_ + _) / top.size
+    val mx: Map[Long, Double] = pairs.groupBy(_._1).map { case (x, ps) =>
+      x -> meanK(ps.sortBy(p => (-p._3, p._2)).take(4).map(_._3)) }
+    val my: Map[Long, Double] = pairs.groupBy(_._2).map { case (y, ps) =>
+      y -> meanK(ps.sortBy(p => (-p._3, p._1)).take(4).map(_._3)) }
+    def sr(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val expect: Seq[(Long, Long, Double, Double)] =
+      pairs.groupBy(_._1).map { case (x, ps) =>
+        val scored: Seq[(Long, Double, Double)] =
+          ps.map { case (_, y, s) => (y, s, 2.0 * s / (mx(x) + my(y))) }
+        val (y, s, m) = scored.minBy { case (yid, _, mg) => (-mg, yid) }
+        (x, y, sr(s), sr(m))
+      }.toSeq.sortBy(_._1)
+    val got = Similarity.v20BitextMining(spark, sfDir)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.nonEmpty && got == expect)
+    // hubness sanity: every reported margin is the x's maximum
+    assert(got.map(_._4).forall(m => m > 0))
+  }
+
   test("mm12 audio near-dup: exact copies pair at 1.0 and fingerprints are gain-invariant") {
     import graft.multimodal.Multimodal
     // pseudo-audio: byte streams long enough for 16-delta shingles at
