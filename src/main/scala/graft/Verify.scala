@@ -22,9 +22,19 @@ object Verify {
         // DuckDB oracles never emit DECIMAL — a DecimalType column here
         // (e.g. from an uncast `x / 10000.0` literal, which Spark parses
         // as DECIMAL(5,1)) is value-identical but hash-red on the
-        // driver. Fail the dump loudly instead of shipping it.
+        // driver. Fail the dump loudly instead of shipping it. The check
+        // recurses into struct/array/map columns: a decimal nested one
+        // level down hashes just as red as a top-level one.
+        import org.apache.spark.sql.types._
+        def hasDecimal(dt: DataType): Boolean = dt match {
+          case _: DecimalType => true
+          case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+          case a: ArrayType => hasDecimal(a.elementType)
+          case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+          case _ => false
+        }
         val decimals = df.schema.fields.collect {
-          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+          case f if hasDecimal(f.dataType) => f.name
         }
         require(decimals.isEmpty,
           s"query '$name' emits DecimalType column(s) ${decimals.mkString(",")}; " +

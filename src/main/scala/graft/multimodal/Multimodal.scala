@@ -170,13 +170,20 @@ object Multimodal {
 
   /** Frame a binary payload stream into (win, hop) windows with per-window
     * energy — per-partition streamed, trailing partial windows included.
+    *
+    * Invariant shared with every DuckDB twin (mm3/mm5/mm6/mm12 all replay
+    * framing as `range(ceil(blen/hop))`): an EMPTY payload emits ZERO
+    * windows — empty docs simply vanish from window-grain outputs. Do not
+    * re-introduce a one-zero-window floor here without changing all four
+    * twins in lockstep; the mismatch is invisible until a gated query
+    * surfaces per-doc window counts over an empty doc.
     */
   def audioWindows(media: Dataset[MediaIn], win: Int = 256, hop: Int = 128)
       : Dataset[AudioWin] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
       val b = m.payload
-      val n = math.max(1, math.ceil(b.length / hop.toDouble).toInt)
+      val n = math.ceil(b.length / hop.toDouble).toInt
       (0 until n).iterator.map { i =>
         val start = i * hop
         val end = math.min(start + win, b.length)

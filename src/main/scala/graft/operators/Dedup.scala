@@ -226,7 +226,7 @@ object Dedup {
     * total). CollapseProject keeps multi-referenced non-cheap aliases in
     * their own layer.
     */
-  private def shingleSets(docsDf: DataFrame): DataFrame =
+  private[graft] def shingleSets(docsDf: DataFrame): DataFrame =
     docsDf
       .select(col("doc_id"), lowerTokens(col("text")).as("toks"))
       .select(col("doc_id"), wordNgrams(col("toks"), 3).as("ngrams"))
@@ -342,6 +342,49 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** EXACT Jaccard >= 0.2 pair set via the AllPairs prefix filter
+    * (Bayardo, Ma & Srikant, WWW'07) — the bounded ground-truth
+    * generator shared by the d12/d19 eval harnesses and the core of d20
+    * itself. Candidates form only on each doc's rarest-first prefix
+    * (|x| - ceil(0.2|x|) + 1 shingles ordered df ASC, h ASC), so the
+    * frequent-gram df² blowup of a naive inverted-index truth join is
+    * structurally excluded while the result is provably the COMPLETE
+    * pair set — recall exactly 1 (TextDedupSpec proves pair-set equality
+    * against the naive join). That makes the eval harnesses themselves
+    * 100-TB-safe, not just the operators they certify. Input must be a
+    * shingleSets frame, already materialized (it is re-scanned by the
+    * prefix build and both verify sides). Returns
+    * (doc_a, doc_b, inter, n_a, n_b) for every pair with word-trigram
+    * Jaccard >= 0.2; ceil(0.2·n) is exact integer arithmetic
+    * ((n + 4) DIV 5).
+    */
+  private[graft] def exactJaccardPairs02(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = base.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("h"))
+    val dfreq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = inv.join(dfreq, "h")
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= col("n_sh") - expr("(n_sh + 4) DIV 5") + 1)
+      .select(col("doc_id"), col("h"))
+      .materialize() // both sides of the candidate self-join — without
+                     // the cut the scan+dfreq+window chain runs twice
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("inter", graft.expressions.SetSketchExpressions
+        .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("long"))
+      .where(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.2)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
+  }
+
   // ------------------------------------------------------- d12_lsh_eval
   /** LSH index-quality evaluation — v11's "measure, don't guess" harness
     * for the dedup family: d3's band-collision candidate generation is
@@ -359,26 +402,22 @@ object Dedup {
     * 32 bands x 2 rows — and the >= 2-collision tightening — fit the
     * corpus before committing the index shape.
     *
-    * Scale shape: ground truth is NOT all-pairs — it is the exact
-    * inverted-index algorithm (explode shingles once, gram-equality
-    * join, count per pair = intersection size), the d2-oracle columnar
-    * spelling run in the engine; cost scales with actually-shared
-    * shingles. Like v11's brute pass, an eval inherently pays for truth
-    * — production runs it on a sampled corpus slice.
+    * Scale shape: ground truth is [[exactJaccardPairs02]] — d20's
+    * AllPairs prefix-filtered exact join, so even the harness's truth
+    * side is bounded (candidates only on rarest-first prefixes; the
+    * frequent-gram df² blowup of a naive inverted-index join is
+    * structurally excluded) while staying provably COMPLETE (recall
+    * exactly 1). Like v11's brute pass, an eval still inherently pays
+    * for truth — production typically runs it on a sampled corpus
+    * slice, but with the prefix-filtered generator even the full-corpus
+    * run is shuffle-bounded, not df²-bounded.
     */
   val d12LshEval: Q = (s, d) => {
     val base = shingleSets(docs(s, d))
-      .materialize() // feeds inverted index, band keys, AND sizes
-    val inv = base.select(col("doc_id"), explode(col("sh")).as("h"))
-    val tp = inv.as("x").join(inv.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val truth = tp
-      .join(base.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.2)
+      .materialize() // feeds truth prefix build, band keys, AND sizes
+    val truth = exactJaccardPairs02(base)
       .select(col("doc_a"), col("doc_b"))
+      .materialize() // referenced by the count AND both semi joins
     // Candidates via the EXACT (band, r0, r1) signature join — the
     // oracle's own columnar algorithm — not d3's fused 64-bit bkey:
     // d3 surfaces candidates only through a Jaccard verify that absorbs
@@ -519,16 +558,12 @@ object Dedup {
     */
   val d19OphMinhash: Q = (s, d) => {
     val base = shingleSets(docs(s, d))
-      .materialize() // feeds truth inverted index AND the OPH slots
-    val inv = base.select(col("doc_id"), explode(col("sh")).as("h"))
-    val tp = inv.as("x").join(inv.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val truth = tp
-      .join(base.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.2)
+      .materialize() // feeds truth prefix build AND the OPH slots
+    // Ground truth via exactJaccardPairs02 (d20's prefix-filtered exact
+    // join): identical pair set to a naive inverted-index truth join —
+    // recall exactly 1 — but bounded (no frequent-gram df² candidate
+    // blowup), so the HARNESS is as 100-TB-safe as the sketch it scores.
+    val truth = exactJaccardPairs02(base)
       .select(col("doc_a"), col("doc_b"))
       .materialize() // referenced by the count AND both semi joins
     val bandsDf = ophBands(base).materialize()
@@ -708,32 +743,10 @@ object Dedup {
     * (n + 4) DIV 5.
     */
   val d20Allpairs: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val base = shingleSets(docs(s, d))
       .materialize() // feeds the prefix build AND both verify sides
-    val inv = base.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("h"))
-    val dfreq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    val prefix = inv.join(dfreq, "h")
-      .withColumn("pos", row_number().over(w))
-      .where(col("pos") <= col("n_sh") - expr("(n_sh + 4) DIV 5") + 1)
-      .select(col("doc_id"), col("h"))
-      .materialize() // both sides of the candidate self-join — without
-                     // the cut the scan+dfreq+window chain runs twice
-    val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-        col("n_sh").as("n_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-        col("n_sh").as("n_b")), "doc_b")
-      .withColumn("inter", graft.expressions.SetSketchExpressions
-        .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("long"))
-      .where(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.2)
-      .select(col("doc_a"), col("doc_b"), col("inter"),
-        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+    exactJaccardPairs02(base)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
         sround(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4)
           .as("jacc"))
       .orderBy("doc_a", "doc_b")

@@ -1859,15 +1859,22 @@ object Similarity {
     * oracle CTE chain): candidates and BOTH k-NN neighborhoods live
     * inside the vector's own IVF cell, so the pair bill is Σ|Xc|·|Yc| —
     * the bipartite v16 shape, grown by cell count at corpus scale, never
-    * corpus². The pair stream is deliberately recomputed per consumer
+    * corpus². The pair stream is by default recomputed per consumer
     * (three passes: meanK(x), meanK(y), final scoring) — at 100 TB
     * recomputing a streamed join is cheap, materializing billions of
-    * pairs is not (v16's lesson). meanK sums use the sorted-fold idiom
-    * (g1's bitwise-deterministic double reduction), and the margin is
-    * one identically-spelled division, so the twin replays exactly.
+    * pairs is not (v16's lesson). For SMALL-cell regimes where the pair
+    * bill fits comfortably (short corpora, heavy quantization),
+    * `spark.graft.bitext.materialize=true` computes the pair stream
+    * ONCE and fences it for all three consumers — same rows by
+    * construction (SimilaritySpec asserts both paths emit identical
+    * output). meanK sums use the sorted-fold idiom (g1's
+    * bitwise-deterministic double reduction), and the margin is one
+    * identically-spelled division, so the twin replays exactly.
     */
   val v20BitextMining: Q = (s, d) => {
     val kNN = 4
+    val matPairs = s.conf.getOption("spark.graft.bitext.materialize")
+      .exists(_.toBoolean)
     val e = emb(s, d)
     val langs = Tables.load(s, d, "documents")
       .select(col("doc_id").as("vec_id"), col("lang"))
@@ -1883,10 +1890,16 @@ object Similarity {
     val ys = corpus.filter(col("lang") === "en")
       .select(col("vec_id").as("y_id"), col("embedding").as("e_y"),
         col("nsq").as("nsq_y"), col("cell"))
-    def pairs: DataFrame = xs.join(ys, Seq("cell"))
+    def pairsStream: DataFrame = xs.join(ys, Seq("cell"))
       .withColumn("sim", cosineWithNorms(dot(col("e_x"), col("e_y")),
         col("nsq_x"), col("nsq_y")))
       .select(col("x_id"), col("y_id"), col("sim"))
+    // conf-gated: fence the pair stream once for all three consumers
+    // (small-cell regimes) vs recompute it per consumer (the default —
+    // the right call when pairs are billions of rows)
+    val pairsShared: Option[DataFrame] =
+      if (matPairs) Some(pairsStream.materialize()) else None
+    def pairs: DataFrame = pairsShared.getOrElse(pairsStream)
     def sortedFoldSum(c: Column): Column =
       aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
     def meanK(key: String, other: String): DataFrame = pairs

@@ -3437,7 +3437,10 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   val t44BlocklistSql: String = {
-    val vals = blockPatterns.map(p => s"('$p')").mkString(", ")
+    // SQL-escape each pattern (' -> '') — a quote in a future blocklist
+    // entry must corrupt neither the VALUES list nor the hash compare
+    val vals = blockPatterns
+      .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
     s"""WITH pats(pat) AS (VALUES $vals),
        |hits AS (
        |  SELECT d.doc_id,

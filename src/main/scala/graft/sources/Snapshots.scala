@@ -112,12 +112,21 @@ object Snapshots {
     * in-flight writer's bytes are still landing (content grows between
     * reads, microseconds apart in practice), a legacy or crashed
     * writer's never change — AND whose mtime is at least
-    * [[LegacyAcceptAgeMs]] old. The age gate is what closes the
-    * stalled-writer window: a writer paused mid-write (GC pause,
-    * multi-chunk flush of a >4KB manifest) exposes a prefix that is
-    * byte-stable for tens of milliseconds, but its file is always
+    * the legacy-accept age old. The age gate NARROWS (it cannot fully
+    * close) the stalled-writer window: a writer paused mid-write (GC
+    * pause, multi-chunk flush of a >4KB manifest) exposes a prefix that
+    * is byte-stable for tens of milliseconds, but its file is usually
     * FRESH — any flush it eventually makes bumps mtime and resets the
-    * gate — while a legacy or crashed writer's manifest only ages.
+    * gate — while a legacy or crashed writer's manifest only ages. A
+    * writer stalled LONGER than the window, or reader/writer clock skew
+    * exceeding it on a remote FS, can still get a terminator-less prefix
+    * accepted; the default window (30s) is sized well past realistic GC
+    * pauses and NTP skew, and is configurable via
+    * `spark.graft.snapshots.legacyAcceptAgeMs` for filesystems with
+    * weaker mtime fidelity. Both content AND stat'd file length must
+    * hold across the stable reads, so a flush that lands between a
+    * content read and the accept (changing length but not yet the read
+    * bytes on an FS with read-path caching) resets the count.
     * Acceptance emits a WARN naming the manifest so the legacy path is
     * never silent. The crashed-writer case is indistinguishable from
     * legacy by construction and accepting its stable, aged prefix
@@ -127,16 +136,22 @@ object Snapshots {
     */
   private val StableReads = 5
   private val StableReadSpacingMs = 25L
-  /** Minimum manifest age before a terminator-less manifest can be
-    * accepted as legacy/crashed rather than in-flight. */
-  private[graft] val LegacyAcceptAgeMs = 5000L
+  /** Default minimum manifest age before a terminator-less manifest can
+    * be accepted as legacy/crashed rather than in-flight; override with
+    * `spark.graft.snapshots.legacyAcceptAgeMs`. Assumes reader-vs-writer
+    * clock skew and writer stall pauses are both well under this bound. */
+  private[graft] val LegacyAcceptAgeMsDefault = 30000L
+  private def legacyAcceptAgeMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.snapshots.legacyAcceptAgeMs")
+      .map(_.toLong).getOrElse(LegacyAcceptAgeMsDefault)
   private def manifestLines(spark: SparkSession, table: String,
       version: Int): Seq[String] = {
     val mp = manifestPath(table, version)
     val f = fs(spark, mp)
     require(f.exists(mp), s"no version $version at $table")
+    val acceptAgeMs = legacyAcceptAgeMs(spark)
     var attempt = 0
-    var prev: Vector[String] = null
+    var prev: (Vector[String], Long) = null
     var stable = 0
     while (true) {
       val in = f.open(mp)
@@ -144,8 +159,9 @@ object Snapshots {
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
         finally in.close()
       if (all.nonEmpty && all.last == Terminator) return all.dropRight(1)
-      val ageMs = System.currentTimeMillis() - f.getFileStatus(mp).getModificationTime
-      if (all.isEmpty && ageMs >= LegacyAcceptAgeMs)
+      val st = f.getFileStatus(mp)
+      val ageMs = System.currentTimeMillis() - st.getModificationTime
+      if (all.isEmpty && ageMs >= acceptAgeMs)
         // claimed but zero bytes ever landed, and no writer has touched
         // it for the full age window: fail fast with the repair path
         require(false,
@@ -153,12 +169,13 @@ object Snapshots {
             "any content landed. Repair: verify no writer is alive, then " +
             s"delete $mp to drop the torn version (its staged data files " +
             "are vacuumOrphans' documented class)")
-      if (all.nonEmpty && all == prev) {
+      if (all.nonEmpty && (all, st.getLen) == prev) {
         stable += 1
         // legacy terminator-less manifest, or a writer that died after
-        // its write: content settled AND the file is old enough that no
-        // live writer can still be mid-flush — accept it, loudly
-        if (stable >= StableReads && ageMs >= LegacyAcceptAgeMs) {
+        // its write: content AND stat'd length settled, and the file is
+        // old enough that no live writer is plausibly mid-flush — accept
+        // it, loudly
+        if (stable >= StableReads && ageMs >= acceptAgeMs) {
           System.err.println(
             s"[snapshots] WARN accepting terminator-less manifest $mp " +
               s"(${all.size} lines, stable over $stable reads, ${ageMs}ms " +
@@ -166,7 +183,7 @@ object Snapshots {
           return all
         }
       } else stable = 0
-      prev = all
+      prev = (all, st.getLen)
       attempt += 1
       require(attempt < 400,
         s"manifest $mp still incomplete after $attempt reads — torn write " +

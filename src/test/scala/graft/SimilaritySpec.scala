@@ -965,6 +965,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty && got == expect)
     // hubness sanity: every reported margin is the x's maximum
     assert(got.map(_._4).forall(m => m > 0))
+    // conf-gated small-cell path: materializing the pair stream once for
+    // all three consumers must emit the identical mate set
+    spark.conf.set("spark.graft.bitext.materialize", "true")
+    try {
+      val gotMat = Similarity.v20BitextMining(spark, sfDir)
+        .as[(Long, Long, Double, Double)].collect().toSeq
+      assert(gotMat == got)
+    } finally spark.conf.unset("spark.graft.bitext.materialize")
   }
 
   test("mm12 audio near-dup: exact copies pair at 1.0 and fingerprints are gain-invariant") {

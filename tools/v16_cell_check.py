@@ -33,34 +33,24 @@ FINGERPRINT = """
 SELECT count(*), sum(hash(nbr_id, rnk, sim, vec_id)) FROM ({q})
 """
 
-PER_CELL = """
-WITH corpus AS (SELECT * FROM '{corpus}' WHERE cell = {cell}),
-bound AS MATERIALIZED (
-  SELECT vec_id,
-    CASE WHEN count(*) >= 3 THEN min(m) ELSE -2.0 END AS m3
-  FROM (SELECT vec_id, m,
-          row_number() OVER (PARTITION BY vec_id ORDER BY m DESC) AS r
-        FROM (SELECT vec_id, nbr_id % 64 AS bk, max(sim) AS m
-              FROM (SELECT a.n_id AS vec_id, b.n_id AS nbr_id,
-    list_dot_product(CAST(a.n_emb AS DOUBLE[]), CAST(b.n_emb AS DOUBLE[]))
-      / (sqrt(a.nsq_n) * sqrt(b.nsq_n)) AS sim
-  FROM corpus a JOIN corpus b USING (cell)
-  WHERE a.n_id != b.n_id) bm GROUP BY 1, 2))
-  WHERE r <= 3 GROUP BY vec_id),
-rk AS (
-  SELECT p.vec_id, p.nbr_id, p.sim,
-    row_number() OVER (PARTITION BY p.vec_id
-      ORDER BY p.sim DESC, p.nbr_id ASC) AS rnk
-  FROM (SELECT a.n_id AS vec_id, b.n_id AS nbr_id,
-    list_dot_product(CAST(a.n_emb AS DOUBLE[]), CAST(b.n_emb AS DOUBLE[]))
-      / (sqrt(a.nsq_n) * sqrt(b.nsq_n)) AS sim
-  FROM corpus a JOIN corpus b USING (cell)
-  WHERE a.n_id != b.n_id) p JOIN bound b ON b.vec_id = p.vec_id
-  WHERE p.sim >= b.m3)
-SELECT vec_id, CAST(rnk AS INTEGER) AS rnk, nbr_id,
-  floor(sim * 10000.0 + 0.5) / 10000.0 AS sim
-FROM rk WHERE rnk <= 3
-"""
+# The per-cell replay is the SHIPPED twin's bound->rk->select tail, textually
+# extracted from oracle_sql.json (same discipline as the corpus CTE chain in
+# build_corpus) so the harness can never drift from the shipped v16 oracle.
+# The only edits are mechanical: the global corpus CTE chain is replaced by a
+# single-cell scan of the materialized corpus parquet, and the final global
+# ORDER BY is dropped (fingerprints are order-independent).
+PER_CELL = None  # set by load_per_cell() before the worker pool forks
+
+
+def load_per_cell():
+    global PER_CELL
+    sql = json.load(open(os.path.join(OUT, "oracle_sql.json")))["v16_knn_join"]
+    cut = sql.index(",\nbound AS MATERIALIZED")
+    tail = sql[cut + 2:].rstrip()
+    order = "ORDER BY vec_id, rnk"
+    assert tail.endswith(order), "v16 oracle tail changed shape; re-derive"
+    PER_CELL = ("WITH corpus AS (SELECT * FROM '{corpus}' "
+                "WHERE cell = {cell}),\n" + tail[: -len(order)].rstrip())
 
 
 def build_corpus():
@@ -93,6 +83,7 @@ def run_cell(cell):
 
 
 def main():
+    load_per_cell()
     cells = build_corpus()
     print(f"corpus built: {len(cells)} cells, sizes "
           f"{[c[1] for c in cells[:4]]}...{[c[1] for c in cells[-2:]]}",
