@@ -1372,6 +1372,151 @@ object Dedup {
 
   val d18SpanDedup32Sql: String = spanDedupSqlAt(32)
 
+  // ----------------------------------------------- d21_exactsubstr
+  /** ANY-length ExactSubstr dedup — Lee et al. 2022 (arXiv:2107.06499
+    * §4.1)'s actual contract, which d8/d18's fixed grains only
+    * approximate: every substring of >= L tokens that occurs more than
+    * once in the corpus is removed from every occurrence EXCEPT the
+    * earliest (smallest (doc_id, pos)), at ANY offset. The reference
+    * recipe builds a suffix array over the concatenated corpus; the
+    * equivalent distributed shape is sliding-window fingerprinting — a
+    * repeat of length m >= L occupies exactly its m - L + 1 stride-1
+    * L-token windows, each of which repeats, and their merged span is
+    * the full m tokens; anything shorter than L has no full window and
+    * is never touched. So: (1) stream every full L-token window per doc
+    * ((pos, md5(window)) via the SpanChunks generator in sliding mode —
+    * constant memory per row, and the 32-hex md5 projects the window
+    * text away before any shuffle), (2) one hash-agg computes each
+    * window key's corpus df and earliest occurrence, (3) every
+    * non-earliest occurrence of a df >= 2 key marks [pos, pos+L-1]
+    * covered, (4) covered windows merge into maximal spans with one
+    * per-doc running-max window, and kept text is the uncovered tokens
+    * in order. Positions are exact, so repeats straddling any grain
+    * boundary — the class d18 provably misses (TextDedupSpec plants
+    * one) — are caught at their true extent.
+    *
+    * Scale shape: windows are n_tokens rows (not n_tokens × L), one
+    * key-agg + one key-join (the d1 exact pattern at window grain),
+    * then per-doc windows over COVERED rows only — on a deduplicated
+    * corpus a small fraction of the token stream. Nothing is all-pairs.
+    */
+  private[graft] def exactSubstrAt(s: SparkSession, d: String,
+      n: Int): DataFrame = {
+    import graft.expressions.SpanChunks.slidingChunks
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, d)
+      .select(col("doc_id"), lowerTokens(col("text")).as("t"))
+      .materialize() // window stream, totals, AND the kept-text rebuild
+    val wins = toks
+      .select(col("doc_id"), slidingChunks(col("t"), n).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), md5(col("span")).as("wkey"))
+      .materialize() // winner agg AND the cover join
+    val winners = wins.groupBy(col("wkey"))
+      .agg(min(col("doc_id") * lit(1048576L) + col("pos")).as("wmin"),
+        count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+    val covered = wins.join(winners, "wkey")
+      .where(col("doc_id") * lit(1048576L) + col("pos") =!= col("wmin"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = covered
+      .withColumn("prev_e", max(col("pos") + lit(n - 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("st", when(col("prev_e").isNull ||
+        col("pos") > col("prev_e") + 1, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("st")).over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1)).as("e"))
+      .materialize() // span rollup AND the covered-position explode
+    val spanAgg = islands.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("n_removed"))
+    val covpos = islands.select(col("doc_id"),
+      explode(sequence(col("s"), col("e"))).as("pos"))
+    val keptT = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .join(covpos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")))).as("kept_md5"))
+    docs(s, d).select(col("doc_id"))
+      .join(toks.select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens")), Seq("doc_id"), "left")
+      .join(spanAgg, Seq("doc_id"), "left")
+      .join(keptT, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver grain 8: the corpus's docs run 30–90 tokens, so 8 is the
+    * proportional analog of Lee et al.'s 50-token grain on web pages —
+    * long enough that a match is a copied run, short enough that planted
+    * near-dups actually contain one.
+    */
+  val d21ExactSubstr: Q = (s, d) => exactSubstrAt(s, d, 8)
+
+  /** DuckDB twin at grain `n`: identical sliding windows via range +
+    * list slice, the same md5 window keys, pack-key argmin, running-max
+    * island merge, and anti-join kept-text rebuild.
+    */
+  private[graft] def exactSubstrSqlAt(n: Int): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |wins AS MATERIALIZED (
+      |  SELECT doc_id, CAST(i AS INT) AS pos,
+      |    md5(array_to_string(t[i+1:i+$n], ' ')) AS wkey
+      |  FROM toks, unnest(range(CAST(greatest(len(t) - $n + 1, 0) AS BIGINT))) AS u(i)),
+      |winners AS (
+      |  SELECT wkey, min(doc_id * 1048576 + pos) AS wmin
+      |  FROM wins GROUP BY wkey HAVING count(*) >= 2),
+      |cov AS (
+      |  SELECT w.doc_id, w.pos FROM wins w JOIN winners x USING (wkey)
+      |  WHERE w.doc_id * 1048576 + w.pos != x.wmin),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN prev_e IS NULL OR pos > prev_e + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      |  FROM (SELECT doc_id, pos,
+      |          max(pos + $n - 1) OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+      |        FROM cov)),
+      |islands AS MATERIALIZED (
+      |  SELECT doc_id, min(pos) AS s, max(pos) + $n - 1 AS e
+      |  FROM isl GROUP BY doc_id, isl),
+      |spanagg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+      |  FROM islands GROUP BY doc_id),
+      |covpos AS (SELECT doc_id, CAST(p AS INT) AS pos
+      |           FROM islands, unnest(range(s, e + 1)) AS v(p)),
+      |toksx AS (SELECT doc_id, CAST(i AS INT) AS pos,
+      |            t[CAST(i + 1 AS INT)] AS tok
+      |          FROM toks, unnest(range(CAST(len(t) AS BIGINT))) AS u(i)),
+      |keptt AS (
+      |  SELECT k.doc_id, md5(string_agg(k.tok, ' ' ORDER BY k.pos)) AS kept_md5
+      |  FROM toksx k ANTI JOIN covpos c
+      |    ON k.doc_id = c.doc_id AND k.pos = c.pos
+      |  GROUP BY k.doc_id),
+      |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+      |SELECT d.doc_id,
+      |  coalesce(tot.n_tokens, 0) AS n_tokens,
+      |  coalesce(sa.n_spans, 0) AS n_spans,
+      |  coalesce(sa.n_removed, 0) AS n_removed,
+      |  coalesce(keptt.kept_md5, md5('')) AS kept_md5
+      |FROM documents d
+      |LEFT JOIN tot USING (doc_id) LEFT JOIN spanagg sa USING (doc_id)
+      |LEFT JOIN keptt USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  val d21ExactSubstrSql: String = exactSubstrSqlAt(8)
+
   // ---------------------------------------------------- d9_containment
   /** Containment dedup (subset-duplicate detection): pairs where one
     * doc's shingle set is ≥90% contained in the smaller side — the
@@ -1983,6 +2128,7 @@ object Dedup {
     "d7_semantic_dedup" -> d7SemanticDedup,
     "d8_span_dedup" -> d8SpanDedup,
     "d18_span_dedup32" -> d18SpanDedup32,
+    "d21_exactsubstr" -> d21ExactSubstr,
     "d9_containment" -> d9Containment,
     "d10_incremental_dedup" -> d10IncrementalDedup,
     "d12_lsh_eval" -> d12LshEval,
@@ -2003,6 +2149,7 @@ object Dedup {
     "d7_semantic_dedup" -> d7SemanticDedupSql,
     "d8_span_dedup" -> d8SpanDedupSql,
     "d18_span_dedup32" -> d18SpanDedup32Sql,
+    "d21_exactsubstr" -> d21ExactSubstrSql,
     "d9_containment" -> d9ContainmentSql,
     "d10_incremental_dedup" -> d10IncrementalDedupSql,
     "d12_lsh_eval" -> d12LshEvalSql,

@@ -3528,8 +3528,160 @@ object TextAnalysis {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- t46_classifier_train
+  /** In-engine quality-classifier TRAINING — the step t20 deliberately
+    * froze: production curation pipelines (CCNet, Wenzek et al. 2020;
+    * the GPT-3/DataComp filters) train the fastText-style linear scorer
+    * on in-domain-vs-random samples before scoring the crawl. This
+    * operator trains a linear model on hashed bag-of-words term
+    * frequencies (4096 buckets, md5-62 mod — t19/t20's feature space)
+    * with label y = (lang = 'en'), by THREE bounded batch-gradient
+    * rounds on squared loss, then scores every document with the
+    * trained weights (t20's frozen-weight kernel shape, weights now
+    * learned).
+    *
+    * Exact-rational update discipline (p11's (1+ηx) rationale, pushed
+    * one level deeper): per-doc activations fold in sorted order (t8's
+    * bitwise-deterministic double reduction), residuals collapse to
+    * exact 1e-4 integer units (p4's trick), so the per-FEATURE gradient
+    * is a sum of LONGS — order-free and exact at any parallelism — and
+    * the weight update w += η·g/(N·1e8) is one identically-spelled
+    * double expression. Every number the oracle replays is either an
+    * integer or a deterministic fold, so the twin matches bit for bit
+    * through all three rounds.
+    *
+    * Scale shape: the feature frame (one row per (doc, bucket),
+    * materialized once) is the only corpus-sized object; each round is
+    * one doc-keyed agg (activation), one narrow residual projection, one
+    * feature-keyed agg (gradient — 4096 rows out), and a 4096-row
+    * weight join that AQE broadcasts. Rounds chain through materialized
+    * 4096-row weight frames, so plan depth stays flat (p11's 2^rounds
+    * lesson). Nothing iterative ever touches the corpus more than once
+    * per round.
+    */
+  val t46ClassifierTrain: Q = (s, d) => {
+    import graft.expressions.PortableHashExpressions.md5Hash62
+    val eta = 0.1
+    val rounds = 3
+    def sortedFoldSum(c: Column): Column =
+      aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(lowerTokens(col("text"))).as("token"))
+    val feats = tok
+      .groupBy(col("doc_id"), (md5Hash62(col("token")) % lit(4096L)).as("fid"))
+      .agg(count(lit(1)).as("c"))
+      .join(tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), "doc_id")
+      .select(col("doc_id"), col("fid"),
+        floor(col("c") / col("n") * lit(10000.0) + lit(0.5)).as("x4"))
+      .materialize() // every round's activation AND gradient side
+    val lab = docs(s, d)
+      .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"))
+    val ndF = feats.agg(countDistinct(col("doc_id")).cast("double").as("nd"))
+    def zOf(w: DataFrame): DataFrame = feats.join(w, "fid")
+      .groupBy(col("doc_id"))
+      .agg(sortedFoldSum(col("w") * col("x4")).as("zraw"))
+    var w = feats.select(col("fid")).distinct()
+      .withColumn("w", lit(0.0)).materialize()
+    (1 to rounds).foreach { _ =>
+      val resid = lab.join(zOf(w), "doc_id")
+        .select(col("doc_id"),
+          floor((col("y") - col("zraw") / lit(10000.0)) * lit(10000.0)
+            + lit(0.5)).as("r4"))
+      val g = feats.join(resid, "doc_id")
+        .groupBy(col("fid")).agg(sum(col("r4") * col("x4")).as("g"))
+      w = w.join(g, "fid").crossJoin(ndF)
+        .select(col("fid"),
+          (col("w") + lit(eta) * (col("g").cast("double")
+            / (col("nd") * lit(1.0e8)))).as("w"))
+        .materialize() // 4096 rows; fences the round chain flat
+    }
+    // keep = strictly above the corpus-mean score (the CCNet-style
+    // keep-the-better-half cut, self-calibrated — three damped rounds
+    // rank correctly long before scores reach probability scale). The
+    // compare is the integer cross-multiply zq·n > Σzq on 1e-6-unit
+    // longs, so the threshold is exact at any summation order; |zq| is
+    // bounded by the 1e10-ish score scale so the product stays far from
+    // Long overflow even at 100-TB doc counts per partition of the gate.
+    val scored = docs(s, d)
+      .select(col("doc_id"), (col("lang") === "en").as("label"))
+      .join(zOf(w), Seq("doc_id"), "left")
+      .withColumn("zq", floor(coalesce(col("zraw"), lit(0.0))
+        * lit(1000000.0) + lit(0.5)).cast("long"))
+      .materialize() // the mean stats AND the output rows
+    val stats = scored.where(col("zraw").isNotNull)
+      .agg(sum(col("zq")).as("zsum"), count(lit(1)).as("zn"))
+    scored.crossJoin(stats)
+      .select(col("doc_id"), col("label"),
+        sround(coalesce(col("zraw"), lit(0.0)) / lit(10000.0), 6).as("score"),
+        (col("zraw").isNotNull && col("zq") * col("zn") > col("zsum"))
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: identical feature build, three unrolled gradient
+    * rounds as MATERIALIZED weight CTEs (w0..w3 — each round references
+    * its predecessor twice, p11's fence rule), list_sort folds for the
+    * activations, integer r4·x4 gradients, and the same one-expression
+    * weight update.
+    */
+  val t46ClassifierTrainSql: String = {
+    def zSql(wcte: String): String =
+      s"""SELECT doc_id,
+         |    list_aggregate(list_sort(list(w * x4)), 'sum') AS zraw
+         |  FROM feats JOIN $wcte USING (fid) GROUP BY doc_id""".stripMargin
+    val roundCtes = (1 to 3).map { t =>
+      val prev = s"w${t - 1}"
+      s"""z$t AS ($$(zzz)),
+         |r$t AS (
+         |  SELECT l.doc_id,
+         |    CAST(floor((l.y - z.zraw / 10000.0) * 10000.0 + 0.5) AS BIGINT) AS r4
+         |  FROM lab l JOIN z$t z USING (doc_id)),
+         |g$t AS (
+         |  SELECT fid, sum(r4 * x4) AS g
+         |  FROM feats JOIN r$t USING (doc_id) GROUP BY fid),
+         |w$t AS MATERIALIZED (
+         |  SELECT $prev.fid,
+         |    $prev.w + 0.1 * (CAST(g$t.g AS DOUBLE) / (nd.nd * 100000000.0)) AS w
+         |  FROM $prev JOIN g$t USING (fid) CROSS JOIN nd)"""
+        .stripMargin.replace("$(zzz)", zSql(prev))
+    }.mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> x != '')) AS token
+       |  FROM documents),
+       |feats AS MATERIALIZED (
+       |  SELECT c.doc_id, c.fid,
+       |    CAST(floor(c.c / n.n * 10000.0 + 0.5) AS BIGINT) AS x4
+       |  FROM (SELECT doc_id,
+       |          CAST(md5_number_lower(token) & 4611686018427387903 AS BIGINT)
+       |            % 4096 AS fid,
+       |          count(*) AS c
+       |        FROM tok GROUP BY 1, 2) c
+       |  JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1) n
+       |    USING (doc_id)),
+       |lab AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents),
+       |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM feats),
+       |w0 AS MATERIALIZED (SELECT DISTINCT fid, 0.0 AS w FROM feats),
+       |$roundCtes,
+       |zf AS (${zSql("w3")}),
+       |sc AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang = 'en' AS label, z.zraw,
+       |    CAST(floor(coalesce(z.zraw, 0.0) * 1000000.0 + 0.5) AS BIGINT)
+       |      AS zq
+       |  FROM documents d LEFT JOIN zf z USING (doc_id)),
+       |st AS (SELECT CAST(sum(zq) AS BIGINT) AS zsum, count(*) AS zn
+       |       FROM sc WHERE zraw IS NOT NULL)
+       |SELECT doc_id, label,
+       |  floor(coalesce(zraw, 0.0) / 10000.0 * 1000000.0 + 0.5) / 1000000.0
+       |    AS score,
+       |  (zraw IS NOT NULL AND zq * zn > zsum) AS keep
+       |FROM sc CROSS JOIN st ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "t46_classifier_train" -> t46ClassifierTrain,
     "t44_blocklist" -> t44Blocklist,
     "t45_fim_prep" -> t45FimPrep,
     "t41_bpe_train64" -> t41BpeTrain64,
@@ -3579,6 +3731,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t44_blocklist" -> t44BlocklistSql,
     "t45_fim_prep" -> t45FimPrepSql,
+    "t46_classifier_train" -> t46ClassifierTrainSql,
     "t41_bpe_train64" -> t41BpeTrain64Sql,
     "t42_bpe_encode64" -> t42BpeEncode64Sql,
     "t43_kn_lm_score" -> t43KnLmScoreSql,

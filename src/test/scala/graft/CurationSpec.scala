@@ -1190,4 +1190,35 @@ class CurationSpec extends SparkSpec {
     // hash-lane rate: 90% +/- a loose binomial band
     assert(math.abs(fim.toDouble / out.length - 0.9) < 0.1, s"fim rate $fim/${out.length}")
   }
+
+  test("t46 classifier training separates planted in-domain docs from junk") {
+    // in-domain ('en') docs draw from vocabulary A, junk ('xx') from a
+    // disjoint vocabulary B, with one shared stopword so the classes are
+    // not trivially disjoint feature sets. A trained linear scorer must
+    // rank EVERY in-domain doc above EVERY junk doc and keep exactly the
+    // in-domain half at the mean cut.
+    val rng = new scala.util.Random(7)
+    def doc(vocab: Seq[String], n: Int): String =
+      (Seq.fill(n)(vocab(rng.nextInt(vocab.size))) :+ "the").mkString(" ")
+    val vocabA = (1 to 30).map(i => s"good$i")
+    val vocabB = (1 to 30).map(i => s"junk$i")
+    val rows = (0 until 40).map { i =>
+      val en = i % 2 == 0
+      (i.toLong, doc(if (en) vocabA else vocabB, 20 + rng.nextInt(20)),
+        if (en) "en" else "xx", "web", 1L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("t46").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.t46ClassifierTrain(spark, dir)
+      .as[(Long, Boolean, Double, Boolean)].collect()
+    val (pos, neg) = out.partition(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    // strict ranking separation: worst in-domain score beats best junk
+    assert(pos.map(_._3).min > neg.map(_._3).max,
+      s"no separation: pos min ${pos.map(_._3).min}, neg max ${neg.map(_._3).max}")
+    // the mean cut keeps exactly the in-domain class
+    assert(pos.forall(_._4) && neg.forall(!_._4),
+      s"keep flags wrong: ${out.filter(r => r._4 != r._2).mkString(", ")}")
+  }
 }

@@ -246,6 +246,54 @@ class TextDedupSpec extends SparkSpec {
       s"phrase docs: ${out(3L)}, ${out(4L)}")
   }
 
+  test("d21 exactsubstr catches any-offset repeats at their true extent where d18's fixed grain provably misses them") {
+    // a verbatim 40-token passage at offset 10 in doc 1 and offset 17 in
+    // doc 2: no aligned 32-token chunk boundary ever lines up, so d18
+    // misses it entirely; d21's stride-1 windows catch it exactly
+    val rep = (1 to 40).map(i => s"r$i").mkString(" ")
+    val run20 = (1 to 20).map(i => s"u$i").mkString(" ")
+    val block = (1 to 35).map(i => s"c$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_d21").toString
+    Seq(
+      (1L, (1 to 10).map(i => s"p$i").mkString(" ") + " " + rep +
+        " q1 q2 q3 q4 q5", "en", "web", 1L),
+      (2L, (1 to 17).map(i => s"s$i").mkString(" ") + " " + rep +
+        " t1 t2 t3", "en", "web", 1L),
+      (3L, "a1 a2 a3 a4 a5 " + run20 + " a6 a7 a8 a9 a10", "en", "web", 1L),
+      (4L, (1 to 12).map(i => s"b$i").mkString(" ") + " " + run20 +
+        " b13 b14 b15", "en", "web", 1L),
+      (5L, "x1 x2 x3 " + block + " y1 y2 y3 y4 y5 y6 y7 " + block +
+        " z1 z2", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // d18 at its own 32-token grain: NOTHING dropped — the straddling
+    // offsets defeat aligned chunking
+    val d18 = Dedup.d18SpanDedup32(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(d18.forall(_._4 == 0L),
+      s"d18 should miss every repeat here: ${d18.mkString(", ")}")
+    // d21 at the SAME 32-token minimum-match length
+    val d21 = Dedup.exactSubstrAt(spark, dir, 32)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // earliest copy survives intact
+    assert(d21(1L)._1 == 55L && d21(1L)._2 == 0L && d21(1L)._3 == 0L)
+    // doc 2 loses exactly the 40-token repeat (one maximal span), and the
+    // kept text is its unique prefix + tail, byte-exact
+    assert((d21(2L)._1, d21(2L)._2, d21(2L)._3) == ((60L, 1L, 40L)))
+    val keptExpect =
+      ((1 to 17).map(i => s"s$i") ++ Seq("t1", "t2", "t3")).mkString(" ")
+    val md5Expect = spark.range(1)
+      .select(md5(lit(keptExpect))).as[String].head()
+    assert(d21(2L)._4 == md5Expect)
+    // a 20-token shared run is BELOW the 32-token contract floor: both
+    // carriers keep everything (exactness of the lower bound)
+    assert(d21(3L)._3 == 0L && d21(4L)._3 == 0L)
+    // within-doc self-repeat at arbitrary offsets (3 and 45): the second
+    // occurrence is removed at its true 35-token extent, the first kept
+    assert((d21(5L)._1, d21(5L)._2, d21(5L)._3) == ((82L, 1L, 35L)))
+  }
+
   test("d7 parity holds when embeddings.vec_id is NOT a subset of documents.doc_id") {
     // The oracle's `comp JOIN q USING (doc_id)` drops embedding-only ids
     // AFTER they participate in connected components; the Spark side must
