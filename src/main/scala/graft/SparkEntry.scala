@@ -98,5 +98,6 @@ object SparkEntry {
     "t42_bpe_encode64", "d18_span_dedup32", "t43_kn_lm_score",
     "g15_cc_star", "d19_oph_minhash", "t44_blocklist", "t45_fim_prep",
     "p12_unimax_mixture", "mm12_audio_neardup", "d20_allpairs",
-    "v20_bitext_mining", "d21_exactsubstr", "t46_classifier_train")
+    "v20_bitext_mining", "d21_exactsubstr", "t46_classifier_train",
+    "v21_hybrid_rrf")
 }

@@ -983,12 +983,18 @@ object Dedup {
         .union(ssm.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
         .repartition(parts, col("u")).materialize()
-      // fixpoint test every SECOND round: the equality probe costs two
-      // jobs, and LS/SS never converges in round 1 on a non-star input
+      // fixpoint test every SECOND round (LS/SS never converges in round
+      // 1 on a non-star input), as ONE action: both frames are DISTINCT
+      // sets by construction, so set equality is "no row missing a
+      // marker" under a full-outer marker join — one shuffle + one
+      // take(1) instead of the old count+count+exceptAll triple
       rounds += 1
       if (rounds % 2 == 0 || rounds >= 29)
-        converged = next.count() == edges.count() &&
-          next.exceptAll(edges).isEmpty
+        converged = next.select(col("u"), col("v"), lit(1).as("a"))
+          .join(edges.select(col("u"), col("v"), lit(1).as("b")),
+            Seq("u", "v"), "full_outer")
+          .filter(col("a").isNull || col("b").isNull)
+          .isEmpty
       edges = next
     }
     // a non-converged exit would read a non-star edge set as a (wrong)

@@ -1966,8 +1966,165 @@ object Similarity {
        |FROM scored WHERE rk = 1 ORDER BY x_id""".stripMargin
   }
 
+  // --------------------------------------------------- v21_hybrid_rrf
+  /** Hybrid dense+lexical retrieval with reciprocal-rank fusion — the
+    * production search shape (Cormack, Clarke & Buettcher SIGIR'09 RRF;
+    * every hybrid RAG/search stack runs this): each query retrieves a
+    * top-K list from TWO independent rankers — exact cosine over the
+    * embedding column (v1's plan) and per-query BM25 over the text
+    * column (t26's exact scoring spelling, generalized from fixed query
+    * terms to each query doc's own token set) — and the lists fuse by
+    * RRF(d) = Σ 1/(60 + rank_i(d)), which needs no score calibration
+    * between rankers (the whole point: cosine and BM25 live on
+    * incomparable scales).
+    *
+    * Distributed shape: the dense side is v1's broadcast-queries single
+    * corpus pass; the lexical side is a token-keyed join of the
+    * BROADCAST query-term set against the corpus term index (the
+    * inverted-index probe — corpus-linear, never corpus×queries), df and
+    * doc-length joins that AQE broadcasts, and one (q, doc)-keyed agg.
+    * Fusion is a full-outer join of two ≤ NQ·K-row rank lists — bounded
+    * by the probe budget, independent of corpus size. Float discipline:
+    * each BM25 term replays bitwise (log2 of integer ratios + rational
+    * saturation, t26's proof), per-(q,doc) sums use the sorted fold, and
+    * the RRF score is one fixed-order two-term sum of exact rationals.
+    */
+  val v21HybridRrf: Q = (s, d) => {
+    import graft.functions.TextFunctions.lowerTokens
+    val kFuse = 3
+    // dense ranker: v1's exact cosine top-K
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normSq(col("embedding")).as("nsq_q"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      normSq(col("embedding")).as("nsq_n"))
+    val wD = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    val drank = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("sim", cosineWithNorms(dot(col("q_emb"), col("n_emb")),
+        col("nsq_q"), col("nsq_n")))
+      .withColumn("rd", row_number().over(wD))
+      .filter(col("rd") <= K)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rd"))
+    // lexical ranker: per-query BM25 over the corpus term index
+    val toks = Tables.load(s, d, "documents")
+      .select(col("doc_id"), lowerTokens(col("text")).as("t"))
+      .materialize() // term index, doc lengths AND the query-term side
+    val ti = toks.select(col("doc_id"), explode(col("t")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .materialize() // the df agg AND the query-term probe
+    val dfq = ti.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qt = toks.filter(col("doc_id") < NQ)
+      .select(col("doc_id").as("q_id"), explode(col("t")).as("token"))
+      .distinct()
+    def sortedFoldSum(cc: Column): Column =
+      aggregate(array_sort(collect_list(cc)), lit(0.0), (acc, x) => acc + x)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val contrib =
+      log2(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))))
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val brank = broadcast(qt).join(ti, "token")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dfq, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"), contrib.as("c"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sortedFoldSum(col("c")).as("score"))
+      .withColumn("rb", row_number().over(wB))
+      .filter(col("rb") <= K)
+      .select(col("q_id"), col("doc_id"), col("rb"))
+    // reciprocal-rank fusion over the two bounded rank lists
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    drank.join(brank, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("rd")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rb")), lit(0.0)))
+      .withColumn("rnk", row_number().over(wF))
+      .filter(col("rnk") <= kFuse)
+      .select(col("q_id"), col("rnk"), col("doc_id"),
+        col("rd").as("r_dense"), col("rb").as("r_bm25"),
+        sround(col("rrf"), 6).as("rrf"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB twin: the v1 cosine pair spelling, the t26 BM25 term
+    * spelling over the query docs' distinct tokens, list_sort folds for
+    * per-(q,doc) sums, and the identical two-term RRF expression
+    * (CAST(rank AS DOUBLE) keeps DuckDB's decimal literals out of the
+    * division).
+    */
+  val v21HybridRrfSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
+       |  FROM documents),
+       |ti AS MATERIALIZED (
+       |  SELECT doc_id, token, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS token FROM toks) GROUP BY 1, 2),
+       |dfq AS (SELECT token, count(*) AS df FROM ti GROUP BY token),
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(t) AS token
+       |       FROM toks WHERE doc_id < $NQ),
+       |contrib AS (
+       |  SELECT qt.q_id, ti.doc_id,
+       |    log2(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |      ((ti.tf * 2.2) / (ti.tf + 1.2 * (0.25 + 0.75 *
+       |        (dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))) AS c
+       |  FROM qt JOIN ti USING (token) JOIN dfq d USING (token)
+       |  JOIN dl ON dl.doc_id = ti.doc_id CROSS JOIN stats s
+       |  WHERE ti.doc_id != qt.q_id),
+       |brank AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rb
+       |  FROM (SELECT q_id, doc_id,
+       |          list_aggregate(list_sort(list(c)), 'sum') AS score
+       |        FROM contrib GROUP BY 1, 2)),
+       |dpairs AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+       |    list_dot_product(
+       |      CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |    / (sqrt(list_dot_product(
+       |         CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+       |     * sqrt(list_dot_product(
+       |         CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim
+       |  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings
+       |                      WHERE vec_id < $NQ) q
+       |  WHERE e.vec_id != q.vec_id),
+       |drank AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, doc_id ASC) AS INTEGER) AS rd
+       |  FROM dpairs),
+       |fused AS (
+       |  SELECT coalesce(dr.q_id, br.q_id) AS q_id,
+       |    coalesce(dr.doc_id, br.doc_id) AS doc_id, dr.rd, br.rb,
+       |    coalesce(1.0 / (60.0 + CAST(dr.rd AS DOUBLE)), 0.0)
+       |      + coalesce(1.0 / (60.0 + CAST(br.rb AS DOUBLE)), 0.0) AS rrf
+       |  FROM (SELECT * FROM drank WHERE rd <= $K) dr
+       |  FULL OUTER JOIN (SELECT * FROM brank WHERE rb <= $K) br
+       |    ON dr.q_id = br.q_id AND dr.doc_id = br.doc_id)
+       |SELECT q_id, rnk, doc_id, rd AS r_dense, rb AS r_bm25,
+       |  floor(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf
+       |FROM (SELECT q_id, doc_id, rd, rb, rrf,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rnk
+       |      FROM fused)
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "v21_hybrid_rrf" -> v21HybridRrf,
     "v20_bitext_mining" -> v20BitextMining,
     "v19_nprobe_sweep" -> v19NprobeSweep,
     "v17_hard_negatives" -> v17HardNegatives,
@@ -1991,6 +2148,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "v20_bitext_mining" -> v20BitextMiningSql,
+    "v21_hybrid_rrf" -> v21HybridRrfSql,
     "v19_nprobe_sweep" -> v19NprobeSweepSql,
     "v17_hard_negatives" -> v17HardNegativesSql,
     "v18_prototypicality" -> v18PrototypicalitySql,

@@ -975,6 +975,67 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.bitext.materialize")
   }
 
+  test("v21 hybrid RRF: dense side is v1 verbatim, BM25 side matches an in-memory replay, fusion recomputes") {
+    val out = Similarity.v21HybridRrf(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // dense ranks agree with v1's top-10 exactly
+    val v1 = Similarity.v1KnnBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val rd = if (r.isNullAt(3)) None else Some(r.getInt(3))
+      assert(rd == v1.get(key), s"dense rank mismatch at $key: $rd vs ${v1.get(key)}")
+    }
+    // rrf recomputes from the rank columns, and every fused row came
+    // from at least one ranker
+    out.foreach { r =>
+      val rd = if (r.isNullAt(3)) None else Some(r.getInt(3))
+      val rb = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      assert(rd.nonEmpty || rb.nonEmpty)
+      val expect = rd.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        rb.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(r.getDouble(5) == math.floor(expect * 1e6 + 0.5) / 1e6,
+        s"rrf mismatch at ${(r.getLong(0), r.getLong(2))}")
+    }
+    // BM25 side matches a full in-memory replay (tf, df, dl, avgdl, the
+    // t26 term expression, top-10 per query by (score desc, id asc))
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", graft.functions.TextFunctions.lowerTokens($"text"))
+      .as[(Long, Seq[String])].collect()
+    val dl = toks.map { case (id, t) => id -> t.length.toLong }.toMap
+    val nDocs = toks.length.toLong
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val tf: Map[(Long, String), Long] = toks.flatMap { case (id, t) =>
+      t.groupBy(identity).map { case (w, g) => (id, w) -> g.length.toLong }
+    }.toMap
+    val df: Map[String, Long] = tf.keys.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    def bm25(qTokens: Set[String], id: Long): Double = {
+      val terms = qTokens.toSeq.flatMap { w =>
+        tf.get((id, w)).map { f =>
+          math.log(1.0 + (nDocs - df(w) + 0.5) / (df(w) + 0.5)) / math.log(2.0) *
+            ((f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dl(id) / avgdl))))
+        }
+      }
+      terms.sorted.sum
+    }
+    val expectB: Map[(Long, Long), Int] = toks.filter(_._1 < 8).flatMap { case (qid, qt) =>
+      val scores = toks.filter(_._1 != qid)
+        .map { case (id, _) => id -> bm25(qt.toSet, id) }
+        .filter(_._2 > 0.0)
+      scores.sortBy { case (id, sc) => (-sc, id) }.take(10).zipWithIndex
+        .map { case ((id, _), i) => (qid, id) -> (i + 1) }
+    }.toMap
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val rb = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      assert(rb == expectB.get(key), s"bm25 rank mismatch at $key: $rb vs ${expectB.get(key)}")
+    }
+    // a doc ranked first by BOTH rankers must fuse to rank 1
+    out.filter(r => !r.isNullAt(3) && !r.isNullAt(4) &&
+        r.getInt(3) == 1 && r.getInt(4) == 1)
+      .foreach(r => assert(r.getInt(1) == 1))
+  }
+
   test("mm12 audio near-dup: exact copies pair at 1.0 and fingerprints are gain-invariant") {
     import graft.multimodal.Multimodal
     // pseudo-audio: byte streams long enough for 16-delta shingles at
