@@ -25,6 +25,17 @@ object TextFunctions {
     floor(c * lit(f) + lit(0.5)) / lit(f)
   }
 
+  /** Order-independent double sum: collect, sort ascending, left-fold —
+    * the bitwise-deterministic reduction every float aggregate that must
+    * hash-match a DuckDB `list_aggregate(list_sort(list(x)), 'sum')`
+    * twin uses (t8/t17/g1's trick). One association order, reproduced by
+    * both engines at any partitioning. The per-operator `sortedFoldSum`
+    * helpers forward here so the load-bearing spelling has ONE
+    * definition that cannot drift.
+    */
+  def sortedFoldSum(c: Column): Column =
+    aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+
   /** Whitespace tokens, empties dropped (split("a  b") yields ""s). */
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= lit(""))

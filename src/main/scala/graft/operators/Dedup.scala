@@ -1392,12 +1392,13 @@ object Dedup {
     * is never touched. So: (1) stream every full L-token window per doc
     * ((pos, md5(window)) via the SpanChunks generator in sliding mode —
     * constant memory per row, and the 32-hex md5 projects the window
-    * text away before any shuffle), (2) one hash-agg computes each
-    * window key's corpus df and earliest occurrence, (3) every
-    * non-earliest occurrence of a df >= 2 key marks [pos, pos+L-1]
-    * covered, (4) covered windows merge into maximal spans with one
-    * per-doc running-max window, and kept text is the uncovered tokens
-    * in order. Positions are exact, so repeats straddling any grain
+    * text away before any shuffle), (2) ONE window over the key shuffle
+    * ranks each key's occurrences by (doc_id, pos) — rank > 1 IS
+    * "non-earliest occurrence of a repeated key", so every such row
+    * marks [pos, pos+L-1] covered with no df agg or join back, (3)
+    * covered windows merge into maximal spans with one per-doc
+    * running-max window, and kept text is the uncovered tokens in
+    * order. Positions are exact, so repeats straddling any grain
     * boundary — the class d18 provably misses (TextDedupSpec plants
     * one) — are caught at their true extent.
     *
@@ -1416,13 +1417,18 @@ object Dedup {
     val wins = toks
       .select(col("doc_id"), slidingChunks(col("t"), n).as(Seq("pos", "span")))
       .select(col("doc_id"), col("pos"), md5(col("span")).as("wkey"))
-      .materialize() // winner agg AND the cover join
-    val winners = wins.groupBy(col("wkey"))
-      .agg(min(col("doc_id") * lit(1048576L) + col("pos")).as("wmin"),
-        count(lit(1)).as("df"))
-      .where(col("df") >= 2)
-    val covered = wins.join(winners, "wkey")
-      .where(col("doc_id") * lit(1048576L) + col("pos") =!= col("wmin"))
+    // every non-earliest occurrence of each window key, via ONE window
+    // over the key shuffle — rn > 1 implies the key repeats, so no
+    // separate df agg or join back is needed. Ranking on the raw
+    // (doc_id, pos) pair (not a packed long) keeps the earliest-
+    // occurrence choice exact for documents of ANY length and ids of
+    // any magnitude — a packed doc_id·2^20+pos key (d8's idiom, safe
+    // there because its idx is a chunk ordinal) would corrupt winner
+    // selection past 2^20 TOKENS here.
+    val covered = wins
+      .withColumn("rn", row_number().over(Window.partitionBy(col("wkey"))
+        .orderBy(col("doc_id"), col("pos"))))
+      .where(col("rn") > 1)
       .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val islands = covered
@@ -1467,7 +1473,7 @@ object Dedup {
   val d21ExactSubstr: Q = (s, d) => exactSubstrAt(s, d, 8)
 
   /** DuckDB twin at grain `n`: identical sliding windows via range +
-    * list slice, the same md5 window keys, pack-key argmin, running-max
+    * list slice, the same md5 window keys, per-key occurrence-rank window, running-max
     * island merge, and anti-join kept-text rebuild.
     */
   private[graft] def exactSubstrSqlAt(n: Int): String =
@@ -1475,16 +1481,17 @@ object Dedup {
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
       |  FROM documents),
-      |wins AS MATERIALIZED (
+      |wins AS (
       |  SELECT doc_id, CAST(i AS INT) AS pos,
       |    md5(array_to_string(t[i+1:i+$n], ' ')) AS wkey
       |  FROM toks, unnest(range(CAST(greatest(len(t) - $n + 1, 0) AS BIGINT))) AS u(i)),
-      |winners AS (
-      |  SELECT wkey, min(doc_id * 1048576 + pos) AS wmin
-      |  FROM wins GROUP BY wkey HAVING count(*) >= 2),
       |cov AS (
-      |  SELECT w.doc_id, w.pos FROM wins w JOIN winners x USING (wkey)
-      |  WHERE w.doc_id * 1048576 + w.pos != x.wmin),
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos,
+      |      row_number() OVER (PARTITION BY wkey
+      |        ORDER BY doc_id, pos) AS rn
+      |    FROM wins)
+      |  WHERE rn > 1),
       |isl AS (
       |  SELECT doc_id, pos,
       |    sum(CASE WHEN prev_e IS NULL OR pos > prev_e + 1 THEN 1 ELSE 0 END)

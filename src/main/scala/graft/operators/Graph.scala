@@ -29,7 +29,7 @@ object Graph {
     * (t8/t17's trick — list_sort + list_aggregate 'sum' in DuckDB).
     */
   private def sortedFoldSum(c: Column): Column =
-    aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+    graft.functions.TextFunctions.sortedFoldSum(c)
 
   /** The bipartite user↔item interaction graph mined from `events`
     * (user_id ↔ props.k), as a distinct directed edge list u→k. g1 and g3

@@ -1901,7 +1901,7 @@ object Similarity {
       if (matPairs) Some(pairsStream.materialize()) else None
     def pairs: DataFrame = pairsShared.getOrElse(pairsStream)
     def sortedFoldSum(c: Column): Column =
-      aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+      graft.functions.TextFunctions.sortedFoldSum(c)
     def meanK(key: String, other: String): DataFrame = pairs
       .withColumn("r", row_number().over(Window.partitionBy(col(key))
         .orderBy(col("sim").desc, col(other).asc)))
@@ -2021,7 +2021,7 @@ object Similarity {
       .select(col("doc_id").as("q_id"), explode(col("t")).as("token"))
       .distinct()
     def sortedFoldSum(cc: Column): Column =
-      aggregate(array_sort(collect_list(cc)), lit(0.0), (acc, x) => acc + x)
+      graft.functions.TextFunctions.sortedFoldSum(cc)
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val contrib =
       log2(lit(1.0) +

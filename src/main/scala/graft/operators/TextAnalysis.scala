@@ -3564,7 +3564,7 @@ object TextAnalysis {
     val eta = 0.1
     val rounds = 3
     def sortedFoldSum(c: Column): Column =
-      aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+      graft.functions.TextFunctions.sortedFoldSum(c)
     val tok = docs(s, d)
       .select(col("doc_id"), explode(lowerTokens(col("text"))).as("token"))
     val feats = tok
@@ -3599,9 +3599,11 @@ object TextAnalysis {
     // keep-the-better-half cut, self-calibrated — three damped rounds
     // rank correctly long before scores reach probability scale). The
     // compare is the integer cross-multiply zq·n > Σzq on 1e-6-unit
-    // longs, so the threshold is exact at any summation order; |zq| is
-    // bounded by the 1e10-ish score scale so the product stays far from
-    // Long overflow even at 100-TB doc counts per partition of the gate.
+    // longs — exact at any summation order — executed in DECIMAL(38,0)
+    // (the twin uses HUGEINT): zq reaches ~1e9-1e10, so at multi-
+    // billion-doc corpora the product exceeds a Long and would WRAP
+    // silently in Spark while DuckDB errors; 128-bit math keeps both
+    // sides exact to ~1e38.
     val scored = docs(s, d)
       .select(col("doc_id"), (col("lang") === "en").as("label"))
       .join(zOf(w), Seq("doc_id"), "left")
@@ -3613,8 +3615,9 @@ object TextAnalysis {
     scored.crossJoin(stats)
       .select(col("doc_id"), col("label"),
         sround(coalesce(col("zraw"), lit(0.0)) / lit(10000.0), 6).as("score"),
-        (col("zraw").isNotNull && col("zq") * col("zn") > col("zsum"))
-          .as("keep"))
+        (col("zraw").isNotNull &&
+          col("zq").cast("decimal(38,0)") * col("zn") >
+            col("zsum").cast("decimal(38,0)")).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -3675,7 +3678,8 @@ object TextAnalysis {
        |SELECT doc_id, label,
        |  floor(coalesce(zraw, 0.0) / 10000.0 * 1000000.0 + 0.5) / 1000000.0
        |    AS score,
-       |  (zraw IS NOT NULL AND zq * zn > zsum) AS keep
+       |  (zraw IS NOT NULL
+       |    AND CAST(zq AS HUGEINT) * zn > CAST(zsum AS HUGEINT)) AS keep
        |FROM sc CROSS JOIN st ORDER BY doc_id""".stripMargin
   }
 

@@ -150,10 +150,21 @@ object Snapshots {
     val f = fs(spark, mp)
     require(f.exists(mp), s"no version $version at $table")
     val acceptAgeMs = legacyAcceptAgeMs(spark)
+    val t0 = System.currentTimeMillis()
     var attempt = 0
     var prev: (Vector[String], Long) = null
     var stable = 0
     while (true) {
+      // overall wall bound: a manifest whose mtime keeps refreshing
+      // without content ever changing (touch loop, severe clock skew)
+      // must not spin forever on the stable-but-young path
+      require(System.currentTimeMillis() - t0 < acceptAgeMs * 4 + 10000L,
+        s"manifest $mp neither completed nor aged past the " +
+          s"${acceptAgeMs}ms accept window after ${
+            System.currentTimeMillis() - t0}ms — mtime keeps refreshing " +
+          "with no content change. Check reader/writer clock skew or " +
+          s"raise spark.graft.snapshots.legacyAcceptAgeMs; repair: delete " +
+          s"$mp to drop the version if no writer is alive")
       val in = f.open(mp)
       val all =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
@@ -182,15 +193,31 @@ object Snapshots {
               "old) as legacy/crashed-writer format")
           return all
         }
-      } else stable = 0
+      } else {
+        stable = 0
+        // only CHANGING (or first) reads count against the torn-write
+        // cap: a content-stable manifest that is merely YOUNGER than the
+        // accept-age window is not torn — it waits the window out below,
+        // which the 400×25ms cap could never fit now that the default
+        // window is 30s (a stable legacy manifest seconds old must
+        // bridge to the gate, not die at ~10s with a torn-write message)
+        attempt += 1
+      }
       prev = (all, st.getLen)
-      attempt += 1
       require(attempt < 400,
-        s"manifest $mp still incomplete after $attempt reads — torn write " +
+        s"manifest $mp still changing after $attempt reads — torn write " +
           "or a writer died before any content landed. Repair: verify no " +
           s"writer is alive, then delete $mp to drop the torn version " +
           "(its staged data files are vacuumOrphans' documented class)")
-      Thread.sleep(StableReadSpacingMs)
+      // stable-but-young: no point re-reading every 25ms for the rest of
+      // the age window; sleep toward the gate in bounded steps so a
+      // late flush (which resets both stability and the gate) is still
+      // noticed within a second
+      val sleepMs =
+        if (stable >= StableReads) math.min(1000L, math.max(
+          StableReadSpacingMs, acceptAgeMs - ageMs))
+        else StableReadSpacingMs
+      Thread.sleep(sleepMs)
     }
     Nil // unreachable
   }

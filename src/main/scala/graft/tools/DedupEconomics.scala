@@ -77,16 +77,20 @@ object DedupEconomics {
     val truth = Dedup.exactJaccardPairs02(base).count()
 
     val naiveBill = dfStats.getLong(4)
-    def r(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // ratios stay valid JSON on degenerate corpora (no repeated gram →
+    // zero denominators → "null", never NaN)
+    def r(num: Long, den: Long): String =
+      if (den == 0L) "null"
+      else (math.floor(num.toDouble / den * 1e6 + 0.5) / 1e6).toString
     println(s"""{"docs":$nDocs,"inv_rows":${dfStats.getLong(0)},""" +
       s""""grams":${dfStats.getLong(1)},"max_df":${dfStats.getLong(2)},""" +
       s""""p99_df":${dfStats.get(3)},"naive_pair_bill":$naiveBill,""" +
       s""""naive_cand":$naiveCand,"prefix_rows":$prefixRows,""" +
       s""""prefix_bill":$prefixBill,"prefix_cand":$prefixCand,""" +
       s""""truth":$truth,""" +
-      s""""bill_ratio":${r(prefixBill.toDouble / naiveBill)},""" +
-      s""""cand_ratio":${r(prefixCand.toDouble / naiveCand)},""" +
-      s""""cand_precision":${r(truth.toDouble / prefixCand)}}""")
+      s""""bill_ratio":${r(prefixBill, naiveBill)},""" +
+      s""""cand_ratio":${r(prefixCand, naiveCand)},""" +
+      s""""cand_precision":${r(truth, prefixCand)}}""")
     spark.stop()
   }
 }

@@ -866,6 +866,35 @@ class FormatsSpec extends SparkSpec {
     assert(e.getMessage.contains("delete"), s"no repair path: ${e.getMessage}")
   }
 
+  test("a stable legacy manifest YOUNGER than the accept window bridges to the gate instead of dying at the torn-write cap") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("snap_young").toString + "/t"
+    Snapshots.commitOverwrite(Seq(1L, 2L).toDF("id"), table, "v1")
+    val f = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(s"$table/_versions/v00001.manifest")
+    val src = scala.io.Source.fromInputStream(f.open(mp), "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    f.delete(mp, false)
+    val out = f.create(mp, true)
+    try out.write(lines.dropRight(1).mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    // mtime is NOW — younger than the window. With a 2s window the read
+    // must WAIT OUT the gate and then accept (the old code spun its 400
+    // 25ms retries ≈ 10s and failed with a misleading torn-write error
+    // whenever the window exceeded that; content-stable young reads no
+    // longer count against the torn cap)
+    spark.conf.set("spark.graft.snapshots.legacyAcceptAgeMs", "2000")
+    try {
+      val t0 = System.currentTimeMillis()
+      assert(Snapshots.readVersion(spark, table)
+        .as[Long].collect().toSet == Set(1L, 2L))
+      val waited = System.currentTimeMillis() - t0
+      assert(waited >= 1000L, s"accepted a ${waited}ms-old terminator-less " +
+        "manifest without waiting out the age gate")
+    } finally spark.conf.unset("spark.graft.snapshots.legacyAcceptAgeMs")
+  }
+
   test("epoch-stamped commits: replayed epochs no-op for append and merge; history stays time-travelable") {
     import graft.sources.Snapshots
     val table = Files.createTempDirectory("snap_epoch").toString + "/t"
