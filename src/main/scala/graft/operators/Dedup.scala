@@ -1286,31 +1286,35 @@ object Dedup {
     * materializing the per-doc chunk array (t7's HOF shape) — constant
     * per-row memory on arbitrarily long documents.
     *
-    * Scale shape: one generate (narrow) → one hash-agg shuffle on the span
-    * text for the global argmin → one span-keyed join back — the d1 exact
-    * pattern at span granularity. The winner key packs (doc_id, idx) into
-    * one long so the argmin is a primitive min, not a struct compare.
+    * Scale shape: one generate (narrow) → one span-keyed shuffle whose
+    * row_number window ranks occurrences by (doc_id, idx) — rank 1 IS
+    * the global first occurrence, exact for documents of any length
+    * (d21's idiom; the former packed-long argmin bounded idx at 2^20).
     * Reconstruction is a per-doc sort of ≤ len/3 kept spans.
     */
   /** d8's body at span length `n` — the match grain is the ONLY knob
     * between the didactic 3-token form and Lee et al.'s production
     * ~50-token ExactSubstr grain, and the plan is identical at any n:
-    * one streamed generate, one span-keyed argmin shuffle, one join
-    * back. Cost FALLS as n grows (spans per doc ~ len/n, and longer
-    * spans collide less, shrinking the winner table) — see the recorded
-    * sf1 cost curve in PLANS.md.
+    * one streamed generate, one span-keyed rank window. Cost FALLS as n
+    * grows (spans per doc ~ len/n, and longer spans collide less) — see
+    * the recorded sf1 cost curve in PLANS.md. First occurrence = rank 1
+    * under (doc_id, idx) per span, via row_number over the span shuffle
+    * (d21's idiom) — the former packed doc_id·2^20+idx argmin silently
+    * mis-ranked documents past 2^20 CHUNKS (~3M tokens at n=3), a bound
+    * a 100-TB book corpus can exceed.
     */
   private[graft] def spanDedupAt(s: SparkSession, d: String, n: Int): DataFrame = {
     import graft.expressions.SpanChunks.spanChunks
+    import org.apache.spark.sql.expressions.Window
     val spans = docs(s, d)
       .select(col("doc_id"), lowerTokens(col("text")).as("t"))
       .select(col("doc_id"), spanChunks(col("t"), n).as(Seq("idx", "span")))
-      // feeds the winner agg, the kept join AND the per-doc totals
+      // feeds the kept window AND the per-doc totals
       .materialize()
-    val winners = spans.groupBy(col("span"))
-      .agg(min(col("doc_id") * lit(1048576L) + col("idx")).as("wkey"))
-    val kept = spans.join(winners, Seq("span"))
-      .filter(col("doc_id") * lit(1048576L) + col("idx") === col("wkey"))
+    val kept = spans
+      .withColumn("rn", row_number().over(Window.partitionBy(col("span"))
+        .orderBy(col("doc_id"), col("idx"))))
+      .filter(col("rn") === 1)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         md5(concat_ws(" ",
@@ -1345,14 +1349,14 @@ object Dedup {
       |  SELECT doc_id, CAST(i AS INT) AS idx,
       |    array_to_string(t[(i*$n)+1:(i*$n)+$n], ' ') AS span
       |  FROM toks, unnest(range(CAST(ceil(len(t) / $n.0) AS BIGINT))) AS u(i)),
-      |w AS (SELECT span, min(doc_id * 1048576 + idx) AS wkey
-      |      FROM chunks GROUP BY span),
       |kept AS (
-      |  SELECT c.doc_id, count(*) AS n_kept,
-      |    md5(string_agg(c.span, ' ' ORDER BY c.idx)) AS kept_md5
-      |  FROM chunks c JOIN w ON c.span = w.span
-      |    AND c.doc_id * 1048576 + c.idx = w.wkey
-      |  GROUP BY c.doc_id),
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    md5(string_agg(span, ' ' ORDER BY idx)) AS kept_md5
+      |  FROM (SELECT doc_id, idx, span,
+      |          row_number() OVER (PARTITION BY span
+      |            ORDER BY doc_id, idx) AS rn
+      |        FROM chunks)
+      |  WHERE rn = 1 GROUP BY doc_id),
       |tot AS (SELECT doc_id, count(*) AS n_spans FROM chunks GROUP BY doc_id)
       |SELECT d.doc_id,
       |  coalesce(tot.n_spans, 0) AS n_spans,
