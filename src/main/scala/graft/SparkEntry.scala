@@ -99,5 +99,5 @@ object SparkEntry {
     "g15_cc_star", "d19_oph_minhash", "t44_blocklist", "t45_fim_prep",
     "p12_unimax_mixture", "mm12_audio_neardup", "d20_allpairs",
     "v20_bitext_mining", "d21_exactsubstr", "t46_classifier_train",
-    "v21_hybrid_rrf")
+    "v21_hybrid_rrf", "p13_source_cap")
 }

@@ -1221,8 +1221,56 @@ object CorpusPipeline {
       |  (cut_rn IS NULL OR rn < cut_rn) AS capped
       |FROM marked ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------- p13_source_cap
+  /** Per-source document cap — the Gopher/C4 curation rule (Rae et al.
+    * 2021 cap repetitious domains; C4 keeps one page per URL): within
+    * each source, RANK documents by quality and keep only the top k, so
+    * no single domain dominates the training mixture no matter how much
+    * it crawled. Quality is t2's blended score CONSUMED from the t2
+    * operator itself (one spelling — the oracle embeds t2's own SQL as a
+    * subquery), ranking is one per-source window with doc_id tie-break,
+    * and `kept` is the rank <= k cut.
+    *
+    * Scale shape: one corpus pass for the quality projection, ONE
+    * source-keyed window — the shuffle is by source, so a skewed giant
+    * domain concentrates in one partition; at 100 TB the standard remedy
+    * applies (two-phase: per-partition top-k then global top-k per
+    * source, q7's TakeOrdered idea per key) and is noted rather than
+    * built because k and the domain registry are both small.
+    */
+  def p13SourceCap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    val q = graft.operators.TextAnalysis.t2Quality(s, d)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    Tables.load(s, d, "documents").select(col("doc_id"), col("source"))
+      .join(q, "doc_id")
+      .withColumn("src_rank", row_number().over(w))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        col("quality_score"), (col("src_rank") <= k).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: t2's OWN shipped SQL as a subquery (no re-spelled quality
+    * expression to drift), plus the identical per-source rank window.
+    */
+  val p13SourceCapSql: String =
+    s"""WITH q AS (${graft.operators.TextAnalysis.t2QualitySql}),
+       |r AS (
+       |  SELECT d.doc_id, d.source, q.quality_score,
+       |    CAST(row_number() OVER (PARTITION BY d.source
+       |      ORDER BY q.quality_score DESC, d.doc_id ASC) AS INTEGER)
+       |      AS src_rank
+       |  FROM documents d JOIN q USING (doc_id))
+       |SELECT doc_id, source, src_rank, quality_score,
+       |  src_rank <= 20 AS kept
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p1_corpus_pipeline" -> (p1CorpusPipeline _),
+      "p13_source_cap" -> (p13SourceCap _),
       "p12_unimax_mixture" -> (p12UnimaxMixture _),
       "p11_doremi_mixture" -> (p11DoremiMixture _),
       "p10_curriculum" -> (p10Curriculum _),
@@ -1236,6 +1284,7 @@ object CorpusPipeline {
       "p6_epoch_shuffle" -> (p6EpochShuffle _))
   val oracles: Map[String, String] =
     Map("p1_corpus_pipeline" -> p1CorpusPipelineSql,
+      "p13_source_cap" -> p13SourceCapSql,
       "p12_unimax_mixture" -> p12UnimaxMixtureSql,
       "p11_doremi_mixture" -> p11DoremiMixtureSql,
       "p10_curriculum" -> p10CurriculumSql,

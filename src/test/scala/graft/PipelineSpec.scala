@@ -457,4 +457,18 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(spent - budget.toDouble) < 1e-3 * budget,
       s"spent $spent vs budget $budget")
   }
+  test("p13 source cap keeps exactly each source's quality top-k, tie-broken by doc_id") {
+    val out = CorpusPipeline.p13SourceCap(spark, sfDir)
+      .as[(Long, String, Int, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      // ranks are a 1..n permutation within the source
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+      // the kept set is exactly the in-memory top-20 by (score desc, id)
+      val expectKept = rows.sortBy(r => (-r._4, r._1)).take(20).map(_._1).toSet
+      val gotKept = rows.filter(_._5).map(_._1).toSet
+      assert(gotKept == expectKept, s"source $src kept mismatch")
+      assert(gotKept.size == math.min(20, rows.length))
+    }
+  }
 }
