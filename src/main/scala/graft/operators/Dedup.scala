@@ -1286,35 +1286,40 @@ object Dedup {
     * materializing the per-doc chunk array (t7's HOF shape) — constant
     * per-row memory on arbitrarily long documents.
     *
-    * Scale shape: one generate (narrow) → one span-keyed shuffle whose
-    * row_number window ranks occurrences by (doc_id, idx) — rank 1 IS
-    * the global first occurrence, exact for documents of any length
-    * (d21's idiom; the former packed-long argmin bounded idx at 2^20).
+    * Scale shape: one generate (narrow) → ONE map-side-combinable hash
+    * aggregate per span key — min(struct(doc_id, idx)) — whose winner
+    * row IS the global first occurrence (struct min is lexicographic,
+    * exactly the (doc_id, idx) order), exact for documents of any
+    * length and ids of any magnitude (no packed-long bound). Because
+    * the argmin partially aggregates map-side, a hot boilerplate span —
+    * span frequency in natural text is Zipf-distributed — collapses to
+    * one candidate row per mapper BEFORE the shuffle; the former
+    * row_number-over-span-window spelling (no partial aggregation —
+    * every occurrence of a hot key sorts in one task) is kept as
+    * [[spanDedupKeptRankWindow]], the differential witness
+    * TextDedupSpec replays on a hot-key fixture.
     * Reconstruction is a per-doc sort of ≤ len/3 kept spans.
     */
   /** d8's body at span length `n` — the match grain is the ONLY knob
     * between the didactic 3-token form and Lee et al.'s production
     * ~50-token ExactSubstr grain, and the plan is identical at any n:
-    * one streamed generate, one span-keyed rank window. Cost FALLS as n
-    * grows (spans per doc ~ len/n, and longer spans collide less) — see
-    * the recorded sf1 cost curve in PLANS.md. First occurrence = rank 1
-    * under (doc_id, idx) per span, via row_number over the span shuffle
-    * (d21's idiom) — the former packed doc_id·2^20+idx argmin silently
-    * mis-ranked documents past 2^20 CHUNKS (~3M tokens at n=3), a bound
-    * a 100-TB book corpus can exceed.
+    * one streamed generate, one span-keyed argmin aggregate. Cost FALLS
+    * as n grows (spans per doc ~ len/n, and longer spans collide less)
+    * — see the recorded sf1 cost curve in PLANS.md. First occurrence =
+    * min(struct(doc_id, idx)) per span — the winner struct carries the
+    * keeping doc and offset, so no join back is needed, and unlike the
+    * round-13 packed doc_id·2^20+idx argmin it is exact past 2^20
+    * CHUNKS (~3M tokens at n=3), a bound a 100-TB book corpus can
+    * exceed.
     */
   private[graft] def spanDedupAt(s: SparkSession, d: String, n: Int): DataFrame = {
     import graft.expressions.SpanChunks.spanChunks
-    import org.apache.spark.sql.expressions.Window
     val spans = docs(s, d)
       .select(col("doc_id"), lowerTokens(col("text")).as("t"))
       .select(col("doc_id"), spanChunks(col("t"), n).as(Seq("idx", "span")))
-      // feeds the kept window AND the per-doc totals
+      // feeds the kept argmin AND the per-doc totals
       .materialize()
-    val kept = spans
-      .withColumn("rn", row_number().over(Window.partitionBy(col("span"))
-        .orderBy(col("doc_id"), col("idx"))))
-      .filter(col("rn") === 1)
+    val kept = spanDedupKept(spans)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         md5(concat_ws(" ",
@@ -1331,6 +1336,38 @@ object Dedup {
           .as("n_dropped"),
         coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
       .orderBy("doc_id")
+  }
+
+  /** First occurrence per span — PRODUCTION shape: min(struct(doc_id,
+    * idx)) hash aggregate. Struct min compares fields lexicographically
+    * (doc_id, then idx) — the exact (doc_id, idx) total order — and the
+    * winner struct carries both coordinates, so selecting it back out
+    * yields the kept (doc_id, idx, span) rows with NO join. Crucially
+    * the aggregate partially combines map-side: a span occurring in 1%
+    * of a 100-TB corpus contributes ONE candidate row per mapper to the
+    * shuffle, not billions of rows to a single reducer.
+    */
+  private[graft] def spanDedupKept(spans: DataFrame): DataFrame =
+    spans
+      .groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"),
+        col("span"))
+
+  /** DIFFERENTIAL WITNESS (round-14 shape, superseded): first occurrence
+    * via row_number over Window.partitionBy(span). Window functions have
+    * no map-side partial aggregation, so every occurrence of a hot span
+    * key sorts in ONE task — straggler/OOM at web scale. Kept only so
+    * TextDedupSpec can assert the argmin rewrite is row-identical,
+    * including on a planted hot-key corpus.
+    */
+  private[graft] def spanDedupKeptRankWindow(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spans
+      .withColumn("rn", row_number().over(Window.partitionBy(col("span"))
+        .orderBy(col("doc_id"), col("idx"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("idx"), col("span"))
   }
 
   val d8SpanDedup: Q = (s, d) => spanDedupAt(s, d, 3)
@@ -1396,11 +1433,12 @@ object Dedup {
     * is never touched. So: (1) stream every full L-token window per doc
     * ((pos, md5(window)) via the SpanChunks generator in sliding mode —
     * constant memory per row, and the 32-hex md5 projects the window
-    * text away before any shuffle), (2) ONE window over the key shuffle
-    * ranks each key's occurrences by (doc_id, pos) — rank > 1 IS
-    * "non-earliest occurrence of a repeated key", so every such row
-    * marks [pos, pos+L-1] covered with no df agg or join back, (3)
-    * covered windows merge into maximal spans with one per-doc
+    * text away before any shuffle), (2) one map-side-combinable
+    * min(struct(doc_id, pos)) + count aggregate per window key finds
+    * each repeated key's earliest occurrence; joining the repeated-key
+    * winners back to the occurrence stream and dropping the winner row
+    * yields exactly the "non-earliest occurrence of a repeated key"
+    * set, (3) covered windows merge into maximal spans with one per-doc
     * running-max window, and kept text is the uncovered tokens in
     * order. Positions are exact, so repeats straddling any grain
     * boundary — the class d18 provably misses (TextDedupSpec plants
@@ -1410,6 +1448,13 @@ object Dedup {
     * key-agg + one key-join (the d1 exact pattern at window grain),
     * then per-doc windows over COVERED rows only — on a deduplicated
     * corpus a small fraction of the token stream. Nothing is all-pairs.
+    * The argmin partially aggregates map-side, so a hot boilerplate
+    * window key never funnels its full occurrence list into one task;
+    * the join back is a per-row equi-join AQE can skew-split (unlike a
+    * WindowExec partition, which cannot). The round-14
+    * rank-window spelling survives as [[exactSubstrCoveredRankWindow]],
+    * the differential witness TextDedupSpec replays on a hot-key
+    * fixture.
     */
   private[graft] def exactSubstrAt(s: SparkSession, d: String,
       n: Int): DataFrame = {
@@ -1421,19 +1466,14 @@ object Dedup {
     val wins = toks
       .select(col("doc_id"), slidingChunks(col("t"), n).as(Seq("pos", "span")))
       .select(col("doc_id"), col("pos"), md5(col("span")).as("wkey"))
-    // every non-earliest occurrence of each window key, via ONE window
-    // over the key shuffle — rn > 1 implies the key repeats, so no
-    // separate df agg or join back is needed. Ranking on the raw
-    // (doc_id, pos) pair (not a packed long) keeps the earliest-
-    // occurrence choice exact for documents of ANY length and ids of
-    // any magnitude — a packed doc_id·2^20+pos key (d8's idiom, safe
-    // there because its idx is a chunk ordinal) would corrupt winner
-    // selection past 2^20 TOKENS here.
-    val covered = wins
-      .withColumn("rn", row_number().over(Window.partitionBy(col("wkey"))
-        .orderBy(col("doc_id"), col("pos"))))
-      .where(col("rn") > 1)
-      .select(col("doc_id"), col("pos"))
+      .materialize() // feeds the per-key argmin AND the join back
+    // every non-earliest occurrence of each window key: the repeated
+    // keys' earliest occurrences come from one map-side-combinable
+    // min(struct(doc_id, pos)) aggregate (struct min on the raw pair —
+    // not a packed long — is exact for documents of ANY length and ids
+    // of any magnitude), then a join back drops the winner row. cnt > 1
+    // keeps the join's build side to repeated keys only.
+    val covered = exactSubstrCovered(wins)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val islands = covered
       .withColumn("prev_e", max(col("pos") + lit(n - 1))
@@ -1467,6 +1507,40 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
       .orderBy("doc_id")
+  }
+
+  /** Covered positions — PRODUCTION shape: min(struct(doc_id, pos)) +
+    * count per window key (map-side combinable — hot keys collapse to
+    * one candidate per mapper), winners filtered to repeated keys
+    * (cnt > 1), joined back to the occurrence stream, winner row
+    * dropped. The equi-join routes each occurrence row independently,
+    * so AQE's skew-join split applies where a single-task WindowExec
+    * partition could not.
+    */
+  private[graft] def exactSubstrCovered(wins: DataFrame): DataFrame = {
+    val firsts = wins
+      .groupBy(col("wkey"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
+        count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("wkey"), col("w"))
+    wins.join(firsts, Seq("wkey"))
+      .where(struct(col("doc_id"), col("pos")) =!= col("w"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** DIFFERENTIAL WITNESS (round-14 shape, superseded): covered = rank
+    * > 1 under a per-wkey row_number window. Single task per key, no
+    * partial aggregation — kept only so TextDedupSpec can assert the
+    * argmin+join rewrite is row-identical on a planted hot-key corpus.
+    */
+  private[graft] def exactSubstrCoveredRankWindow(wins: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    wins
+      .withColumn("rn", row_number().over(Window.partitionBy(col("wkey"))
+        .orderBy(col("doc_id"), col("pos"))))
+      .where(col("rn") > 1)
+      .select(col("doc_id"), col("pos"))
   }
 
   /** Driver grain 8: the corpus's docs run 30–90 tokens, so 8 is the

@@ -439,6 +439,54 @@ class PropertySpec extends SparkSpec {
     assert(ex.getMessage.contains("reserved"), ex.getMessage)
   }
 
+  test("keyedTopK / keyedRank == naive per-key windows on random skewed keyed frames") {
+    import graft.operators.KeyedRank
+    import org.apache.spark.sql.expressions.Window
+    // keys skew toward "hot" (most draws), ord has heavy duplicates so
+    // boundary tie-splitting is exercised, tie is unique after dedupe
+    val rowGen = Gen.listOfN(80, Gen.zip(
+      Gen.frequency(5 -> Gen.const("hot"), 1 -> Gen.oneOf("a", "b", "c")),
+      Gen.oneOf(0.0, 1.5, 2.5, 3.0, 3.5),
+      Gen.choose(0L, 100000L)))
+    forAll(rowGen, n = 6) { rows0 =>
+      val rows = rows0.groupBy(_._3).map(_._2.head).toSeq // unique tie
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("k", "q", "id").repartition(7)
+        val naiveW = Window.partitionBy($"k").orderBy($"q".desc, $"id".asc)
+        val naive = df.withColumn("rank", row_number().over(naiveW))
+          .as[(String, Double, Long, Int)].collect().toSet
+        // full per-key rank, at a shard count small enough that shards
+        // hold several rows (offset arithmetic) and the default
+        for (sh <- Seq(4, 64)) {
+          val got = KeyedRank.keyedRank(df, "k", "q", "id", "rank",
+            descending = true, shards = sh)
+            .as[(String, Double, Long, Int)].collect().toSet
+          assert(got == naive, s"keyedRank(shards=$sh) != naive window")
+        }
+        // ascending order too (boundary precedence flips)
+        val naiveAsc = df.withColumn("rank", row_number().over(
+          Window.partitionBy($"k").orderBy($"q".asc, $"id".asc)))
+          .as[(String, Double, Long, Int)].collect().toSet
+        val gotAsc = KeyedRank.keyedRank(df, "k", "q", "id", "rank",
+          descending = false, shards = 4)
+          .as[(String, Double, Long, Int)].collect().toSet
+        assert(gotAsc == naiveAsc, "ascending keyedRank != naive window")
+        // bounded per-key top-k: identical rows AND identical ranks
+        val k = 3
+        val gotTop = KeyedRank.keyedTopK(df, Seq("k"),
+          Seq($"q".desc, $"id".asc), k, "rank")
+          .as[(String, Double, Long, Int)].collect().toSet
+        assert(gotTop == naive.filter(_._4 <= k), "keyedTopK != naive top-k")
+      }
+    }
+    // reserved-character guard, same contract as keyedPrefixBefore
+    val bad = Seq(("x#1", 1.0, 5L)).toDF("k", "q", "id")
+    val ex = intercept[Exception] {
+      KeyedRank.keyedRank(bad, "k", "q", "id", "rank").collect()
+    }
+    assert(ex.getMessage.contains("reserved"), ex.getMessage)
+  }
+
   test("snapshot commits: any append/overwrite/compact sequence time-travels to the modeled state at EVERY version") {
     import graft.sources.Snapshots
     // model-based check: a random op sequence against the real table,

@@ -294,6 +294,62 @@ class TextDedupSpec extends SparkSpec {
     assert((d21(5L)._1, d21(5L)._2, d21(5L)._3) == ((82L, 1L, 35L)))
   }
 
+  test("d8/d18/d21 argmin rewrite == rank-window witness, including on a hot-key corpus") {
+    // HOT-KEY fixture: one boilerplate 3-token span planted in ~2/3 of
+    // the docs (the Zipf regime the argmin rewrite exists for), plus
+    // per-doc unique filler and a within-doc self-repeat. The round-14
+    // rank-window shape routed every occurrence of the hot span into one
+    // WindowExec task; the min(struct) aggregate must select the SAME
+    // first occurrences with map-side partial aggregation.
+    val hot = "click here now"
+    val docsSeq = (0L until 30L).map { i =>
+      val filler = (1 to 6).map(j => s"w${i}_$j").mkString(" ")
+      val t =
+        if (i % 3 == 0) filler // cold doc: no hot span
+        else s"$hot $filler $hot" // hot span at both ends (self-repeat)
+      (i, t, "en", s"src${i % 2}", t.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotkey").toString
+    docsSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // d8/d18 selection: both shapes over the same span stream
+    import graft.expressions.SpanChunks.{spanChunks, slidingChunks}
+    val spans = Tables.load(spark, dir, "documents")
+      .select($"doc_id", lowerTokens($"text").as("t"))
+      .select($"doc_id", spanChunks($"t", 3).as(Seq("idx", "span")))
+    val keptAgg = Dedup.spanDedupKept(spans)
+      .as[(Long, Int, String)].collect().toSet
+    val keptWin = Dedup.spanDedupKeptRankWindow(spans)
+      .as[(Long, Int, String)].collect().toSet
+    assert(keptAgg == keptWin, "d8 argmin diverged from the rank-window witness")
+    // the hot span is kept exactly once, by the earliest carrier (doc 1, idx 0)
+    assert(keptAgg.count(_._3 == hot) == 1)
+    assert(keptAgg.contains((1L, 0, hot)))
+    // d21 covered set: both shapes over the same sliding-window stream
+    val wins = Tables.load(spark, dir, "documents")
+      .select($"doc_id", lowerTokens($"text").as("t"))
+      .select($"doc_id", slidingChunks($"t", 3).as(Seq("pos", "span")))
+      .select($"doc_id", $"pos", md5($"span").as("wkey"))
+    val covAgg = Dedup.exactSubstrCovered(wins)
+      .as[(Long, Int)].collect().toSet
+    val covWin = Dedup.exactSubstrCoveredRankWindow(wins)
+      .as[(Long, Int)].collect().toSet
+    assert(covAgg == covWin, "d21 argmin+join diverged from the rank-window witness")
+    assert(covAgg.nonEmpty)
+    // end-to-end d8 + d21 stay internally consistent on the fixture
+    val d8 = Dedup.d8SpanDedup(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(d8.length == 30 && d8.forall(r => r._3 + r._4 == r._2))
+    val d21 = Dedup.exactSubstrAt(spark, dir, 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+    // every hot doc except the earliest loses at least its hot spans
+    d21.filter(r => r._1 % 3 != 0 && r._1 != 1L).foreach { r =>
+      assert(r._4 >= 6L, s"doc ${r._1} should lose both hot spans: $r")
+    }
+    assert(d21.filter(_._1 % 3 == 0).forall(_._4 == 0L),
+      "cold docs must keep everything")
+  }
+
   test("d7 parity holds when embeddings.vec_id is NOT a subset of documents.doc_id") {
     // The oracle's `comp JOIN q USING (doc_id)` drops embedding-only ids
     // AFTER they participate in connected components; the Spark side must
