@@ -1981,14 +1981,40 @@ object Similarity {
     * Distributed shape: the dense side is v1's broadcast-queries single
     * corpus pass; the lexical side is a token-keyed join of the
     * BROADCAST query-term set against the corpus term index (the
-    * inverted-index probe — corpus-linear, never corpus×queries), df and
-    * doc-length joins that AQE broadcasts, and one (q, doc)-keyed agg.
+    * inverted-index probe — corpus-linear, never corpus×queries), with
+    * TWO scale guards on the probe: (1) a document-frequency ceiling on
+    * probe terms (`spark.graft.bm25.dfCapShare`, default 1.0 = off for
+    * oracle parity; production BM25 practice — a term in df > share×N
+    * docs contributes ~0 idf but corpus-sized postings, so a stopword
+    * in a query must not make the candidate list corpus-sized), and
+    * (2) the per-query top-K cut through [[KeyedRank.keyedTopK]]'s
+    * two-phase rank instead of a single-partition-per-q_id window, so a
+    * candidate-heavy query never sorts its full list in one task.
     * Fusion is a full-outer join of two ≤ NQ·K-row rank lists — bounded
     * by the probe budget, independent of corpus size. Float discipline:
     * each BM25 term replays bitwise (log2 of integer ratios + rational
     * saturation, t26's proof), per-(q,doc) sums use the sorted fold, and
     * the RRF score is one fixed-order two-term sum of exact rationals.
     */
+  /** v21's lexical probe set: the query docs' distinct tokens joined to
+    * their corpus document frequencies, pruned by the conf-gated df
+    * ceiling `spark.graft.bm25.dfCapShare` (default 1.0 — keep every
+    * term, the oracle-parity setting; production sets ~0.5 so a
+    * stopword-bearing query can't pull corpus-sized postings into the
+    * candidate list — its idf contribution is ≈0 anyway, which is
+    * BM25's own justification for the cut, per t26). Exposed so
+    * SimilaritySpec can assert the cap drops exactly the ubiquitous
+    * terms and nothing else.
+    */
+  private[graft] def bm25ProbeTerms(s: SparkSession, qt: DataFrame,
+      dfq: DataFrame, stats: DataFrame): DataFrame = {
+    val share = s.conf.get("spark.graft.bm25.dfCapShare", "1.0").toDouble
+    broadcast(qt).join(dfq, "token")
+      .crossJoin(broadcast(stats))
+      .where(col("df") <= lit(share) * col("n_docs"))
+      .select(col("q_id"), col("token"), col("df"))
+  }
+
   val v21HybridRrf: Q = (s, d) => {
     import graft.functions.TextFunctions.lowerTokens
     val kFuse = 3
@@ -2028,18 +2054,17 @@ object Similarity {
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
         ((col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))))
-    val wB = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    val brank = broadcast(qt).join(ti, "token")
+    // df-capped probe terms (carries df, so no post-probe dfq join)
+    val qtCapped = bm25ProbeTerms(s, qt, dfq, stats)
+    val scored = broadcast(qtCapped).join(ti, "token")
       .filter(col("doc_id") =!= col("q_id"))
-      .join(dfq, "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("q_id"), col("doc_id"), contrib.as("c"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sortedFoldSum(col("c")).as("score"))
-      .withColumn("rb", row_number().over(wB))
-      .filter(col("rb") <= K)
+    val brank = KeyedRank.keyedTopK(scored, Seq("q_id"),
+      Seq(col("score").desc, col("doc_id").asc), K, "rb")
       .select(col("q_id"), col("doc_id"), col("rb"))
     // reciprocal-rank fusion over the two bounded rank lists
     val wF = Window.partitionBy(col("q_id"))

@@ -1231,30 +1231,39 @@ object CorpusPipeline {
     * subquery), ranking is one per-source window with doc_id tie-break,
     * and `kept` is the rank <= k cut.
     *
-    * Scale shape: one corpus pass for the quality projection, ONE
-    * source-keyed window — the shuffle is by source, so a skewed giant
-    * domain concentrates in one partition; at 100 TB the standard remedy
-    * applies (two-phase: per-partition top-k then global top-k per
-    * source, q7's TakeOrdered idea per key) and is noted rather than
-    * built because k and the domain registry are both small.
+    * Scale shape: one corpus pass for the quality projection, then
+    * [[graft.operators.KeyedRank.keyedRank]] for the per-source rank —
+    * web-crawl domain mass is maximally skewed, and the output contract
+    * (a rank for EVERY document, not just the kept top k) makes this
+    * full-rank problem keyed range sharding, not top-k truncation: a
+    * bounded proportional sample picks per-source score boundaries,
+    * per-(source, shard) windows rank in parallel, and broadcast
+    * offsets stitch the exact global per-source rank. No source — not
+    * even a domain holding 90% of the crawl — ever sorts in a single
+    * task (PipelineSpec plan-asserts this on a skewed fixture).
     */
+  /** p13's cap — interpolated into the oracle SQL and consumed by
+    * PipelineSpec, so there is exactly one spelling of k.
+    */
+  val P13Cap = 20
+
   def p13SourceCap(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val k = 20
     val q = graft.operators.TextAnalysis.t2Quality(s, d)
       .select(col("doc_id"), col("quality_score"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("quality_score").desc, col("doc_id").asc)
-    Tables.load(s, d, "documents").select(col("doc_id"), col("source"))
+    val joined = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"))
       .join(q, "doc_id")
-      .withColumn("src_rank", row_number().over(w))
+    graft.operators.KeyedRank
+      .keyedRank(joined, "source", "quality_score", "doc_id", "src_rank")
       .select(col("doc_id"), col("source"), col("src_rank"),
-        col("quality_score"), (col("src_rank") <= k).as("kept"))
+        col("quality_score"), (col("src_rank") <= P13Cap).as("kept"))
       .orderBy("doc_id")
   }
 
   /** Oracle: t2's OWN shipped SQL as a subquery (no re-spelled quality
-    * expression to drift), plus the identical per-source rank window.
+    * expression to drift), plus the per-source rank window — the naive
+    * single-partition spelling IS the correct replay semantics; only
+    * the Spark side needs the skew-safe plan.
     */
   val p13SourceCapSql: String =
     s"""WITH q AS (${graft.operators.TextAnalysis.t2QualitySql}),
@@ -1265,7 +1274,7 @@ object CorpusPipeline {
        |      AS src_rank
        |  FROM documents d JOIN q USING (doc_id))
        |SELECT doc_id, source, src_rank, quality_score,
-       |  src_rank <= 20 AS kept
+       |  src_rank <= $P13Cap AS kept
        |FROM r ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

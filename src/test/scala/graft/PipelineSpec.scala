@@ -458,17 +458,57 @@ class PipelineSpec extends SparkSpec {
       s"spent $spent vs budget $budget")
   }
   test("p13 source cap keeps exactly each source's quality top-k, tie-broken by doc_id") {
+    val k = CorpusPipeline.P13Cap
     val out = CorpusPipeline.p13SourceCap(spark, sfDir)
       .as[(Long, String, Int, Double, Boolean)].collect()
     assert(out.nonEmpty)
     out.groupBy(_._2).foreach { case (src, rows) =>
       // ranks are a 1..n permutation within the source
       assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
-      // the kept set is exactly the in-memory top-20 by (score desc, id)
-      val expectKept = rows.sortBy(r => (-r._4, r._1)).take(20).map(_._1).toSet
+      // the kept set is exactly the in-memory top-k by (score desc, id)
+      val expectKept = rows.sortBy(r => (-r._4, r._1)).take(k).map(_._1).toSet
       val gotKept = rows.filter(_._5).map(_._1).toSet
       assert(gotKept == expectKept, s"source $src kept mismatch")
-      assert(gotKept.size == math.min(20, rows.length))
+      assert(gotKept.size == math.min(k, rows.length))
+    }
+  }
+
+  test("p13 on a 90%-skewed source: exact ranks, and no single-partition per-source sort in the plan") {
+    // one giant domain holds ~90% of the corpus — the regime where the
+    // round-14 Window.partitionBy(source) shape serializes. Ranks must
+    // still be the exact naive-window answer, and every Window node that
+    // partitions by source must also carry keyedRank's _shard column.
+    val docsSeq = (0L until 200L).map { i =>
+      val src = if (i % 10 == 0) s"small${i % 30}" else "giantdomain"
+      // vary text so t2's quality score spreads (with duplicates)
+      val t = (1 to (3 + (i % 7)).toInt).map(j => s"word${i % 13}_$j")
+        .mkString(" ") + (if (i % 2 == 0) " 42 99" else "")
+      (i, t, "en", src, t.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_p13_skew").toString
+    docsSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val q = CorpusPipeline.p13SourceCap(spark, dir)
+    val got = q.as[(Long, String, Int, Double, Boolean)].collect()
+    // naive replay in memory
+    val byId = got.map(r => r._1 -> r).toMap
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(r => (-r._4, r._1))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        assert(byId(r._1)._3 == i + 1,
+          s"source $src doc ${r._1}: rank ${byId(r._1)._3} != ${i + 1}")
+      }
+    }
+    assert(got.count(_._2 == "giantdomain") >= 170, "fixture lost its skew")
+    // plan shape: no Window partitioned by source alone
+    val plan = q.queryExecution.executedPlan.toString
+    val windowSpecs = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val sourceWindows = windowSpecs.filter(_.contains("source"))
+    assert(sourceWindows.nonEmpty, s"expected a per-source window:\n$plan")
+    sourceWindows.foreach { spec =>
+      assert(spec.contains("_shard"),
+        s"single-partition per-source window in the plan: [$spec]\n$plan")
     }
   }
 }
