@@ -2015,25 +2015,30 @@ object Similarity {
       .select(col("q_id"), col("token"), col("df"))
   }
 
-  val v21HybridRrf: Q = (s, d) => {
-    import graft.functions.TextFunctions.lowerTokens
-    val kFuse = 3
-    // dense ranker: v1's exact cosine top-K
+  /** v21's dense candidate scores: every (query, other-doc) cosine —
+    * v1's broadcast-queries single corpus pass, shared by v21 (K-cut)
+    * and v22 (full-rank ground truth).
+    */
+  private[graft] def v21DenseSims(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val q = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normSq(col("embedding")).as("nsq_q"))
     val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       normSq(col("embedding")).as("nsq_n"))
-    val wD = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    val drank = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+    c.join(broadcast(q), col("n_id") =!= col("q_id"))
       .withColumn("sim", cosineWithNorms(dot(col("q_emb"), col("n_emb")),
         col("nsq_q"), col("nsq_n")))
-      .withColumn("rd", row_number().over(wD))
-      .filter(col("rd") <= K)
-      .select(col("q_id"), col("n_id").as("doc_id"), col("rd"))
-    // lexical ranker: per-query BM25 over the corpus term index
+      .select(col("q_id"), col("n_id").as("doc_id"), col("sim"))
+  }
+
+  /** v21's lexical candidate scores: per-query BM25 over the corpus
+    * term index through the df-capped probe ([[bm25ProbeTerms]]) — the
+    * (q, doc)-keyed sorted-fold sums, before any rank cut. Shared by
+    * v21 (top-K) and v22 (full-rank ground truth).
+    */
+  private[graft] def v21Bm25Scores(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.lowerTokens
     val toks = Tables.load(s, d, "documents")
       .select(col("doc_id"), lowerTokens(col("text")).as("t"))
       .materialize() // term index, doc lengths AND the query-term side
@@ -2046,8 +2051,6 @@ object Similarity {
     val qt = toks.filter(col("doc_id") < NQ)
       .select(col("doc_id").as("q_id"), explode(col("t")).as("token"))
       .distinct()
-    def sortedFoldSum(cc: Column): Column =
-      graft.functions.TextFunctions.sortedFoldSum(cc)
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val contrib =
       log2(lit(1.0) +
@@ -2056,14 +2059,27 @@ object Similarity {
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))))
     // df-capped probe terms (carries df, so no post-probe dfq join)
     val qtCapped = bm25ProbeTerms(s, qt, dfq, stats)
-    val scored = broadcast(qtCapped).join(ti, "token")
+    broadcast(qtCapped).join(ti, "token")
       .filter(col("doc_id") =!= col("q_id"))
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("q_id"), col("doc_id"), contrib.as("c"))
       .groupBy(col("q_id"), col("doc_id"))
-      .agg(sortedFoldSum(col("c")).as("score"))
-    val brank = KeyedRank.keyedTopK(scored, Seq("q_id"),
+      .agg(graft.functions.TextFunctions.sortedFoldSum(col("c")).as("score"))
+  }
+
+  val v21HybridRrf: Q = (s, d) => {
+    val kFuse = 3
+    // dense ranker: v1's exact cosine top-K (v1's documented
+    // brute-force eval contract — NQ sampled queries)
+    val wD = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    val drank = v21DenseSims(s, d)
+      .withColumn("rd", row_number().over(wD))
+      .filter(col("rd") <= K)
+      .select(col("q_id"), col("doc_id"), col("rd"))
+    // lexical ranker: top-K through the two-phase cut
+    val brank = KeyedRank.keyedTopK(v21Bm25Scores(s, d), Seq("q_id"),
       Seq(col("score").desc, col("doc_id").asc), K, "rb")
       .select(col("q_id"), col("doc_id"), col("rb"))
     // reciprocal-rank fusion over the two bounded rank lists
@@ -2087,8 +2103,14 @@ object Similarity {
     * (CAST(rank AS DOUBLE) keeps DuckDB's decimal literals out of the
     * division).
     */
-  val v21HybridRrfSql: String =
-    s"""WITH toks AS MATERIALIZED (
+  /** Shared oracle CTE prefix: the full-rank dense (`drank`) and BM25
+    * (`brank`) lists from the v1 cosine and t26 BM25 spellings — ONE
+    * spelling consumed by both v21's oracle (which cuts at K before
+    * fusing) and v22's (which also fuses the uncut lists as ground
+    * truth).
+    */
+  private val v21RankCtes: String =
+    s"""toks AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS t
        |  FROM documents),
@@ -2130,7 +2152,10 @@ object Similarity {
        |  SELECT q_id, doc_id,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY sim DESC, doc_id ASC) AS INTEGER) AS rd
-       |  FROM dpairs),
+       |  FROM dpairs)""".stripMargin
+
+  val v21HybridRrfSql: String =
+    s"""WITH $v21RankCtes,
        |fused AS (
        |  SELECT coalesce(dr.q_id, br.q_id) AS q_id,
        |    coalesce(dr.doc_id, br.doc_id) AS doc_id, dr.rd, br.rb,
@@ -2147,8 +2172,102 @@ object Similarity {
        |      FROM fused)
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  // --------------------------------------------------- v22_hybrid_eval
+  /** Hybrid-retrieval deploy gate — v11's recall discipline applied to
+    * v21's fused list. Ground truth is RRF over the FULL per-query rank
+    * lists (no top-K cut before fusion): truncated fusion is genuinely
+    * approximate — a doc at dense rank 2 whose BM25 rank sits just
+    * outside K carries 1/(60+2) + 1/(60+K+ε) in TRUE fused order,
+    * which can outrank a dense-rank-1 doc with no lexical support at
+    * 1/61 — so the deployed pipeline needs this measurement, per
+    * query, before the K budget is committed (exactly v11's argument
+    * for v2's planes). Emits n_truth, n_approx, n_overlap and
+    * recall@kFuse per query.
+    *
+    * Scale shape: composes the two audited v21 score passes; the exact
+    * side pays full-rank lists over the NQ-sampled query set (v11's
+    * eval contract), computed through [[KeyedRank.keyedRank]] so even
+    * a corpus-sized candidate list never sorts in one task. Everything
+    * after the rank lists is NQ-bounded.
+    */
+  val v22HybridEval: Q = (s, d) => {
+    val kFuse = 3
+    def fullRank(df: DataFrame, ord: String, rc: String): DataFrame =
+      KeyedRank.keyedRank(df.withColumn("qk", col("q_id").cast("string")),
+        "qk", ord, "doc_id", rc).drop("qk")
+    val dfull = fullRank(v21DenseSims(s, d), "sim", "rd")
+      .select(col("q_id"), col("doc_id"), col("rd"))
+    val bfull = fullRank(v21Bm25Scores(s, d), "score", "rb")
+      .select(col("q_id"), col("doc_id"), col("rb"))
+    val fusedFull = dfull.join(bfull, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("rd")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rb")), lit(0.0)))
+    val truth = KeyedRank.keyedTopK(fusedFull, Seq("q_id"),
+      Seq(col("rrf").desc, col("doc_id").asc), kFuse, "rt")
+      .select(col("q_id"), col("doc_id"))
+    val approx = v21HybridRrf(s, d).select(col("q_id"), col("doc_id"))
+    val nApprox = approx.groupBy(col("q_id")).agg(count(lit(1)).as("n_approx"))
+    truth.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "doc_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .join(nApprox, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"), col("n_overlap"),
+        sround(col("n_overlap") / lit(kFuse.toDouble), 4).as("recall_at_k"))
+      .orderBy("q_id")
+  }
+
+  /** Oracle: the SAME rank-CTE prefix as v21's oracle (one spelling of
+    * both scorers), fused twice — once K-cut (the deployed v21 replay),
+    * once uncut (ground truth) — then v11's overlap arithmetic.
+    */
+  val v22HybridEvalSql: String =
+    s"""WITH $v21RankCtes,
+       |approx AS (
+       |  SELECT q_id, doc_id FROM (
+       |    SELECT q_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rnk
+       |    FROM (
+       |      SELECT coalesce(dr.q_id, br.q_id) AS q_id,
+       |        coalesce(dr.doc_id, br.doc_id) AS doc_id,
+       |        coalesce(1.0 / (60.0 + CAST(dr.rd AS DOUBLE)), 0.0)
+       |          + coalesce(1.0 / (60.0 + CAST(br.rb AS DOUBLE)), 0.0) AS rrf
+       |      FROM (SELECT * FROM drank WHERE rd <= $K) dr
+       |      FULL OUTER JOIN (SELECT * FROM brank WHERE rb <= $K) br
+       |        ON dr.q_id = br.q_id AND dr.doc_id = br.doc_id))
+       |  WHERE rnk <= 3),
+       |truth AS (
+       |  SELECT q_id, doc_id FROM (
+       |    SELECT q_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rnk
+       |    FROM (
+       |      SELECT coalesce(dr.q_id, br.q_id) AS q_id,
+       |        coalesce(dr.doc_id, br.doc_id) AS doc_id,
+       |        coalesce(1.0 / (60.0 + CAST(dr.rd AS DOUBLE)), 0.0)
+       |          + coalesce(1.0 / (60.0 + CAST(br.rb AS DOUBLE)), 0.0) AS rrf
+       |      FROM drank dr
+       |      FULL OUTER JOIN brank br
+       |        ON dr.q_id = br.q_id AND dr.doc_id = br.doc_id))
+       |  WHERE rnk <= 3),
+       |na AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_approx
+       |       FROM approx GROUP BY q_id)
+       |SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+       |  coalesce(any_value(na.n_approx), 0) AS n_approx,
+       |  CAST(count(a.doc_id) AS BIGINT) AS n_overlap,
+       |  floor(count(a.doc_id) / 3.0 * 10000.0 + 0.5) / 10000.0
+       |    AS recall_at_k
+       |FROM truth t
+       |LEFT JOIN approx a ON a.q_id = t.q_id AND a.doc_id = t.doc_id
+       |LEFT JOIN na ON na.q_id = t.q_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "v22_hybrid_eval" -> v22HybridEval,
     "v21_hybrid_rrf" -> v21HybridRrf,
     "v20_bitext_mining" -> v20BitextMining,
     "v19_nprobe_sweep" -> v19NprobeSweep,
@@ -2172,6 +2291,7 @@ object Similarity {
     "v12_ivf_append" -> v12IvfAppend)
 
   val oracles: Map[String, String] = Map(
+    "v22_hybrid_eval" -> v22HybridEvalSql,
     "v20_bitext_mining" -> v20BitextMiningSql,
     "v21_hybrid_rrf" -> v21HybridRrfSql,
     "v19_nprobe_sweep" -> v19NprobeSweepSql,

@@ -1036,6 +1036,42 @@ class SimilaritySpec extends SparkSpec {
       .foreach(r => assert(r.getInt(1) == 1))
   }
 
+  test("v22 hybrid eval: recall recomputes, ground truth equals a naive full-rank fusion replay") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Similarity.v22HybridEval(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.length == 8)
+    out.foreach { case (q, nt, na, no, r) =>
+      assert(nt == 3L && na <= 3L && no <= math.min(nt, na), s"q$q bounds")
+      assert(r == math.floor(no.toDouble / 3 * 1e4 + 0.5) / 1e4, s"q$q recall")
+    }
+    // ground truth replayed with NAIVE per-query windows (full ranks, no
+    // keyedRank) and fused; overlap counts must match the operator's
+    def naiveRank(df: org.apache.spark.sql.DataFrame, ord: String,
+        rc: String) =
+      df.withColumn(rc, row_number().over(Window.partitionBy($"q_id")
+        .orderBy(col(ord).desc, $"doc_id".asc)))
+        .select($"q_id", $"doc_id", col(rc))
+    val fusedTruth = naiveRank(Similarity.v21DenseSims(spark, sfDir), "sim", "rd")
+      .join(naiveRank(Similarity.v21Bm25Scores(spark, sfDir), "score", "rb"),
+        Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + $"rd"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + $"rb"), lit(0.0)))
+      .withColumn("rt", row_number().over(Window.partitionBy($"q_id")
+        .orderBy($"rrf".desc, $"doc_id".asc)))
+      .filter($"rt" <= 3)
+      .select($"q_id", $"doc_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.v21HybridRrf(spark, sfDir)
+      .select($"q_id", $"doc_id").as[(Long, Long)].collect().toSet
+    val expectOverlap = fusedTruth.groupBy(_._1).view
+      .mapValues(_.count(approx.contains)).toMap
+    out.foreach { case (q, _, _, no, _) =>
+      assert(no == expectOverlap(q).toLong,
+        s"q$q overlap $no != replay ${expectOverlap(q)}")
+    }
+  }
+
   test("v21 df cap prunes exactly the ubiquitous probe term and bounds the lexical candidates") {
     import graft.functions.TextFunctions.lowerTokens
     // every doc carries the stopword; each query shares a DISTINCTIVE
