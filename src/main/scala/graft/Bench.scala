@@ -89,6 +89,12 @@ object Bench {
       val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
         .mkString("{", ",", "}")
       val line = s"""{"sf":"$sfDir","unit":"sec","nq":${results.size},"total":${fmt(total, 1)},"queries":$full}""" + "\n"
+      // per-sf filename: the committed sf0.1 board must survive sf0.01
+      // smoke runs (a shared BENCH_FULL.json got clobbered exactly that
+      // way in round 15); BENCH_FULL.json stays as the latest-run alias
+      val sfTag = new java.io.File(sfDir).getName
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH_FULL_$sfTag.json"), line)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")), line)

@@ -99,5 +99,6 @@ object SparkEntry {
     "g15_cc_star", "d19_oph_minhash", "t44_blocklist", "t45_fim_prep",
     "p12_unimax_mixture", "mm12_audio_neardup", "d20_allpairs",
     "v20_bitext_mining", "d21_exactsubstr", "t46_classifier_train",
-    "v21_hybrid_rrf", "p13_source_cap")
+    "v21_hybrid_rrf", "p13_source_cap", "v22_hybrid_eval",
+    "t47_heldout_eval")
 }

@@ -2195,18 +2195,27 @@ object Similarity {
     def fullRank(df: DataFrame, ord: String, rc: String): DataFrame =
       KeyedRank.keyedRank(df.withColumn("qk", col("q_id").cast("string")),
         "qk", ord, "doc_id", rc).drop("qk")
+    // each scorer runs ONCE; the deployed v21 list is derived from the
+    // same frames — a full rank filtered to <= K IS v21's top-K rank
+    // (same total order), so the harness never re-scores the corpus
     val dfull = fullRank(v21DenseSims(s, d), "sim", "rd")
       .select(col("q_id"), col("doc_id"), col("rd"))
+      .materialize() // ground truth AND the K-truncated replay
     val bfull = fullRank(v21Bm25Scores(s, d), "score", "rb")
       .select(col("q_id"), col("doc_id"), col("rb"))
-    val fusedFull = dfull.join(bfull, Seq("q_id", "doc_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(60.0) + col("rd")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60.0) + col("rb")), lit(0.0)))
-    val truth = KeyedRank.keyedTopK(fusedFull, Seq("q_id"),
+      .materialize() // ground truth AND the K-truncated replay
+    def fuse(dr: DataFrame, br: DataFrame): DataFrame =
+      dr.join(br, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("rd")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rb")), lit(0.0)))
+    val truth = KeyedRank.keyedTopK(fuse(dfull, bfull), Seq("q_id"),
       Seq(col("rrf").desc, col("doc_id").asc), kFuse, "rt")
       .select(col("q_id"), col("doc_id"))
-    val approx = v21HybridRrf(s, d).select(col("q_id"), col("doc_id"))
+    val approx = KeyedRank.keyedTopK(
+      fuse(dfull.where(col("rd") <= K), bfull.where(col("rb") <= K)),
+      Seq("q_id"), Seq(col("rrf").desc, col("doc_id").asc), kFuse, "rt")
+      .select(col("q_id"), col("doc_id"))
     val nApprox = approx.groupBy(col("q_id")).agg(count(lit(1)).as("n_approx"))
     truth.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "doc_id"), "left")
       .groupBy(col("q_id"))

@@ -3559,31 +3559,45 @@ object TextAnalysis {
     * lesson). Nothing iterative ever touches the corpus more than once
     * per round.
     */
-  val t46ClassifierTrain: Q = (s, d) => {
+  /** t46/t47's shared feature frame: hashed-bucket token frequencies in
+    * 1e-4 integer units, one row per (doc, bucket), materialized once —
+    * the only corpus-sized object either operator touches per round.
+    */
+  private[graft] def classifierFeats(s: SparkSession, d: String): DataFrame = {
     import graft.expressions.PortableHashExpressions.md5Hash62
-    val eta = 0.1
-    val rounds = 3
-    def sortedFoldSum(c: Column): Column =
-      graft.functions.TextFunctions.sortedFoldSum(c)
     val tok = docs(s, d)
       .select(col("doc_id"), explode(lowerTokens(col("text"))).as("token"))
-    val feats = tok
+    tok
       .groupBy(col("doc_id"), (md5Hash62(col("token")) % lit(4096L)).as("fid"))
       .agg(count(lit(1)).as("c"))
       .join(tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), "doc_id")
       .select(col("doc_id"), col("fid"),
         floor(col("c") / col("n") * lit(10000.0) + lit(0.5)).as("x4"))
       .materialize() // every round's activation AND gradient side
-    val lab = docs(s, d)
-      .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"))
-    val ndF = feats.agg(countDistinct(col("doc_id")).cast("double").as("nd"))
-    def zOf(w: DataFrame): DataFrame = feats.join(w, "fid")
+  }
+
+  /** Per-doc activation under weight frame `w` — the sorted-fold sum
+    * both training rounds and final scoring share.
+    */
+  private def classifierZ(feats: DataFrame, w: DataFrame): DataFrame =
+    feats.join(w, "fid")
       .groupBy(col("doc_id"))
-      .agg(sortedFoldSum(col("w") * col("x4")).as("zraw"))
+      .agg(graft.functions.TextFunctions
+        .sortedFoldSum(col("w") * col("x4")).as("zraw"))
+
+  /** The three exact-rational gradient rounds, fit on exactly the docs
+    * `lab` carries (t46 passes every doc; t47 passes the 9/10 train
+    * split — the gradient join restricts itself because `g = feats ⋈
+    * resid` is inner on doc_id). `ndF` is the matching 1-row doc count.
+    */
+  private def classifierTrainLoop(feats: DataFrame, lab: DataFrame,
+      ndF: DataFrame): DataFrame = {
+    val eta = 0.1
+    val rounds = 3
     var w = feats.select(col("fid")).distinct()
       .withColumn("w", lit(0.0)).materialize()
     (1 to rounds).foreach { _ =>
-      val resid = lab.join(zOf(w), "doc_id")
+      val resid = lab.join(classifierZ(feats, w), "doc_id")
         .select(col("doc_id"),
           floor((col("y") - col("zraw") / lit(10000.0)) * lit(10000.0)
             + lit(0.5)).as("r4"))
@@ -3595,6 +3609,16 @@ object TextAnalysis {
             / (col("nd") * lit(1.0e8)))).as("w"))
         .materialize() // 4096 rows; fences the round chain flat
     }
+    w
+  }
+
+  val t46ClassifierTrain: Q = (s, d) => {
+    val feats = classifierFeats(s, d)
+    val lab = docs(s, d)
+      .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"))
+    val ndF = feats.agg(countDistinct(col("doc_id")).cast("double").as("nd"))
+    val w = classifierTrainLoop(feats, lab, ndF)
+    def zOf(wf: DataFrame): DataFrame = classifierZ(feats, wf)
     // keep = strictly above the corpus-mean score (the CCNet-style
     // keep-the-better-half cut, self-calibrated — three damped rounds
     // rank correctly long before scores reach probability scale). The
@@ -3627,7 +3651,12 @@ object TextAnalysis {
     * activations, integer r4·x4 gradients, and the same one-expression
     * weight update.
     */
-  val t46ClassifierTrainSql: String = {
+  /** The CTE chain through the trained activations (`zf`), shared by
+    * t46's oracle (trainWhere = "", fit on every doc) and t47's
+    * (trainWhere restricts `lab` and the doc count to the train split)
+    * — one spelling of the feature build and all three rounds.
+    */
+  private def classifierSqlCtes(trainWhere: String): String = {
     def zSql(wcte: String): String =
       s"""SELECT doc_id,
          |    list_aggregate(list_sort(list(w * x4)), 'sum') AS zraw
@@ -3648,7 +3677,7 @@ object TextAnalysis {
          |  FROM $prev JOIN g$t USING (fid) CROSS JOIN nd)"""
         .stripMargin.replace("$(zzz)", zSql(prev))
     }.mkString(",\n")
-    s"""WITH tok AS MATERIALIZED (
+    s"""tok AS MATERIALIZED (
        |  SELECT doc_id,
        |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
        |      x -> x != '')) AS token
@@ -3663,11 +3692,17 @@ object TextAnalysis {
        |        FROM tok GROUP BY 1, 2) c
        |  JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1) n
        |    USING (doc_id)),
-       |lab AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents),
-       |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM feats),
+       |lab AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y
+       |        FROM documents$trainWhere),
+       |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd
+       |       FROM feats$trainWhere),
        |w0 AS MATERIALIZED (SELECT DISTINCT fid, 0.0 AS w FROM feats),
        |$roundCtes,
-       |zf AS (${zSql("w3")}),
+       |zf AS (${zSql("w3")})""".stripMargin
+  }
+
+  val t46ClassifierTrainSql: String = {
+    s"""WITH ${classifierSqlCtes("")},
        |sc AS MATERIALIZED (
        |  SELECT d.doc_id, d.lang = 'en' AS label, z.zraw,
        |    CAST(floor(coalesce(z.zraw, 0.0) * 1000000.0 + 0.5) AS BIGINT)
@@ -3683,8 +3718,63 @@ object TextAnalysis {
        |FROM sc CROSS JOIN st ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ t47_heldout_eval
+  /** Held-out evaluation of the t46 quality classifier — t40's
+    * held-out discipline applied to the trained scorer: the weights are
+    * fit on the 9/10 train split only (doc_id % 10 != 0), EVERY doc is
+    * scored with the same frozen activation spelling, and the report is
+    * the per-(split, label) score envelope — n_docs, min and max score.
+    * A trained filter whose quality is only measured on its own
+    * training corpus is the classic curation foot-gun; this is the
+    * measurement that licenses t46's keep-cut before a production
+    * corpus commits to it. Ranking separation — min(in-domain) above
+    * max(junk) on the HELD-OUT split — is the contract (CurationSpec
+    * asserts it on the planted fixture); min/max envelopes rather than
+    * means keep the output free of summation-order float hazards.
+    *
+    * Scale shape: identical to t46 (the train-split restriction rides
+    * the existing gradient join), plus one 4-row aggregate.
+    */
+  val t47HeldoutEval: Q = (s, d) => {
+    val feats = classifierFeats(s, d)
+    val isHeld = col("doc_id") % 10 === 0
+    val lab = docs(s, d).where(!isHeld)
+      .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"))
+    val ndF = feats.where(!isHeld)
+      .agg(countDistinct(col("doc_id")).cast("double").as("nd"))
+    val w = classifierTrainLoop(feats, lab, ndF)
+    docs(s, d)
+      .select(col("doc_id"), (col("lang") === "en").as("label"),
+        when(isHeld, lit("heldout")).otherwise(lit("train")).as("split"))
+      .join(classifierZ(feats, w), Seq("doc_id"), "left")
+      .withColumn("score",
+        sround(coalesce(col("zraw"), lit(0.0)) / lit(10000.0), 6))
+      .groupBy(col("split"), col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy("split", "label")
+  }
+
+  /** Oracle: the SAME CTE chain as t46's twin with the train split in
+    * `lab`/`nd`, then the envelope aggregate.
+    */
+  val t47HeldoutEvalSql: String =
+    s"""WITH ${classifierSqlCtes(" WHERE doc_id % 10 != 0")},
+       |sc AS (
+       |  SELECT d.doc_id, d.lang = 'en' AS label,
+       |    CASE WHEN d.doc_id % 10 = 0 THEN 'heldout' ELSE 'train' END
+       |      AS split,
+       |    floor(coalesce(z.zraw, 0.0) / 10000.0 * 1000000.0 + 0.5)
+       |      / 1000000.0 AS score
+       |  FROM documents d LEFT JOIN zf z USING (doc_id))
+       |SELECT split, label, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(score) AS min_score, max(score) AS max_score
+       |FROM sc GROUP BY split, label ORDER BY split, label""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "t47_heldout_eval" -> t47HeldoutEval,
     "t46_classifier_train" -> t46ClassifierTrain,
     "t44_blocklist" -> t44Blocklist,
     "t45_fim_prep" -> t45FimPrep,
@@ -3733,6 +3823,7 @@ object TextAnalysis {
     "t13_repetition" -> t13Repetition)
 
   val oracles: Map[String, String] = Map(
+    "t47_heldout_eval" -> t47HeldoutEvalSql,
     "t44_blocklist" -> t44BlocklistSql,
     "t45_fim_prep" -> t45FimPrepSql,
     "t46_classifier_train" -> t46ClassifierTrainSql,

@@ -157,8 +157,14 @@ object Snapshots {
     while (true) {
       // overall wall bound: a manifest whose mtime keeps refreshing
       // without content ever changing (touch loop, severe clock skew)
-      // must not spin forever on the stable-but-young path
-      require(System.currentTimeMillis() - t0 < acceptAgeMs * 4 + 10000L,
+      // must not spin forever on the stable-but-young path. Enforced
+      // only while content is byte-stable (stable > 0): a live writer
+      // still APPENDING past this bound is a different situation — its
+      // changing reads are governed by the torn-write attempt cap — and
+      // must not be reported as a touch loop (an operator reading that
+      // message could delete a manifest a live writer is producing)
+      require(stable == 0 ||
+        System.currentTimeMillis() - t0 < acceptAgeMs * 4 + 10000L,
         s"manifest $mp neither completed nor aged past the " +
           s"${acceptAgeMs}ms accept window after ${
             System.currentTimeMillis() - t0}ms — mtime keeps refreshing " +

@@ -1221,4 +1221,39 @@ class CurationSpec extends SparkSpec {
     assert(pos.forall(_._4) && neg.forall(!_._4),
       s"keep flags wrong: ${out.filter(r => r._4 != r._2).mkString(", ")}")
   }
+
+  test("t47 held-out eval: scorer trained on 9/10 still separates the unseen split") {
+    // same planted-vocabulary regime as the t46 fixture, but doc ids are
+    // laid out so the doc_id % 10 == 0 held-out split contains BOTH
+    // classes (class = first half of ids, so held-out = {0,10} in-domain
+    // + {20,30} junk). The trained scorer never sees a gradient from the
+    // held-out docs; ranking separation there is the generalization
+    // claim t46 alone cannot make.
+    val rng = new scala.util.Random(11)
+    def doc(vocab: Seq[String], n: Int): String =
+      (Seq.fill(n)(vocab(rng.nextInt(vocab.size))) :+ "the").mkString(" ")
+    val vocabA = (1 to 30).map(i => s"good$i")
+    val vocabB = (1 to 30).map(i => s"junk$i")
+    val rows = (0 until 40).map { i =>
+      val en = i < 20
+      (i.toLong, doc(if (en) vocabA else vocabB, 20 + rng.nextInt(20)),
+        if (en) "en" else "xx", "web", 1L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("t47").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.t47HeldoutEval(spark, dir)
+      .as[(String, Boolean, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out.keySet == Set(("train", true), ("train", false),
+      ("heldout", true), ("heldout", false)))
+    // both splits hold both classes, at the expected sizes
+    assert(out(("heldout", true))._1 == 2L && out(("heldout", false))._1 == 2L)
+    assert(out(("train", true))._1 == 18L && out(("train", false))._1 == 18L)
+    // held-out separation: worst unseen in-domain beats best unseen junk
+    assert(out(("heldout", true))._2 > out(("heldout", false))._3,
+      s"held-out split does not separate: $out")
+    // and the train split separates too (sanity vs the t46 fixture)
+    assert(out(("train", true))._2 > out(("train", false))._3)
+  }
 }

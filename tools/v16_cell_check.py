@@ -39,11 +39,17 @@ SELECT count(*), sum(hash(nbr_id, rnk, sim, vec_id)) FROM ({q})
 # The only edits are mechanical: the global corpus CTE chain is replaced by a
 # single-cell scan of the materialized corpus parquet, and the final global
 # ORDER BY is dropped (fingerprints are order-independent).
-PER_CELL = None  # set by load_per_cell() before the worker pool forks
+PER_CELL = None  # loaded lazily (per process, so spawn-start workers work too)
 
 
 def load_per_cell():
+    # Lazy + idempotent: called in the parent AND at the top of each
+    # worker task. Under fork-start pools the workers inherit the parent's
+    # PER_CELL; under spawn (macOS/Windows default) module globals are NOT
+    # inherited, so each worker re-derives it from oracle_sql.json.
     global PER_CELL
+    if PER_CELL is not None:
+        return
     sql = json.load(open(os.path.join(OUT, "oracle_sql.json")))["v16_knn_join"]
     cut = sql.index(",\nbound AS MATERIALIZED")
     tail = sql[cut + 2:].rstrip()
@@ -74,6 +80,7 @@ def build_corpus():
 
 
 def run_cell(cell):
+    load_per_cell()
     con = duckdb.connect(config={"threads": max(1, 32 // WORKERS)})
     n, h = con.sql(
         FINGERPRINT.format(q=PER_CELL.format(corpus=CORPUS, cell=cell))
