@@ -1072,14 +1072,27 @@ object Dedup {
     }
   }
 
+  /** Annotate a components frame (doc_id, cluster_id) with per-cluster
+    * size + canonical flag. Sizes come from a map-side-combinable
+    * `groupBy(cluster_id).count` joined back, NOT `count.over(Window
+    * .partitionBy(cluster_id))`: a giant boilerplate near-dup cluster at
+    * web scale would funnel all its members through one WindowExec task,
+    * while the agg collapses hot clusters to one row per mapper and the
+    * join-back (1 build row per cluster) is AQE-skew-splittable.
+    */
+  def withClusterStats(comps: DataFrame): DataFrame = {
+    val sizes = comps.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, "cluster_id")
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+  }
+
   val d5DedupClusters: Q = (s, d) => {
     val comps = connectedComponents(
       docs(s, d).select(col("doc_id")), d2Pairs(s, d))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    comps
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
+    withClusterStats(comps).orderBy("doc_id")
   }
 
   /** Same components via DuckDB's recursive CTE (transitive closure is

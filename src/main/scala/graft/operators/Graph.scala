@@ -453,23 +453,23 @@ object Graph {
     * co-occurrence jobs bound it, and it also denoises: a user who
     * touches everything says nothing about item affinity).
     *
-    * Plan: interaction-count agg → per-user top-k window (partitioned
-    * by user — distributed) → self-join on user_id → pair agg → 1-row
+    * Plan: interaction-count agg → per-user top-k (two-phase keyedTopK,
+    * no single-task user sort) → self-join on user_id → pair agg → 1-row
     * N broadcast → TakeOrderedAndProject. Counts are integers; lift is
     * one identically-spelled double expression, and the top-50 cut
     * orders by integer columns only — no float in any comparison.
     */
   val g6Cooccur: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val inter = Tables.load(s, d, "events")
       .select(col("user_id").as("u"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .where(col("k").isNotNull)
       .groupBy(col("u"), col("k")).agg(count(lit(1)).as("cnt"))
-    val capped = inter
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("u")).orderBy(col("cnt").desc, col("k"))))
-      .where(col("rn") <= 20)
+    // per-user top-20 via the two-phase keyedTopK: the power user whose
+    // item list the cap exists to bound is exactly the key a per-u rank
+    // window would sort in one task
+    val capped = KeyedRank.keyedTopK(inter, Seq("u"),
+        Seq(col("cnt").desc, col("k")), k = 20, rankCol = "rn")
       .select(col("u"), col("k"))
       .materialize() // 2 join sides + item counts + the N scalar
     val nUsers = capped.select(countDistinct(col("u")).as("n_users"))
@@ -628,16 +628,19 @@ object Graph {
     * finds 2 communities and connected components can only see 1.
     */
   def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    val w = Window.partitionBy(col("dst")).orderBy(col("c").desc, col("label").asc)
     for (_ <- 1 to rounds) {
+      // majority vote = argmax(c desc, label asc) per dst, executed as a
+      // min(struct(-c, label)) hash aggregate rather than a rank window:
+      // a hub node's vote list (one row per incident label) would sort in
+      // ONE WindowExec task, while the struct-min partial-aggregates
+      // map-side — same winner (max count, ties to the smallest label)
       labels = edges.join(labels, edges("src") === labels("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
-        .withColumn("r", row_number().over(w))
-        .where(col("r") === 1)
-        .select(col("dst").as("node"), col("label"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("dst").as("node"), col("m.label").as("label"))
     }
     labels
   }
@@ -992,15 +995,18 @@ object Graph {
     */
   val g13NeighborSample: Q = (s, d) => {
     import graft.expressions.PortableHashExpressions.md5Hash62
-    import org.apache.spark.sql.expressions.Window
     val base = bipartiteBase(s, d)
     val edges = base.unionAll(
       base.select(col("dst").as("src"), col("src").as("dst")))
-    val ranked = edges
-      .select(col("src"), col("dst"),
-        row_number().over(Window.partitionBy(col("src"))
-          .orderBy(md5Hash62(concat(col("src"), lit(">"), col("dst"))),
-            col("dst"))).as("rnk"))
+    // the index is only ever probed at rnk <= 3, so the per-src rank runs
+    // through the two-phase keyedTopK (local ≤3-per-partition prune, then
+    // the bounded global rank) instead of a per-src window — a hub node's
+    // full neighbor list never sorts in one task
+    val ranked = KeyedRank.keyedTopK(
+        edges.select(col("src"), col("dst"),
+          md5Hash62(concat(col("src"), lit(">"), col("dst"))).as("h")),
+        Seq("src"), Seq(col("h"), col("dst")), k = 3, rankCol = "rnk")
+      .select(col("src"), col("dst"), col("rnk"))
       .materialize() // the sampling index — probed once per hop
     val seeds = Tables.load(s, d, "events")
       .filter(col("event_type") === "signup" && col("user_id") % 199 === 0)
@@ -1148,11 +1154,8 @@ object Graph {
     val comps = Dedup.connectedComponents(
       graft.Tables.load(s, d, "documents").select(col("doc_id")),
       Dedup.d2Pairs(s, d), algoOverride = Some("star"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    comps
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
+    // skew-safe size annotation (agg + join-back) — see Dedup.withClusterStats
+    Dedup.withClusterStats(comps).orderBy("doc_id")
   }
 
   /** Oracle: d5's recursive-closure SQL verbatim — two algorithms, one

@@ -3199,6 +3199,62 @@ object Relational {
       |FROM orders WHERE month(o_orderdate) <= 6
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------- q73_bucketed_join
+  /** Co-located bucketed join — the pre-shuffle pattern for the fact⋈fact
+    * joins that dominate at 100 TB. Both sides are written ONCE as
+    * parquet tables bucketed AND sorted by the join key (8 buckets here;
+    * a cluster sizes buckets to ~1 GB), after which every future join on
+    * that key is exchange-free: Spark's bucketing contract hash-splits
+    * rows by key into fixed files per bucket, so SortMergeJoin reads
+    * matching buckets pairwise with no shuffle and no re-sort. The
+    * RelationalSpec plan test asserts the join subtree has ZERO Exchange
+    * nodes; the amortized-read shape is what a warehouse runs daily while
+    * the one-time write replaces the per-query shuffle of every repeated
+    * join on the key.
+    *
+    * The query itself is the revenue-by-segment rollup (reference join
+    * shape, `dbt_Models`'s fact⋈dim family): orders⋈customer on custkey
+    * over the bucketed tables, exact cents arithmetic.
+    */
+  private def bucketedTable(s: SparkSession, d: String, table: String,
+      key: String, buckets: Int): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest((d + "#" + table).getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val name = s"graft_bkt_${table}_$tag"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_bucketed/$tag/$table"
+    if (!s.catalog.tableExists(name)) {
+      Tables.load(s, d, table)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", path)
+        .saveAsTable(name)
+    }
+    s.table(name)
+  }
+
+  private[graft] def q73JoinOnly(s: SparkSession, d: String): DataFrame = {
+    val o = bucketedTable(s, d, "orders", "o_custkey", 8)
+    val c = bucketedTable(s, d, "customer", "c_custkey", 8)
+    // merge hint: the broadcast path would be legal at test scale but the
+    // operator exists to certify the exchange-free SMJ the cluster runs
+    o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+  }
+
+  val q73BucketedJoin: Q = (s, d) =>
+    q73JoinOnly(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sumCents(col("o_totalprice")) / lit(100.0)).as("revenue"))
+      .orderBy("c_mktsegment")
+
+  val q73BucketedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      |    AS BIGINT) / 100.0 AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
@@ -3271,7 +3327,8 @@ object Relational {
     "q69_ohlc" -> q69Ohlc,
     "q70_ab_test" -> q70AbTest,
     "q71_pareto" -> q71Pareto,
-    "q72_incremental_models" -> q72IncrementalModels)
+    "q72_incremental_models" -> q72IncrementalModels,
+    "q73_bucketed_join" -> q73BucketedJoin)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -3344,5 +3401,6 @@ object Relational {
     "q69_ohlc" -> q69OhlcSql,
     "q70_ab_test" -> q70AbTestSql,
     "q71_pareto" -> q71ParetoSql,
-    "q72_incremental_models" -> q72IncrementalModelsSql)
+    "q72_incremental_models" -> q72IncrementalModelsSql,
+    "q73_bucketed_join" -> q73BucketedJoinSql)
 }

@@ -732,13 +732,19 @@ object TextAnalysis {
       lit(0.2) + lit(0.3) *
         (expr("CAST(substring(source, 4) AS INT)") % 3).cast("double"),
       lit(0.2))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-    val sampled = docs(s, d)
+    // per-source hash-ordered rank via the skew-safe keyedRank (sampled
+    // range sharding — source cardinality is driver-bounded, a source's
+    // DOC count is not: a naive per-source window would sort a whole
+    // crawl's slice in one task), and the per-source totals via a
+    // map-side-combinable agg broadcast back instead of a count window
+    val base = docs(s, d)
       .select(col("doc_id"), col("source"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_docs", count(lit(1)).over(wAll))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+    val counts = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val sampled = graft.operators.KeyedRank
+      .keyedRank(base, "source", "h", "doc_id", "rn", descending = false)
+      .join(broadcast(counts), "source")
       .withColumn("frac", frac)
       .filter(col("rn") <= ceil(col("n_docs") * col("frac")))
     val perSource = sampled.groupBy(col("source"))

@@ -58,14 +58,21 @@ object CorpusPipeline {
 
   /** Stage function: exact-dedup survivors (keep min doc_id per
     * canonical-md5 fingerprint).
+    *
+    * Winner selection is a map-side-combinable `groupBy(fp).min(doc_id)`
+    * + semi-join back, NOT `min.over(Window.partitionBy(fp))`: a window
+    * routes every copy of a hot fingerprint (the million-fold boilerplate
+    * page exact dedup exists to kill) into one task, while the hash
+    * aggregate collapses hot keys to one row per mapper and the
+    * (fp, doc_id) equi-join is AQE-skew-splittable.
     */
-  def exactDedupStage(df: DataFrame): DataFrame = df
-    .withColumn("fp", md5(graft.functions.TextFunctions.normText(col("text"))))
-    .withColumn("keep",
-      min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-    .filter(col("doc_id") === col("keep"))
-    .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+  def exactDedupStage(df: DataFrame): DataFrame = {
+    val fp = df.withColumn("fp",
+      md5(graft.functions.TextFunctions.normText(col("text"))))
+    val winners = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    fp.join(winners, Seq("fp", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+  }
 
   def frontEnd(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
     val raw = rawDocs(s, d)

@@ -97,6 +97,38 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(a.map(_.getDouble(4)).sum - 1.0) < 1e-3, "shares must sum to 1")
   }
 
+  test("t16 on a 90%-skewed source: exact quotas, no single-partition per-source sort") {
+    // one source holds ~90% of the corpus — the regime where the r14
+    // per-source rank window serializes. Quotas must stay exact (the
+    // keyedRank order is the same md5 order), and every per-source
+    // window in the plan must carry keyedRank's _shard column.
+    val docsSeq = (0L until 300L).map { i =>
+      val src = if (i % 10 == 0) s"src${(i % 30).toInt}" else "src1"
+      (i, s"doc text $i", "en", src, 10L + i % 5)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_t16_skew").toString
+    docsSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val q = TextAnalysis.t16CorpusMix(spark, dir)
+    val rows = q.collect()
+    rows.foreach { r =>
+      val (n, k, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k == math.ceil(n * f).toLong,
+        s"${r.getString(0)}: took $k of $n at frac $f")
+    }
+    assert(rows.find(_.getString(0) == "src1").get.getLong(1) >= 270,
+      "fixture lost its skew")
+    val plan = q.queryExecution.executedPlan.toString
+    val windowSpecs = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val sourceWindows = windowSpecs.filter(_.contains("source"))
+    assert(sourceWindows.nonEmpty, s"expected a per-source window:\n$plan")
+    sourceWindows.foreach { spec =>
+      assert(spec.contains("_shard"),
+        s"single-partition per-source window in the plan: [$spec]\n$plan")
+    }
+  }
+
   test("t17 LM score: predictable text scores lower than diverse text") {
     val docs = Seq(
       (0L, "spam spam spam spam spam spam spam spam spam spam", "x", 49L),

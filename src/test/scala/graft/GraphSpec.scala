@@ -521,4 +521,60 @@ class GraphSpec extends SparkSpec {
     val m = got.map { case (a, b, c) => (a, b) -> c }.toMap
     m.foreach { case ((a, b), c) => assert(m((b, a)) == c) }
   }
+
+  test("withClusterStats on a giant cluster: agg+join sizes, window-free plan") {
+    // 900 of 1000 docs in one near-dup cluster — the boilerplate-cluster
+    // regime where the r14 count-over-window shape sorts every member in
+    // one task. Sizes and canonical flags must match a naive replay with
+    // NO window in the plan.
+    val comps = (0L until 1000L).map { i =>
+      if (i < 900L) (i, 0L) else (i, i)
+    }.toDF("doc_id", "cluster_id")
+    val out = graft.operators.Dedup.withClusterStats(comps)
+    val got = out.as[(Long, Long, Long, Boolean)].collect()
+    assert(got.length == 1000)
+    got.foreach { case (doc, cl, size, canon) =>
+      assert(size == (if (cl == 0L) 900L else 1L), s"doc $doc size $size")
+      assert(canon == (doc == cl), s"doc $doc canonical flag")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"cluster-size annotation must not use a window:\n$plan")
+  }
+
+  test("labelPropagate majority vote: struct-min argmax equals naive replay on a hub with ties") {
+    // hub node receives equal vote counts from two cliques — the argmax
+    // (count desc, label asc) tie must break to the smallest label, and
+    // the whole vote must run as a map-side-combinable aggregate (no
+    // per-dst window: a web-scale hub's vote list would sort in 1 task).
+    val raw = Seq(
+      // clique A: a1..a3 fully connected (labels converge to "a1")
+      "a1" -> "a2", "a2" -> "a1", "a1" -> "a3", "a3" -> "a1",
+      "a2" -> "a3", "a3" -> "a2",
+      // clique B: b1..b3 fully connected (labels converge to "b1")
+      "b1" -> "b2", "b2" -> "b1", "b1" -> "b3", "b3" -> "b1",
+      "b2" -> "b3", "b3" -> "b2",
+      // hub: 3 in-edges from each clique — tied 3:3 vote every round
+      "a1" -> "hub", "a2" -> "hub", "a3" -> "hub",
+      "b1" -> "hub", "b2" -> "hub", "b3" -> "hub",
+      "hub" -> "a1", "hub" -> "b1")
+    val edges = raw.toDF("src", "dst")
+    val got = Graph.labelPropagate(edges, rounds = 3)
+      .as[(String, String)].collect().toMap
+    // naive in-memory replay of the identical synchronous vote
+    var labels = raw.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = raw.groupBy(_._2).map { case (dst, es) =>
+        val votes = es.map(e => labels(e._1))
+          .groupBy(identity).map { case (l, v) => (l, v.size) }
+        dst -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    assert(got == labels, s"vote argmax diverges: $got vs $labels")
+    assert(got("hub").startsWith("a"), "tied hub vote must break to clique A")
+    val plan = Graph.labelPropagate(edges, rounds = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"majority vote must not use a per-dst window:\n$plan")
+  }
 }

@@ -511,4 +511,27 @@ class PipelineSpec extends SparkSpec {
         s"single-partition per-source window in the plan: [$spec]\n$plan")
     }
   }
+
+  test("exactDedupStage on a hot fingerprint: agg+semi-join winners, window-free plan") {
+    // 150 of 200 docs share one normalized text — the million-fold
+    // boilerplate-page regime exact dedup exists for. The r14 shape
+    // (min over Window.partitionBy(fp)) would funnel all 150 through one
+    // task; the agg+semi-join must keep the same winners with NO window.
+    val docs = (0L until 200L).map { i =>
+      val t = if (i % 4 != 0) "  The   SAME boilerplate\tPAGE  "
+              else s"unique content number $i"
+      (i, t, s"src${i % 3}", t.length.toLong)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    val out = CorpusPipeline.exactDedupStage(docs)
+    val got = out.select($"doc_id").as[Long].collect().toSet
+    // naive replay: min doc_id per normalized text
+    val want = docs.collect().map(r =>
+        (r.getString(1).toLowerCase.trim.replaceAll("\\s+", " "), r.getLong(0)))
+      .groupBy(_._1).map(_._2.map(_._2).min).toSet
+    assert(got == want, s"winners diverge: ${got.diff(want)} / ${want.diff(got)}")
+    assert(got.size == 51, "150 boilerplate copies must collapse to 1 winner")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"exact dedup winner selection must not use a window:\n$plan")
+  }
 }

@@ -863,4 +863,29 @@ class RelationalSpec extends SparkSpec {
     assert(classes == classes.sortBy("ABC".indexOf(_)))
     assert(classes.toSet == Set("A", "B", "C"))
   }
+
+  test("q73 bucketed join: exchange-free sort-merge join, result matches plain join") {
+    import spark.implicits._
+    // the bucketing contract: once both sides are bucketed+sorted by the
+    // join key, the SMJ subtree must contain NO Exchange (the whole point
+    // of the operator — the per-query shuffle is paid once at write time)
+    val join = Relational.q73JoinOnly(spark, sfDir)
+    val plan = join.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    // bucketed result == the ordinary (shuffled) join result
+    val got = Relational.q73BucketedJoin(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSeq
+    val expect = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor($"o_totalprice" * 100.0 + 0.5).cast("long")) / 100.0)
+          .as("rev"))
+      .orderBy($"c_mktsegment")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == expect)
+  }
 }
