@@ -1080,7 +1080,10 @@ object Dedup {
     * while the agg collapses hot clusters to one row per mapper and the
     * join-back (1 build row per cluster) is AQE-skew-splittable.
     */
-  def withClusterStats(comps: DataFrame): DataFrame = {
+  def withClusterStats(comps0: DataFrame): DataFrame = {
+    // the frame feeds BOTH the size agg and the join probe — materialize
+    // so the (iterative, expensive) component computation runs once
+    val comps = comps0.materialize()
     val sizes = comps.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     comps.join(sizes, "cluster_id")
