@@ -927,6 +927,13 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    // loud bound (g15's starComponents discipline): an unconverged label
+    // frame is silently WRONG — partial components hash-diverge from the
+    // oracle in ways no downstream check attributes back to this loop
+    require(converged,
+      s"minLabelComponents: not converged after $rounds rounds — raise the " +
+        "bound or switch spark.graft.cc.algo=star (one agg+join per round, " +
+        "hub-collapsing; the 100-TB path)")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -1046,10 +1053,18 @@ object Dedup {
     * recursive-closure SQL at sf0.01/0.1/1/10; GraphSpec asserts they
     * agree on planted fixtures including the bridge merge):
     *
-    *   - `hybrid` (default): [[minLabelComponents]] — min-label +
-    *     pointer jumping, with a driver union-find finish once the pair
-    *     graph fits (≤ `driverFinishEdges`). Wins on the shallow, small
-    *     residual graphs near-dup pipelines produce.
+    *   - `hybrid` (default): driver union-find while the pair graph
+    *     fits (≤ `driverFinishEdges` — the shallow, small residual
+    *     graphs near-dup pipelines produce), [[starComponents]] above
+    *     the gate. Round 15 measurement forced the big-branch switch
+    *     from min-label: at sf10 the d2 pair graph crosses the gate and
+    *     min-label+pointer-jumping ground >55 min in its label loop
+    *     while star finished the SAME input in minutes (g15's run) —
+    *     the label frontier drags across the giant rotation-class
+    *     components, exactly the regime Kiveris et al. built star for.
+    *   - `minlabel`: [[minLabelComponents]] — min-label + pointer
+    *     jumping (kept as the differential witness and for shallow
+    *     graphs where its per-round cost is lower).
     *   - `star`: [[starComponents]] — alternating large-star/small-star
     *     edge rewriting (Kiveris et al. 2014), zero driver state. Wins
     *     under adversarial skew and unbounded pair graphs: a hub's
@@ -1065,10 +1080,16 @@ object Dedup {
       nodes.sparkSession.conf.getOption("spark.graft.cc.algo"))
       .getOrElse("hybrid")
     algo match {
-      case "hybrid" => minLabelComponents(nodes, pairs, driverFinishEdges)
+      case "hybrid" =>
+        // materialize: the pair plan (a band join + verify, typically)
+        // feeds the gate count AND the chosen algorithm — compute once
+        val p = pairs.materialize()
+        if (p.count() <= driverFinishEdges) driverUnionFind(nodes, p)
+        else starComponents(nodes, p)
+      case "minlabel" => minLabelComponents(nodes, pairs, driverFinishEdges)
       case "star"   => starComponents(nodes, pairs)
       case other => throw new IllegalArgumentException(
-        s"spark.graft.cc.algo=$other — expected 'hybrid' or 'star'")
+        s"spark.graft.cc.algo=$other — expected 'hybrid', 'minlabel' or 'star'")
     }
   }
 

@@ -336,6 +336,10 @@ class GraphSpec extends SparkSpec {
     val hybrid = viaConf("hybrid")
     assert(hybrid == viaConf("star"),
       "cc.algo strategies disagree on the bridge merge")
+    // minlabel (the differential witness since hybrid's big branch moved
+    // to star in round 15) must agree too — three plans, one contract
+    assert(hybrid == viaConf("minlabel"),
+      "cc.algo=minlabel disagrees on the bridge merge")
     assert(hybrid(39L) == 1L && hybrid(13L) == 1L && hybrid(10L) == 1L,
       "bridge edges must fuse chain+triangle+hub into the 1-rooted component")
     assert(hybrid(14L) == 14L, "isolates stay self-rooted after the merge")
