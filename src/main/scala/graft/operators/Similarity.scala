@@ -2274,8 +2274,73 @@ object Similarity {
        |LEFT JOIN na ON na.q_id = t.q_id
        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
 
+  // ----------------------------------------------------- v23_cell_shard
+  /** IVF hot-cell sub-sharding — the ANN family's one structural skew
+    * exposure closed the production way. Every per-cell plan in the
+    * family (v4/v14/v15/v19's candidate windows) is bounded by CELL
+    * size, and k-means gives no balance guarantee: at corpus scale a
+    * dense region (the near-dup mass d7 measures) lands one cell with a
+    * corpus-share of the vectors — a hot key for any per-cell sort or
+    * build. The standard remedy (FAISS-style) is sub-sharding: split
+    * every cell into ceil(size / cap) shards with a HARD cap, so each
+    * (cell, shard) becomes the new bounded work unit. The shard id is
+    * assigned by per-cell hash-ordered rank through [[KeyedRank
+    * .keyedRank]] (cell cardinality is driver-bounded — 16 here; a
+    * cell's SIZE is not), so the cap is exact — floor((rank-1)/cap) —
+    * never probabilistic, and no cell ever sorts in one task. Emits the
+    * per-cell audit: size, shard count, max shard size (provably ≤ cap),
+    * with cap = ceil(1.25 · N / k) in exact integer arithmetic.
+    */
+  val v23CellShard: Q = (s, d) => {
+    val k = 16
+    val e = emb(s, d)
+    val n = e.count()
+    val cap = (5L * n + 63L) / 64L // ceil(1.25 * n / 16), integer-exact
+    val refined = ivfRefined(e, k)
+    val assigned = e.select(col("vec_id"),
+        nearestCell(refined, col("embedding")).as("cell"))
+      .withColumn("ck", col("cell").cast("string"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+    val ranked = KeyedRank.keyedRank(assigned, "ck", "h", "vec_id", "r",
+      descending = false)
+    val sharded = ranked.withColumn("shard",
+      floor((col("r") - 1) / lit(cap.toDouble)).cast("int"))
+    sharded.groupBy(col("cell"), col("shard"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("cell"))
+      .agg(sum(col("c")).as("n_before"),
+        count(lit(1)).as("n_shards"),
+        max(col("c")).as("shard_max"))
+      .withColumn("cap", lit(cap))
+      .orderBy("cell")
+  }
+
+  /** Oracle: v4's corpus-assignment CTEs verbatim (one quantizer
+    * spelling), then the identical hash-ordered per-cell rank and
+    * integer cap arithmetic.
+    */
+  val v23CellShardSql: String =
+    s"""WITH $ivfCorpusCtes,
+       |nrow AS (SELECT count(*) AS n FROM e),
+       |capt AS (SELECT CAST((5 * n + 63) // 64 AS BIGINT) AS cap FROM nrow),
+       |rankedc AS (
+       |  SELECT cell, CAST(row_number() OVER (PARTITION BY cell
+       |    ORDER BY md5(CAST(n_id AS VARCHAR)), n_id) AS INTEGER) AS r
+       |  FROM corpus),
+       |sharded AS (
+       |  SELECT cell,
+       |    CAST(floor((r - 1) / CAST(cap AS DOUBLE)) AS INTEGER) AS shard
+       |  FROM rankedc, capt),
+       |per AS (SELECT cell, shard, count(*) AS c FROM sharded GROUP BY 1, 2)
+       |SELECT cell, CAST(sum(c) AS BIGINT) AS n_before,
+       |  CAST(count(*) AS BIGINT) AS n_shards,
+       |  CAST(max(c) AS BIGINT) AS shard_max,
+       |  (SELECT cap FROM capt) AS cap
+       |FROM per GROUP BY cell ORDER BY cell""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "v23_cell_shard" -> v23CellShard,
     "v22_hybrid_eval" -> v22HybridEval,
     "v21_hybrid_rrf" -> v21HybridRrf,
     "v20_bitext_mining" -> v20BitextMining,
@@ -2300,6 +2365,7 @@ object Similarity {
     "v12_ivf_append" -> v12IvfAppend)
 
   val oracles: Map[String, String] = Map(
+    "v23_cell_shard" -> v23CellShardSql,
     "v22_hybrid_eval" -> v22HybridEvalSql,
     "v20_bitext_mining" -> v20BitextMiningSql,
     "v21_hybrid_rrf" -> v21HybridRrfSql,

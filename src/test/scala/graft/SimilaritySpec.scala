@@ -1183,4 +1183,41 @@ class SimilaritySpec extends SparkSpec {
     assert(byPair((0L, 1L))._4 == fps.size.toLong,
       "Spark per-doc fp set size != serial replay")
   }
+
+  test("v23 cell shard: hard cap holds, shard counts exact, hot cell splits") {
+    import spark.implicits._
+    def capFor(n: Long) = (5L * n + 63L) / 64L
+    // the real corpus: every cell's max shard is provably <= cap and the
+    // shard count is exactly ceil(size / cap)
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cap = capFor(e.count())
+    val rows = Similarity.v23CellShard(spark, sfDir)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (cell, nBefore, nShards, shardMax, c) =>
+      assert(c == cap, s"cell $cell cap $c != $cap")
+      assert(shardMax <= cap, s"cell $cell shard_max $shardMax > cap $cap")
+      assert(nShards == (nBefore + cap - 1) / cap,
+        s"cell $cell: $nShards shards for $nBefore rows at cap $cap")
+    }
+    // planted degenerate clustering: 200 identical vectors (plus the 16
+    // distinct seeds the quantizer needs) — one cell swallows the mass
+    // and MUST split into capped shards instead of staying one hot key
+    val rnd = new scala.util.Random(11)
+    val seeds = (0L until 16L).map(i =>
+      (i, Seq.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val hot = Seq.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val mass = (16L until 216L).map(i => (i, hot))
+    val dir = java.nio.file.Files.createTempDirectory("graft_v23_skew").toString
+    (seeds ++ mass).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val skew = Similarity.v23CellShard(spark, dir)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    val scap = capFor(216L)
+    val hotCell = skew.maxBy(_._2)
+    assert(hotCell._2 >= 200L, "fixture lost its skew")
+    assert(hotCell._3 == (hotCell._2 + scap - 1) / scap && hotCell._3 > 1,
+      s"hot cell must split: ${hotCell._3} shards for ${hotCell._2} at cap $scap")
+    assert(skew.forall(_._4 <= scap), "cap violated on the skewed corpus")
+  }
 }
