@@ -584,12 +584,18 @@ object Relational {
       .filter(graft.expressions.PortableHashExpressions.md5Hash62(
         concat_ws("|", col("l_orderkey").cast("string"),
           col("l_linenumber").cast("string"))) < lit(ring8))
-      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    val ranked = sampled
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+        concat_ws("|", col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string")).as("tie"))
+    // the fixed-RATE sample still scales with the corpus, so the order
+    // statistics run through keyedRank (3-value key, corpus-share
+    // strata — the q29/t16 reshape; ties in v rank deterministically by
+    // the unique line key but select the same value either way) and the
+    // stratum totals broadcast from an agg instead of a count window
+    val counts = sampled.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val ranked = KeyedRank
+      .keyedRank(sampled, "l_returnflag", "v", "tie", "rn", descending = false)
+      .join(broadcast(counts), "l_returnflag")
     // exact interpolated order statistic (quantile_cont semantics) over
     // the sample: 0-based index p*(n-1), linear between ranks lo/lo+1
     def idx(p: Double) = lit(p) * (col("n") - 1)
@@ -845,13 +851,33 @@ object Relational {
     * single rows and the distributions are deterministic.
     */
   val q31RankDistributions: Q = (s, d) => {
-    val w = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, d, "orders").select(
+    // distribution ranks over a 3-value status key: each stratum is a
+    // corpus share, so the rank runs through keyedRank and the family is
+    // derived arithmetically from (rn, n). The ORDER BY tuple is unique
+    // (orderkey), so rank() == row_number(), percent_rank = (rn-1)/(n-1)
+    // (0 for a 1-row stratum, Spark/DuckDB convention), cume_dist = rn/n,
+    // and ntile(4) is the SQL-standard fill: the first n%4 buckets carry
+    // ceil(n/4) rows each.
+    val base = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val counts = base.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val ranked = KeyedRank
+      .keyedRank(base, "o_orderstatus", "o_totalprice", "o_orderkey", "rn",
+        descending = false)
+      .join(broadcast(counts), "o_orderstatus")
+    val rnL = col("rn").cast("long")
+    val q = floor(col("n") / lit(4)).cast("long")
+    val r = col("n") % lit(4)
+    val ntile4 = when(rnL <= r * (q + lit(1)),
+        floor((rnL - 1) / (q + lit(1))) + lit(1))
+      .otherwise(lit(1) + r + floor((rnL - lit(1) - r * (q + lit(1))) / q))
+      .cast("int")
+    ranked.select(
       col("o_orderkey"), col("o_orderstatus"),
-      percent_rank().over(w).as("pr"),
-      cume_dist().over(w).as("cd"),
-      ntile(4).over(w).as("quartile"))
+      when(col("n") === 1, lit(0.0))
+        .otherwise((rnL - 1).cast("double") / (col("n") - 1)).as("pr"),
+      (rnL.cast("double") / col("n")).as("cd"),
+      ntile4.as("quartile"))
       .orderBy("o_orderkey")
   }
 
@@ -1281,13 +1307,18 @@ object Relational {
     * within the partition after AQE skew-splitting of the sort.
     */
   val q29StratifiedSample: Q = (s, d) => {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
-    val wAll = Window.partitionBy(col("event_type"))
-    t(s, d, "events")
-      .select(col("event_id"), col("event_type"),
-        row_number().over(w).as("rn"),
-        count(lit(1)).over(wAll).as("stratum_n"))
+    // per-stratum hash rank through keyedRank (event_type is a tiny enum
+    // but each stratum is corpus-sized — a naive per-type window sorts a
+    // corpus share in one task; same reshape as t16), stratum totals via
+    // a map-side-combinable agg broadcast back instead of a count window
+    val base = t(s, d, "events")
+      .select(col("event_id"), col("event_type"))
+      .withColumn("h", md5(col("event_id").cast("string")))
+    val counts = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("stratum_n"))
+    graft.operators.KeyedRank
+      .keyedRank(base, "event_type", "h", "event_id", "rn", descending = false)
+      .join(broadcast(counts), "event_type")
       .filter(col("rn") <= ceil(col("stratum_n") * lit(0.1)))
       .select(col("event_id"), col("event_type"), col("rn"))
       .orderBy("event_type", "rn")
@@ -2604,20 +2635,40 @@ object Relational {
     * divisions — bit-stable across engines.
     */
   val q64RankFamily: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
+    // the q31 reshape with the whole rank family: a 5-value segment key
+    // over the full customer table is 1/5th of the corpus per window
+    // task, so the base rank is keyedRank's sharded row_number. The
+    // ORDER BY tuple (bal desc, custkey) is unique, so rank() ==
+    // dense_rank() == row_number() and the distribution ranks are pure
+    // (rn, n) arithmetic; nth_value(bal, 3) is the rank-3 row's bal,
+    // broadcast-joined back per segment (null for <3-row segments, as
+    // the unbounded-frame window yields).
     val cents = floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("bal").desc, col("c_custkey"))
-    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    t(s, d, "customer")
+    val base = t(s, d, "customer")
       .select(col("c_custkey"), col("c_mktsegment"), cents.as("bal"))
+    val counts = base.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    val ranked = KeyedRank
+      .keyedRank(base, "c_mktsegment", "bal", "c_custkey", "rn",
+        descending = true)
+      .join(broadcast(counts), "c_mktsegment")
+    val thirds = ranked.filter(col("rn") === 3)
+      .select(col("c_mktsegment"), col("bal").as("third_bal"))
+    val rnL = col("rn").cast("long")
+    val q = floor(col("n") / lit(10)).cast("long")
+    val r = col("n") % lit(10)
+    val ntile10 = when(rnL <= r * (q + lit(1)),
+        floor((rnL - 1) / (q + lit(1))) + lit(1))
+      .otherwise(lit(1) + r + floor((rnL - lit(1) - r * (q + lit(1))) / q))
+      .cast("int")
+    ranked.join(broadcast(thirds), Seq("c_mktsegment"), "left")
       .select(col("c_custkey"), col("c_mktsegment"), col("bal"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
-        sround(percent_rank().over(w), 6).as("prank"),
-        sround(cume_dist().over(w), 6).as("cdist"),
-        ntile(10).over(w).as("decile"),
-        nth_value(col("bal"), 3).over(wf).as("third_bal"))
+        col("rn").as("rnk"),
+        col("rn").as("drnk"),
+        sround(when(col("n") === 1, lit(0.0))
+          .otherwise((rnL - 1).cast("double") / (col("n") - 1)), 6).as("prank"),
+        sround(rnL.cast("double") / col("n"), 6).as("cdist"),
+        ntile10.as("decile"),
+        col("third_bal"))
       .orderBy(col("c_mktsegment"), col("rnk"))
   }
 
@@ -2930,25 +2981,24 @@ object Relational {
     * the final /100 spell.
     */
   val q69Ohlc: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val wf = Window.partitionBy(col("event_type"), col("day"))
-      .orderBy(col("tus"), col("event_id"))
-    val wr = Window.partitionBy(col("event_type"), col("day"))
-      .orderBy(col("tus").desc, col("event_id").desc)
+    // open/close are argmin/argmax by (tus, event_id) — executed as
+    // min/max over a (tus, event_id, cents) struct, NOT rank windows
+    // partitioned by (event_type, day): a hot trading day would route
+    // its whole event stream through one WindowExec task, while the
+    // struct extrema partial-aggregate map-side (the g8/d8 reshape;
+    // (tus, event_id) is unique so cents rides along deterministically)
     t(s, d, "events")
       .select(col("event_type"), to_date(col("ts")).as("day"),
         unix_micros(col("ts")).as("tus"), col("event_id"),
         floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
-      .withColumn("rn", row_number().over(wf))
-      .withColumn("rnd", row_number().over(wr))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_events"),
-        (max(when(col("rn") === 1, col("cents"))).cast("double") / lit(100.0))
-          .as("open"),
+        (min(struct(col("tus"), col("event_id"), col("cents")))
+          .getField("cents").cast("double") / lit(100.0)).as("open"),
         (max(col("cents")).cast("double") / lit(100.0)).as("high"),
         (min(col("cents")).cast("double") / lit(100.0)).as("low"),
-        (max(when(col("rnd") === 1, col("cents"))).cast("double") / lit(100.0))
-          .as("close"),
+        (max(struct(col("tus"), col("event_id"), col("cents")))
+          .getField("cents").cast("double") / lit(100.0)).as("close"),
         (sum(col("cents")).cast("double") / lit(100.0)).as("volume"))
       .orderBy(col("event_type"), col("day"))
   }

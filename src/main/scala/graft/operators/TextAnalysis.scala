@@ -535,13 +535,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val df = toks.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("score").desc, col("term").asc)
-    tf.join(df, "term")
+    // top-10 terms per source through the two-phase keyedTopK: the
+    // per-source score frame is vocabulary-sized (corpus-scale at 100 TB),
+    // exactly what a per-source rank window would sort in one task
+    val scored = tf.join(df, "term")
       .withColumn("score", col("tf") * (lit(nDocs.toDouble) / col("df")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
+    graft.operators.KeyedRank.keyedTopK(scored, Seq("source"),
+        Seq(col("score").desc, col("term").asc), k = 10, rankCol = "rk")
       .select(col("source"), col("rk"), col("term"), col("tf"), col("df"),
         sround(col("score"), 4).as("score"))
       .orderBy("source", "rk")
