@@ -1082,8 +1082,11 @@ object Dedup {
     algo match {
       case "hybrid" =>
         // materialize: the pair plan (a band join + verify, typically)
-        // feeds the gate count AND the chosen algorithm — compute once
-        val p = pairs.materialize()
+        // feeds the gate count AND the chosen algorithm — compute once.
+        // Project to the edge columns BY NAME first: driverUnionFind
+        // reads positionally, and the gate's collect must not haul any
+        // extra caller columns (e.g. a jaccard score) to the driver
+        val p = pairs.select(col("doc_a"), col("doc_b")).materialize()
         if (p.count() <= driverFinishEdges) driverUnionFind(nodes, p)
         else starComponents(nodes, p)
       case "minlabel" => minLabelComponents(nodes, pairs, driverFinishEdges)

@@ -48,26 +48,72 @@ object KeyedRank {
 
   /** Per-key top-k with the true global per-key rank in `rankCol`,
     * without ever sorting a whole key in one task. `order` must totally
-    * order rows within each key (unique tiebreaker) and `df`'s rows for
-    * a hot key should span multiple input partitions (any upstream
-    * shuffle or scan split does this) — phase 1 then prunes each
+    * order rows within each key (unique tiebreaker). Phase 1 prunes each
     * (key, partition) slice to k rows BEFORE the per-key shuffle, so
     * the phase-2 window sees ≤ partitions × k rows per key no matter
     * how hot the key is. Every global top-k row has local rank ≤ k in
     * whatever slice it lands in, so the two-phase cut is exact for any
     * partition assignment.
+    *
+    * PRECONDITION phase 1 needs: a hot key's rows must SPAN multiple
+    * input partitions. A scan split or any shuffle on other columns
+    * does this, but an input freshly hash-partitioned by exactly (a
+    * subset of) the keys — a fresh groupBy/join ON the key — colocates
+    * every key in one partition and phase 1 degenerates to the naive
+    * single-task sort. [[spreadIfKeyAligned]] detects that shape from
+    * the plan's output partitioning and re-spreads by (keys, salt)
+    * first, where the salt is a deterministic hash of the row's
+    * non-map columns (map type is not hashable); the extra shuffle is
+    * paid only in the degenerate case.
     */
   def keyedTopK(df: DataFrame, keys: Seq[String], order: Seq[Column],
       k: Int, rankCol: String): DataFrame = {
     val keyCols = keys.map(col)
+    val (spread, _) = spreadIfKeyAligned(df, keys)
     val w1 = Window.partitionBy(keyCols :+ col("_pid"): _*).orderBy(order: _*)
     val w2 = Window.partitionBy(keyCols: _*).orderBy(order: _*)
-    df.withColumn("_pid", spark_partition_id())
+    spread.withColumn("_pid", spark_partition_id())
       .withColumn("_lr", row_number().over(w1))
       .where(col("_lr") <= k)
       .drop("_pid", "_lr")
       .withColumn(rankCol, row_number().over(w2))
       .where(col(rankCol) <= k)
+  }
+
+  /** Guard for [[keyedTopK]]'s input-spread precondition: when `df`'s
+    * planned output partitioning is a hash partitioning whose
+    * expressions are all bare references to `keys` columns (every key
+    * colocated in one partition), repartition by (keys, salt) with a
+    * deterministic row-content salt so hot keys spread again. Returns
+    * the (possibly re-spread) frame and whether the guard fired —
+    * exposed package-private so PropertySpec can assert both branches.
+    */
+  private[graft] def spreadIfKeyAligned(df: DataFrame,
+      keys: Seq[String]): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val keyNames = keys.toSet
+    val aligned = df.queryExecution.sparkPlan.outputPartitioning match {
+      case h: HashPartitioning =>
+        h.expressions.nonEmpty && h.expressions.forall {
+          case a: AttributeReference => keyNames.contains(a.name)
+          case _ => false
+        }
+      case _ => false
+    }
+    if (!aligned) (df, false)
+    else {
+      def hasMap(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+      val saltSrc = df.schema.fields.filterNot(f => hasMap(f.dataType))
+        .map(f => col(f.name)).toSeq
+      val salt = if (saltSrc.nonEmpty) xxhash64(saltSrc: _*) else lit(0L)
+      (df.repartition(keys.map(col) :+ salt: _*), true)
+    }
   }
 
   /** Driver-side comparator for boundary selection — the collected

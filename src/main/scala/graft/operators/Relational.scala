@@ -18,10 +18,14 @@ import graft.Tables
   *  - ends in a deterministic ORDER BY so row-order-sensitive comparison is
   *    stable across engines.
   *
-  * Scale notes are per-query in the Scaladoc: the dims (`supplier`, `nation`,
-  * `part` at these SFs) are explicitly `broadcast()` where a 1000-executor
-  * plan must avoid a shuffle; fact-fact joins shuffle on their join key which
-  * is the partitioning a cluster run would pre-bucket on.
+  * Scale notes are per-query in the Scaladoc: dims that SCALE with SF
+  * (`supplier`, `customer`, `part`) are broadcast by STATS election — no
+  * hint — so a 1000-executor plan avoids the fact shuffle while the dim
+  * fits and degrades to SMJ when it doesn't (a forced broadcast() would
+  * OOM at extreme SF; round-16 join audit). Constant-cardinality dims
+  * (`nation` 25 rows, `region` 5) may stay hinted. Fact-fact joins
+  * shuffle on their join key which is the partitioning a cluster run
+  * would pre-bucket on.
   */
 object Relational {
   type Q = (SparkSession, String) => DataFrame
@@ -148,12 +152,17 @@ object Relational {
 
   // ---------------------------------------------------- q5_join_broadcast
   /** J1 (`dbt_Models/top_3_base_names_by_total_pickups.sql:7`): fact⋈dim
-    * equi-join. supplier is a dim → explicit broadcast(): zero shuffle of the
-    * fact side; the agg then shuffles only (s_name) partials.
+    * equi-join. supplier is a dim → STATS-elected broadcast (no hint):
+    * Catalyst picks BHJ from the dim's actual size (zero shuffle of the
+    * fact side; the agg then shuffles only (s_name) partials) and degrades
+    * to SMJ if the dim ever outgrows executor memory — supplier scales
+    * with SF, so a FORCED broadcast() would OOM at extreme scale where
+    * the unhinted plan survives (round-16 join audit). RelationalSpec
+    * still plan-asserts the BHJ at test scale.
     */
   val q5JoinBroadcast: Q = (s, d) =>
     t(s, d, "lineitem")
-      .join(broadcast(t(s, d, "supplier")),
+      .join(t(s, d, "supplier"),
         col("l_suppkey") === col("s_suppkey"), "inner")
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("cnt"),
@@ -178,7 +187,8 @@ object Relational {
     val c = t(s, d, "customer")
       .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
     li.join(o, col("l_orderkey") === col("o_orderkey"), "inner")
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "inner")
+      // customer scales with SF: stats-elected broadcast, not a hint
+      .join(c, col("o_custkey") === col("c_custkey"), "inner")
       .groupBy(col("c_mktsegment"), col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("qty"))
       .orderBy("c_mktsegment", "o_orderstatus")
@@ -202,7 +212,8 @@ object Relational {
     */
   val q7TopkGlobal: Q = (s, d) =>
     t(s, d, "lineitem")
-      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      // part scales with SF: stats-elected broadcast, not a hint
+      .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(col("l_shipdate")).as("cnt"))
       .orderBy(col("cnt").desc, col("p_brand").asc)
@@ -250,7 +261,8 @@ object Relational {
     */
   val q9WindowAvgCase: Q = (s, d) => {
     val m = t(s, d, "lineitem")
-      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      // supplier scales with SF: stats-elected broadcast, not a hint
+      .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"), month(col("l_shipdate")).as("mo"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("mo"))
@@ -3266,19 +3278,43 @@ object Relational {
     * shape, `dbt_Models`'s fact⋈dim family): orders⋈customer on custkey
     * over the bucketed tables, exact cents arithmetic.
     */
+  /** Source-data freshness: the bucketed copy's tag hashes the source
+    * parquet's max mtime alongside (dir, table), so a dataset dir
+    * regenerated during a live session gets a NEW table instead of
+    * silently serving the stale buckets.
+    */
+  private def sourceMtime(d: String, table: String): Long = {
+    val p = java.nio.file.Paths.get(d, s"$table.parquet")
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.mapToLong(f =>
+        java.nio.file.Files.getLastModifiedTime(f).toMillis).max.orElse(0L)
+      finally s.close()
+    } else if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.getLastModifiedTime(p).toMillis
+    else 0L
+  }
+
+  private val bucketedLock = new Object
+
   private def bucketedTable(s: SparkSession, d: String, table: String,
       key: String, buckets: Int): DataFrame = {
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest((d + "#" + table).getBytes("UTF-8"))
+      .digest((d + "#" + table + "#" + sourceMtime(d, table)).getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
     val name = s"graft_bkt_${table}_$tag"
     val path = s"${sys.props("java.io.tmpdir")}/graft_bucketed/$tag/$table"
-    if (!s.catalog.tableExists(name)) {
-      Tables.load(s, d, table)
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, key).sortBy(key)
-        .option("path", path)
-        .saveAsTable(name)
+    // one-time create is synchronized: two concurrent first calls
+    // (parallel suites / bench threads) must not race the overwrite
+    // write to the same tmp path
+    bucketedLock.synchronized {
+      if (!s.catalog.tableExists(name)) {
+        Tables.load(s, d, table)
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", path)
+          .saveAsTable(name)
+      }
     }
     s.table(name)
   }

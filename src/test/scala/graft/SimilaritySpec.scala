@@ -1220,4 +1220,23 @@ class SimilaritySpec extends SparkSpec {
       s"hot cell must split: ${hotCell._3} shards for ${hotCell._2} at cap $scap")
     assert(skew.forall(_._4 <= scap), "cap violated on the skewed corpus")
   }
+
+  test("v24 ann hybrid: recall bounds hold, and probing ALL cells reproduces v22 exactly") {
+    val out = Similarity.v24AnnHybrid(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.length == 8)
+    out.foreach { case (q, nt, na, no, r) =>
+      assert(nt == 3L && na <= 3L && no <= math.min(nt, na), s"q$q bounds")
+      assert(r == math.floor(no.toDouble / 3 * 1e4 + 0.5) / 1e4, s"q$q recall")
+    }
+    // the differential proof that the ONLY approximation is the probe
+    // budget: with nprobe = k (all 16 cells probed) the ANN shortlist IS
+    // the brute dense top-K, so the harness must reproduce v22's output
+    // bit-for-bit — same truth, same fusion, same recall
+    val full = Similarity.v24AnnHybridEval(spark, sfDir, nprobe = 16)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val v22 = Similarity.v22HybridEval(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(full == v22, "v24(nprobe=all) != v22 brute hybrid eval")
+  }
 }
