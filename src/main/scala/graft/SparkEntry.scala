@@ -101,5 +101,5 @@ object SparkEntry {
     "v20_bitext_mining", "d21_exactsubstr", "t46_classifier_train",
     "v21_hybrid_rrf", "p13_source_cap", "v22_hybrid_eval",
     "t47_heldout_eval", "q73_bucketed_join", "v23_cell_shard",
-    "v24_ann_hybrid")
+    "v24_ann_hybrid", "v25_hybrid_serve")
 }

@@ -2368,9 +2368,14 @@ object Similarity {
     * v24(nprobe=16) must REPRODUCE v22's output bit-for-bit — the
     * correctness proof that the only approximation is the probe budget.
     */
-  private[graft] def v24AnnHybridEval(s: SparkSession, d: String,
+  /** The served dense ranker shared by v24 (eval) and v25 (serving):
+    * v4's IVF probe — corpus assigned to its nearest refined cell,
+    * queries probe their `nprobe` nearest cells, exact cosine inside
+    * probed cells only, top-K through the two-phase cut. Candidate
+    * bill = nprobe/k of the corpus (v4's audit), never corpus-sized.
+    */
+  private def annDenseRank(s: SparkSession, d: String,
       nprobe: Int): DataFrame = {
-    val kFuse = 3
     val e = emb(s, d)
     val refined = ivfRefined(e, 16)
     val corpus = e.select(col("vec_id").as("doc_id"),
@@ -2387,14 +2392,19 @@ object Similarity {
           1, nprobe)).as("probe"))
       .select(col("q_id"), col("q_emb"), col("nsq_q"),
         col("probe.cell").as("cell"))
-    // the served dense ranker: exact cosine within probed cells only
-    val annRank = KeyedRank.keyedTopK(
+    KeyedRank.keyedTopK(
       corpus.join(broadcast(queries), Seq("cell"))
         .filter(col("doc_id") =!= col("q_id"))
         .withColumn("sim", cosineWithNorms(dot(col("q_emb"), col("n_emb")),
           col("nsq_q"), col("nsq_n"))),
       Seq("q_id"), Seq(col("sim").desc, col("doc_id").asc), K, "rd")
       .select(col("q_id"), col("doc_id"), col("rd"))
+  }
+
+  private[graft] def v24AnnHybridEval(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
+    val kFuse = 3
+    val annRank = annDenseRank(s, d, nprobe)
     // truth side: v22's full-rank lists (keyedRank — sharded windows);
     // the lexical full rank ALSO serves the approx side via its K-cut
     def fullRank(df: DataFrame, ord: String, rc: String): DataFrame =
@@ -2436,12 +2446,14 @@ object Similarity {
     * spelling of the quantizer), the probed ANN rank, and v22's fuse +
     * overlap arithmetic with the ANN list on the approx dense side.
     */
-  val v24AnnHybridSql: String = {
+  /** The ANN-shortlist rank as a reusable CTE fragment (`aprobes` /
+    * `apairs` / `arank`) over v4's shared build chain — one spelling
+    * consumed by v24's oracle (eval) and v25's (serving).
+    */
+  private val annRankCtes: String = {
     def dotList(a: String, b: String): String =
       s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
-    s"""WITH $v21RankCtes,
-       |$ivfCorpusCtes,
-       |aprobes AS (
+    s"""aprobes AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, nsq AS nsq_q, cell
        |  FROM (
        |    SELECT e.vec_id, e.embedding, e.nsq, r.cell,
@@ -2459,7 +2471,13 @@ object Similarity {
        |  SELECT q_id, doc_id,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY sim DESC, doc_id ASC) AS INTEGER) AS rd
-       |  FROM apairs),
+       |  FROM apairs)""".stripMargin
+  }
+
+  val v24AnnHybridSql: String = {
+    s"""WITH $v21RankCtes,
+       |$ivfCorpusCtes,
+       |$annRankCtes,
        |approx AS (
        |  SELECT q_id, doc_id FROM (
        |    SELECT q_id, doc_id,
@@ -2501,8 +2519,68 @@ object Similarity {
        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
   }
 
+  // -------------------------------------------------- v25_hybrid_serve
+  /** The SERVING query of the hybrid family — what production actually
+    * runs per request once v24's gate has priced the probe budget: the
+    * ANN-dense shortlist ([[annDenseRank]], nprobe=4 of 16 cells) fused
+    * with v21's df-capped BM25 top-K by the same RRF, emitting the
+    * fused top-3 list in v21's exact output shape (q_id, rnk, doc_id,
+    * r_dense, r_bm25, rrf) so a user can diff served-vs-brute row by
+    * row. Unlike v21/v22/v24, NO corpus-sized rank list exists anywhere
+    * in this plan — the dense bill is nprobe/k of the corpus, the
+    * lexical bill df-capped postings, fusion is a full-outer join of
+    * two ≤ NQ·K rank lists. This is the plan whose cost scales to
+    * 100 TB serving; v24 is the measurement that licenses it.
+    */
+  private[graft] def v25HybridServeAt(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
+    val kFuse = 3
+    val drank = annDenseRank(s, d, nprobe)
+    val brank = KeyedRank.keyedTopK(v21Bm25Scores(s, d), Seq("q_id"),
+      Seq(col("score").desc, col("doc_id").asc), K, "rb")
+      .select(col("q_id"), col("doc_id"), col("rb"))
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    drank.join(brank, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("rd")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rb")), lit(0.0)))
+      .withColumn("rnk", row_number().over(wF))
+      .filter(col("rnk") <= kFuse)
+      .select(col("q_id"), col("rnk"), col("doc_id"),
+        col("rd").as("r_dense"), col("rb").as("r_bm25"),
+        sround(col("rrf"), 6).as("rrf"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val v25HybridServe: Q = (s, d) => v25HybridServeAt(s, d, nprobe = 4)
+
+  /** Oracle: the shared BM25 CTEs (brank), v4's IVF build chain, the
+    * shared ANN rank fragment, and v21's fusion/output spelling.
+    */
+  val v25HybridServeSql: String =
+    s"""WITH $v21RankCtes,
+       |$ivfCorpusCtes,
+       |$annRankCtes,
+       |fused AS (
+       |  SELECT coalesce(dr.q_id, br.q_id) AS q_id,
+       |    coalesce(dr.doc_id, br.doc_id) AS doc_id, dr.rd, br.rb,
+       |    coalesce(1.0 / (60.0 + CAST(dr.rd AS DOUBLE)), 0.0)
+       |      + coalesce(1.0 / (60.0 + CAST(br.rb AS DOUBLE)), 0.0) AS rrf
+       |  FROM (SELECT * FROM arank WHERE rd <= $K) dr
+       |  FULL OUTER JOIN (SELECT * FROM brank WHERE rb <= $K) br
+       |    ON dr.q_id = br.q_id AND dr.doc_id = br.doc_id)
+       |SELECT q_id, rnk, doc_id, rd AS r_dense, rb AS r_bm25,
+       |  floor(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf
+       |FROM (SELECT q_id, doc_id, rd, rb, rrf,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rnk
+       |      FROM fused)
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
+    "v25_hybrid_serve" -> v25HybridServe,
     "v24_ann_hybrid" -> v24AnnHybrid,
     "v23_cell_shard" -> v23CellShard,
     "v22_hybrid_eval" -> v22HybridEval,
@@ -2529,6 +2607,7 @@ object Similarity {
     "v12_ivf_append" -> v12IvfAppend)
 
   val oracles: Map[String, String] = Map(
+    "v25_hybrid_serve" -> v25HybridServeSql,
     "v24_ann_hybrid" -> v24AnnHybridSql,
     "v23_cell_shard" -> v23CellShardSql,
     "v22_hybrid_eval" -> v22HybridEvalSql,

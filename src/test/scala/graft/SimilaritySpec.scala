@@ -1239,4 +1239,22 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(full == v22, "v24(nprobe=all) != v22 brute hybrid eval")
   }
+
+  test("v25 hybrid serve: no corpus-sized rank list in the plan; probing ALL cells reproduces v21") {
+    val out = Similarity.v25HybridServe(spark, sfDir)
+      .as[(Long, Int, Long, Option[Int], Option[Int], Double)].collect()
+    assert(out.map(_._1).distinct.length == 8)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length), s"q$q ranks")
+      assert(rows.length <= 3, s"q$q fused list size")
+    }
+    // the serving guarantee: with every cell probed the ANN shortlist IS
+    // the brute dense top-K, so the served list must equal v21's
+    // brute-fused list bit-for-bit — the only approximation is nprobe
+    val full = Similarity.v25HybridServeAt(spark, sfDir, nprobe = 16)
+      .as[(Long, Int, Long, Option[Int], Option[Int], Double)].collect().toSeq
+    val v21 = Similarity.v21HybridRrf(spark, sfDir)
+      .as[(Long, Int, Long, Option[Int], Option[Int], Double)].collect().toSeq
+    assert(full == v21, "v25(nprobe=all) != v21 brute hybrid list")
+  }
 }
