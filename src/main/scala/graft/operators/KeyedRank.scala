@@ -92,11 +92,30 @@ object KeyedRank {
       keys: Seq[String]): (DataFrame, Boolean) = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
-    val keyNames = keys.toSet
-    val aligned = df.queryExecution.sparkPlan.outputPartitioning match {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // resolve the key columns against df's analyzed output and match the
+    // partitioning expressions by exprId (round-17 ADVICE fix): raw name
+    // comparison false-fires on a same-named attribute from another
+    // relation and false-misses under a case-insensitive session. Probe
+    // the PREPARED plan (AQE's initialPlan when adaptive is on), not
+    // sparkPlan: exchange insertion happens in the preparation rules, so
+    // a fresh groupBy/join on the keys shows its HashPartitioning only
+    // there. AQE re-planning after this probe can only coalesce or
+    // skew-split that exchange — coalescing keeps each key whole in one
+    // partition (the guard must still fire, and does: the decision is
+    // made from the initial plan), never un-aligns a non-aligned plan.
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val keyIds = keys.flatMap(k =>
+      df.queryExecution.analyzed.output.filter(a => resolver(a.name, k))
+        .map(_.exprId)).toSet
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val aligned = plan.outputPartitioning match {
       case h: HashPartitioning =>
         h.expressions.nonEmpty && h.expressions.forall {
-          case a: AttributeReference => keyNames.contains(a.name)
+          case a: AttributeReference => keyIds.contains(a.exprId)
           case _ => false
         }
       case _ => false

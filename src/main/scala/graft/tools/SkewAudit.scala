@@ -193,7 +193,13 @@ object SkewAudit {
     else if (flat.isEmpty) "global-tiny" // Window.partitionBy() over a stats table
     else if (flat.forall(k =>
       EnumKeys.contains(k) || PerDocKeys.contains(k) || PerQueryKeys.contains(k))) {
-      if (flat.exists(PerQueryKeys.contains) && w.brute) "review" else "bounded"
+      // round-17 ADVICE fix: a brute corpus-pairing frame under the
+      // window is review-class for EVERY key family, not just per-query
+      // keys — a per-doc key (doc_a) bounds the frame only when the
+      // frame is one document's own payload, which a theta-join under
+      // it is not; an enum key (lang) over a brute frame is a handful
+      // of corpus-sized partitions.
+      if (w.brute) "review" else "bounded"
     } else "review"
   }
 
@@ -224,8 +230,75 @@ object SkewAudit {
     }.nonEmpty
   }
 
-  private def hasRankCut(p: SparkPlan): Boolean =
-    p.collectFirst { case _: WindowExec => () }.nonEmpty
+  /** Attribute ids derived from the seed set through Alias chains: the
+    * rank a keyedRank/keyedTopK caller filters on is usually
+    * `alias(cast(row_number_attr + offset))`, not the window's own
+    * output attribute. Over-approximates (an alias mixing a rank with
+    * corpus columns also closes over) — acceptable for classifying a
+    * build side the operator already bounds by construction.
+    */
+  private def aliasClosure(
+      nodes: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]],
+      seed: Set[Long]): Set[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    var ids = seed
+    var changed = true
+    while (changed) {
+      changed = false
+      nodes.foreach(_.expressions.foreach(_.foreach {
+        case a: Alias if !ids(a.exprId.id) &&
+            a.references.exists(r => ids(r.exprId.id)) =>
+          ids += a.exprId.id; changed = true
+        case _ => ()
+      }))
+    }
+    ids
+  }
+
+  /** Directional literal bound on a window-derived value. The optimizer
+    * pushes a Filter through the rank Project, substituting the alias —
+    * the condition becomes e.g. `cast(_we0 + off) <= k`, so the check is
+    * "non-foldable side REFERENCES a window-derived id", not "is a bare
+    * window attribute". Direction matters: `rank <= k` / `rank = k`
+    * bound the frame; `rank > k` keeps the corpus.
+    */
+  private def boundsWinAttr(e: Expression, ids: Set[Long]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    def refsWin(x: Expression): Boolean =
+      x.references.exists(r => ids(r.exprId.id))
+    e match {
+      case LessThan(l, r) if r.foldable && refsWin(l) => true
+      case LessThanOrEqual(l, r) if r.foldable && refsWin(l) => true
+      case GreaterThan(l, r) if l.foldable && refsWin(r) => true
+      case GreaterThanOrEqual(l, r) if l.foldable && refsWin(r) => true
+      case EqualTo(l, r)
+        if (r.foldable && refsWin(l)) || (l.foldable && refsWin(r)) => true
+      case other => other.children.exists(boundsWinAttr(_, ids))
+    }
+  }
+
+  /** A rank-cut is the window + FILTER pair (the bounding construction
+    * this codebase uses everywhere): a WindowExec alone computes a rank
+    * but bounds nothing — round-17 ADVICE fix. True only when some
+    * FilterExec's condition compares a window-produced (or
+    * window-derived, via [[aliasClosure]]) attribute against a literal.
+    */
+  private def hasRankCut(p: SparkPlan): Boolean = {
+    def winAttrIds(q: SparkPlan): Set[Long] = {
+      val here = q.collect {
+        case w: WindowExec => w.windowExpression.map(_.toAttribute.exprId.id)
+      }.flatten
+      val cached = q.collect { case s: InMemoryTableScanExec => s }
+        .flatMap(s => winAttrIds(s.relation.cachedPlan))
+      aliasClosure(q.collect { case n => n }, (here ++ cached).toSet)
+    }
+    def walk(q: SparkPlan): Boolean =
+      q.collectFirst {
+        case f: FilterExec if boundsWinAttr(f.condition, winAttrIds(f.child)) => ()
+      }.nonEmpty || q.collect { case s: InMemoryTableScanExec => s }
+        .exists(s => walk(s.relation.cachedPlan))
+    walk(p)
+  }
 
   /** Aggregates grouped ONLY by bounded-domain keys. */
   private def enumAggTop(p: SparkPlan): Boolean = p match {
@@ -255,14 +328,18 @@ object SkewAudit {
   private def joins(p: SparkPlan): Seq[(String, String, String)] = {
     val here = p.collect {
       case j: BroadcastNestedLoopJoinExec =>
-        val (cls, side) =
-          if (oneRowish(j.right)) ("stat-frame", "right") // crossJoin(broadcast(stats))
-          else if (oneRowish(j.left)) ("stat-frame", "left")
-          else {
-            val c = classifyBuild(j.right)
-            (if (c == "review") "review" else c, "right")
-          }
-        ("BroadcastNestedLoopJoin", s"$side:${scannedTables(if (side == "right") j.right else j.left).mkString("+")}", cls)
+        // classify the ACTUAL build (broadcast) side — round-17 ADVICE
+        // fix: a BuildLeft BNLJ whose broadcast left is corpus-sized
+        // must not pass just because the streamed right is a 1-row stat
+        // frame. classifyBuild's own oneRowish arm handles the
+        // crossJoin(broadcast(stats)) shape.
+        import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+        val (build, side) = j.buildSide match {
+          case BuildLeft => (j.left, "left")
+          case BuildRight => (j.right, "right")
+        }
+        ("BroadcastNestedLoopJoin",
+          s"$side:${scannedTables(build).mkString("+")}", classifyBuild(build))
       case c: CartesianProductExec =>
         val cls =
           if (oneRowish(c.left) || oneRowish(c.right)) "stat-frame"
@@ -351,6 +428,22 @@ object SkewAudit {
     case _ => false
   }
 
+  /** Logical mirror of [[hasRankCut]] — window + bounding Filter pair,
+    * matched on the window expressions' output exprIds (round-17 ADVICE
+    * fix: a bare Window node bounds nothing).
+    */
+  private def hasRankCutL(p: logical.LogicalPlan): Boolean = {
+    def winAttrIds(q: logical.LogicalPlan): Set[Long] =
+      aliasClosure(q.collect { case n => n },
+        q.collect {
+          case w: logical.Window =>
+            w.windowExpressions.map(_.toAttribute.exprId.id)
+        }.flatten.toSet)
+    p.collectFirst {
+      case f: logical.Filter if boundsWinAttr(f.condition, winAttrIds(f.child)) => ()
+    }.nonEmpty
+  }
+
   private def classifyBuildL(p: logical.LogicalPlan): String = {
     val tables = scannedTablesL(p)
     if (oneRowishL(p)) "stat-frame"
@@ -358,7 +451,7 @@ object SkewAudit {
     else if (tables.isEmpty) "stat-frame" // literal local table
     else if (hasLiteralCutL(p)) "sample-cut"
     else if (enumAggTopL(p) || domainBoundedL(p)) "enum-agg"
-    else if (p.collectFirst { case _: logical.Window => () }.nonEmpty) "rank-cut"
+    else if (hasRankCutL(p)) "rank-cut"
     else if (p.collectFirst { case a: logical.Aggregate => a }.nonEmpty) "keyed-agg"
     else "review"
   }
@@ -457,7 +550,7 @@ object SkewAudit {
          |  "tool": "graft.tools.SkewAudit",
          |  "sf": ${jstr(sfDir)},
          |  "regenerate": "SPARK_GRAFT_CPUS=32 tools/run_main.sh graft.tools.SkewAudit",
-         |  "contract": "windows: no driver query may carry a WindowExec partitioned by a key a 100-TB corpus can make hot (per-query keys count as bounded ONLY when the frame under the window is bounded per query); joins: every CartesianProduct/BroadcastNestedLoopJoin and every BroadcastExchange build side must be a stat frame, const dim, sample/rank-cut, or enum agg",
+         |  "contract": "windows: no driver query may carry a WindowExec partitioned by a key a 100-TB corpus can make hot (a brute corpus-pairing frame under the window is review-class for EVERY key family, r17); joins: every CartesianProduct/BroadcastNestedLoopJoin BUILD side and every BroadcastExchange build side must be a stat frame, const dim, sample cut, rank-cut (window+bounding-filter pair), or enum agg",
          |  "summary": $summary,
          |  "join_summary": $joinSummary,
          |  "review_count": ${reviews.size}

@@ -526,6 +526,41 @@ class PropertySpec extends SparkSpec {
     assert(got == naive, "keyedTopK on key-aligned input != naive top-k")
   }
 
+  test("spreadIfKeyAligned: fires under AQE on AND off, on repartition and fresh groupBy exchanges, resolving keys by exprId") {
+    import graft.operators.KeyedRank
+    val rows = (0L until 200L).map(i =>
+      (if (i < 180) "hot" else s"cold${i % 5}", (i * 37 % 101).toDouble, i))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqeKey, "true")
+    try {
+      for (aqe <- Seq("true", "false")) {
+        spark.conf.set(aqeKey, aqe)
+        // fresh key-aligned exchange via repartition
+        val (_, f1) = KeyedRank.spreadIfKeyAligned(
+          rows.toDF("k", "q", "id").repartition($"k"), Seq("k"))
+        assert(f1, s"guard missed repartition-by-key (aqe=$aqe)")
+        // fresh groupBy ON the key: the exchange appears only in the
+        // PREPARED plan (EnsureRequirements), which sparkPlan never
+        // shows — the r16 probe's blind spot, closed in r17
+        val (_, f2) = KeyedRank.spreadIfKeyAligned(
+          rows.toDF("k", "q", "id").groupBy($"k")
+            .agg(org.apache.spark.sql.functions.sum($"q").as("q"),
+              org.apache.spark.sql.functions.max($"id").as("id")), Seq("k"))
+        assert(f2, s"guard missed fresh groupBy-on-key exchange (aqe=$aqe)")
+        // key resolution is by analyzed-output exprId via the session
+        // resolver, not raw names: a differently-cased key column still
+        // counts under the default case-insensitive analysis
+        val (_, f3) = KeyedRank.spreadIfKeyAligned(
+          rows.toDF("K", "q", "id").repartition($"K"), Seq("k"))
+        assert(f3, s"guard missed case-differing key column (aqe=$aqe)")
+        // non-aligned input pays nothing in either branch
+        val (_, f4) = KeyedRank.spreadIfKeyAligned(
+          rows.toDF("k", "q", "id").repartition(7), Seq("k"))
+        assert(!f4, s"guard false-fired on non-aligned input (aqe=$aqe)")
+      }
+    } finally spark.conf.set(aqeKey, prev)
+  }
+
   test("snapshot commits: any append/overwrite/compact sequence time-travels to the modeled state at EVERY version") {
     import graft.sources.Snapshots
     // model-based check: a random op sequence against the real table,

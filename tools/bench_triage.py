@@ -35,11 +35,19 @@ out = subprocess.run(
     ["tools/run_main.sh", "graft.tools.DriftBench"] + movers,
     capture_output=True, text=True, env=env, cwd=os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
+# fail loudly if DriftBench crashed or produced no DRIFT lines — an
+# all-null board looks complete but adjudicates nothing (r17 ADVICE)
+if out.returncode != 0:
+    sys.stderr.write(out.stderr[-4000:] + "\n")
+    sys.exit(f"[triage] DriftBench exited {out.returncode}; no board written")
 mins = {}
 for line in out.stdout.splitlines():
     if line.startswith("DRIFT "):
         parts = line.split()
         mins[parts[1]] = float(parts[2].split("=")[1])
+if movers and not mins:
+    sys.stderr.write(out.stderr[-4000:] + "\n")
+    sys.exit("[triage] DriftBench printed no DRIFT lines; no board written")
 
 board = {}
 for q in movers:
