@@ -1032,6 +1032,7 @@ object Dedup {
       while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
+    // driver-bound(threshold-gated): callers route here only when the edge count is <= driverFinishEdges (hybrid CC gate); larger graphs take the star-contraction path
     pairs.collect().foreach { row =>
       val (a, b) = (row.getLong(0), row.getLong(1))
       val (ra, rb) = (find(a), find(b))

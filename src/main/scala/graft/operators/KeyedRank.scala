@@ -186,6 +186,7 @@ object KeyedRank {
     val sample = base
       .where(md5Hash62(col(tie).cast("string")) < lit(thresh))
       .select(col(key), col(ord), col(tie))
+      // driver-bound(sample-bounded): uniform hash rate ~ sampleTarget/n rows
       .collect()
     val bounds: Map[String, Seq[(Any, Any)]] = sample
       .groupBy(_.getString(0))
@@ -222,6 +223,7 @@ object KeyedRank {
       }
     val sharded = ranked.materialize() // shard counts AND the final rank
     val offMap: Map[String, Long] = {
+      // driver-bound(stat-frame): |keys| x shards count rows; key cardinality driver-bounded by contract
       val totals = sharded.groupBy(col(key), col("_shard"))
         .agg(count(lit(1)).as("c")).collect()
         .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))

@@ -1196,6 +1196,7 @@ object Relational {
     val offsets: Map[Int, Long] = {
       val totals = sharded.groupBy(col("shard"))
         .agg(sum(col("delta")).as("tot"))
+        // driver-bound(stat-frame): one total per shard (<= parallelism rows)
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val ids = totals.keys.toSeq.sorted
       ids.zip(ids.scanLeft(0L)((acc, id) => acc + totals(id)).init).toMap
@@ -2227,6 +2228,7 @@ object Relational {
     val sharded = survivors.withColumn("shard",
       ((lit(hiV) - col("v")) / lit(shW)).cast("int"))
     val shardMins = sharded.groupBy(col("shard")).agg(min(col("n")).as("mn"))
+      // driver-bound(stat-frame): one minimum per shard (<= parallelism rows)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val shardIds = shardMins.keys.toSeq.sorted
     val prefMin: Map[Int, Long] = shardIds.zip(
@@ -3153,6 +3155,7 @@ object Relational {
     val sharded = totals.withColumn("shard",
       ((lit(hiC) - col("cents")) / lit(width)).cast("int"))
     val byShard = sharded.groupBy(col("shard")).agg(sum(col("cents")).as("t"))
+      // driver-bound(stat-frame): one total per shard (<= parallelism rows)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val ids = byShard.keys.toSeq.sorted
     val offsets = ids.zip(ids.scanLeft(0L)((a, i) => a + byShard(i)).init).toMap

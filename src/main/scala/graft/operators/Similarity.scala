@@ -210,6 +210,7 @@ object Similarity {
     * artifact at any corpus size.
     */
   private def ivfRefined(e: DataFrame, k: Int): Array[Array[Double]] = {
+    // driver-bound(k-bounded): k seed vectors (vec_id < k literal cut)
     val seeds: Array[Array[Double]] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
@@ -223,6 +224,7 @@ object Similarity {
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       .agg(avg(col("v")).as("m"))
+      // driver-bound(stat-frame): k cells x dim mean rows (enum x enum)
       .collect()
       .groupBy(_.getInt(0))
       .toArray.sortBy(_._1)
@@ -475,6 +477,7 @@ object Similarity {
     // ordered seed set (= the oracle's row_number()-1 renumbering), so a
     // corpus with fewer than Kc seed ids degrades gracefully instead of
     // indexing past the array.
+    // driver-bound(k-bounded): Kc seed vectors (vec_id < Kc literal cut)
     val seedVecs: Array[Array[Double]] = e.filter(col("vec_id") < Kc)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
@@ -495,6 +498,7 @@ object Similarity {
           .as(Seq("pos", "v")))
       .groupBy(col("m"), col("cell"), col("pos"))
       .agg(avg(col("v")).as("mv"))
+      // driver-bound(stat-frame): M x Kc x dSub codebook mean rows (enum domains)
       .collect()
     // refined codebooks hold ONLY the cells that received members —
     // mirroring the oracle's refined CTE exactly. (A cell goes empty only
@@ -533,6 +537,7 @@ object Similarity {
     // query-side LUTs (driver artifact: NQ x M x Kc doubles)
     import s.implicits._
     val qRows: Seq[(Long, Double, Seq[Seq[Double]])] =
+      // driver-bound(k-bounded): NQ query rows (vec_id < NQ literal cut)
       e.filter(col("vec_id") < NQ).orderBy("vec_id").collect().toSeq.map { r =>
         val qid = r.getLong(0)
         val qv = r.getSeq[Float](1).map(_.toDouble).toArray
@@ -996,6 +1001,7 @@ object Similarity {
     */
   private[graft] def kmeansCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
     val e = emb(s, d)
+    // driver-bound(k-bounded): KmCells seed vectors (vec_id < KmCells literal cut)
     val seeds: Array[Array[Double]] = e.filter(col("vec_id") < KmCells)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
@@ -1011,6 +1017,7 @@ object Similarity {
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("v")).as("m"))
+        // driver-bound(stat-frame): KmCells x dim mean rows per Lloyd round
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cell, rows) =>

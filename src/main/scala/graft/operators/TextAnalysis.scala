@@ -652,6 +652,7 @@ object TextAnalysis {
     val offsets: Map[Int, Long] = {
       val totals = sharded.groupBy(col("shard"))
         .agg(sum(col("n_tok")).as("tot"))
+        // driver-bound(stat-frame): one total per shard (<= parallelism rows)
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val ids = totals.keys.toSeq.sorted
       ids.zip(ids.scanLeft(0L)((acc, id) => acc + totals(id)).init).toMap
@@ -1379,7 +1380,7 @@ object TextAnalysis {
     * the encoder, picking up any merge whose pair happens to occur.
     */
   val t25BpeEncode: Q = (s, d) => {
-    // the learned merge table, rank order — 5 rows, bounded by construction
+    // driver-bound(k-bounded): the learned merge table, rank order — 5 rows by construction
     val merges = t21BpeMerges(s, d).collect()
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2), r.getString(3)))
@@ -1456,7 +1457,7 @@ object TextAnalysis {
     * identically-spelled divisions.
     */
   val t28Fertility: Q = (s, d) => {
-    // the learned merge table, rank order — 5 rows, bounded by construction
+    // driver-bound(k-bounded): the learned merge table, rank order — 5 rows by construction
     val merges = t21BpeMerges(s, d).collect()
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2), r.getString(3)))
@@ -3164,6 +3165,7 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w"))
       .limit(BpeVocabCap)
+      // driver-bound(k-bounded): top-BpeVocabCap vocab rows (TakeOrderedAndProject)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     bpeTrainOnVocabIndexed(vocab, rounds)
   }

@@ -557,6 +557,7 @@ object CorpusPipeline {
       .withColumn("_shard", shiftright(col(h), 62 - 6).cast("int"))
       .materialize() // feeds shard totals + the ranked pass
     val offMap: Map[String, Long] = {
+      // driver-bound(stat-frame): |keys| x 64 shard totals; key cardinality is driver-bounded per the keyedPrefixBefore contract
       val totals = base.groupBy(col(key), col("_shard"))
         .agg(sum(col(v)).as("tot")).collect()
         .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
@@ -961,6 +962,7 @@ object CorpusPipeline {
     val ranked = keyedPrefixBefore(staged, "skey", "h", "doc_id", "one")
       .materialize() // feeds the offset agg AND the final projection
     val offs = ranked.groupBy(col("stage")).agg(count(lit(1)).as("n"))
+      // driver-bound(enum-bounded): one count per curriculum stage (3 rows)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offMap = offs.map(_._1)
       .zip(offs.map(_._2).scanLeft(0L)(_ + _).init).toMap
@@ -1035,6 +1037,7 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("s4")).as("s4sum"))
       .select(col("source"), col("n_docs"),
         (col("s4sum") / col("n_docs").cast("double") / lit(10000.0)).as("l"))
+      // driver-bound(enum-bounded): one row per source domain
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       .sortBy(_._1) // bounded: one row per domain
     val nd = perSrc.length.toDouble

@@ -348,6 +348,7 @@ object Snapshots {
       val byName = spark.read.parquet(paths: _*)
         .groupBy(input_file_name().as("f"))
         .agg(aggs.head, aggs.tail: _*)
+        // driver-bound(manifest-bounded): one row per data file of one table version (zone-map build)
         .collect().map { r =>
           val triples = statsCols.zipWithIndex.flatMap { case (c, i) =>
             val (loI, hiI, nullI) = (1 + 3 * i, 2 + 3 * i, 3 + 3 * i)

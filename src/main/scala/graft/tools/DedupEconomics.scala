@@ -47,6 +47,7 @@ object DedupEconomics {
     val dfreq = graft.Materialize(
       inv.groupBy(col("h")).agg(count(lit(1)).as("df")))
 
+    // driver-bound(stat-frame): groupless count, 1 row
     val Array(nDocs) = base.agg(count(lit(1))).as[Long](
       org.apache.spark.sql.Encoders.scalaLong).collect()
     val dfStats = dfreq.agg(
@@ -55,6 +56,7 @@ object DedupEconomics {
       max(col("df")).as("max_df"),
       expr("percentile_approx(df, 0.99)").as("p99_df"),
       sum(col("df") * (col("df") - 1) / 2).cast("long").as("naive_pair_bill")
+      // driver-bound(stat-frame): groupless aggregate, 1 row
     ).collect()(0)
 
     val naiveCand = inv.as("x").join(inv.as("y"),
@@ -69,6 +71,7 @@ object DedupEconomics {
     val prefixRows = prefix.count()
     val prefixBill = prefix.groupBy(col("h")).agg(count(lit(1)).as("pdf"))
       .agg(sum(col("pdf") * (col("pdf") - 1) / 2).cast("long"))
+      // driver-bound(stat-frame): groupless aggregate, 1 row
       .collect()(0).getLong(0)
     val prefixCand = prefix.as("x").join(prefix.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))

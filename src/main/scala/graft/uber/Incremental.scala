@@ -191,6 +191,7 @@ object Incremental {
     */
   def affectedMonths(increment: DataFrame): Seq[Option[Int]] =
     increment.select(month(col("pickup_date")).as("m")).distinct()
+      // driver-bound(enum-bounded): distinct calendar months, <= 13 rows
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
 
   private def hivePart(m: Option[Int]): String =
@@ -233,6 +234,7 @@ object Incremental {
       // (fold must carry month_num through for the split — re-derive it
       // from the partials projection)
       val affected = months.getOrElse(
+        // driver-bound(enum-bounded): distinct calendar months, <= 13 rows
         p.select(col("month_num")).distinct().collect()
           .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq)
       if (affected.nonEmpty) {
