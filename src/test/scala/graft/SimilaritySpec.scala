@@ -1257,4 +1257,63 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long, Option[Int], Option[Int], Double)].collect().toSeq
     assert(full == v21, "v25(nprobe=all) != v21 brute hybrid list")
   }
+
+  test("v25 plan assert: no keyedRank full-rank subtree; every window is a local-slice rank or literally K-cut") {
+    // the serving-path guarantee as a STRUCTURAL plan test (VERDICT r16
+    // item 4): v25 must never compute a corpus-sized rank list — no
+    // keyedRank `_shard` window anywhere, and every WindowExec either
+    // ranks a per-(key, input-partition) local slice (keyedTopK phase 1,
+    // `_pid` key — frame bounded by the partition) or has a bounding
+    // literal filter on its (possibly aliased/offset) rank output.
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.expressions._
+    val q = Similarity.v25HybridServe(spark, sfDir)
+    val plan: SparkPlan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the bounded fused-frame windows")
+    def keyNames(w: WindowExec): Set[String] =
+      w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+    assert(!windows.exists(w => keyNames(w).exists(_.startsWith("_shard"))),
+      "v25 carries a keyedRank full-rank (_shard) window")
+    // alias closure: the filtered rank is usually alias(cast(we + off))
+    def closure(seed: Set[Long]): Set[Long] = {
+      var ids = seed; var changed = true
+      while (changed) {
+        changed = false
+        plan.foreach(_.expressions.foreach(_.foreach {
+          case a: Alias if !ids(a.exprId.id) &&
+              a.references.exists(r => ids(r.exprId.id)) =>
+            ids += a.exprId.id; changed = true
+          case _ => ()
+        }))
+      }
+      ids
+    }
+    def bounds(e: Expression, ids: Set[Long]): Boolean = {
+      def refs(x: Expression) = x.references.exists(r => ids(r.exprId.id))
+      e match {
+        case LessThan(l, r) if r.foldable && refs(l) => true
+        case LessThanOrEqual(l, r) if r.foldable && refs(l) => true
+        case GreaterThan(l, r) if l.foldable && refs(r) => true
+        case GreaterThanOrEqual(l, r) if l.foldable && refs(r) => true
+        case EqualTo(l, r) if (r.foldable && refs(l)) || (l.foldable && refs(r)) => true
+        case other => other.children.exists(bounds(_, ids))
+      }
+    }
+    val filters = plan.collect { case f: FilterExec => f }
+    windows.foreach { w =>
+      val localSlice = keyNames(w).exists(_.startsWith("_pid"))
+      val cut = {
+        val ids = closure(w.windowExpression.map(_.toAttribute.exprId.id).toSet)
+        filters.exists(f => bounds(f.condition, ids))
+      }
+      assert(localSlice || cut,
+        s"un-cut corpus-frame window over keys ${keyNames(w)}:\n$w")
+    }
+  }
 }
