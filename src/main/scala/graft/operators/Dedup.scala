@@ -962,13 +962,20 @@ object Dedup {
     val spark = nodes.sparkSession
     val parts = spark.conf.getOption("spark.graft.cc.iterParts").map(_.toInt)
       .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 4))
-    // canonical directed form: u > v (edges always point big -> small)
+    // canonical directed form: u > v (edges always point big -> small).
+    // Dedup ORDER (r17 optimization, guide §2.4): repartition by u FIRST,
+    // then aggregate-distinct on (u, v) — HashPartitioning(u) satisfies
+    // ClusteredDistribution(u, v), so the distinct plans WITHOUT its own
+    // (u, v) exchange: one shuffle per pass instead of two, here and per
+    // round below.
     var edges = pairsIn
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .repartition(parts, col("u")).materialize()
-    var converged = edges.count() == 0
+      .filter(col("u") =!= col("v"))
+      .repartition(parts, col("u")).dropDuplicates(Seq("u", "v"))
+      .materialize()
+    var prevCount = edges.count()
+    var converged = prevCount == 0
     var rounds = 0
     while (!converged && rounds < 30) {
       // LARGE-STAR on the symmetric view: per center, neighbors larger
@@ -979,6 +986,13 @@ object Dedup {
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val lsm = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // MATERIALIZED deliberately (re-confirmed r17 via StarPlanProbe): ls
+      // has three consumers in next's plan (the ssm aggregate, the
+      // re-attach probe side, and ssm's second appearance under the
+      // union), and the probe-side copy sits under NO exchange once AQE
+      // elects broadcast for ssm — exchange reuse cannot deduplicate it,
+      // so dropping this checkpoint re-computes the large-star join up to
+      // three times per round. One eager cut per star phase is the floor.
       val ls = sym.join(lsm, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // v > u >= m: canonical
         .materialize()
@@ -988,20 +1002,27 @@ object Dedup {
       val next = ls.join(ssm, "u").filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(ssm.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
-        .repartition(parts, col("u")).materialize()
-      // fixpoint test every SECOND round (LS/SS never converges in round
-      // 1 on a non-star input), as ONE action: both frames are DISTINCT
-      // sets by construction, so set equality is "no row missing a
-      // marker" under a full-outer marker join — one shuffle + one
-      // take(1) instead of the old count+count+exceptAll triple
+        .filter(col("u") =!= col("v"))
+        .repartition(parts, col("u")).dropDuplicates(Seq("u", "v"))
+        .materialize()
+      // fixpoint test, cheapest-first (r17 optimization): both frames are
+      // DISTINCT sets by construction, so |next| != |edges| already proves
+      // non-convergence — and count() on the just-checkpointed blocks is a
+      // shuffle-free one-stage job. Only when the counts MATCH does the
+      // exact set-equality probe run ("no row missing a marker" under a
+      // full-outer marker join — both sides are co-partitioned by u, so
+      // even that probe plans without an exchange). Probing every round
+      // (the old code probed every 2nd) costs only the count job and can
+      // end the loop one round earlier.
       rounds += 1
-      if (rounds % 2 == 0 || rounds >= 29)
+      val nextCount = next.count()
+      if (nextCount == prevCount)
         converged = next.select(col("u"), col("v"), lit(1).as("a"))
           .join(edges.select(col("u"), col("v"), lit(1).as("b")),
             Seq("u", "v"), "full_outer")
           .filter(col("a").isNull || col("b").isNull)
           .isEmpty
+      prevCount = nextCount
       edges = next
     }
     // a non-converged exit would read a non-star edge set as a (wrong)
