@@ -603,6 +603,37 @@ object Dedup {
     */
   private[graft] val OphC = 2654435761L
 
+  /** The densified 64-slot OPH signature as ONE array column per doc:
+    * (doc_id, arr) where arr(i) is bin i's minimum, or the cyclically-
+    * right borrow v + dist·C for empty bins. Single doc-keyed aggregate
+    * (64 conditional-min states) + pure array expressions — r17
+    * optimization, guide §2.4: the former grid/anti-join/densify-join/
+    * min_by chain was 4 exchanges + 1 checkpoint computing the same 64
+    * values per doc; the borrow scan here is ≤ 63 array probes per empty
+    * bin, all inside one whole-stage-codegen projection, and the shape
+    * holds at any scale because the agg state is 64 longs per doc.
+    * Docs with no shingles emit no row.
+    */
+  private def ophSlotArray(base: DataFrame): DataFrame = {
+    val inv = base.select(col("doc_id"), explode(col("sh")).as("h"))
+    val minCols = (0 until OphBins).map(i =>
+      min(when(pmod(col("h"), lit(OphBins.toLong)) === i, col("h"))).as(s"m$i"))
+    val raw = inv.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until OphBins).map(i => col(s"m$i")): _*).as("raw"))
+    // borrow for an empty bin i: smallest dist j >= 1 whose bin (i+j) mod 64
+    // is filled, offset by j*C — the aggregate fold keeps the FIRST non-null
+    // candidate (null + j*C stays null, coalesce keeps earlier finds)
+    def at(k: Column) = element_at(col("raw"), pmod(k, lit(OphBins)) + 1)
+    raw.select(col("doc_id"),
+      transform(sequence(lit(0), lit(OphBins - 1)), i =>
+        coalesce(at(i),
+          aggregate(sequence(lit(1), lit(OphBins - 1)),
+            lit(null).cast("long"),
+            (acc, j) => coalesce(acc, at(i + j) + j.cast("long") * lit(OphC)))))
+        .as("arr"))
+  }
+
   /** The densified 64-slot OPH signature, one row per (doc, slot):
     * filled slots are per-bin minima of the hashed shingle set; empty
     * slots borrow cyclically-right. Docs with no shingles emit no rows.
@@ -612,33 +643,22 @@ object Dedup {
       case cols if cols.contains("sh") => docsDf
       case _ => shingleSets(docsDf)
     }
-    val inv = base.select(col("doc_id"), explode(col("sh")).as("h"))
-    val slots = inv
-      .groupBy(col("doc_id"), pmod(col("h"), lit(OphBins.toLong)).as("idx"))
-      .agg(min(col("h")).as("v"))
-      .materialize() // grid anti-join, densify join AND the union
-    val grid = base.where(col("n_sh") > 0)
-      .select(col("doc_id"),
-        explode(sequence(lit(0L), lit(OphBins - 1L))).as("idx"))
-    val empt = grid.join(slots, Seq("doc_id", "idx"), "left_anti")
-    val dens = empt.select(col("doc_id"), col("idx").as("eidx"))
-      .join(slots.select(col("doc_id"), col("idx").as("fidx"), col("v")),
-        "doc_id")
-      .withColumn("dist", pmod(col("fidx") - col("eidx"), lit(OphBins.toLong)))
-      .groupBy(col("doc_id"), col("eidx"))
-      .agg(min_by(col("v") + col("dist") * lit(OphC), col("dist")).as("v"))
-      .select(col("doc_id"), col("eidx").as("idx"), col("v"))
-    slots.union(dens)
+    ophSlotArray(base)
+      .select(col("doc_id"), posexplode(col("arr")).as(Seq("i", "v")))
+      .select(col("doc_id"), col("i").cast("long").as("idx"), col("v"))
   }
 
-  /** OPH slots folded 32×2: (doc_id, band, r0, r1). */
+  /** OPH slots folded 32×2: (doc_id, band, r0, r1) — read straight off
+    * the slot array (band b = slots 2b, 2b+1), no per-(doc, band) shuffle.
+    */
   private def ophBands(base: DataFrame): DataFrame =
-    ophSlots(base)
-      .groupBy(col("doc_id"), (col("idx") - pmod(col("idx"), lit(2L))).as("b2"))
-      .agg(min(when(pmod(col("idx"), lit(2L)) === 0, col("v"))).as("r0"),
-        min(when(pmod(col("idx"), lit(2L)) === 1, col("v"))).as("r1"))
-      .select(col("doc_id"), (col("b2") / 2).cast("long").as("band"),
-        col("r0"), col("r1"))
+    ophSlotArray(base)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(OphBins / 2 - 1)), b =>
+          struct(element_at(col("arr"), b * 2 + 1).as("r0"),
+            element_at(col("arr"), b * 2 + 2).as("r1")))).as(Seq("band", "bd")))
+      .select(col("doc_id"), col("band").cast("long").as("band"),
+        col("bd.r0").as("r0"), col("bd.r1").as("r1"))
 
   /** The d-family shingle build (sorted distinct md5-62 word-3gram sets)
     * as the oracle's `g`+`inv` CTE pair — ONE spelling shared by the

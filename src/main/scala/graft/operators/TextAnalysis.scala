@@ -3584,49 +3584,81 @@ object TextAnalysis {
       .materialize() // every round's activation AND gradient side
   }
 
-  /** Per-doc activation under weight frame `w` — the sorted-fold sum
-    * both training rounds and final scoring share.
+  /** Hashed-feature domain size shared by t19/t20/t46/t47. */
+  private val ClsBuckets = 4096
+
+  /** Per-doc activation under a driver-held weight array — the
+    * sorted-fold sum both training rounds and final scoring share. The
+    * weight domain is the hashed-feature space (4096 buckets — driver-
+    * bounded by construction, independent of corpus size), so the
+    * weights ride into the plan as ONE array literal and the lookup is
+    * a codegen O(1) element_at, replacing the former per-round
+    * 4096-row-frame join (r17 optimization, guide §3/§5: no build side,
+    * no per-round checkpoint, identical doubles). `live` replays the
+    * old inner join's semantics exactly: a feature that ever missed a
+    * gradient round drops its rows from every later activation.
     */
-  private def classifierZ(feats: DataFrame, w: DataFrame): DataFrame =
-    feats.join(w, "fid")
+  private def classifierZ(feats: DataFrame, w: Array[Double],
+      live: Array[Boolean]): DataFrame = {
+    val idx = (col("fid") + 1).cast("int")
+    feats.where(element_at(typedlit(live.toSeq), idx))
       .groupBy(col("doc_id"))
       .agg(graft.functions.TextFunctions
-        .sortedFoldSum(col("w") * col("x4")).as("zraw"))
+        .sortedFoldSum(element_at(typedlit(w.toSeq), idx) * col("x4"))
+        .as("zraw"))
+  }
 
   /** The three exact-rational gradient rounds, fit on exactly the docs
     * `lab` carries (t46 passes every doc; t47 passes the 9/10 train
     * split — the gradient join restricts itself because `g = feats ⋈
-    * resid` is inner on doc_id). `ndF` is the matching 1-row doc count.
+    * resid` is inner on doc_id). `nd` is the matching doc count.
+    * Returns the trained weights plus the liveness mask (features whose
+    * fid missed any round's gradient frame — the old w ⋈ g inner join's
+    * drop set). Per round the corpus is touched exactly twice (the
+    * activation agg and the gradient agg); the ≤ 4096-row gradient is
+    * the only thing that ever leaves the cluster, and the weight update
+    * replays the old Spark expression double-for-double on the driver.
     */
   private def classifierTrainLoop(feats: DataFrame, lab: DataFrame,
-      ndF: DataFrame): DataFrame = {
+      nd: Double): (Array[Double], Array[Boolean]) = {
     val eta = 0.1
-    val rounds = 3
-    var w = feats.select(col("fid")).distinct()
-      .withColumn("w", lit(0.0)).materialize()
-    (1 to rounds).foreach { _ =>
-      val resid = lab.join(classifierZ(feats, w), "doc_id")
+    val w = Array.fill(ClsBuckets)(0.0)
+    val live = Array.fill(ClsBuckets)(true)
+    // round-0 liveness is ALL buckets: the old w0 (distinct fid FROM
+    // feats) only ever filtered rows that carry those fids anyway, so
+    // "every bucket live" keeps the identical row set
+    (1 to 3).foreach { _ =>
+      val resid = lab.join(classifierZ(feats, w, live), "doc_id")
         .select(col("doc_id"),
           floor((col("y") - col("zraw") / lit(10000.0)) * lit(10000.0)
             + lit(0.5)).as("r4"))
+      // driver-bound(stat-frame): <= 4096 hashed-feature-bucket rows
       val g = feats.join(resid, "doc_id")
         .groupBy(col("fid")).agg(sum(col("r4") * col("x4")).as("g"))
-      w = w.join(g, "fid").crossJoin(ndF)
-        .select(col("fid"),
-          (col("w") + lit(eta) * (col("g").cast("double")
-            / (col("nd") * lit(1.0e8)))).as("w"))
-        .materialize() // 4096 rows; fences the round chain flat
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var i = 0
+      while (i < ClsBuckets) {
+        if (live(i)) g.get(i.toLong) match {
+          // the old w.join(g).crossJoin(ndF) update expression verbatim:
+          // w + eta * (g.toDouble / (nd * 1e8)) — identical IEEE ops
+          case Some(gv) => w(i) = w(i) + eta * (gv.toDouble / (nd * 1.0e8))
+          case None => live(i) = false
+        }
+        i += 1
+      }
     }
-    w
+    (w, live)
   }
 
   val t46ClassifierTrain: Q = (s, d) => {
     val feats = classifierFeats(s, d)
     val lab = docs(s, d)
       .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"))
-    val ndF = feats.agg(countDistinct(col("doc_id")).cast("double").as("nd"))
-    val w = classifierTrainLoop(feats, lab, ndF)
-    def zOf(wf: DataFrame): DataFrame = classifierZ(feats, wf)
+    // driver-bound(stat-frame): one groupless count row
+    val nd = feats.agg(countDistinct(col("doc_id")).cast("double").as("nd"))
+      .collect().head.getDouble(0)
+    val (w, live) = classifierTrainLoop(feats, lab, nd)
+    def zOf(): DataFrame = classifierZ(feats, w, live)
     // keep = strictly above the corpus-mean score (the CCNet-style
     // keep-the-better-half cut, self-calibrated — three damped rounds
     // rank correctly long before scores reach probability scale). The
@@ -3638,7 +3670,7 @@ object TextAnalysis {
     // sides exact to ~1e38.
     val scored = docs(s, d)
       .select(col("doc_id"), (col("lang") === "en").as("label"))
-      .join(zOf(w), Seq("doc_id"), "left")
+      .join(zOf(), Seq("doc_id"), "left")
       .withColumn("zq", floor(coalesce(col("zraw"), lit(0.0))
         * lit(1000000.0) + lit(0.5)).cast("long"))
       .materialize() // the mean stats AND the output rows
@@ -3748,13 +3780,15 @@ object TextAnalysis {
     val isHeld = col("doc_id") % 10 === 0
     val lab = docs(s, d).where(!isHeld)
       .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"))
-    val ndF = feats.where(!isHeld)
+    // driver-bound(stat-frame): one groupless count row
+    val nd = feats.where(!isHeld)
       .agg(countDistinct(col("doc_id")).cast("double").as("nd"))
-    val w = classifierTrainLoop(feats, lab, ndF)
+      .collect().head.getDouble(0)
+    val (w, live) = classifierTrainLoop(feats, lab, nd)
     docs(s, d)
       .select(col("doc_id"), (col("lang") === "en").as("label"),
         when(isHeld, lit("heldout")).otherwise(lit("train")).as("split"))
-      .join(classifierZ(feats, w), Seq("doc_id"), "left")
+      .join(classifierZ(feats, w, live), Seq("doc_id"), "left")
       .withColumn("score",
         sround(coalesce(col("zraw"), lit(0.0)) / lit(10000.0), 6))
       .groupBy(col("split"), col("label"))
