@@ -2223,10 +2223,17 @@ object Similarity {
     val truth = KeyedRank.keyedTopK(fuse(dfull, bfull), Seq("q_id"),
       Seq(col("rrf").desc, col("doc_id").asc), kFuse, "rt")
       .select(col("q_id"), col("doc_id"))
-    val approx = KeyedRank.keyedTopK(
-      fuse(dfull.where(col("rd") <= K), bfull.where(col("rb") <= K)),
-      Seq("q_id"), Seq(col("rrf").desc, col("doc_id").asc), kFuse, "rt")
-      .select(col("q_id"), col("doc_id"))
+    // approx side: BOTH inputs are K-cut rank lists, so the fused frame is
+    // ≤ 2K rows per query BY CONSTRUCTION — v21's plain bounded window is
+    // the right cut here (1 exchange), not the corpus-safe two-phase
+    // keyedTopK (3 exchanges) the truth side above still needs (r17
+    // optimization, guide §2.4; identical total order, identical rows)
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    val approx =
+      fuse(dfull.where(col("rd") <= K), bfull.where(col("rb") <= K))
+        .withColumn("rt", row_number().over(wA)).where(col("rt") <= kFuse)
+        .select(col("q_id"), col("doc_id"))
     val nApprox = approx.groupBy(col("q_id")).agg(count(lit(1)).as("n_approx"))
     truth.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "doc_id"), "left")
       .groupBy(col("q_id"))
@@ -2430,10 +2437,16 @@ object Similarity {
     val truth = KeyedRank.keyedTopK(fuse(dfull, bfull), Seq("q_id"),
       Seq(col("rrf").desc, col("doc_id").asc), kFuse, "rt")
       .select(col("q_id"), col("doc_id"))
-    val approx = KeyedRank.keyedTopK(
-      fuse(annRank, bfull.where(col("rb") <= K)),
-      Seq("q_id"), Seq(col("rrf").desc, col("doc_id").asc), kFuse, "rt")
-      .select(col("q_id"), col("doc_id"))
+    // approx side: annRank is keyedTopK-cut to ≤ K and the lexical side is
+    // rb <= K, so the fused frame is ≤ 2K rows per query BY CONSTRUCTION —
+    // v21's plain bounded window replaces the two-phase cut (r17
+    // optimization; identical total order, identical rows)
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    val approx =
+      fuse(annRank, bfull.where(col("rb") <= K))
+        .withColumn("rt", row_number().over(wA)).where(col("rt") <= kFuse)
+        .select(col("q_id"), col("doc_id"))
     val nApprox = approx.groupBy(col("q_id")).agg(count(lit(1)).as("n_approx"))
     truth.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "doc_id"), "left")
       .groupBy(col("q_id"))

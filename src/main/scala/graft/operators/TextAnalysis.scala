@@ -1282,9 +1282,23 @@ object TextAnalysis {
       .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
         .as("syms"), col("freq"))
       .materialize() // corpus scanned ONCE; rounds run on vocab
-    var words = words0
-    var merges: DataFrame = null
+    // r17 optimization (guide §5): each round's winner is a limit(1)
+    // frame — collect it and chain the merges as LITERAL replace
+    // expressions over the one checkpointed vocab frame, instead of a
+    // per-round broadcast-join apply fenced by a per-round checkpoint.
+    // Round r re-runs r-1 literal replaces inside one codegen projection
+    // (narrow string work on the vocab multiset) — strictly cheaper than
+    // writing + reading the vocab frame every round, at any scale. The
+    // learned table is identical: same counts, same (-pf, a, b) argmax,
+    // same sentinel-padded leftmost-non-overlapping replace.
+    var merges = List.empty[(Int, String, String, String, Long)]
     for (r <- 1 to 5) {
+      // a/b/m are learned lowercase-letter runs — safe as SQL literals;
+      // same sentinel-padded literal replace chain as t25's encoder
+      val symsExpr = merges.foldLeft("syms") { case (e, (_, a, b, m, _)) =>
+        s"replace($e, ' $a $b ', ' $m ')"
+      }
+      val words = words0.select(expr(symsExpr).as("syms"), col("freq"))
       val top = words
         .where(expr("size(split(trim(syms), ' ')) >= 2"))
         .select(explode(expr(
@@ -1295,20 +1309,13 @@ object TextAnalysis {
         .agg(sum(col("freq")).as("pf"))
         .orderBy(col("pf").desc, col("a"), col("b"))
         .limit(1)
-        .select(lit(r).as("rank"), col("a"), col("b"),
-          concat(col("a"), col("b")).as("merged"), col("pf"))
-        .materialize() // consumed by the output union AND the apply
-      merges = if (merges == null) top else merges.unionAll(top)
-      if (r < 5) {
-        words = words.crossJoin(broadcast(top.select(
-            col("a").as("ma"), col("b").as("mb"), col("merged").as("mm"))))
-          .select(expr(
-            "replace(syms, ' ' || ma || ' ' || mb || ' ', ' ' || mm || ' ')")
-            .as("syms"), col("freq"))
-          .materialize() // keep the per-round plan flat
-      }
+        // driver-bound(k-bounded): limit(1) — the round's single argmax row
+        .collect().head
+      merges = merges :+ ((r, top.getString(0), top.getString(1),
+        top.getString(0) + top.getString(1), top.getLong(2)))
     }
-    merges.orderBy(col("rank"))
+    import s.implicits._
+    merges.toDF("rank", "a", "b", "merged", "pf").orderBy(col("rank"))
   }
 
   /** The t21 trainer as a CTE prefix (words0 → … → m5), shared by the
