@@ -2053,12 +2053,19 @@ object Similarity {
     val toks = Tables.load(s, d, "documents")
       .select(col("doc_id"), lowerTokens(col("text")).as("t"))
       .materialize() // term index, doc lengths AND the query-term side
-    val ti = toks.select(col("doc_id"), explode(col("t")).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // dl rides the ti aggregation key (functionally dependent on doc_id —
+    // same exchange, same row set) so the scoring pass below needs NO
+    // doc-length join at all (r17 optimization, guide §2.4: the old
+    // `.join(dl, "doc_id")` re-shuffled or re-broadcast the postings for
+    // a column the term index can carry for free)
+    val ti = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
       .materialize() // the df agg AND the query-term probe
     val dfq = ti.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("t")).cast("long")).as("sum_dl"))
     val qt = toks.filter(col("doc_id") < NQ)
       .select(col("doc_id").as("q_id"), explode(col("t")).as("token"))
       .distinct()
@@ -2072,7 +2079,6 @@ object Similarity {
     val qtCapped = bm25ProbeTerms(s, qt, dfq, stats)
     broadcast(qtCapped).join(ti, "token")
       .filter(col("doc_id") =!= col("q_id"))
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("q_id"), col("doc_id"), contrib.as("c"))
       .groupBy(col("q_id"), col("doc_id"))
