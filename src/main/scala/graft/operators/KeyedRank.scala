@@ -221,16 +221,17 @@ object KeyedRank {
           size(filter(element_at(bmap, col(key)), boundaryPrecedesOrEq)),
           lit(0)))
       }
-    // NO second materialize: `ranked` is the checkpointed `base` plus one
-    // broadcast-literal shard expression (≤ shards-1 struct compares per
-    // row), so its two consumers below (the offset agg and the final
-    // window) each recompute that cheap projection from base's blocks —
-    // strictly cheaper than writing + reading a second full copy of the
-    // frame, at every scale (r17 optimization: −1 action, −1 resident
-    // copy per keyedRank call; ranks unchanged).
+    // Second materialize RE-CONFIRMED r17: the shard column's per-row
+    // cost (element_at on the boundary map + a struct-array filter
+    // allocation) is NOT cheap enough to recompute — dropping this
+    // checkpoint and letting the offset agg and the final window each
+    // re-derive _shard from base's blocks measured +0.3–0.4 s on the
+    // mid-size keyedRank callers (q29/q31, interleaved n=5 minima),
+    // with no offsetting win. One eager cut per phase stands.
+    val sharded = ranked.materialize() // shard counts AND the final rank
     val offMap: Map[String, Long] = {
       // driver-bound(stat-frame): |keys| x shards count rows; key cardinality driver-bounded by contract
-      val totals = ranked.groupBy(col(key), col("_shard"))
+      val totals = sharded.groupBy(col(key), col("_shard"))
         .agg(count(lit(1)).as("c")).collect()
         .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
       totals.foreach { case ((k0, _), _) =>
@@ -253,7 +254,7 @@ object KeyedRank {
     val ordSort = if (descending) col(ord).desc else col(ord).asc
     val w = Window.partitionBy(col(key), col("_shard"))
       .orderBy(ordSort, col(tie).asc)
-    ranked
+    sharded
       .withColumn(rankCol, (row_number().over(w) + offCol).cast("int"))
       .drop("_shard")
   }
